@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core CDC dataflow operators, re-expressed as declarative
+  * `DataFrame => DataFrame` transforms (SURVEY.md §2.1 O1-O9).
+  *
+  * The reference applies these per-event in a Python loop
+  * (`stream_cdc/processing/processors.py:17-35`); here each is a Catalyst
+  * expression inside whole-stage codegen, so the same logic runs columnar
+  * and distributed with no per-row interpreter overhead. All of them work
+  * identically on bounded DataFrames and on Structured Streaming inputs
+  * (used by [[graft.streaming.CdcPipeline]]).
+  */
+object CdcOps {
+
+  /** O1 — event classification (reference `mysql.py:344-352`).
+    *
+    * Maps an application event label onto the CDC operation taxonomy.
+    * Labels with no mapping classify as "Skip" — the analogue of
+    * QueryEvents that the reference decodes then discards
+    * (`mysql.py:354-365,387-389`).
+    */
+  def classifyOp(eventType: Column): Column =
+    when(eventType === "signup", "Insert")
+      .when(eventType === "purchase", "Insert")
+      .when(eventType === "click", "Update")
+      .when(eventType === "error", "Delete")
+      .otherwise("Skip") // e.g. "view" — the QueryEvent analogue
+
+  /** O2+O3 — envelope projection (reference `mysql.py:404-426`): one
+    * envelope row per change, carrying a transaction position. The
+    * bounded replay source already has one row per change (the binlog
+    * multi-row flatten is `explode` when needed), so this is a pure
+    * projection; `gtid` is synthesized from the source's own ordering
+    * key exactly like GtidEvent inheritance (`mysql.py:380-384`).
+    */
+  def toEnvelope(events: DataFrame, serverUuid: String = "srv-1",
+      database: String = "app", table: String = "events"): DataFrame =
+    events.select(
+      classifyOp(col("event_type")).as("event_type"),
+      concat(lit(serverUuid + ":"), col("event_id")).as("gtid"),
+      lit(database).as("database"),
+      lit(table).as("table"),
+      col("props").as("content"),
+      col("event_id"), col("ts"), col("user_id"), col("value"))
+
+  /** O4 — skip filter: drop events classified as Skip, the analogue of
+    * DDL/COMMIT passthrough (`mysql.py:387-389`). */
+  def dropSkipped(df: DataFrame): DataFrame =
+    df.filter(col("event_type") =!= "Skip")
+
+  /** O5 — empty-event filter (`mysql.py:391-393`). */
+  def dropEmpty(df: DataFrame): DataFrame =
+    df.filter(col("content").isNotNull && length(col("content")) > 0)
+
+  /** O6 — serializer parity (reference `utils/serializer.py:15-37`):
+    * JSON-normalize a set of columns into a single string payload.
+    * `to_json` degrades timestamps/decimals to strings/numbers just like
+    * the reference's `json.dumps(default=str)` round-trip. */
+  def serialize(cols: Column*): Column = to_json(struct(cols: _*))
+
+  /** O7/O8 — composable filter chain (reference `filters/base.py:58-98`,
+    * `filters/factory.py:14-25`). The reference folds a message through an
+    * ordered list of `Message -> Message` transforms; the Spark-native
+    * chain is function composition over DataFrames — Catalyst then fuses
+    * the whole chain into one codegen stage, so an N-step chain costs the
+    * same as one. An empty chain is the identity (`base.py:92-94`).
+    */
+  final case class FilterChain(steps: Seq[DataFrame => DataFrame]) {
+    def apply(df: DataFrame): DataFrame =
+      steps.foldLeft(df)((d, f) => f(d))
+    def andThen(f: DataFrame => DataFrame): FilterChain =
+      FilterChain(steps :+ f)
+  }
+
+  object FilterChain {
+    val identity: FilterChain = FilterChain(Seq.empty)
+    /** Factory parity: build a chain from a list (`factory.py:14-25`). */
+    def of(fs: (DataFrame => DataFrame)*): FilterChain = FilterChain(fs)
+  }
+}

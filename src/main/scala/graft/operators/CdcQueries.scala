@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Oracle-checked queries exercising the CDC operator surface
+  * (SURVEY.md §2.3 "core") over the bounded replay of `events.parquet`.
+  * Each wires real library operators from [[CdcOps]]; the oracle SQL
+  * restates the semantics independently for DuckDB.
+  */
+object CdcQueries {
+
+  private def dec12(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(12, 2))
+  private val D12 = "DECIMAL(12,2)"
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // -------------------------------------------------------------- cdc01
+  // Envelope projection + classification + skip filter (O1/O2/O4).
+  // Scale: pure narrow projection — no shuffle, full codegen.
+  private val cdc01 = GraftQuery(
+    "cdc01_envelope",
+    (s, dir) => {
+      import s.implicits._
+      CdcOps.dropSkipped(CdcOps.toEnvelope(events(s, dir)))
+        .select($"event_id", $"event_type", $"gtid", $"database",
+          $"table", $"content")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id,
+        CASE event_type
+          WHEN 'signup' THEN 'Insert'
+          WHEN 'purchase' THEN 'Insert'
+          WHEN 'click' THEN 'Update'
+          WHEN 'error' THEN 'Delete'
+          ELSE 'Skip' END AS event_type,
+        'srv-1:' || CAST(event_id AS VARCHAR) AS gtid,
+        'app' AS "database",
+        'events' AS "table",
+        props AS content
+      FROM events
+      WHERE CASE event_type
+          WHEN 'signup' THEN 'Insert'
+          WHEN 'purchase' THEN 'Insert'
+          WHEN 'click' THEN 'Update'
+          WHEN 'error' THEN 'Delete'
+          ELSE 'Skip' END <> 'Skip'
+      ORDER BY event_id"""))
+
+  // -------------------------------------------------------------- cdc02
+  // JSON payload extraction (O6 inverse: from_json/get_json_object) + agg.
+  private val cdc02 = GraftQuery(
+    "cdc02_json_extract",
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  // -------------------------------------------------------------- cdc03
+  // Composable filter chain (O7/O8): predicate filter → derived column →
+  // redaction, mirroring the reference's RedactFilter/SizeFilter intent
+  // (reference tests/integration/simple_integration_test.py:15-106).
+  private val cdc03 = GraftQuery(
+    "cdc03_filter_chain",
+    (s, dir) => {
+      import s.implicits._
+      val chain = CdcOps.FilterChain.of(
+        _.filter($"event_type" === "purchase"),
+        _.withColumn("value_bucket",
+          when($"value" >= 100.0, "high")
+            .when($"value" >= 10.0, "mid")
+            .otherwise("low")),
+        _.withColumn("props",
+          when($"value" >= 100.0, lit("""{"redacted":true}"""))
+            .otherwise($"props")))
+      chain(events(s, dir))
+        .select($"event_id", $"user_id", $"value_bucket", $"props")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+        CASE WHEN value >= 100.0 THEN 'high'
+             WHEN value >= 10.0 THEN 'mid'
+             ELSE 'low' END AS value_bucket,
+        CASE WHEN value >= 100.0 THEN '{"redacted":true}'
+             ELSE props END AS props
+      FROM events
+      WHERE event_type = 'purchase'
+      ORDER BY event_id"""))
+
+  // -------------------------------------------------------------- cdc04
+  // Latest-state materialization: deterministic dedup to one row per key
+  // (the batch analogue of dropDuplicatesWithinWatermark; row_number
+  // instead of dropDuplicates so the survivor is well-defined).
+  // Scale: single shuffle on user_id; WindowGroupLimit keeps one row
+  // per key instead of full partition sorts.
+  private val cdc04 = GraftQuery(
+    "cdc04_dedup_latest",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"event_type".as("last_event_type"),
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, event_id AS last_event_id,
+             event_type AS last_event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) x
+      WHERE rn = 1
+      ORDER BY user_id"""))
+
+  // -------------------------------------------------------------- cdc05
+  // Tumbling-window aggregation (event-time, hourly) — the bounded twin
+  // of `groupBy(window($"ts", "1 hour"))` in the streaming pipeline.
+  private val cdc05 = GraftQuery(
+    "cdc05_tumbling_window",
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec12($"value")).cast("double").as("total_value"))
+        .orderBy($"hour_start", $"event_type")
+    },
+    Some(s"""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS $D12)) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_start, event_type"""))
+
+  // -------------------------------------------------------------- cdc06
+  // Gap-based sessionization (session window, 24h inactivity gap):
+  // lag → new-session flag → running sum = session id → per-session agg.
+  // Scale: two window passes over one shuffle on user_id, then a
+  // partial-aggregated groupBy — the classic scalable sessionize shape.
+  private val cdc06 = GraftQuery(
+    "cdc06_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+      val gapMs = 24L * 3600 * 1000
+      events(s, dir)
+        .withColumn("prev_ms",
+          lag(unix_millis($"ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when($"prev_ms".isNull ||
+            unix_millis($"ts") - $"prev_ms" > gapMs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum($"new_sess").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          sum(dec12($"value")).cast("double").as("session_value"))
+        .orderBy($"user_id", $"session_id")
+    },
+    Some(s"""
+      WITH lagged AS (
+        SELECT user_id, event_id, ts, value,
+               LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_ms
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN prev_ms IS NULL
+                         OR epoch_ms(ts) - prev_ms > 86400000
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM lagged),
+      sess AS (
+        SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             CAST(SUM(CAST(value AS $D12)) AS DOUBLE) AS session_value
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  // -------------------------------------------------------------- cdc07
+  // Claim-check projection (O13, reference `streams/sqs.py:250-302`):
+  // messages over the size limit are replaced by a reference stub and
+  // flagged oversized=true. The byte-exact packing lives in
+  // graft.streaming.BatchPacker; this is its declarative, pushdown-able
+  // projection form. Threshold 60B chosen so the test data exercises
+  // both branches.
+  private val cdc07 = GraftQuery(
+    "cdc07_claim_check",
+    (s, dir) => {
+      import s.implicits._
+      val payload = concat(
+        lit("""{"event_id":"""), $"event_id",
+        lit(""","event_type":""""), $"event_type",
+        lit("\",\"props\":"), $"props", lit("}"))
+      events(s, dir)
+        .withColumn("body", payload)
+        .select($"event_id",
+          (length($"body") > 60).as("oversized"),
+          when(length($"body") > 60,
+            concat(lit("""{"original_size_exceeded":true,"message_id":"""),
+              $"event_id", lit("}")))
+            .otherwise($"body").as("body"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH prepared AS (
+        SELECT event_id,
+          '{"event_id":' || CAST(event_id AS VARCHAR)
+            || ',"event_type":"' || event_type
+            || '","props":' || props || '}' AS body
+        FROM events)
+      SELECT event_id,
+        LENGTH(body) > 60 AS oversized,
+        CASE WHEN LENGTH(body) > 60
+             THEN '{"original_size_exceeded":true,"message_id":'
+                  || CAST(event_id AS VARCHAR) || '}'
+             ELSE body END AS body
+      FROM prepared
+      ORDER BY event_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07)
+}
