@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.CdcOps
+
+/** The assembled CDC pipeline — the reference's
+  * `Worker → Coordinator → {source, processor, policy, sink, state}`
+  * object graph (`stream_cdc/main.py:16-66`) as one Structured Streaming
+  * query:
+  *
+  * {{{
+  * readStream(parquet replay)            // S1  source scan
+  *   → toEnvelope → dropSkipped → chain  // O1-O9 processing
+  *   → trigger(FlushPolicy)              // O10/O11 micro-batch + flush
+  *   → foreachBatch → per-partition      // O12-O15 pack + claim-check
+  *        prepare|pack|send(QueueSink)   //        + split-retry
+  *   → checkpointLocation                // O16/O17 at-least-once commit
+  * }}}
+  *
+  * Scale design: the sink path runs in `foreachPartition` — one
+  * QueueSink client per executor task, iterator-based packing (no
+  * partition materialization), so sink fan-out grows with the cluster.
+  * The driver never sees event data.
+  */
+object CdcPipeline {
+
+  /** Schema of the bounded/streaming events replay source
+    * (TESTDATA.md; ts already normalized to micros by Tables.load). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  final case class Config(
+      sourceDir: String,
+      sinkType: String = "file",
+      sinkConf: Map[String, String] = Map.empty,
+      checkpointDir: String,
+      policy: FlushPolicy = FlushPolicy(),
+      chain: CdcOps.FilterChain = CdcOps.FilterChain.identity,
+      availableNow: Boolean = false)
+
+  /** Build the streaming envelope DataFrame (source + processing). */
+  def envelopeStream(spark: SparkSession, cfg: Config): DataFrame = {
+    var reader = spark.readStream.schema(eventsSchema)
+    cfg.policy.sourceOptions.foreach { case (k, v) =>
+      reader = reader.option(k, v)
+    }
+    val raw = reader.parquet(cfg.sourceDir)
+    cfg.chain(CdcOps.dropSkipped(CdcOps.toEnvelope(raw)))
+  }
+
+  /** Start the full pipeline. At-least-once end to end: Spark commits
+    * the sink (foreachBatch) before the offset WAL, duplicates possible
+    * on crash-between — identical guarantee to the reference's
+    * send-then-save_state ordering (`coordinator.py:281-303`).
+    */
+  def start(spark: SparkSession, cfg: Config): StreamingQuery = {
+    val env = envelopeStream(spark, cfg)
+    val sinkType = cfg.sinkType
+    val sinkConf = cfg.sinkConf
+
+    val writer = env
+      .select(col("gtid").as("id"),
+        to_json(struct(col("event_type"), col("gtid"), col("database"),
+          col("table"), col("content"))).as("body"),
+        col("event_type"), col("database"), col("table"))
+      .writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        batch
+          .select($"id", $"body", $"event_type", $"database", $"table")
+          .as[(String, String, String, String, String)]
+          .foreachPartition {
+            it: Iterator[(String, String, String, String, String)] =>
+              val sink = QueueSinkRegistry.create(sinkType, sinkConf)
+              try {
+                val entries = it.map { case (id, body, et, db, tbl) =>
+                  BatchPacker.prepare(id, body, Map(
+                    "event_type" -> et, "database" -> db, "table" -> tbl,
+                    "id" -> id))
+                }
+                val failures = BatchPacker.packAndSend(entries, sink.send)
+                failures.foreach(f => System.err.println(
+                  s"[graft.sink] entry ${f.id} failed: ${f.code}"))
+              } finally sink.close()
+          }
+        ()
+      }
+
+    val triggered =
+      if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
+      else writer.trigger(cfg.policy.trigger)
+    triggered.start()
+  }
+
+  /** Streaming exact-dedup within a watermark — the scale-safe form of
+    * `dropDuplicates` (bounded state; SURVEY.md §7.4.6). */
+  def dedupStream(spark: SparkSession, cfg: Config,
+      watermark: String = "1 hour"): DataFrame =
+    envelopeStream(spark, cfg)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("gtid")
+
+  /** Streaming tumbling-window aggregation with watermark + late-data
+    * drop — the streaming twin of cdc05_tumbling_window. */
+  def windowedCounts(spark: SparkSession, cfg: Config,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    envelopeStream(spark, cfg)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.UUID
+import scala.collection.concurrent.TrieMap
+
+import graft.streaming.BatchPacker.{Entry, SendResult}
+
+/** Queue sink abstraction (reference `stream_cdc/streams/base.py`) with a
+  * file-backed local implementation standing in for SQS offline
+  * (SURVEY.md §7.1 step 4). Implementations must be constructible from a
+  * plain config map ON THE EXECUTOR — the pipeline instantiates one per
+  * partition inside `foreachPartition`, which is exactly how a real SQS
+  * client would be scoped on a 1000-executor cluster (one client per JVM
+  * task, no driver round-trip).
+  */
+trait QueueSink {
+  /** Deliver one packed batch; per-entry failures in the result
+    * (reference `sqs.py:149-203`). */
+  def send(batch: Seq[Entry]): SendResult
+  /** Final drain hook (reference `sqs.py:378-384` — no-op for SQS). */
+  def close(): Unit = ()
+}
+
+/** Writes each batch as one JSONL file under `dir` — the offline
+  * stand-in for an SQS request. File names are unique per
+  * (partition, attempt) so speculative/retried tasks never collide;
+  * at-least-once semantics match the reference (SURVEY.md §7.4.2).
+  */
+final class LocalFileQueue(dir: String) extends QueueSink {
+  Files.createDirectories(Paths.get(dir))
+  override def send(batch: Seq[Entry]): SendResult = {
+    val name = s"batch-${UUID.randomUUID()}.jsonl"
+    val lines = batch.map(e =>
+      s"""{"id":"${e.id}","oversized":${e.oversized},"body":${
+        if (e.body.startsWith("{")) e.body else "\"" + e.body + "\""}}""")
+    Files.write(Paths.get(dir, name),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    SendResult.ok
+  }
+}
+
+/** O20 — component registry with case-insensitive lookup and
+  * UnsupportedTypeError on miss (reference `streams/factory.py:16-56`,
+  * `datasources/factory.py:16-60`, `state/factory.py:12-47`).
+  */
+final class UnsupportedTypeError(kind: String, name: String)
+  extends IllegalArgumentException(s"unsupported $kind type: $name")
+
+final class ComponentRegistry[T](kind: String) {
+  private val impls = TrieMap.empty[String, Map[String, String] => T]
+  def register(name: String, make: Map[String, String] => T): Unit =
+    impls.put(name.toLowerCase, make)
+  def create(name: String, conf: Map[String, String] = Map.empty): T =
+    impls.get(name.toLowerCase) match {
+      case Some(make) => make(conf)
+      case None => throw new UnsupportedTypeError(kind, name)
+    }
+  def registered: Set[String] = impls.keySet.toSet
+}
+
+object QueueSinkRegistry {
+  val registry = new ComponentRegistry[QueueSink]("stream")
+  registry.register("file", conf => new LocalFileQueue(conf("dir")))
+  def create(name: String, conf: Map[String, String]): QueueSink =
+    registry.create(name, conf)
+}
