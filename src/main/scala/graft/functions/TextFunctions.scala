@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines: tokenization, quality scoring, language-ID heuristics,
+  * fingerprinting. All pure Catalyst built-ins (codegen'd — no UDFs),
+  * so they run inside whole-stage codegen over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (generator texts are single-space separated). */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  /** Total characters that belong to tokens (strips separators). */
+  def tokenChars(text: Column): Column =
+    length(regexp_replace(text, "[^a-z0-9]", "")).cast("long")
+
+  /** Mean token length; deterministic double division. */
+  def avgTokenLen(text: Column): Column =
+    tokenChars(text).cast("double") / tokenCount(text).cast("double")
+
+  private val StopwordPattern =
+    "\\b(the|a|an|of|to|and|in|is|on|for)\\b"
+
+  def stopwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(StopwordPattern), lit(0))).cast("long")
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Heuristic quality score in [0,1]: enough tokens, not stopword soup.
+    * quality = min(1, n_tokens/50) * (1 - stopword_ratio)
+    */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), tokenCount(text).cast("double") / lit(50.0)) *
+      (lit(1.0) - stopwordRatio(text))
+
+  /** Stopword-trigger language-ID heuristic (n-gram-lite). Real
+    * pipelines plug a model here; the operator shape (scan-side scalar
+    * classification, no shuffle) is what matters at scale. */
+  def langIdHeuristic(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    when(padded.contains(" der ") || padded.contains(" und "), "de")
+      .when(padded.contains(" le ") || padded.contains(" la "), "fr")
+      .when(padded.contains(" el ") || padded.contains(" los "), "es")
+      .when(padded.contains(" the ") || padded.contains(" is "), "en")
+      .otherwise("unknown")
+  }
+
+  /** Exact-content fingerprint (md5 hex — stable across engines). */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Word bigram shingles (distinct), the dedup unit for MinHash.
+    * Empty when the doc has fewer than two tokens. */
+  def bigramShingles(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= 2,
+      array_distinct(transform(sequence(lit(1), size(ts) - 1),
+        i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Seeded MinHash component: min over shingles of md5(seed||shingle).
+    * md5-as-permutation keeps the oracle SQL-expressible (DuckDB has
+    * identical md5); the production-speed variant would use xxhash64.
+    * Apply as an aggregate over exploded shingles. */
+  def seededHash(seed: Int, shingle: Column): Column =
+    md5(concat(lit(s"$seed|"), shingle).cast("binary"))
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for LLM-training-data pipelines: exact,
+  * MinHash+LSH near-dup, SimHash. Designed scale-first:
+  *
+  *  - exact dedup = hash-groupBy (one shuffle on the fingerprint);
+  *  - MinHash signatures are one groupBy over exploded shingles with
+  *    map-side partial min() — the shuffle carries k hashes per doc,
+  *    not the shingle set;
+  *  - LSH banding turns O(n²) pair search into an equi-join on band
+  *    keys (shuffle co-partitioned both sides); only candidates inside
+  *    a bucket are verified, so work scales with collisions, not n²;
+  *  - skew note: a degenerate band key (many docs, e.g. empty docs)
+  *    would hot-spot one reducer — AQE skew-join handles it, and empty
+  *    shingle sets are filtered before banding.
+  */
+object DedupOps {
+
+  /** Exact dedup groups: one row per distinct content fingerprint with
+    * the surviving (minimum) id and the duplicate count. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** Exploded distinct (doc_id, shingle) pairs. */
+  def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(bigramShingles(col("text"))).as("shingle"))
+
+  /** MinHash signature: k seeded min-hashes per doc. */
+  def minhashSignature(docs: DataFrame, k: Int = 8): DataFrame = {
+    val aggs = (0 until k).map(s =>
+      min(seededHash(s, col("shingle"))).as(s"h$s"))
+    docShingles(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: rows of (doc_id, band, key) where key hashes
+    * `rowsPerBand` consecutive signature components. */
+  def lshBands(sig: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*).cast("binary")).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs from LSH bucket collisions (a < b, distinct). */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Verify candidates with true shingle Jaccard; keep pairs ≥ minJ.
+    * Set sizes join via two broadcast-able aggregates; the intersection
+    * count is a co-partitioned join on the shingle. */
+  def verifiedNearDups(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+      minJ: Double = 0.2): DataFrame = {
+    val shingles = docShingles(docs)
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cands = lshCandidates(lshBands(minhashSignature(docs, k), k, rowsPerBand))
+    // intersection via (shingle, doc) self-join restricted to candidates
+    val sa = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sb = shingles.select(col("doc_id").as("doc_b"), col("shingle"))
+    val interCount = sa.join(sb, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    interCount
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+
+  /** 16-bit SimHash from the hex digits of per-token md5: bit i set when
+    * the majority of token hashes have the top bit of nibble i set. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("h", md5(col("w").cast("binary")))
+    val bitAggs = (1 to 16).map { i =>
+      when(sum(when(substring(col("h"), i, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)) > 0,
+        "1").otherwise("0")
+    }
+    words.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        concat(bitAggs: _*).as("simhash"))
+  }
+}

@@ -1,0 +1,321 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** LLM-training-data pipeline queries (SURVEY.md §2.3 extension):
+  * text analysis, dedup (exact / MinHash-LSH / SimHash), similarity
+  * search (brute-force + LSH ANN), embedding near-dups, multimodal
+  * columns. Oracles restate every SQL-expressible op for DuckDB; the
+  * vector oracles are generated with the same fixed-association double
+  * chains the Spark expressions use, so floats match bit-for-bit.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- shared SQL generators (oracle side of SimilarityOps) ----------
+  private def dotSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .reduceLeft((acc, t) => s"($acc + $t)")
+
+  private def normSql(c: String, dim: Int): String =
+    "sqrt(" + (1 to dim).map(i =>
+      s"(CAST($c[$i] AS DOUBLE)*CAST($c[$i] AS DOUBLE))")
+      .reduceLeft((acc, t) => s"($acc + $t)") + ")"
+
+  private def bucketSql(c: String, dim: Int, planes: Int): String = {
+    val bits = (0 until planes).map { p =>
+      val terms = (1 to dim).flatMap { i =>
+        val w = SimilarityOps.planeWeight(p, i)
+        if (w == 0) None else Some(s"CAST($c[$i] AS DOUBLE)*$w.0")
+      }
+      s"CASE WHEN ${terms.reduceLeft((acc, t) => s"($acc + $t)")} > 0.0 THEN '1' ELSE '0' END"
+    }
+    s"concat(${bits.mkString(", ")})"
+  }
+
+  // -------------------------------------------------------------- doc01
+  // Text statistics: token counts, lengths, stopword ratio, quality.
+  private val doc01 = GraftQuery(
+    "doc01_text_stats",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      docs.select(
+        $"doc_id", $"n_chars",
+        TextFunctions.tokenCount($"text").as("n_tokens"),
+        TextFunctions.tokenChars($"text").as("n_token_chars"),
+        TextFunctions.avgTokenLen($"text").as("avg_token_len"),
+        TextFunctions.stopwordCount($"text").as("n_stopwords"),
+        TextFunctions.stopwordRatio($"text").as("stopword_ratio"),
+        TextFunctions.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, n_chars,
+          CAST(LEN(string_split(TRIM(text), ' ')) AS BIGINT) AS n_tokens,
+          CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_token_chars,
+          CAST(LEN(regexp_extract_all(text, '\b(the|a|an|of|to|and|in|is|on|for)\b')) AS BIGINT) AS n_stopwords
+        FROM documents)
+      SELECT doc_id, n_chars, n_tokens, n_token_chars,
+        CAST(n_token_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+        n_stopwords,
+        CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+          * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
+      FROM base
+      ORDER BY doc_id"""))
+
+  // -------------------------------------------------------------- doc02
+  // Language-ID heuristic vs the labeled lang column (confusion matrix).
+  private val doc02 = GraftQuery(
+    "doc02_langid",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang",
+          TextFunctions.langIdHeuristic($"text").as("predicted"))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"predicted")
+    },
+    Some("""
+      SELECT lang,
+        CASE
+          WHEN contains(' ' || text || ' ', ' der ')
+            OR contains(' ' || text || ' ', ' und ') THEN 'de'
+          WHEN contains(' ' || text || ' ', ' le ')
+            OR contains(' ' || text || ' ', ' la ') THEN 'fr'
+          WHEN contains(' ' || text || ' ', ' el ')
+            OR contains(' ' || text || ' ', ' los ') THEN 'es'
+          WHEN contains(' ' || text || ' ', ' the ')
+            OR contains(' ' || text || ' ', ' is ') THEN 'en'
+          ELSE 'unknown' END AS predicted,
+        COUNT(*) AS n
+      FROM documents
+      GROUP BY 1, 2
+      ORDER BY lang, predicted"""))
+
+  // -------------------------------------------------------------- doc03
+  // Exact dedup via content fingerprint (hash-groupBy — one shuffle).
+  private val doc03 = GraftQuery(
+    "doc03_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      DedupOps.exactDupGroups(t(s, dir, "documents"))
+        .select($"fp", $"survivor_id", $"n_copies")
+        .orderBy($"fp")
+    },
+    Some("""
+      SELECT md5(text) AS fp, MIN(doc_id) AS survivor_id,
+             COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY fp"""))
+
+  // -------------------------------------------------------------- doc04
+  // MinHash + LSH near-dup detection, Jaccard-verified. Full pipeline:
+  // bigram shingles → 8 seeded min-hashes → 4 bands of 2 → bucket-join
+  // candidates → exact Jaccard ≥ 0.2. The oracle replays every stage.
+  private val doc04 = GraftQuery(
+    "doc04_minhash_lsh",
+    (s, dir) => {
+      import s.implicits._
+      DedupOps.verifiedNearDups(t(s, dir, "documents"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some {
+      val sigCols = (0 until 8).map(i =>
+        s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS key FROM sig")
+        .mkString("\n          UNION ALL ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        FROM toks WHERE len(ws) >= 2),
+      sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+      bands AS (
+          $bandRows),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh sa
+        JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        JOIN cands c ON c.doc_a = sa.doc_id AND c.doc_b = sb.doc_id
+        GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b, i.n_inter,
+        CAST(i.n_inter AS DOUBLE)
+          / CAST(na.n + nb.n - i.n_inter AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE)
+          / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.2
+      ORDER BY doc_a, doc_b"""
+    })
+
+  // -------------------------------------------------------------- doc05
+  // SimHash fingerprints (16-bit, per-nibble majority vote).
+  private val doc05 = GraftQuery(
+    "doc05_simhash",
+    (s, dir) => {
+      import s.implicits._
+      DedupOps.simhash(t(s, dir, "documents"))
+        .select($"doc_id", $"n_tokens", $"simhash")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val bits = (1 to 16).map(i =>
+        s"""CASE WHEN SUM(CASE WHEN substring(h, $i, 1) IN
+           ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+           THEN '1' ELSE '0' END""").mkString(", ")
+      s"""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS w
+        FROM documents),
+      h AS (SELECT doc_id, md5(w) AS h FROM words WHERE w <> '')
+      SELECT doc_id, COUNT(*) AS n_tokens, concat($bits) AS simhash
+      FROM h GROUP BY doc_id ORDER BY doc_id"""
+    })
+
+  // -------------------------------------------------------------- emb01
+  // Brute-force exact cosine top-10 for 8 query vectors.
+  private val emb01 = GraftQuery(
+    "emb01_cosine_topk",
+    (s, dir) =>
+      SimilarityOps.bruteForceTopK(t(s, dir, "embeddings"))
+        .orderBy(col("query_id"), col("rnk")),
+    Some(s"""
+      WITH c AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS e_norm
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, e_norm AS q_norm
+        FROM c WHERE vec_id < 8),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+          (${dotSql("q_emb", "embedding", 64)}) / (q.q_norm * c.e_norm) AS cos
+        FROM c JOIN q ON c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id AS neighbor_id, rnk, cos
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rnk"""))
+
+  // -------------------------------------------------------------- emb02
+  // LSH-bucketed approximate top-5 (random-hyperplane signs).
+  private val emb02 = GraftQuery(
+    "emb02_ann_lsh",
+    (s, dir) =>
+      SimilarityOps.lshTopK(t(s, dir, "embeddings"))
+        .orderBy(col("query_id"), col("rnk")),
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding,
+          ${bucketSql("embedding", 64, 6)} AS bucket,
+          ${normSql("embedding", 64)} AS e_norm
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, bucket,
+               e_norm AS q_norm
+        FROM b WHERE vec_id < 8),
+      scored AS (
+        SELECT q.query_id, q.bucket, b.vec_id,
+          (${dotSql("q_emb", "embedding", 64)}) / (q.q_norm * b.e_norm) AS cos
+        FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, bucket, vec_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT query_id, bucket, vec_id AS neighbor_id, rnk, cos
+      FROM ranked WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+
+  // -------------------------------------------------------------- emb03
+  // Embedding-cosine near-duplicate pairs within LSH buckets. The data
+  // has no planted embedding dups, so assert the operator by lowering
+  // the threshold until buckets yield pairs (0.35 → nonempty, bounded).
+  private val emb03 = GraftQuery(
+    "emb03_embedding_neardup",
+    (s, dir) =>
+      SimilarityOps.embeddingNearDups(t(s, dir, "embeddings"),
+        minCos = 0.35)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding,
+          ${bucketSql("embedding", 64, 6)} AS bucket,
+          ${normSql("embedding", 64)} AS e_norm
+        FROM embeddings)
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        (${dotSql("a.embedding", "c.embedding", 64)})
+          / (a.e_norm * c.e_norm) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE (${dotSql("a.embedding", "c.embedding", 64)})
+          / (a.e_norm * c.e_norm) >= 0.35
+      ORDER BY id_a, id_b"""))
+
+  // -------------------------------------------------------------- mm01
+  // Multimodal columns: binary payload + metadata struct + stub-decoded
+  // scalar features (the declarative half; the mapPartitions batch path
+  // is mm02, rows-only).
+  private val mm01 = GraftQuery(
+    "mm01_multimodal_meta",
+    (s, dir) => {
+      import s.implicits._
+      val media = MultimodalOps.toMediaColumns(t(s, dir, "documents"))
+      media.select(
+        $"doc_id",
+        $"media_meta.format".as("format"),
+        $"media_meta.n_bytes".as("n_bytes"),
+        ascii(substring($"content".cast("string"), 1, 1)).cast("long")
+          .as("first_byte"),
+        ($"media_meta.n_bytes" % 640).as("width"),
+        (($"media_meta.n_bytes" * 7) % 480).as("height"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        'text/plain' AS format,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+        CAST(octet_length(encode(text)) AS BIGINT) % 640 AS width,
+        (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 480 AS height
+      FROM documents
+      ORDER BY doc_id"""))
+
+  // -------------------------------------------------------------- mm02
+  // Batch decode path (mapPartitions, typed) — not SQL-expressible;
+  // driver records a rows-only check. Features are deterministic stubs.
+  private val mm02 = GraftQuery(
+    "mm02_decode_features",
+    (s, dir) => {
+      val media = MultimodalOps.toMediaColumns(t(s, dir, "documents"))
+      MultimodalOps.extractFeatures(s, media).toDF()
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val all: Seq[GraftQuery] =
+    Seq(doc01, doc02, doc03, doc04, doc05, emb01, emb02, emb03, mm01, mm02)
+}

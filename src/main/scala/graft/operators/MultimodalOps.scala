@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media payloads ride as opaque `binary`
+  * columns with a typed metadata struct; decode/feature-extraction runs
+  * batch-wise per partition on the executors (the Scala analogue of
+  * `mapInPandas`: one iterator of records in, one iterator of features
+  * out — no per-row driver involvement, no partition materialization).
+  *
+  * The actual byte decode is a STUB (this container has no image/audio
+  * codecs): `decodeStub` derives deterministic fake features from the
+  * bytes. The Spark-side plumbing — schema, encoders, partitioning,
+  * batch shape — is real and tested; swapping `decodeStub` for a JNI
+  * codec changes nothing structurally.
+  */
+object MultimodalOps {
+
+  final case class MediaRecord(
+      doc_id: Long, content: Array[Byte], format: String, n_bytes: Long)
+
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, first_byte: Int,
+      width: Int, height: Int, checksum: Long)
+
+  /** Attach binary content + metadata struct to the documents table. */
+  def toMediaColumns(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("content"),
+      struct(
+        lit("text/plain").as("format"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        col("source").as("origin")).as("media_meta"))
+
+  /** STUB decode — deterministic fake standing in for a codec.
+    * Features are pure functions of the bytes so tests are exact. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    val first = if (bytes.isEmpty) 0 else bytes(0) & 0xff
+    val n = bytes.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+    (first, n % 640, (n * 7) % 480, sum)
+  }
+
+  /** Batch feature extraction: partition-iterator in/out, mirroring a
+    * vectorized decode UDF's batch shape. */
+  def extractFeatures(spark: SparkSession, media: DataFrame)
+      : Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("content"),
+        col("media_meta.format").as("format"),
+        col("media_meta.n_bytes").as("n_bytes"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (first, w, h, sum) = decodeStub(r.content)
+          MediaFeatures(r.doc_id, r.n_bytes, first, w, h, sum)
+        }
+      }
+  }
+}

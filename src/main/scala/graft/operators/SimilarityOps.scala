@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths, mirroring how a real 100 TB pipeline would tier them:
+  *  - [[bruteForceTopK]] — exact cosine top-k. The query side is tiny
+  *    and broadcast; each executor scans its partition of the corpus
+  *    once and keeps a per-query heap via window rank. Linear scale-out,
+  *    the correctness baseline.
+  *  - [[lshTopK]] — random-hyperplane LSH: corpus and queries bucket by
+  *    sign-pattern, candidates come from an equi-join on the bucket key
+  *    (co-partitioned shuffle instead of a cross product). Recall is
+  *    tunable by plane count; this is the scale path.
+  *
+  * Determinism notes: dot products and norms are evaluated as fixed
+  * left-associative double chains (deterministic IEEE — and exactly
+  * reproducible by the DuckDB oracle). Hyperplane weights are a fixed
+  * integer formula, not RNG, so plans need no random seed plumbing.
+  */
+object SimilarityOps {
+
+  /** Fixed-order dot product of two array<float> columns (dim known). */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduceLeft(_ + _)
+
+  /** Fixed-order L2 norm. */
+  def norm(a: Column, dim: Int): Column =
+    sqrt((1 to dim).map { i =>
+      val e = element_at(a, i).cast("double"); e * e
+    }.reduceLeft(_ + _))
+
+  /** Deterministic hyperplane weight: w(plane, i) = ((i*31+plane*17) mod 7) - 3
+    * over 1-based element index i. Shared with the oracle generator. */
+  def planeWeight(plane: Int, i: Int): Int = ((i * 31 + plane * 17) % 7) - 3
+
+  /** Sign-bucket key over `planes` hyperplanes ("1"/"0" per plane). */
+  def lshBucket(emb: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val terms = (1 to dim).flatMap { i =>
+        val w = planeWeight(p, i)
+        if (w == 0) None
+        else Some(element_at(emb, i).cast("double") * lit(w.toDouble))
+      }
+      when(terms.reduceLeft(_ + _) > 0d, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** Exact cosine top-k of each query (vec_id < nQueries) against the
+    * whole corpus, excluding self. */
+  def bruteForceTopK(embs: DataFrame, dim: Int = 64, nQueries: Int = 8,
+      k: Int = 10): DataFrame = {
+    val corpus = embs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding"), dim).as("e_norm"))
+    val queries = embs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding"), dim).as("q_norm"))
+    val scored = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q_emb"), col("embedding"), dim) /
+        (col("q_norm") * col("e_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("cos"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the sign-bucket. */
+  def lshTopK(embs: DataFrame, dim: Int = 64, planes: Int = 6,
+      nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val bucketed = embs.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, planes).as("bucket"),
+      norm(col("embedding"), dim).as("e_norm"))
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket"), col("e_norm").as("q_norm"))
+    val scored = bucketed.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q_emb"), col("embedding"), dim) /
+        (col("q_norm") * col("e_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within LSH buckets. */
+  def embeddingNearDups(embs: DataFrame, dim: Int = 64, planes: Int = 6,
+      minCos: Double = 0.9): DataFrame = {
+    val bucketed = embs.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, planes).as("bucket"),
+      norm(col("embedding"), dim).as("e_norm"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("e_norm").as("norm_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("e_norm").as("norm_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("emb_a"), col("emb_b"), dim) /
+        (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

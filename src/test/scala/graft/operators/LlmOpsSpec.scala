@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+class LlmOpsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf("sf0.001"), "documents")
+  private lazy val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
+
+  test("text functions: counts and quality on a known string") {
+    import spark.implicits._
+    val df = Seq("the quick fox and the dog ").toDF("text")
+    val row = df.select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.stopwordCount($"text").as("s"),
+      TextFunctions.qualityScore($"text").as("q")).collect()(0)
+    assert(row.getAs[Long]("n") == 6)
+    assert(row.getAs[Long]("s") == 3) // the, and, the
+    val q = row.getAs[Double]("q")
+    assert(q > 0 && q < 1)
+  }
+
+  test("bigram shingles: ordered pairs, distinct, safe under 2 tokens") {
+    import spark.implicits._
+    val df = Seq("a b c b c", "solo").toDF("text")
+    val got = df.select(TextFunctions.bigramShingles($"text").as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b", "b c", "c b"))
+    assert(got(1).isEmpty)
+  }
+
+  test("exact dedup finds planted duplicates") {
+    import spark.implicits._
+    val planted = docs.limit(5).union(docs.limit(5))
+    val groups = DedupOps.exactDupGroups(planted)
+    assert(groups.count() == 5)
+    assert(groups.filter($"n_copies" === 2).count() == 5)
+  }
+
+  test("minhash LSH: identical docs always collide; signature width") {
+    import spark.implicits._
+    val twins = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),
+      (3L, "p q r m n o k j")).toDF("doc_id", "text")
+    val sig = DedupOps.minhashSignature(twins)
+    assert(sig.columns.toSeq == "doc_id" +: (0 until 8).map(i => s"h$i"))
+    val pairs = DedupOps.verifiedNearDups(twins).collect()
+    assert(pairs.length == 1)
+    val p = pairs(0)
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    assert(p.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: 16-bit strings, identical text -> identical hash") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val sh = DedupOps.simhash(df).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(sh(1L).length == 16 && sh(1L).forall(c => c == '0' || c == '1'))
+    assert(sh(1L) == sh(2L))
+  }
+
+  test("brute-force topk: self excluded, neighbors ranked, k respected") {
+    val topk = SimilarityOps.bruteForceTopK(embs, nQueries = 3, k = 5)
+      .collect()
+    assert(topk.length == 15)
+    val byQuery = topk.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to 5L))
+      // descending cosine
+      val cs = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cs == cs.sorted.reverse)
+      assert(!rows.exists(r =>
+        r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("LSH ANN: all candidates share the query's bucket") {
+    val res = SimilarityOps.lshTopK(embs, nQueries = 2, k = 3).collect()
+    assert(res.nonEmpty)
+    val buckets = SimilarityOps.lshBucket(col("embedding"), 64, 6)
+    val byId = embs.select(col("vec_id"), buckets.as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    res.foreach { r =>
+      assert(byId(r.getAs[Long]("neighbor_id")) ==
+        byId(r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("multimodal: binary schema, batch decode matches stub") {
+    val media = MultimodalOps.toMediaColumns(docs)
+    assert(media.schema("content").dataType.typeName == "binary")
+    val feats = MultimodalOps.extractFeatures(spark, media)
+    val one = feats.filter(col("doc_id") === 0L).collect()(0)
+    val text = docs.filter(col("doc_id") === 0L)
+      .select("text").collect()(0).getString(0)
+    val (first, w, h, sum) = MultimodalOps.decodeStub(text.getBytes("UTF-8"))
+    assert(one.first_byte == first && one.width == w &&
+      one.height == h && one.checksum == sum)
+    assert(one.n_bytes == text.getBytes("UTF-8").length)
+  }
+}
