@@ -55,15 +55,21 @@ object TextFunctions {
   /** Exact-content fingerprint (md5 hex — stable across engines). */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 
-  /** Word bigram shingles (distinct), the dedup unit for MinHash.
-    * Empty when the doc has fewer than two tokens. */
-  def bigramShingles(text: Column): Column = {
-    val ts = tokens(text)
+  /** Bigram shingles over an ALREADY-MATERIALIZED token array column.
+    * Feeding `tokens(text)` directly would re-evaluate the split inside
+    * every lambda invocation (one per bigram — observed ~180 redundant
+    * splits per doc); materialize the array in a projection first. */
+  def bigramShinglesFromTokens(ts: Column): Column =
     when(size(ts) >= 2,
       array_distinct(transform(sequence(lit(1), size(ts) - 1),
         i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word bigram shingles (distinct), the dedup unit for MinHash.
+    * Empty when the doc has fewer than two tokens. Prefer the two-step
+    * `tokens(...)` + [[bigramShinglesFromTokens]] in query plans. */
+  def bigramShingles(text: Column): Column =
+    bigramShinglesFromTokens(tokens(text))
 
   /** Seeded MinHash component: min over shingles of md5(seed||shingle).
     * md5-as-permutation keeps the oracle SQL-expressible (DuckDB has

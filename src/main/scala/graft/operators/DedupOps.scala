@@ -29,16 +29,31 @@ object DedupOps {
       .groupBy("fp")
       .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
 
-  /** Exploded distinct (doc_id, shingle) pairs. */
+  /** Exploded distinct (doc_id, shingle) pairs. Tokens materialize in
+    * their own projection so the shingle lambda reads a bound array
+    * reference instead of re-splitting the text per bigram. */
   def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(bigramShingles(col("text"))).as("shingle"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(bigramShinglesFromTokens(col("toks"))).as("shingle"))
 
-  /** MinHash signature: k seeded min-hashes per doc. */
+  /** MinHash signature: k seeded min-hashes per doc.
+    *
+    * The k seeded hashes are computed once per DISTINCT shingle and
+    * joined back, not recomputed per (doc, shingle) occurrence — with a
+    * shared vocabulary that's k·|vocab| hashes instead of k·|corpus
+    * shingles|. Catalyst/AQE broadcasts the vocabulary side when it is
+    * small; with a huge vocabulary it degrades to a co-partitioned
+    * shuffle join, which is the right plan at 100 TB anyway. */
   def minhashSignature(docs: DataFrame, k: Int = 8): DataFrame = {
-    val aggs = (0 until k).map(s =>
-      min(seededHash(s, col("shingle"))).as(s"h$s"))
-    docShingles(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sh = docShingles(docs)
+    val hashCols = (0 until k).map(s =>
+      seededHash(s, col("shingle")).as(s"sh$s"))
+    val vocab = sh.select("shingle").distinct()
+      .select(col("shingle") +: hashCols: _*)
+    val aggs = (0 until k).map(s => min(col(s"sh$s")).as(s"h$s"))
+    sh.join(vocab, Seq("shingle"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: rows of (doc_id, band, key) where key hashes
@@ -70,12 +85,16 @@ object DedupOps {
     val shingles = docShingles(docs)
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cands = lshCandidates(lshBands(minhashSignature(docs, k), k, rowsPerBand))
-    // intersection via (shingle, doc) self-join restricted to candidates
+    // Intersection counts: attach doc_a's shingles to each candidate
+    // pair, then equi-join on (doc_b, shingle). Joining candidates FIRST
+    // keeps the work proportional to |candidates|·|shingles per doc|; a
+    // raw shingle×shingle self-join would blow up quadratically on
+    // frequent shingles (with a 31-word vocab that's ~32M rows at sf0.1).
     val sa = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
     val sb = shingles.select(col("doc_id").as("doc_b"), col("shingle"))
-    val interCount = sa.join(sb, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+    val interCount = cands
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     interCount
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")

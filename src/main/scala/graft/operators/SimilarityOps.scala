@@ -22,35 +22,25 @@ import org.apache.spark.sql.expressions.Window
   * integer formula, not RNG, so plans need no random seed plumbing.
   */
 object SimilarityOps {
+  import graft.functions.VectorExpressions._
 
-  /** Fixed-order dot product of two array<float> columns (dim known). */
-  def dot(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduceLeft(_ + _)
+  /** Sequential-order dot product — native Catalyst expression
+    * ([[graft.functions.VectorExpressions.DotProduct]]): O(1) plan node,
+    * O(dim) codegen loop, bit-identical to the oracle's left-assoc
+    * chain. `dim` retained for API symmetry (the expression handles any
+    * length). */
+  def dot(a: Column, b: Column, dim: Int): Column = vec_dot(a, b)
 
-  /** Fixed-order L2 norm. */
-  def norm(a: Column, dim: Int): Column =
-    sqrt((1 to dim).map { i =>
-      val e = element_at(a, i).cast("double"); e * e
-    }.reduceLeft(_ + _))
+  /** Sequential-order L2 norm (native expression). */
+  def norm(a: Column, dim: Int): Column = vec_norm(a)
 
   /** Deterministic hyperplane weight: w(plane, i) = ((i*31+plane*17) mod 7) - 3
     * over 1-based element index i. Shared with the oracle generator. */
   def planeWeight(plane: Int, i: Int): Int = ((i * 31 + plane * 17) % 7) - 3
 
   /** Sign-bucket key over `planes` hyperplanes ("1"/"0" per plane). */
-  def lshBucket(emb: Column, dim: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val terms = (1 to dim).flatMap { i =>
-        val w = planeWeight(p, i)
-        if (w == 0) None
-        else Some(element_at(emb, i).cast("double") * lit(w.toDouble))
-      }
-      when(terms.reduceLeft(_ + _) > 0d, "1").otherwise("0")
-    }
-    concat(bits: _*)
-  }
+  def lshBucket(emb: Column, dim: Int, planes: Int): Column =
+    vec_lsh_bucket(emb, planes)
 
   /** Exact cosine top-k of each query (vec_id < nQueries) against the
     * whole corpus, excluding self. */
