@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Second wave of operator coverage: outer joins, pivot, math scalar
+  * functions, approximate distinct sketches, and the as-of join.
+  */
+object ExtendedQueries {
+
+  private def dec12(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(12, 2))
+  private val D12 = "DECIMAL(12,2)"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // -------------------------------------------------------------- q23
+  // Full outer join: unmatched rows survive on both sides.
+  private val q23 = GraftQuery(
+    "q23_full_outer_join",
+    (s, dir) => {
+      import s.implicits._
+      val rich = t(s, dir, "customer").filter($"c_acctbal" > 8000.0)
+      val ordAgg = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      rich.join(ordAgg, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(
+          coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          $"c_name", $"n_orders")
+        .orderBy($"custkey")
+    },
+    Some("""
+      SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, n_orders
+      FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 8000.0) c
+      FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                       FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+      ORDER BY custkey"""))
+
+  // -------------------------------------------------------------- q24
+  // Pivot (wide conditional aggregation): return flag columns per status.
+  private val q24 = GraftQuery(
+    "q24_pivot",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(dec12($"l_quantity")).cast("double"))
+        .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n",
+          "R" -> "qty_r"))
+        .orderBy($"l_linestatus")
+    },
+    Some(s"""
+      SELECT l_linestatus,
+        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS $D12) END) AS DOUBLE) AS qty_a,
+        CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS $D12) END) AS DOUBLE) AS qty_n,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS $D12) END) AS DOUBLE) AS qty_r
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus"""))
+
+  // -------------------------------------------------------------- q25
+  // Math scalar functions (IEEE-deterministic subset: no libm-dependent
+  // transcendentals, so the oracle matches bit-for-bit).
+  private val q25 = GraftQuery(
+    "q25_math_fns",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select(
+          $"p_partkey",
+          abs($"p_retailprice" - 1000.0).as("abs_diff"),
+          floor($"p_retailprice").cast("long").as("floor_price"),
+          ceil($"p_retailprice").cast("long").as("ceil_price"),
+          sqrt($"p_retailprice").as("sqrt_price"),
+          signum($"p_retailprice" - 1000.0).as("sign_diff"),
+          greatest($"p_size", lit(25)).cast("long").as("size_hi"),
+          least($"p_size", lit(25)).cast("long").as("size_lo"),
+          ($"p_partkey" % 7).as("key_mod"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        ABS(p_retailprice - 1000.0) AS abs_diff,
+        CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
+        CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+        SQRT(p_retailprice) AS sqrt_price,
+        SIGN(p_retailprice - 1000.0) AS sign_diff,
+        CAST(GREATEST(p_size, 25) AS BIGINT) AS size_hi,
+        CAST(LEAST(p_size, 25) AS BIGINT) AS size_lo,
+        p_partkey % 7 AS key_mod
+      FROM part
+      ORDER BY p_partkey"""))
+
+  // -------------------------------------------------------------- q26
+  // HLL sketch: approx_count_distinct next to the exact count. The
+  // sketch estimate is engine-specific → rows-only check; the query
+  // matters as the 100 TB path where exact distinct is unaffordable.
+  private val q26 = GraftQuery(
+    "q26_approx_distinct",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"))
+        .orderBy($"l_returnflag")
+    },
+    None)
+
+  // -------------------------------------------------------------- cdc08
+  // As-of join: each event picks up the customer's most recent daily
+  // order aggregate at event time. Oracle uses DuckDB's native ASOF
+  // JOIN — an independent implementation of the same semantics.
+  private val cdc08 = GraftQuery(
+    "cdc08_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val events = t(s, dir, "events")
+      val daily = t(s, dir, "orders")
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(sum(dec12($"o_totalprice")).cast("double").as("day_spend"),
+          count(lit(1)).as("n_orders"))
+      TemporalOps.asOfJoin(
+        events.select($"event_id", $"user_id", $"ts"),
+        daily, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderdate", "day_spend", "n_orders"))
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("event_time"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("asof_day"),
+          $"day_spend", $"n_orders")
+        .orderBy($"event_id")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT o_custkey, o_orderdate,
+          CAST(SUM(CAST(o_totalprice AS $D12)) AS DOUBLE) AS day_spend,
+          COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey, o_orderdate)
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+        strftime(d.o_orderdate, '%Y-%m-%d') AS asof_day,
+        d.day_spend, d.n_orders
+      FROM events e
+      ASOF LEFT JOIN daily d
+        ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+      ORDER BY e.event_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q23, q24, q25, q26, cdc08)
+}

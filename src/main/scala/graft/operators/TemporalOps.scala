@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators.
+  *
+  * [[asOfJoin]] implements the as-of join (for each left row, the latest
+  * right row with `rightTime <= leftTime` on the same key) — an operator
+  * Spark has no built-in for. Implementation follows the scalable
+  * union+window formulation rather than a range join:
+  *
+  *  1. union left and right into one keyed, time-ordered stream
+  *     (right rows sort before left rows at equal timestamps → `<=`);
+  *  2. one shuffle on the key; within each key partition, a running
+  *     `last(value, ignoreNulls)` window carries the newest right value
+  *     forward;
+  *  3. keep only left rows.
+  *
+  * Cost: ONE shuffle + one sort over |L|+|R| — no per-row range probe,
+  * no O(|L|·|R|) explosion, no broadcast requirement. This is the shape
+  * that survives 100 TB; a naive `l JOIN r ON l.k=r.k AND r.t<=l.t`
+  * + max() would shuffle the cross product of every key group.
+  *
+  * Right rows must be unique per (key, time) — pre-aggregate otherwise
+  * (ambiguous as-of value; enforced by callers, see cdc08).
+  */
+object TemporalOps {
+
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val valSchema = org.apache.spark.sql.types.StructType(
+      right.select(valueCols.map(col): _*).schema.fields)
+
+    val rightU = right.select(
+      col(rightKey).cast("long").as("__k"),
+      col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      struct(valueCols.map(col): _*).as("__val"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        left.schema.fields)).as("__row"))
+    val leftU = left.select(
+      col(leftKey).cast("long").as("__k"),
+      col(leftTime).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(valSchema).as("__val"),
+      struct(leftCols.map(col): _*).as("__row"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rightU.unionByName(leftU)
+      .withColumn("__asof", last(col("__val"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(c => col(s"__row.$c").as(c)) ++
+          valueCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+}
