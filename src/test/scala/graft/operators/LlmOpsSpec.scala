@@ -93,6 +93,22 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("MinHashAggregator: one-pass signature equals k min-aggregates") {
+    import spark.implicits._
+    val sample = docs.limit(50)
+    val viaAggregator = DedupOps.docShingles(sample)
+      .groupBy($"doc_id")
+      .agg(graft.functions.MinHashAggregator.minhash(8)($"shingle")
+        .as("sig"))
+    val viaMinColumns = DedupOps.minhashSignature(sample, 8)
+    val joined = viaAggregator.join(viaMinColumns, "doc_id").collect()
+    assert(joined.length == 50)
+    joined.foreach { r =>
+      val sig = r.getAs[collection.Seq[String]]("sig")
+      (0 until 8).foreach(i => assert(sig(i) == r.getAs[String](s"h$i")))
+    }
+  }
+
   test("multimodal: binary schema, batch decode matches stub") {
     val media = MultimodalOps.toMediaColumns(docs)
     assert(media.schema("content").dataType.typeName == "binary")

@@ -129,6 +129,29 @@ class CdcPipelineSpec extends SparkSpec {
     assert(spark.table("win_out").count() > 0)
   }
 
+  test("stateful mapGroupsWithState: running totals match batch agg") {
+    import spark.implicits._
+    val src = stageSource()
+    val cfg = CdcPipeline.Config(sourceDir = src, checkpointDir = tmpDir("c"),
+      sinkConf = Map.empty)
+    val q = CdcPipeline.statefulUserTotals(spark, cfg)
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft-ck-s")).start()
+    q.processAllAvailable(); q.stop()
+    // latest state per user must equal the batch-side counts
+    val last = spark.table("state_out")
+      .groupBy($"user_id").agg(max($"n_events").as("n"))
+    val expected = CdcPipeline.envelopeStream(spark, cfg)
+      // batch twin of the same plan
+      .sparkSession.read.parquet(src)
+      .filter(graft.operators.CdcOps.classifyOp(col("event_type")) =!= "Skip")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    assert(last.join(expected, Seq("user_id"))
+      .filter(last("n") =!= expected("n")).count() == 0)
+    assert(last.count() == expected.count())
+  }
+
   test("component registry: case-insensitive lookup, error on unknown") {
     assert(QueueSinkRegistry.registry.registered.contains("file"))
     val s = QueueSinkRegistry.create("FILE", Map("dir" -> tmpDir("q")))
