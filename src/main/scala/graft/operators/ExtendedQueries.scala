@@ -177,5 +177,79 @@ object ExtendedQueries {
                 AND a.event_id < b.event_id))
       ORDER BY id_a, id_b"""))
 
-  val all: Seq[GraftQuery] = Seq(q23, q24, q25, q26, cdc08, q27)
+  // -------------------------------------------------------------- q28
+  // Percentiles (exact, linear interpolation) per group.
+  private val q28 = GraftQuery(
+    "q28_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_extendedprice, 0.5) AS median_price,
+        quantile_cont(l_extendedprice, 0.95) AS p95_price,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  // -------------------------------------------------------------- q29
+  // Salted join: semantically a plain orders⋈customer join (the oracle
+  // IS the plain join) executed with 8-way key salting — the hot-key
+  // mitigation pattern, proven result-identical.
+  private val q29 = GraftQuery(
+    "q29_salted_join",
+    (s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+      SkewOps.saltedJoin(ord, cust, "o_custkey",
+        discriminator = col("o_orderkey"), buckets = 8)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec12($"o_totalprice")).cast("double").as("revenue"))
+        .orderBy($"c_mktsegment")
+    },
+    Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS $D12)) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  // -------------------------------------------------------------- cdc09
+  // Typed JSON projection with a declared schema (from_json) — the
+  // schema-carrying consumer path of SURVEY §1.4.
+  private val cdc09 = GraftQuery(
+    "cdc09_from_json",
+    (s, dir) => {
+      import s.implicits._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      t(s, dir, "events")
+        .withColumn("payload", from_json($"props", schema))
+        .select($"event_id", $"payload.k".as("k"),
+          upper($"event_type").as("event_type_uc"))
+        .filter($"k" >= 50)
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        UPPER(event_type) AS event_type_uc
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+      ORDER BY event_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09)
 }

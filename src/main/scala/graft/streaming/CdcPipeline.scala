@@ -119,6 +119,27 @@ object CdcPipeline {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** File-sink variant: same envelope pipeline into a transactional
+    * parquet sink. Unlike the queue path (at-least-once, matching the
+    * reference), Spark's file sink commits atomically with the offset
+    * log → EXACTLY-once (SURVEY.md §7.4.2: "exceed it with file
+    * sinks"). This is the path a 100 TB lakehouse ingestion would use.
+    */
+  def startParquetSink(spark: SparkSession, cfg: Config,
+      outDir: String): StreamingQuery = {
+    val writer = envelopeStream(spark, cfg)
+      .select(col("event_type"), col("gtid"), col("database"),
+        col("table"), col("content"), col("ts"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", cfg.checkpointDir)
+    val triggered =
+      if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
+      else writer.trigger(cfg.policy.trigger)
+    triggered.start()
+  }
+
   final case class UserTotals(user_id: Long, n_events: Long,
       total_value: Double)
 

@@ -129,6 +129,25 @@ class CdcPipelineSpec extends SparkSpec {
     assert(spark.table("win_out").count() > 0)
   }
 
+  test("parquet file sink is exactly-once across restart") {
+    val src = stageSource()
+    val out = tmpDir("graft-pq-out")
+    val ckpt = tmpDir("graft-pq-ckpt")
+    def run(): Unit = {
+      val q = CdcPipeline.startParquetSink(spark, CdcPipeline.Config(
+        sourceDir = src, checkpointDir = ckpt, availableNow = true), out)
+      q.awaitTermination()
+    }
+    run()
+    val expected = Tables.load(spark, sf("sf0.001"), "events")
+      .filter(CdcOps.classifyOp(col("event_type")) =!= "Skip").count()
+    assert(spark.read.parquet(out).count() == expected)
+    run() // restart with no new data: exactly-once -> nothing new
+    assert(spark.read.parquet(out).count() == expected)
+    val gtids = spark.read.parquet(out).select("gtid").distinct().count()
+    assert(gtids == expected)
+  }
+
   test("stateful mapGroupsWithState: running totals match batch agg") {
     import spark.implicits._
     val src = stageSource()
