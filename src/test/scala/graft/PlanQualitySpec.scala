@@ -1,0 +1,72 @@
+package graft
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Plan-quality regression guards: the properties that matter at 100 TB,
+  * asserted on every registered query's physical plan (SCALE.md).
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.registry.map { q =>
+      q.name -> q.run(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    }.toMap
+
+  test("no cartesian products anywhere") {
+    plans.foreach { case (name, plan) =>
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("nested-loop joins only where a 1-row/bounded build is intended") {
+    // q20's scalar-subquery cross join broadcasts a single aggregate
+    // row; emb01's brute-force intentionally broadcasts the ≤8-row
+    // query set against the corpus scan (the exact-baseline ANN path).
+    val allowed = Set("q20_scalar_subquery", "emb01_cosine_topk")
+    plans.foreach { case (name, plan) =>
+      if (!allowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("filter+projection queries push filters to the parquet scan") {
+    val plan = plans("q02_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    // pruned read schema: 6 of 10 lineitem columns
+    assert(!plan.contains("l_shipdate"), "unpruned column read")
+  }
+
+  test("dimension joins broadcast") {
+    assert(plans("q04_broadcast_join").contains("BroadcastHashJoin"))
+    assert(plans("q05_multi_join").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plans("q14_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("bucketed co-located join needs no exchange") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.load(spark, sf("sf0.001"), "orders")
+        .write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("orders_bucketed")
+      Tables.load(spark, sf("sf0.001"), "customer")
+        .write.mode("overwrite").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("customer_bucketed")
+      val joined = spark.table("orders_bucketed")
+        .join(spark.table("customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() ==
+        Tables.load(spark, sf("sf0.001"), "orders").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
