@@ -250,6 +250,68 @@ object ExtendedQueries {
       WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
       ORDER BY event_id"""))
 
+  // -------------------------------------------------------------- q30
+  // Positional explode (posexplode / unnest WITH ORDINALITY): per-
+  // dimension stats over the embedding corpus. Only exact aggregates
+  // (min/max/count) — float sums are order-dependent.
+  private val q30 = GraftQuery(
+    "q30_explode_positional",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy(($"pos" + 1).cast("long").as("dim"))
+        .agg(min($"v".cast("double")).as("min_v"),
+          max($"v".cast("double")).as("max_v"),
+          count(lit(1)).as("n"))
+        .orderBy($"dim")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings)
+      SELECT dim, MIN(v) AS min_v, MAX(v) AS max_v, COUNT(*) AS n
+      FROM ex
+      GROUP BY dim
+      ORDER BY dim"""))
+
+  // -------------------------------------------------------------- q31
+  // Range-frame windows: trailing-30-day order counts per customer,
+  // plus first_value and ntile quartiles.
+  private val q31 = GraftQuery(
+    "q31_window_range",
+    (s, dir) => {
+      import s.implicits._
+      val epochDay = (unix_millis($"o_orderdate") / lit(86400000L))
+        .cast("long")
+      val byDay = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"day")
+        .rangeBetween(-29, 0)
+      val byPrice = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("day", epochDay)
+        .select($"o_custkey", $"o_orderkey", $"day",
+          count(lit(1)).over(byDay).as("orders_30d"),
+          first($"o_orderkey").over(byPrice).as("top_order"),
+          ntile(4).over(byPrice).cast("long").as("price_quartile"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        epoch_ms(o_orderdate) // 86400000 AS day,
+        COUNT(*) OVER (PARTITION BY o_custkey
+          ORDER BY epoch_ms(o_orderdate) // 86400000
+          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS orders_30d,
+        FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS top_order,
+        CAST(NTILE(4) OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_quartile
+      FROM orders
+      ORDER BY o_custkey, o_orderkey"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09)
+    Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31)
 }
