@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for embedding math.
@@ -164,6 +164,47 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** 64-bit polynomial rolling hash over a string's UTF-8 bytes
+    * (h = h*31 + byte, wrapping): the production-speed document
+    * fingerprint — one multiply-add per byte inside codegen, no
+    * allocation, vs md5's digest machinery. Not SQL-reproducible in
+    * DuckDB (no loop), so queries using it are rows-only checked; the
+    * Scala reference implementation pins semantics in tests. */
+  case class RollingHash(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "text_rolling_hash"
+
+    override def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[UTF8String]
+      val n = s.numBytes()
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * 31L + (s.getByte(i) & 0xff); i += 1 }
+      h
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val h = ctx.freshName("h")
+        s"""
+        int $n = $a.numBytes();
+        long $h = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $h = $h * 31L + (($a.getByte($i)) & 0xff);
+        }
+        ${ev.value} = $h;
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): RollingHash =
+      copy(child = c)
+  }
+
   // ---- Column-level API ------------------------------------------------
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
@@ -174,4 +215,15 @@ object VectorExpressions {
 
   def vec_lsh_bucket(a: Column, planes: Int): Column =
     ColumnBridge.column(LshBucket(ColumnBridge.expression(a), planes))
+
+  def text_rolling_hash(a: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(a)))
+
+  /** Driver-side reference implementation (spec parity). */
+  def rollingHashRef(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0L
+    bytes.foreach(b => h = h * 31L + (b & 0xff))
+    h
+  }
 }

@@ -316,6 +316,51 @@ object LlmQueries {
     },
     None)
 
+  // -------------------------------------------------------------- doc06
+  // BPE-ish token counting: letter runs, digit runs, and symbol runs
+  // counted separately (the cheap proxy for subword-tokenizer budgeting).
+  private val doc06 = GraftQuery(
+    "doc06_token_pieces",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          size(regexp_extract_all($"text",
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))).cast("long")
+            .as("n_pieces"),
+          size(regexp_extract_all($"text", lit("[a-z]+"), lit(0)))
+            .cast("long").as("n_letter_runs"),
+          size(regexp_extract_all($"text", lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_digit_runs"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_pieces,
+        CAST(LEN(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_letter_runs,
+        CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
+      FROM documents
+      ORDER BY doc_id"""))
+
+  // -------------------------------------------------------------- doc07
+  // Rolling-hash fingerprint (native codegen expression) — the
+  // production-speed dedup key. No SQL loop in DuckDB → rows-only;
+  // semantics pinned by the Scala reference impl in LlmOpsSpec.
+  private val doc07 = GraftQuery(
+    "doc07_rolling_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          graft.functions.VectorExpressions.text_rolling_hash($"text")
+            .as("rhash"))
+        .groupBy($"rhash")
+        .agg(min($"doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"rhash")
+    },
+    None)
+
   val all: Seq[GraftQuery] =
-    Seq(doc01, doc02, doc03, doc04, doc05, emb01, emb02, emb03, mm01, mm02)
+    Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07,
+      emb01, emb02, emb03, mm01, mm02)
 }

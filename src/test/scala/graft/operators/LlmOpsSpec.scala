@@ -93,6 +93,20 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("rolling hash expression matches the Scala reference") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions
+    val sample = docs.limit(20)
+    val got = sample.select($"doc_id", $"text",
+      VectorExpressions.text_rolling_hash($"text").as("h")).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("h") ==
+        VectorExpressions.rollingHashRef(r.getAs[String]("text")))
+    }
+    // equal texts -> equal hash; distinct fingerprints for our sample
+    assert(got.map(_.getAs[Long]("h")).distinct.length == got.length)
+  }
+
   test("MinHashAggregator: one-pass signature equals k min-aggregates") {
     import spark.implicits._
     val sample = docs.limit(50)
