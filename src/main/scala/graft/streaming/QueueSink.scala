@@ -61,9 +61,36 @@ final class ComponentRegistry[T](kind: String) {
   def registered: Set[String] = impls.keySet.toSet
 }
 
+/** In-JVM collecting queue for tests and local-mode smoke runs. Keyed
+  * by name in a process-global map — meaningful on local[*] only (on a
+  * cluster each executor JVM would collect its own slice; use the file
+  * queue there). */
+final class MemoryQueue(name: String) extends QueueSink {
+  override def send(batch: Seq[Entry]): SendResult = {
+    MemoryQueue.append(name, batch)
+    SendResult.ok
+  }
+}
+
+object MemoryQueue {
+  private val queues =
+    TrieMap.empty[String, java.util.concurrent.ConcurrentLinkedQueue[Entry]]
+  private def append(name: String, batch: Seq[Entry]): Unit = {
+    val q = queues.getOrElseUpdate(name,
+      new java.util.concurrent.ConcurrentLinkedQueue[Entry]())
+    batch.foreach(q.add)
+  }
+  def drain(name: String): Seq[Entry] = {
+    import scala.jdk.CollectionConverters._
+    queues.remove(name).map(_.asScala.toSeq).getOrElse(Nil)
+  }
+}
+
 object QueueSinkRegistry {
   val registry = new ComponentRegistry[QueueSink]("stream")
   registry.register("file", conf => new LocalFileQueue(conf("dir")))
+  registry.register("memory",
+    conf => new MemoryQueue(conf.getOrElse("name", "default")))
   def create(name: String, conf: Map[String, String]): QueueSink =
     registry.create(name, conf)
 }
