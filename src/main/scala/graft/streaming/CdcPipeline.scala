@@ -40,6 +40,7 @@ object CdcPipeline {
 
   final case class Config(
       sourceDir: String,
+      sourceFormat: String = "parquet", // or "graft-replay" (custom DSv2)
       sinkType: String = "file",
       sinkConf: Map[String, String] = Map.empty,
       checkpointDir: String,
@@ -47,13 +48,26 @@ object CdcPipeline {
       chain: CdcOps.FilterChain = CdcOps.FilterChain.identity,
       availableNow: Boolean = false)
 
-  /** Build the streaming envelope DataFrame (source + processing). */
+  /** Build the streaming envelope DataFrame (source + processing).
+    * "parquet" uses Spark's file source (rate-capped by files);
+    * "graft-replay" uses the custom DSv2 source with event_id offsets
+    * and row-level admission control ([[graft.sources.ReplaySource]]).
+    */
   def envelopeStream(spark: SparkSession, cfg: Config): DataFrame = {
-    var reader = spark.readStream.schema(eventsSchema)
-    cfg.policy.sourceOptions.foreach { case (k, v) =>
-      reader = reader.option(k, v)
+    val raw = cfg.sourceFormat match {
+      case "graft-replay" =>
+        spark.readStream.format("graft-replay")
+          .option("path", cfg.sourceDir)
+          .option("maxEventsPerTrigger",
+            (cfg.policy.batchSize.toLong * 100).toString)
+          .load()
+      case _ =>
+        var reader = spark.readStream.schema(eventsSchema)
+        cfg.policy.sourceOptions.foreach { case (k, v) =>
+          reader = reader.option(k, v)
+        }
+        reader.parquet(cfg.sourceDir)
     }
-    val raw = reader.parquet(cfg.sourceDir)
     cfg.chain(CdcOps.dropSkipped(CdcOps.toEnvelope(raw)))
   }
 

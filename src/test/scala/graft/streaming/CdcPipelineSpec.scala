@@ -129,6 +129,21 @@ class CdcPipelineSpec extends SparkSpec {
     assert(spark.table("win_out").count() > 0)
   }
 
+  test("pipeline runs end-to-end over the custom graft-replay source") {
+    val src = stageSource()
+    val sinkDir = tmpDir("graft-sink-r")
+    val q = CdcPipeline.start(spark, CdcPipeline.Config(
+      sourceDir = src,
+      sourceFormat = "graft-replay",
+      sinkConf = Map("dir" -> sinkDir),
+      checkpointDir = tmpDir("graft-ckpt-r"),
+      availableNow = true))
+    q.awaitTermination()
+    val expected = Tables.load(spark, sf("sf0.001"), "events")
+      .filter(CdcOps.classifyOp(col("event_type")) =!= "Skip").count()
+    assert(readSinkLines(sinkDir).size == expected)
+  }
+
   test("parquet file sink is exactly-once across restart") {
     val src = stageSource()
     val out = tmpDir("graft-pq-out")
