@@ -260,6 +260,46 @@ object CdcQueries {
       FROM prepared
       ORDER BY event_id"""))
 
+  // -------------------------------------------------------------- cdc10
+  // Update-event before/after envelope (reference
+  // tests/unit/datasources/test_mysql.py:354-359): Update ops carry
+  // `{"before": ..., "after": ...}` payloads; the before image is the
+  // user's previous payload (lag), null for the first change.
+  private val cdc10 = GraftQuery(
+    "cdc10_update_envelope",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, dir)
+        .withColumn("op", CdcOps.classifyOp($"event_type"))
+        .withColumn("prev_props", lag($"props", 1).over(w))
+        .filter($"op" === "Update")
+        .select($"event_id",
+          concat(lit("srv-1:"), $"event_id").as("gtid"),
+          concat(lit("""{"before":"""),
+            coalesce($"prev_props", lit("null")),
+            lit(""","after":"""), $"props", lit("}")).as("content"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH lagged AS (
+        SELECT event_id, event_type, props,
+          LAG(props, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev_props
+        FROM events)
+      SELECT event_id,
+        'srv-1:' || CAST(event_id AS VARCHAR) AS gtid,
+        '{"before":' || COALESCE(prev_props, 'null')
+          || ',"after":' || props || '}' AS content
+      FROM lagged
+      WHERE CASE event_type
+          WHEN 'signup' THEN 'Insert'
+          WHEN 'purchase' THEN 'Insert'
+          WHEN 'click' THEN 'Update'
+          WHEN 'error' THEN 'Delete'
+          ELSE 'Skip' END = 'Update'
+      ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07)
+    Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10)
 }
