@@ -83,8 +83,19 @@ object DedupOps {
   def verifiedNearDups(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
       minJ: Double = 0.2): DataFrame = {
     val shingles = docShingles(docs)
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cands = lshCandidates(lshBands(minhashSignature(docs, k), k, rowsPerBand))
+    // signature AND set size in ONE aggregation pass over the hashed
+    // shingles (the shingle subtree is recomputed per consumer
+    // otherwise — measured win at sf0.1).
+    val hashCols = (0 until k).map(s =>
+      seededHash(s, col("shingle")).as(s"sh$s"))
+    val vocab = shingles.select("shingle").distinct()
+      .select(col("shingle") +: hashCols: _*)
+    val sigAggs = (0 until k).map(s => min(col(s"sh$s")).as(s"h$s")) :+
+      count(lit(1)).as("n")
+    val sigAndSize = shingles.join(vocab, Seq("shingle"))
+      .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sizes = sigAndSize.select(col("doc_id"), col("n"))
+    val cands = lshCandidates(lshBands(sigAndSize, k, rowsPerBand))
     // Intersection counts: attach doc_a's shingles to each candidate
     // pair, then equi-join on (doc_b, shingle). Joining candidates FIRST
     // keeps the work proportional to |candidates|·|shingles per doc|; a
