@@ -1,0 +1,75 @@
+package graft.examples
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.DedupOps
+import graft.sources.{Formats, Tables}
+
+/** End-to-end training-data curation pipeline over the documents table:
+  * quality filter → exact dedup → MinHash near-dup removal → token
+  * budget report → partitioned parquet corpus. Every stage is the
+  * declarative operator from the library, so the whole run is one
+  * Catalyst-planned job chain (no driver-side loops).
+  *
+  * Usage: sbt "runMain graft.examples.CorpusPipelineDemo [sfDir]"
+  */
+object CorpusPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-corpus-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val total = docs.count()
+
+    // 1. quality gate
+    val scored = docs.withColumn("quality",
+      TextFunctions.qualityScore($"text"))
+    val quality = scored.filter($"quality" >= 0.3)
+    val nQuality = quality.count()
+
+    // 2. exact dedup (keep the survivor of each fingerprint group)
+    val survivors = DedupOps.exactDupGroups(quality)
+      .select($"survivor_id".as("doc_id"))
+    val exactDeduped = quality.join(survivors, Seq("doc_id"), "left_semi")
+    val nExact = exactDeduped.count()
+
+    // 3. near-dup removal: drop the higher doc_id of each verified pair
+    val nearDupLosers = DedupOps.verifiedNearDups(exactDeduped)
+      .select($"doc_b".as("doc_id")).distinct()
+    val curated = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val nCurated = curated.count()
+
+    // 4. token budget report
+    val budget = curated.agg(
+      sum(TextFunctions.tokenCount($"text")).as("total_tokens"),
+      avg(TextFunctions.qualityScore($"text")).as("mean_quality"))
+      .collect()(0)
+
+    // 5. write the corpus partitioned by language
+    val out = Files.createTempDirectory("graft-corpus").toString
+    Formats.write(curated.select($"doc_id", $"lang", $"text", $"quality"),
+      "parquet", out, partitionBy = Seq("lang"))
+
+    println(s"[corpus] input docs:        $total")
+    println(s"[corpus] after quality:     $nQuality")
+    println(s"[corpus] after exact dedup: $nExact")
+    println(s"[corpus] after near dedup:  $nCurated")
+    println(s"[corpus] total tokens:      ${budget.getAs[Long]("total_tokens")}")
+    println(f"[corpus] mean quality:      ${budget.getAs[Double]("mean_quality")}%.3f")
+    println(s"[corpus] corpus written to: $out (partitioned by lang)")
+    spark.stop()
+  }
+}
