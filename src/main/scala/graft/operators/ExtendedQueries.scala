@@ -312,6 +312,36 @@ object ExtendedQueries {
       FROM orders
       ORDER BY o_custkey, o_orderkey"""))
 
+  // -------------------------------------------------------------- q32
+  // Map-type functions: build MapType columns, access/interrogate them.
+  // The oracle computes the same scalars (DuckDB's MAP literals differ
+  // enough that the check is on values, which is what the gate hashes).
+  private val q32 = GraftQuery(
+    "q32_map_fns",
+    (s, dir) => {
+      import s.implicits._
+      val m = map(
+        lit("status"), $"o_orderstatus",
+        lit("priority"), $"o_orderpriority")
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          element_at(m, "status").as("status"),
+          element_at(m, "priority").as("priority"),
+          size(m).cast("long").as("map_size"),
+          array_join(map_keys(m), ",").as("keys_joined"),
+          map_contains_key(m, "status").as("has_status"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+        o_orderstatus AS status,
+        o_orderpriority AS priority,
+        CAST(2 AS BIGINT) AS map_size,
+        'status,priority' AS keys_joined,
+        TRUE AS has_status
+      FROM orders
+      ORDER BY o_orderkey"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31)
+    Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32)
 }

@@ -154,6 +154,32 @@ object CdcPipeline {
     triggered.start()
   }
 
+  final case class ValueJump(user_id: Long, event_id: Long,
+      new_max: Double)
+
+  /** `flatMapGroupsWithState` variant (0..n outputs per group per
+    * batch): emits a record only when a user's running max value rises —
+    * the change-detection shape (threshold alerts, new-high-watermark
+    * triggers) that windowed aggregates can't express. */
+  def valueJumpDetector(spark: SparkSession, cfg: Config)
+      : org.apache.spark.sql.Dataset[ValueJump] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    envelopeStream(spark, cfg)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, ValueJump](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (k, rows, state) =>
+        var mx = state.getOption.getOrElse(Double.NegativeInfinity)
+        val jumps = rows.toSeq.sortBy(_._2).flatMap { case (_, id, v) =>
+          if (v > mx) { mx = v; Some(ValueJump(k, id, v)) } else None
+        }
+        state.update(mx)
+        jumps.iterator
+      }
+  }
+
   final case class UserTotals(user_id: Long, n_events: Long,
       total_value: Double)
 

@@ -186,6 +186,35 @@ class CdcPipelineSpec extends SparkSpec {
     assert(last.count() == expected.count())
   }
 
+  test("flatMapGroupsWithState change detector emits rising maxima only") {
+    import spark.implicits._
+    val src = stageSource()
+    val cfg = CdcPipeline.Config(sourceDir = src, checkpointDir = tmpDir("c"),
+      sinkConf = Map.empty)
+    val q = CdcPipeline.valueJumpDetector(spark, cfg)
+      .writeStream.format("memory").queryName("jump_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-ck-j")).start()
+    q.processAllAvailable(); q.stop()
+    val jumps = spark.table("jump_out")
+    assert(jumps.count() > 0)
+    // per user: emitted maxima strictly increase, final equals batch max
+    val perUser = jumps.orderBy($"user_id", $"event_id").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    perUser.values.foreach { rows =>
+      val vs = rows.map(_.getAs[Double]("new_max")).toSeq
+      assert(vs == vs.sorted && vs.distinct == vs)
+    }
+    val finalMax = jumps.groupBy($"user_id")
+      .agg(max($"new_max").as("m"))
+    val batchMax = CdcPipeline.envelopeStream(spark, cfg)
+      .sparkSession.read.parquet(src)
+      .filter(graft.operators.CdcOps.classifyOp(col("event_type")) =!= "Skip")
+      .groupBy($"user_id").agg(max($"value").as("m"))
+    assert(finalMax.join(batchMax, Seq("user_id"))
+      .filter(finalMax("m") =!= batchMax("m")).count() == 0)
+  }
+
   test("component registry: case-insensitive lookup, error on unknown") {
     assert(QueueSinkRegistry.registry.registered.contains("file"))
     val s = QueueSinkRegistry.create("FILE", Map("dir" -> tmpDir("q")))
