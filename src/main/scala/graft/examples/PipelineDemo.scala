@@ -43,6 +43,7 @@ object PipelineDemo {
 
     val chain = CdcOps.FilterChain.of(
       _.filter(col("event_type") =!= "Skip"))
+    val t0 = System.nanoTime()
     val q = CdcPipeline.start(spark, CdcPipeline.Config(
       sourceDir = src,
       sinkConf = Map("dir" -> sinkDir),
@@ -50,12 +51,16 @@ object PipelineDemo {
       chain = chain,
       availableNow = true))
     q.awaitTermination()
+    val elapsed = (System.nanoTime() - t0) / 1e9
 
     val files = Files.list(Paths.get(sinkDir)).iterator().asScala
       .filter(_.toString.endsWith(".jsonl")).toSeq
     val lines = files.flatMap(p => Files.readAllLines(p).asScala)
     println(s"[demo] sink batches: ${files.size}")
     println(s"[demo] delivered events: ${lines.size}")
+    println(f"[demo] pipeline wall time: $elapsed%.2f s " +
+      f"(${lines.size / elapsed}%.0f events/s; reference envelope is " +
+      "10 events / 5 s on 0.5 CPU, see BASELINE.md)")
     println(s"[demo] sample: ${lines.headOption.getOrElse("<none>")}")
     println(s"[demo] mirrored position: ${
       store.read("parquet-replay", src).getOrElse("<none>")}")
