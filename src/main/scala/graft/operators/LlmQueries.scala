@@ -251,6 +251,47 @@ object LlmQueries {
       FROM ranked WHERE rnk <= 5
       ORDER BY query_id, rnk"""))
 
+  // -------------------------------------------------------------- emb04
+  // IVF approximate top-5: coarse cells from 8 fixed centroids,
+  // queries probe their own cell. Oracle replays assignment + search.
+  private val emb04 = GraftQuery(
+    "emb04_ivf_topk",
+    (s, dir) =>
+      SimilarityOps.ivfTopK(t(s, dir, "embeddings"))
+        .orderBy(col("query_id"), col("rnk")),
+    Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               ${normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      assign AS (
+        SELECT b.vec_id, b.embedding, b.en, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            (${dotSql("b.embedding", "c.ce", 64)}) / (b.en * c.cn) DESC,
+            c.cid) AS rn
+        FROM base b CROSS JOIN cent c),
+      clustered AS (
+        SELECT vec_id, embedding, en, cid FROM assign WHERE rn = 1),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, en AS qn, cid
+        FROM clustered WHERE vec_id >= 8 AND vec_id < 12),
+      scored AS (
+        SELECT q.query_id, q.cid, c.vec_id,
+          (${dotSql("q_emb", "c.embedding", 64)}) / (q.qn * c.en) AS cos
+        FROM clustered c JOIN q
+          ON c.cid = q.cid AND c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, cid, vec_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT query_id, cid, vec_id AS neighbor_id, rnk, cos
+      FROM ranked WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+
   // -------------------------------------------------------------- emb03
   // Embedding-cosine near-duplicate pairs within LSH buckets. The data
   // has no planted embedding dups, so assert the operator by lowering
@@ -362,5 +403,5 @@ object LlmQueries {
 
   val all: Seq[GraftQuery] =
     Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07,
-      emb01, emb02, emb03, mm01, mm02)
+      emb01, emb02, emb03, emb04, mm01, mm02)
 }

@@ -86,6 +86,45 @@ object SimilarityOps {
         col("rnk"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is assigned to
+    * coarse cells (nearest of `nCentroids` fixed centroid vectors —
+    * deterministic: the first vectors of the corpus serve as centroids,
+    * the one-pass stand-in for a trained codebook); a query probes only
+    * its own cell. Cell assignment is a broadcast of the tiny centroid
+    * set + one corpus scan; search is an equi-join on cell id — the
+    * same co-partitioned shape as the LSH path, with recall governed by
+    * cell granularity instead of plane count. */
+  def ivfTopK(embs: DataFrame, dim: Int = 64, nCentroids: Int = 8,
+      queryLo: Int = 8, queryHi: Int = 12, k: Int = 5): DataFrame = {
+    val cent = embs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding"), dim).as("cn"))
+    val base = embs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding"), dim).as("en"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val clustered = base.crossJoin(broadcast(cent))
+      .withColumn("ccos", dot(col("embedding"), col("ce"), dim) /
+        (col("en") * col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("en"), col("cid"))
+    val queries = clustered
+      .filter(col("vec_id") >= queryLo && col("vec_id") < queryHi)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("en").as("qn"), col("cid"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    clustered.join(broadcast(queries), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q_emb"), col("embedding"), dim) /
+        (col("qn") * col("en")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cid"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def embeddingNearDups(embs: DataFrame, dim: Int = 64, planes: Int = 6,
       minCos: Double = 0.9): DataFrame = {

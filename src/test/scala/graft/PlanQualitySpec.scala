@@ -23,8 +23,10 @@ class PlanQualitySpec extends SparkSpec {
   test("nested-loop joins only where a 1-row/bounded build is intended") {
     // q20's scalar-subquery cross join broadcasts a single aggregate
     // row; emb01's brute-force intentionally broadcasts the ≤8-row
-    // query set against the corpus scan (the exact-baseline ANN path).
-    val allowed = Set("q20_scalar_subquery", "emb01_cosine_topk")
+    // query set against the corpus scan (the exact-baseline ANN path);
+    // emb04's IVF assignment broadcasts the 8-row centroid set.
+    val allowed = Set("q20_scalar_subquery", "emb01_cosine_topk",
+      "emb04_ivf_topk")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
