@@ -342,6 +342,50 @@ object ExtendedQueries {
       FROM orders
       ORDER BY o_orderkey"""))
 
+  // -------------------------------------------------------------- q33
+  // Collection aggregates: collect_set/collect_list made deterministic
+  // by sorting before joining into a string.
+  private val q33 = GraftQuery(
+    "q33_collect_agg",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          array_join(sort_array(collect_set($"l_linestatus")), ",")
+            .as("statuses"),
+          size(collect_set($"l_suppkey")).cast("long").as("n_suppliers"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  // -------------------------------------------------------------- q34
+  // Multiset set operations (EXCEPT ALL / INTERSECT ALL preserve
+  // duplicate counts, unlike q15's distinct variants).
+  private val q34 = GraftQuery(
+    "q34_setops_all",
+    (s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "orders").select($"o_custkey".as("k"))
+      val b = t(s, dir, "customer").filter($"c_acctbal" > 5000.0)
+        .select($"c_custkey".as("k"))
+      a.exceptAll(b).groupBy($"k").agg(count(lit(1)).as("n"))
+        .orderBy($"k")
+    },
+    Some("""
+      SELECT k, COUNT(*) AS n FROM (
+        SELECT o_custkey AS k FROM orders
+        EXCEPT ALL
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
+      ) x GROUP BY k ORDER BY k"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32)
+    Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
+      q33, q34)
 }
