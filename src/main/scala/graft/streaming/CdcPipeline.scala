@@ -154,6 +154,36 @@ object CdcPipeline {
     triggered.start()
   }
 
+  /** Stream-static enrichment: the envelope stream joins a broadcast
+    * dimension (re-read per micro-batch, so slowly-changing dims pick
+    * up updates). At 100 TB the dim side stays a broadcast as long as
+    * it fits executor memory; beyond that, pre-bucket both sides. */
+  def enrichedStream(spark: SparkSession, cfg: Config,
+      dim: DataFrame, key: String = "user_id"): DataFrame =
+    envelopeStream(spark, cfg)
+      .join(org.apache.spark.sql.functions.broadcast(dim), key)
+
+  /** Watermarked stream-stream inner join: purchases matched to error
+    * events of the same user within ±1 hour of event time. Watermarks
+    * bound the join state on BOTH sides — without them this state grows
+    * forever; with them expired rows are evicted once the watermark
+    * passes the join window. */
+  def purchaseErrorJoin(spark: SparkSession, cfg: Config): DataFrame = {
+    val env = envelopeStream(spark, cfg)
+    val purchases = env.filter(col("event_type") === "Insert")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val errors = env.filter(col("event_type") === "Delete")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", "2 hours")
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   final case class ValueJump(user_id: Long, event_id: Long,
       new_max: Double)
 

@@ -186,6 +186,50 @@ class CdcPipelineSpec extends SparkSpec {
     assert(last.count() == expected.count())
   }
 
+  test("stream-static enrichment joins the broadcast dimension") {
+    import spark.implicits._
+    val src = stageSource()
+    val cfg = CdcPipeline.Config(sourceDir = src, checkpointDir = tmpDir("c"),
+      sinkConf = Map.empty)
+    val dim = (0L until 200L).map(u => (u, s"segment-${u % 4}"))
+      .toDF("user_id", "segment")
+    val q = CdcPipeline.enrichedStream(spark, cfg, dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .option("checkpointLocation", tmpDir("graft-ck-e")).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enrich_out")
+    assert(out.count() > 0)
+    assert(out.filter($"segment".isNull).count() == 0)
+    assert(out.select("segment").distinct().count() == 4)
+  }
+
+  test("stream-stream join with watermarks equals the batch join") {
+    import spark.implicits._
+    val src = stageSource()
+    val cfg = CdcPipeline.Config(sourceDir = src, checkpointDir = tmpDir("c"),
+      sinkConf = Map.empty)
+    val q = CdcPipeline.purchaseErrorJoin(spark, cfg)
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-ck-ss")).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj_out")
+      .select($"p_id", $"e_id").orderBy($"p_id", $"e_id").collect()
+
+    val batchEnv = spark.read.parquet(src)
+      .withColumn("op", graft.operators.CdcOps.classifyOp(col("event_type")))
+    val p = batchEnv.filter($"op" === "Insert")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+    val e = batchEnv.filter($"op" === "Delete")
+      .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"event_id".as("e_id"))
+    val batch = p.join(e, $"p_user" === $"e_user" &&
+        $"e_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
+        $"e_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"p_id", $"e_id").orderBy($"p_id", $"e_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("flatMapGroupsWithState change detector emits rising maxima only") {
     import spark.implicits._
     val src = stageSource()
