@@ -251,6 +251,47 @@ object LlmQueries {
       FROM ranked WHERE rnk <= 5
       ORDER BY query_id, rnk"""))
 
+  // -------------------------------------------------------------- doc08
+  // Deterministic dataset splitting + stratified sampling: split
+  // assignment from a content-independent hash of the id (stable under
+  // reprocessing/re-partitioning — the property RAND() lacks), plus a
+  // per-language deterministic sample flag for eval subsets.
+  private val doc08 = GraftQuery(
+    "doc08_split_sample",
+    (s, dir) => {
+      import s.implicits._
+      val hx = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+      val bucket = conv(hx, 16, 10).cast("long") // 0..255
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang")
+        .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+      t(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .withColumn("split",
+          when($"bucket" < 204, "train") // ~80%
+            .when($"bucket" < 230, "val") // ~10%
+            .otherwise("test")) // ~10%
+        .withColumn("eval_sample",
+          row_number().over(w) <= 10) // 10 docs per language
+        .select($"doc_id", $"lang", $"bucket", $"split", $"eval_sample")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, lang,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+               AS BIGINT) AS bucket,
+          md5(CAST(doc_id AS VARCHAR)) AS hfull
+        FROM documents)
+      SELECT doc_id, lang, bucket,
+        CASE WHEN bucket < 204 THEN 'train'
+             WHEN bucket < 230 THEN 'val'
+             ELSE 'test' END AS split,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hfull, doc_id)
+          <= 10 AS eval_sample
+      FROM h
+      ORDER BY doc_id"""))
+
   // -------------------------------------------------------------- emb04
   // IVF approximate top-5: coarse cells from 8 fixed centroids,
   // queries probe their own cell. Oracle replays assignment + search.
@@ -402,6 +443,6 @@ object LlmQueries {
     None)
 
   val all: Seq[GraftQuery] =
-    Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07,
+    Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08,
       emb01, emb02, emb03, emb04, mm01, mm02)
 }
