@@ -210,6 +210,48 @@ object CdcPipeline {
       }
   }
 
+  /** Spark 4 `transformWithState` version of the running totals — the
+    * modern arbitrary-state API (typed ValueState handles, per-state
+    * TTL support, RocksDB-native layout) that supersedes
+    * mapGroupsWithState. Kept alongside the classic version so both
+    * extension surfaces are covered. */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), UserTotals] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      var (c, v) = Option(state.get()).getOrElse((0L, 0.0))
+      rows.foreach { case (_, value) => c += 1; v += value }
+      state.update((c, v))
+      Iterator.single(UserTotals(key, c, v))
+    }
+  }
+
+  /** transformWithState wiring (requires the RocksDB state store). */
+  def statefulUserTotalsTws(spark: SparkSession, cfg: Config)
+      : org.apache.spark.sql.Dataset[UserTotals] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    envelopeStream(spark, cfg)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class UserTotals(user_id: Long, n_events: Long,
       total_value: Double)
 

@@ -99,6 +99,28 @@ class WatermarkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (Spark 4 API) matches the batch aggregation") {
+    import spark.implicits._
+    val src = tmpDir("tws-src")
+    graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val cfg = CdcPipeline.Config(sourceDir = src,
+      checkpointDir = tmpDir("tws-ck"), sinkConf = Map.empty)
+    val q = CdcPipeline.statefulUserTotalsTws(spark, cfg)
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("tws-ck2")).start()
+    try q.processAllAvailable() finally q.stop()
+    val last = spark.table("tws_out")
+      .groupBy($"user_id").agg(max($"n_events").as("n"))
+    val expected = spark.read.parquet(src)
+      .filter(graft.operators.CdcOps.classifyOp(col("event_type")) =!= "Skip")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    assert(last.join(expected, Seq("user_id"))
+      .filter(last("n") =!= expected("n")).count() == 0)
+    assert(last.count() == expected.count())
+  }
+
   override def withFixture(test: NoArgTest) = {
     // RocksDB provider for this suite only
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
