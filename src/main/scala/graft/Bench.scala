@@ -29,9 +29,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // noop sink executes the FULL physical plan (projections, sorts);
+    // a count() would let Catalyst prune everything but the scan.
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

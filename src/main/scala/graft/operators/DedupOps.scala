@@ -45,13 +45,20 @@ object DedupOps {
     * shingles|. Catalyst/AQE broadcasts the vocabulary side when it is
     * small; with a huge vocabulary it degrades to a co-partitioned
     * shuffle join, which is the right plan at 100 TB anyway. */
-  def minhashSignature(docs: DataFrame, k: Int = 8): DataFrame = {
-    val sh = docShingles(docs)
+  def minhashSignature(docs: DataFrame, k: Int = 8): DataFrame =
+    signatureWithExtras(docShingles(docs), k, Nil)
+
+  /** Shared vocab-hash-and-aggregate core: hash each DISTINCT shingle
+    * once, join back, aggregate per-doc minima (+ any extra aggregates
+    * computed in the same pass). Single source of truth for the
+    * signature scheme used by both public entry points. */
+  private def signatureWithExtras(sh: DataFrame, k: Int,
+      extras: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val hashCols = (0 until k).map(s =>
       seededHash(s, col("shingle")).as(s"sh$s"))
     val vocab = sh.select("shingle").distinct()
       .select(col("shingle") +: hashCols: _*)
-    val aggs = (0 until k).map(s => min(col(s"sh$s")).as(s"h$s"))
+    val aggs = (0 until k).map(s => min(col(s"sh$s")).as(s"h$s")) ++ extras
     sh.join(vocab, Seq("shingle"))
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -86,14 +93,8 @@ object DedupOps {
     // signature AND set size in ONE aggregation pass over the hashed
     // shingles (the shingle subtree is recomputed per consumer
     // otherwise — measured win at sf0.1).
-    val hashCols = (0 until k).map(s =>
-      seededHash(s, col("shingle")).as(s"sh$s"))
-    val vocab = shingles.select("shingle").distinct()
-      .select(col("shingle") +: hashCols: _*)
-    val sigAggs = (0 until k).map(s => min(col(s"sh$s")).as(s"h$s")) :+
-      count(lit(1)).as("n")
-    val sigAndSize = shingles.join(vocab, Seq("shingle"))
-      .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sigAndSize =
+      signatureWithExtras(shingles, k, Seq(count(lit(1)).as("n")))
     val sizes = sigAndSize.select(col("doc_id"), col("n"))
     val cands = lshCandidates(lshBands(sigAndSize, k, rowsPerBand))
     // Intersection counts: attach doc_a's shingles to each candidate

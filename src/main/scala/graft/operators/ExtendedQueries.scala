@@ -235,11 +235,14 @@ object ExtendedQueries {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("k",
           org.apache.spark.sql.types.LongType)))
+      // pre-filter with the codegen'd get_json_object so the
+      // CodegenFallback from_json runs once per SURVIVING row (a filter
+      // on the parsed struct would evaluate the parse twice per row)
       t(s, dir, "events")
+        .filter(get_json_object($"props", "$.k").cast("long") >= 50)
         .withColumn("payload", from_json($"props", schema))
         .select($"event_id", $"payload.k".as("k"),
           upper($"event_type").as("event_type_uc"))
-        .filter($"k" >= 50)
         .orderBy($"event_id")
     },
     Some("""

@@ -37,14 +37,14 @@ object TemporalOps {
       right.select(valueCols.map(col): _*).schema.fields)
 
     val rightU = right.select(
-      col(rightKey).cast("long").as("__k"),
+      col(rightKey).as("__k"),
       col(rightTime).as("__t"),
       lit(0).as("__side"),
       struct(valueCols.map(col): _*).as("__val"),
       lit(null).cast(org.apache.spark.sql.types.StructType(
         left.schema.fields)).as("__row"))
     val leftU = left.select(
-      col(leftKey).cast("long").as("__k"),
+      col(leftKey).as("__k"),
       col(leftTime).as("__t"),
       lit(1).as("__side"),
       lit(null).cast(valSchema).as("__val"),

@@ -78,7 +78,11 @@ object CdcPipeline {
     */
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
     val env = envelopeStream(spark, cfg)
-    val sinkType = cfg.sinkType
+    // resolve the sink factory ON THE DRIVER and capture the function:
+    // executor JVMs have their own registry instance holding only the
+    // built-ins, so a by-name lookup there would miss user-registered
+    // sinks (and an unknown sink should fail at start, not per-task)
+    val makeSink = QueueSinkRegistry.registry.factoryFor(cfg.sinkType)
     val sinkConf = cfg.sinkConf
 
     val writer = env
@@ -95,7 +99,7 @@ object CdcPipeline {
           .as[(String, String, String, String, String)]
           .foreachPartition {
             it: Iterator[(String, String, String, String, String)] =>
-              val sink = QueueSinkRegistry.create(sinkType, sinkConf)
+              val sink = makeSink(sinkConf)
               try {
                 val entries = it.map { case (id, body, et, db, tbl) =>
                   BatchPacker.prepare(id, body, Map(

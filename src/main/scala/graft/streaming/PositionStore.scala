@@ -40,8 +40,8 @@ final class FilePositionStore(dir: String) extends PositionStore {
   override def store(t: String, s: String, position: String): Boolean = {
     val k = key(t, s)
     if (last.get(k).contains(position)) return true // dedupe
-    val json =
-      s"""{"PK":"$t","SK":"$s","position":${escape(position)}}"""
+    val json = s"""{"PK":${JsonUtil.escape(t)},"SK":${JsonUtil.escape(s)},""" +
+      s""""position":${JsonUtil.escape(position)}}"""
     val tmp = Paths.get(dir, s"$k.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -57,14 +57,9 @@ final class FilePositionStore(dir: String) extends PositionStore {
     if (!Files.exists(p)) None
     else {
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      val m = """"position":"(.*)"\}""".r.findFirstMatchIn(json)
-      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      JsonUtil.parseFlatObject(json).get("position") // full round-trip
     }
   }
-
-  private def escape(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n") + "\""
 }
 
 object PositionStoreRegistry {

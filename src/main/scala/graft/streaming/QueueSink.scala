@@ -32,9 +32,13 @@ final class LocalFileQueue(dir: String) extends QueueSink {
   Files.createDirectories(Paths.get(dir))
   override def send(batch: Seq[Entry]): SendResult = {
     val name = s"batch-${UUID.randomUUID()}.jsonl"
+    // bodies that are themselves valid JSON embed verbatim; anything
+    // else (arbitrary strings with quotes/newlines) is escaped, so the
+    // output file is always parseable JSONL
     val lines = batch.map(e =>
-      s"""{"id":"${e.id}","oversized":${e.oversized},"body":${
-        if (e.body.startsWith("{")) e.body else "\"" + e.body + "\""}}""")
+      s"""{"id":${JsonUtil.escape(e.id)},"oversized":${e.oversized},"body":${
+        if (JsonUtil.isValidJson(e.body)) e.body
+        else JsonUtil.escape(e.body)}}""")
     Files.write(Paths.get(dir, name),
       lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
@@ -54,10 +58,14 @@ final class ComponentRegistry[T](kind: String) {
   def register(name: String, make: Map[String, String] => T): Unit =
     impls.put(name.toLowerCase, make)
   def create(name: String, conf: Map[String, String] = Map.empty): T =
-    impls.get(name.toLowerCase) match {
-      case Some(make) => make(conf)
-      case None => throw new UnsupportedTypeError(kind, name)
-    }
+    factoryFor(name)(conf)
+  /** Resolve the factory FUNCTION (for shipping to executors: a name
+    * looked up in this JVM-local registry would not resolve in executor
+    * JVMs, where only built-ins are registered — the function itself
+    * must travel in the task closure). */
+  def factoryFor(name: String): Map[String, String] => T =
+    impls.getOrElse(name.toLowerCase,
+      throw new UnsupportedTypeError(kind, name))
   def registered: Set[String] = impls.keySet.toSet
 }
 
