@@ -30,7 +30,7 @@ class MinHashAggregator(k: Int)
   override def reduce(buf: Array[String], shingle: String): Array[String] = {
     var s = 0
     while (s < k) {
-      val h = MinHashAggregator.md5Hex(s + "|" + shingle)
+      val h = MinHashAggregator.md5Hex(s"$s|$shingle")
       if (h < buf(s)) buf(s) = h
       s += 1
     }
