@@ -68,6 +68,24 @@ def main(sf_dir: str, out_dir: str) -> int:
                   f"{list(want.columns)}")
             failures += 1
             continue
+        def kind(dt):
+            k = str(dt).lower()
+            if "int" in k:
+                return "int"
+            if "float" in k or "double" in k:
+                return "float"
+            if "bool" in k:
+                return "bool"
+            return "other"
+        dk = [(c, kind(got[c].dtype), kind(want[c].dtype))
+              for c in got.columns
+              if kind(got[c].dtype) != kind(want[c].dtype)]
+        # nullable int columns surface as float in pandas — tolerate
+        dk = [d for d in dk if {d[1], d[2]} != {"int", "float"}]
+        if dk:
+            print(f"FAIL {name}: dtype kinds differ {dk}")
+            failures += 1
+            continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             failures += 1
