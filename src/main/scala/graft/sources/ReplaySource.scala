@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -97,7 +97,17 @@ final case class ReplayInputPartition(file: String, rowGroup: Int,
     startExclusive: Long, endInclusive: Long) extends InputPartition
 
 final class ReplayMicroBatchStream(path: String, maxPerTrigger: Long)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: capture the drain target up front; batches
+  // keep firing (still rate-capped) until the offset reaches it.
+  // Without this interface Spark's wrapper would take the FIRST
+  // rate-limited latestOffset as the final target and stop after one
+  // batch.
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(maxEventId)
 
   /** (file, rowGroupIdx, minId, maxId) from parquet footers — read once
     * on the driver; this is the source's "binlog index". */
@@ -152,7 +162,8 @@ final class ReplayMicroBatchStream(path: String, maxPerTrigger: Long)
     }
     // event_ids are dense and monotone in the replay table, so the rate
     // cap is an offset delta (≈ "pull at most batch_size events").
-    ReplayOffset(math.min(maxEventId, from + cap))
+    val target = availableNowTarget.getOrElse(maxEventId)
+    ReplayOffset(math.min(target, from + cap))
   }
 
   override def reportLatestOffset(): Offset = ReplayOffset(maxEventId)

@@ -33,6 +33,26 @@ class ReplaySourceSpec extends SparkSpec {
       .getLong(0) == expect)
   }
 
+  test("graft-replay: Trigger.AvailableNow drains ALL batches") {
+    // regression: without SupportsTriggerAvailableNow, Spark's wrapper
+    // took the first rate-limited offset as the drain target and
+    // stopped after ONE batch (only maxEventsPerTrigger rows delivered)
+    val out = "replay_an"
+    val q = spark.readStream.format("graft-replay")
+      .option("path", sf("sf0.001") + "/events.parquet")
+      .option("maxEventsPerTrigger", "150")
+      .load()
+      .writeStream.format("memory").queryName(out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("replay-an-ck"))
+      .start()
+    q.awaitTermination()
+    assert(spark.table(out).count() == 1000)
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.length >= 7) // 1000 rows / 150-cap → ≥7 micro-batches
+    assert(batches.forall(_ <= 150))
+  }
+
   test("graft-replay: resume from checkpoint delivers nothing twice") {
     val src = tmpDir("replay-src")
     Tables.load(spark, sf("sf0.001"), "events").repartition(3)
