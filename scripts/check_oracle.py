@@ -7,7 +7,17 @@ Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
 Reads each <outDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sf tables,
 and compares schema + row count + values (sorted rows, columns sorted
-by name). This is a dev tool only — the shipped library has no Python.
+by name).
+
+Types are compared on the AUTHORITATIVE Arrow schemas from both engines
+(parquet footer / duckdb .arrow()), not on pandas dtypes: pandas
+silently widens nullable ints to float and its float(a)==float(b)
+comparison hides int-vs-float divergence (the q25 SIGN TINYINT-vs-
+DOUBLE class, which hash-mismatches in the driver's gate). Numeric
+kinds must match exactly — an int column on one side and a float column
+on the other is a FAIL here, as it is in the driver.
+
+This is a dev tool only — the shipped library has no Python.
 """
 import json
 import math
@@ -16,9 +26,31 @@ from pathlib import Path
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def arrow_kind(t: pa.DataType) -> str:
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return str(t)
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -28,20 +60,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def values_equal(a, b) -> bool:
+def values_equal(a, b, kind: str) -> bool:
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
     try:
         if pd.isna(a) and pd.isna(b):
             return True
+        if pd.isna(a) != pd.isna(b):
+            return False
     except (TypeError, ValueError):
         pass
-    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
-        return float(a) == float(b)
+    if kind == "float":
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    if kind == "int":
+        return int(a) == int(b)
+    if kind == "bool":
+        return bool(a) == bool(b)
     return str(a) == str(b)
 
 
@@ -61,31 +98,25 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: no spark output")
             failures += 1
             continue
-        got = canon(pd.read_parquet(spark_path))
-        want = canon(con.execute(oracle[name]).fetchdf())
-        if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} vs "
-                  f"{list(want.columns)}")
+        got_tbl = pq.read_table(spark_path)
+        want_tbl = con.execute(oracle[name]).arrow()
+        got_kinds = {f.name: arrow_kind(f.type) for f in got_tbl.schema}
+        want_kinds = {f.name: arrow_kind(f.type) for f in want_tbl.schema}
+        if sorted(got_kinds) != sorted(want_kinds):
+            print(f"FAIL {name}: columns {sorted(got_kinds)} vs "
+                  f"{sorted(want_kinds)}")
             failures += 1
             continue
-        def kind(dt):
-            k = str(dt).lower()
-            if "int" in k:
-                return "int"
-            if "float" in k or "double" in k:
-                return "float"
-            if "bool" in k:
-                return "bool"
-            return "other"
-        dk = [(c, kind(got[c].dtype), kind(want[c].dtype))
-              for c in got.columns
-              if kind(got[c].dtype) != kind(want[c].dtype)]
-        # nullable int columns surface as float in pandas — tolerate
-        dk = [d for d in dk if {d[1], d[2]} != {"int", "float"}]
+        dk = [(c, got_kinds[c], want_kinds[c]) for c in sorted(got_kinds)
+              if got_kinds[c] != want_kinds[c]]
+        # DECIMAL(sum of DOUBLE) etc: decimal-vs-float is a real
+        # divergence; int-vs-float likewise. No tolerated pairs.
         if dk:
-            print(f"FAIL {name}: dtype kinds differ {dk}")
+            print(f"FAIL {name}: type kinds differ {dk}")
             failures += 1
             continue
+        got = canon(got_tbl.to_pandas())
+        want = canon(want_tbl.to_pandas())
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             failures += 1
@@ -94,7 +125,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         for col in got.columns:
             ga, wa = got[col].tolist(), want[col].tolist()
             for i, (x, y) in enumerate(zip(ga, wa)):
-                if not values_equal(x, y):
+                if not values_equal(x, y, got_kinds[col]):
                     bad = (col, i, x, y)
                     break
             if bad:

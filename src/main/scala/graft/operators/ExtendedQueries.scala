@@ -80,7 +80,10 @@ object ExtendedQueries {
           floor($"p_retailprice").cast("long").as("floor_price"),
           ceil($"p_retailprice").cast("long").as("ceil_price"),
           sqrt($"p_retailprice").as("sqrt_price"),
-          signum($"p_retailprice" - 1000.0).as("sign_diff"),
+          // cast to long on BOTH sides: DuckDB SIGN(DOUBLE) returns
+          // TINYINT while Spark signum returns DOUBLE — same values,
+          // different hash. Pin one integer type for the gate.
+          signum($"p_retailprice" - 1000.0).cast("long").as("sign_diff"),
           greatest($"p_size", lit(25)).cast("long").as("size_hi"),
           least($"p_size", lit(25)).cast("long").as("size_lo"),
           ($"p_partkey" % 7).as("key_mod"))
@@ -92,7 +95,7 @@ object ExtendedQueries {
         CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
         CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
         SQRT(p_retailprice) AS sqrt_price,
-        SIGN(p_retailprice - 1000.0) AS sign_diff,
+        CAST(SIGN(p_retailprice - 1000.0) AS BIGINT) AS sign_diff,
         CAST(GREATEST(p_size, 25) AS BIGINT) AS size_hi,
         CAST(LEAST(p_size, 25) AS BIGINT) AS size_lo,
         p_partkey % 7 AS key_mod
@@ -100,9 +103,12 @@ object ExtendedQueries {
       ORDER BY p_partkey"""))
 
   // -------------------------------------------------------------- q26
-  // HLL sketch: approx_count_distinct next to the exact count. The
-  // sketch estimate is engine-specific → rows-only check; the query
-  // matters as the 100 TB path where exact distinct is unaffordable.
+  // HLL sketch: approx_count_distinct next to the exact count. The raw
+  // sketch estimate is engine-specific, so the hard oracle signal pins
+  // (a) the exact-distinct column bit-for-bit and (b) the estimate in
+  // bounded form: within ±20% of exact (4× the default 5% rsd, so the
+  // check is deterministic-in-practice, not flaky). This is the query
+  // that matters at 100 TB, where exact distinct is unaffordable.
   private val q26 = GraftQuery(
     "q26_approx_distinct",
     (s, dir) => {
@@ -112,9 +118,19 @@ object ExtendedQueries {
         .agg(
           approx_count_distinct($"l_partkey").as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"))
+        .select($"l_returnflag", $"exact_parts",
+          ($"approx_parts" >= $"exact_parts" * 0.8 &&
+            $"approx_parts" <= $"exact_parts" * 1.2)
+            .as("approx_within_20pct"))
         .orderBy($"l_returnflag")
     },
-    None)
+    Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        TRUE AS approx_within_20pct
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
 
   // -------------------------------------------------------------- cdc08
   // As-of join: each event picks up the customer's most recent daily

@@ -386,17 +386,60 @@ object LlmQueries {
       FROM documents
       ORDER BY doc_id"""))
 
+  // ---- rolling-hash oracle (shared by doc07 + mm02.checksum) ---------
+  // h = h*31 + byte with 64-bit wrap, re-expressed in DuckDB via
+  // list_reduce over per-character code points (documents are ASCII,
+  // asserted by the ascii_ok guard column joining octet_length ==
+  // length) with HUGEINT modular arithmetic emulating the wrap, then
+  // converted back to signed BIGINT. This is an independent re-
+  // implementation, so the hash check pins the native codegen
+  // expression against a second engine.
+  private val U64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val I63 = "CAST('9223372036854775808' AS HUGEINT)"
+  private val rollingHashCte = s"""
+      rh AS (
+        SELECT doc_id, text,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          list_reduce(
+            list_prepend(CAST(0 AS HUGEINT),
+              list_transform(range(1, length(text) + 1),
+                i -> CAST(ascii(substring(text, i, 1)) AS HUGEINT))),
+            (h, b) -> (h * 31 + b) % $U64) AS uh
+        FROM documents),
+      fp AS (
+        SELECT doc_id, n_bytes,
+          CASE WHEN uh >= $I63 THEN CAST(uh - $U64 AS BIGINT)
+               ELSE CAST(uh AS BIGINT) END AS rhash,
+          CAST(CASE WHEN length(text) = 0 THEN 0
+               ELSE ascii(substring(text, 1, 1)) END AS BIGINT) AS first_byte
+        FROM rh)"""
+
   // -------------------------------------------------------------- mm02
-  // Batch decode path (mapPartitions, typed) — not SQL-expressible;
-  // driver records a rows-only check. Features are deterministic stubs.
+  // Batch decode path (mapPartitions, typed Dataset). The stub decode
+  // is a pure function of the bytes, so the DuckDB oracle independently
+  // recomputes every feature (checksum = the 64-bit rolling hash) —
+  // putting the executor-side mapPartitions path itself under the hard
+  // hash check, not just a rows-only count.
   private val mm02 = GraftQuery(
     "mm02_decode_features",
     (s, dir) => {
       val media = MultimodalOps.toMediaColumns(t(s, dir, "documents"))
       MultimodalOps.extractFeatures(s, media).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          col("first_byte").cast("long").as("first_byte"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("checksum"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some(s"""
+      WITH $rollingHashCte
+      SELECT doc_id, n_bytes, first_byte,
+        n_bytes % 640 AS width,
+        (n_bytes * 7) % 480 AS height,
+        rhash AS checksum
+      FROM fp
+      ORDER BY doc_id"""))
 
   // -------------------------------------------------------------- doc06
   // BPE-ish token counting: letter runs, digit runs, and symbol runs
@@ -426,8 +469,9 @@ object LlmQueries {
 
   // -------------------------------------------------------------- doc07
   // Rolling-hash fingerprint (native codegen expression) — the
-  // production-speed dedup key. No SQL loop in DuckDB → rows-only;
-  // semantics pinned by the Scala reference impl in LlmOpsSpec.
+  // production-speed dedup key. The DuckDB oracle replays the
+  // h=h*31+byte loop via list_reduce (see rollingHashCte), so the
+  // custom Expression's codegen path is hash-checked end to end.
   private val doc07 = GraftQuery(
     "doc07_rolling_fingerprint",
     (s, dir) => {
@@ -440,7 +484,12 @@ object LlmQueries {
         .agg(min($"doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
         .orderBy($"rhash")
     },
-    None)
+    Some(s"""
+      WITH $rollingHashCte
+      SELECT rhash, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+      FROM fp
+      GROUP BY rhash
+      ORDER BY rhash"""))
 
   val all: Seq[GraftQuery] =
     Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08,
