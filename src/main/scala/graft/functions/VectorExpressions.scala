@@ -205,6 +205,87 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Seeded 64-bit string hash for MinHash permutations: the poly-31
+    * rolling hash over the bytes of "&lt;seed&gt;|" ++ string, finished with
+    * the murmur3 fmix64 avalanche so minima behave like a random
+    * permutation (raw poly-31 of short strings never wraps 2^64 and its
+    * minima correlate with string length — useless for MinHash).
+    *
+    * Replaces md5-as-permutation at production speed: one multiply-add
+    * per byte plus five mixing ops, all inside whole-stage codegen, a
+    * LONG instead of a 32-char hex string through the shuffle. Java
+    * Long arithmetic (wrapping *, logical >>>, ^) is exactly u64
+    * arithmetic mod 2^64, which the DuckDB oracles replay with HUGEINT
+    * modular arithmetic (list_reduce + xor/shift ladder).
+    */
+  case class SeededMixHash(seed: Int, child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "seeded_mix_hash"
+
+    private val prefixHash: Long = {
+      var h = 0L
+      s"$seed|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => h = h * 31L + (b & 0xff))
+      h
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[UTF8String]
+      val n = s.numBytes()
+      var h = prefixHash
+      var i = 0
+      while (i < n) { h = h * 31L + (s.getByte(i) & 0xff); i += 1 }
+      SeededMixHash.fmix64(h)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val h = ctx.freshName("h")
+        s"""
+        int $n = $a.numBytes();
+        long $h = ${prefixHash}L;
+        for (int $i = 0; $i < $n; $i++) {
+          $h = $h * 31L + (($a.getByte($i)) & 0xff);
+        }
+        $h ^= $h >>> 33;
+        $h *= 0xff51afd7ed558ccdL;
+        $h ^= $h >>> 33;
+        $h *= 0xc4ceb9fe1a85ec53L;
+        $h ^= $h >>> 33;
+        ${ev.value} = $h;
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): SeededMixHash =
+      copy(child = c)
+  }
+
+  object SeededMixHash {
+    def fmix64(v: Long): Long = {
+      var h = v
+      h ^= h >>> 33
+      h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33
+      h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      h
+    }
+
+    /** Unsigned decimal rendering of the seed-prefix poly hash — the
+      * HUGEINT accumulator initializer in the DuckDB oracle replay. */
+    def prefixHashUnsigned(seed: Int): java.math.BigInteger = {
+      var h = 0L
+      s"$seed|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => h = h * 31L + (b & 0xff))
+      new java.math.BigInteger(java.lang.Long.toUnsignedString(h))
+    }
+  }
+
   // ---- Column-level API ------------------------------------------------
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
@@ -218,6 +299,9 @@ object VectorExpressions {
 
   def text_rolling_hash(a: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(a)))
+
+  def seeded_mix_hash(seed: Int, a: Column): Column =
+    ColumnBridge.column(SeededMixHash(seed, ColumnBridge.expression(a)))
 
   /** Driver-side reference implementation (spec parity). */
   def rollingHashRef(s: String): Long = {

@@ -21,6 +21,23 @@ import graft.functions.TextFunctions._
   */
 object DedupOps {
 
+  /** MinHash permutation-hash scheme.
+    *
+    *  - [[HashScheme.FastMix]] (default): native codegen'd
+    *    seeded-poly31+fmix64 longs computed INLINE per shingle
+    *    occurrence — one multiply-add per byte, 8-byte shuffle rows,
+    *    and a single map-side-combined min shuffle. The 100 TB shape.
+    *  - [[HashScheme.Md5Vocab]]: md5 hex strings, amortized by hashing
+    *    each DISTINCT shingle once and joining back. Portable (md5 is
+    *    everywhere), but pays a distinct shuffle + join and 32-char
+    *    string minima; kept for cross-engine reproducibility.
+    */
+  sealed trait HashScheme
+  object HashScheme {
+    case object FastMix extends HashScheme
+    case object Md5Vocab extends HashScheme
+  }
+
   /** Exact dedup groups: one row per distinct content fingerprint with
     * the surviving (minimum) id and the duplicate count. */
   def exactDupGroups(docs: DataFrame): DataFrame =
@@ -37,39 +54,51 @@ object DedupOps {
       .select(col("doc_id"),
         explode(bigramShinglesFromTokens(col("toks"))).as("shingle"))
 
-  /** MinHash signature: k seeded min-hashes per doc.
-    *
-    * The k seeded hashes are computed once per DISTINCT shingle and
-    * joined back, not recomputed per (doc, shingle) occurrence — with a
-    * shared vocabulary that's k·|vocab| hashes instead of k·|corpus
-    * shingles|. Catalyst/AQE broadcasts the vocabulary side when it is
-    * small; with a huge vocabulary it degrades to a co-partitioned
-    * shuffle join, which is the right plan at 100 TB anyway. */
-  def minhashSignature(docs: DataFrame, k: Int = 8): DataFrame =
-    signatureWithExtras(docShingles(docs), k, Nil)
+  /** MinHash signature: k seeded min-hashes per doc. See [[HashScheme]]
+    * for the two permutation-hash strategies. */
+  def minhashSignature(docs: DataFrame, k: Int = 8,
+      scheme: HashScheme = HashScheme.FastMix): DataFrame =
+    signatureWithExtras(docShingles(docs), k, Nil, scheme)
 
-  /** Shared vocab-hash-and-aggregate core: hash each DISTINCT shingle
-    * once, join back, aggregate per-doc minima (+ any extra aggregates
-    * computed in the same pass). Single source of truth for the
-    * signature scheme used by both public entry points. */
+  /** Signature-and-extras core: per-doc minima of the k seeded hashes
+    * (+ any extra aggregates computed in the same pass).
+    *
+    * FastMix hashes inline — a cheap hash makes per-occurrence
+    * recomputation essentially free, so the whole signature is ONE
+    * groupBy with map-side partial min (no distinct, no join).
+    * Md5Vocab hashes each DISTINCT shingle once and joins back
+    * (k·|vocab| digests instead of k·|corpus|); Catalyst/AQE
+    * broadcasts a small vocabulary, degrading to a co-partitioned
+    * shuffle join when it is huge. */
   private def signatureWithExtras(sh: DataFrame, k: Int,
-      extras: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val hashCols = (0 until k).map(s =>
-      seededHash(s, col("shingle")).as(s"sh$s"))
-    val vocab = sh.select("shingle").distinct()
-      .select(col("shingle") +: hashCols: _*)
-    val aggs = (0 until k).map(s => min(col(s"sh$s")).as(s"h$s")) ++ extras
-    sh.join(vocab, Seq("shingle"))
-      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      extras: Seq[org.apache.spark.sql.Column],
+      scheme: HashScheme): DataFrame = scheme match {
+    case HashScheme.FastMix =>
+      val aggs = (0 until k).map(s =>
+        min(graft.functions.VectorExpressions
+          .seeded_mix_hash(s, col("shingle"))).as(s"h$s")) ++ extras
+      sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    case HashScheme.Md5Vocab =>
+      val hashCols = (0 until k).map(s =>
+        seededHash(s, col("shingle")).as(s"sh$s"))
+      val vocab = sh.select("shingle").distinct()
+        .select(col("shingle") +: hashCols: _*)
+      val aggs = (0 until k).map(s => min(col(s"sh$s")).as(s"h$s")) ++ extras
+      sh.join(vocab, Seq("shingle"))
+        .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: rows of (doc_id, band, key) where key hashes
-    * `rowsPerBand` consecutive signature components. */
+  /** LSH banding: rows of (doc_id, band, key) where key joins the
+    * `rowsPerBand` consecutive signature components verbatim — an
+    * equi-join on raw values needs no re-hash (the old md5-of-concat
+    * key bought nothing but digest cost; collisions on the raw pair
+    * and on its md5 are the same event). */
   def lshBands(sig: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat(parts: _*).cast("binary")).as("key"))
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", parts: _*).as("key"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -88,13 +117,20 @@ object DedupOps {
     * Set sizes join via two broadcast-able aggregates; the intersection
     * count is a co-partitioned join on the shingle. */
   def verifiedNearDups(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
-      minJ: Double = 0.2): DataFrame = {
+      minJ: Double = 0.2,
+      scheme: HashScheme = HashScheme.FastMix): DataFrame = {
+    // The text→tokens→bigrams→explode pipeline feeds three consumers
+    // (signature agg, and both sides of the intersection join). Persist
+    // it once rather than re-tokenizing the corpus three times;
+    // MEMORY_AND_DISK_SER spills gracefully when the shingle set
+    // outgrows executor memory at large SF.
     val shingles = docShingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // signature AND set size in ONE aggregation pass over the hashed
     // shingles (the shingle subtree is recomputed per consumer
     // otherwise — measured win at sf0.1).
     val sigAndSize =
-      signatureWithExtras(shingles, k, Seq(count(lit(1)).as("n")))
+      signatureWithExtras(shingles, k, Seq(count(lit(1)).as("n")), scheme)
     val sizes = sigAndSize.select(col("doc_id"), col("n"))
     val cands = lshCandidates(lshBands(sigAndSize, k, rowsPerBand))
     // Intersection counts: attach doc_a's shingles to each candidate

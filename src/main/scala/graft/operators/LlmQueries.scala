@@ -19,6 +19,11 @@ object LlmQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  // u64-emulation constants for the DuckDB oracles (HUGEINT modular
+  // arithmetic replaying Java Long wrap/logical-shift semantics)
+  private val U64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val I63 = "CAST('9223372036854775808' AS HUGEINT)"
+
   // ---- shared SQL generators (oracle side of SimilarityOps) ----------
   private def dotSql(a: String, b: String, dim: Int): String =
     (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
@@ -122,8 +127,13 @@ object LlmQueries {
 
   // -------------------------------------------------------------- doc04
   // MinHash + LSH near-dup detection, Jaccard-verified. Full pipeline:
-  // bigram shingles → 8 seeded min-hashes → 4 bands of 2 → bucket-join
-  // candidates → exact Jaccard ≥ 0.2. The oracle replays every stage.
+  // bigram shingles → 8 seeded min-hashes (native poly31+fmix64 longs,
+  // see VectorExpressions.SeededMixHash) → 4 bands of 2 → bucket-join
+  // candidates → exact Jaccard ≥ 0.2. The oracle replays every stage,
+  // emulating the u64 hash with HUGEINT modular arithmetic; it hashes
+  // each DISTINCT shingle once (vocab CTE) because list_reduce is
+  // expensive in SQL — the Spark side hashes inline because the native
+  // expression is one multiply-add per byte.
   private val doc04 = GraftQuery(
     "doc04_minhash_lsh",
     (s, dir) => {
@@ -132,10 +142,41 @@ object LlmQueries {
         .orderBy($"doc_a", $"doc_b")
     },
     Some {
-      val sigCols = (0 until 8).map(i =>
-        s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+      // HUGEINT is SIGNED int128, so u64*u64 overflows: multiply in
+      // 32-bit halves — a*C mod 2^64 = (a*Clo mod 2^64 + (a*Chi mod
+      // 2^32)*2^32) mod 2^64, every intermediate < 2^96.
+      val U32 = "CAST('4294967296' AS HUGEINT)"
+      def mulmod(a: String, c: java.math.BigInteger): String = {
+        val hi = c.shiftRight(32)
+        val lo = c.and(java.math.BigInteger.valueOf(0xffffffffL))
+        s"(((($a) * $lo) % $U64) + (((($a) * $hi) % $U32) * $U32)) % $U64"
+      }
+      val C1 = new java.math.BigInteger("18397679294719823053")
+      val C2 = new java.math.BigInteger("14181476777654086739")
+      def poly(seed: Int): String = {
+        val p = graft.functions.VectorExpressions.SeededMixHash
+          .prefixHashUnsigned(seed)
+        s"""list_reduce(list_prepend(CAST('$p' AS HUGEINT),
+           list_transform(range(1, length(shingle) + 1),
+             i -> CAST(ascii(substring(shingle, i, 1)) AS HUGEINT))),
+           (h, b) -> (h * 31 + b) % $U64)"""
+      }
+      def cols(f: Int => String): String =
+        (0 until 8).map(s => s"${f(s)} AS u$s").mkString(", ")
+      val v0 = cols(s => poly(s))
+      val x1 = cols(s => s"xor(u$s, u$s >> 33)")
+      val m1 = cols(s => mulmod(s"u$s", C1))
+      val m2 = cols(s => mulmod(s"u$s", C2))
+      val fin = (0 until 8).map(s =>
+        s"""CASE WHEN xor(u$s, u$s >> 33) >= $I63
+           THEN CAST(xor(u$s, u$s >> 33) - $U64 AS BIGINT)
+           ELSE CAST(xor(u$s, u$s >> 33) AS BIGINT) END AS h$s""")
+        .mkString(", ")
+      val sigCols = (0 until 8).map(i => s"min(h$i) AS h$i").mkString(", ")
       val bandRows = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS key FROM sig")
+        s"""SELECT doc_id, $b AS band,
+           CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR) AS key
+           FROM sig""")
         .mkString("\n          UNION ALL ")
       s"""
       WITH toks AS (
@@ -145,7 +186,17 @@ object LlmQueries {
           unnest(list_transform(range(1, len(ws)),
                  i -> ws[i] || ' ' || ws[i+1])) AS shingle
         FROM toks WHERE len(ws) >= 2),
-      sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+      vocab AS (SELECT DISTINCT shingle FROM sh),
+      v0 AS (SELECT shingle, $v0 FROM vocab),
+      vx1 AS (SELECT shingle, $x1 FROM v0),
+      v1 AS (SELECT shingle, $m1 FROM vx1),
+      vx2 AS (SELECT shingle, $x1 FROM v1),
+      v2 AS (SELECT shingle, $m2 FROM vx2),
+      vh AS (SELECT shingle, $fin FROM v2),
+      hs AS (SELECT sh.doc_id, vh.h0, vh.h1, vh.h2, vh.h3, vh.h4, vh.h5,
+                    vh.h6, vh.h7
+             FROM sh JOIN vh ON sh.shingle = vh.shingle),
+      sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
       bands AS (
           $bandRows),
       cands AS (
@@ -394,8 +445,6 @@ object LlmQueries {
   // converted back to signed BIGINT. This is an independent re-
   // implementation, so the hash check pins the native codegen
   // expression against a second engine.
-  private val U64 = "CAST('18446744073709551616' AS HUGEINT)"
-  private val I63 = "CAST('9223372036854775808' AS HUGEINT)"
   private val rollingHashCte = s"""
       rh AS (
         SELECT doc_id, text,

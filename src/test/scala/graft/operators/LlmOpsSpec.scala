@@ -107,6 +107,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("h")).distinct.length == got.length)
   }
 
+  test("seeded mix hash: matches reference, seeds decorrelate, mixes high bits") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions
+    def ref(seed: Int, s: String): Long =
+      VectorExpressions.SeededMixHash.fmix64 {
+        var h = 0L
+        (seed + "|" + s).getBytes("UTF-8").foreach(b => h = h * 31L + (b & 0xff))
+        h
+      }
+    val sample = docs.limit(20)
+    val got = sample.select($"text",
+      VectorExpressions.seeded_mix_hash(0, $"text").as("h0"),
+      VectorExpressions.seeded_mix_hash(1, $"text").as("h1")).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("h0") == ref(0, r.getAs[String]("text")))
+      assert(r.getAs[Long]("h1") == ref(1, r.getAs[String]("text")))
+    }
+    // fmix64 avalanche: short strings must still span negative longs
+    // (raw poly-31 of short ASCII never would — that's the MinHash bug
+    // this finalizer exists to prevent)
+    val short = Seq("a b", "b c", "c d", "d e", "e f").toDF("t")
+      .select(VectorExpressions.seeded_mix_hash(0, $"t").as("h"))
+      .as[Long].collect()
+    assert(short.exists(_ < 0L) && short.distinct.length == short.length)
+  }
+
+  test("minhash FastMix and Md5Vocab find the same verified near-dup pairs") {
+    val fast = DedupOps.verifiedNearDups(docs,
+      scheme = DedupOps.HashScheme.FastMix)
+      .select("doc_a", "doc_b", "n_inter", "jaccard").collect().toSet
+    val md5 = DedupOps.verifiedNearDups(docs,
+      scheme = DedupOps.HashScheme.Md5Vocab)
+      .select("doc_a", "doc_b", "n_inter", "jaccard").collect().toSet
+    assert(fast.nonEmpty && fast == md5)
+  }
+
   test("MinHashAggregator: one-pass signature equals k min-aggregates") {
     import spark.implicits._
     val sample = docs.limit(50)
@@ -114,7 +150,8 @@ class LlmOpsSpec extends SparkSpec {
       .groupBy($"doc_id")
       .agg(graft.functions.MinHashAggregator.minhash(8)($"shingle")
         .as("sig"))
-    val viaMinColumns = DedupOps.minhashSignature(sample, 8)
+    val viaMinColumns =
+      DedupOps.minhashSignature(sample, 8, DedupOps.HashScheme.Md5Vocab)
     val joined = viaAggregator.join(viaMinColumns, "doc_id").collect()
     assert(joined.length == 50)
     joined.foreach { r =>
