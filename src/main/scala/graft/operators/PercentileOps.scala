@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Grouped percentiles with an explicit scale contract.
+  *
+  *  - [[PercentileOps.Exact]]: Spark's `percentile` (linear
+  *    interpolation, matches DuckDB `quantile_cont` bit-for-bit). The
+  *    aggregation buffers EVERY value per group on one reducer — with
+  *    few groups over a huge table that is a near-full-table buffer on
+  *    a handful of reducers. Correct at oracle/test SF; a scale-killer
+  *    at 100 TB. Use only when exactness is contractual.
+  *  - [[PercentileOps.Approx]] (the 100 TB default): Spark's
+  *    `approx_percentile` — a GK quantile sketch of bounded size
+  *    O(accuracy), merged associatively map-side like any other
+  *    partial aggregate. Rank error ≤ n/accuracy; no per-group
+  *    full-value buffer anywhere in the plan (asserted by
+  *    PlanQualitySpec).
+  */
+object PercentileOps {
+
+  sealed trait Mode
+  case object Exact extends Mode
+  final case class Approx(accuracy: Int = 10000) extends Mode
+
+  /** Grouped percentiles of `value` per `group`. */
+  def groupPercentiles(df: DataFrame, group: String, value: String,
+      probs: Seq[Double], mode: Mode = Approx()): DataFrame = {
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      val c = mode match {
+        case Exact => expr(s"percentile($value, $p)")
+        case Approx(acc) => expr(s"approx_percentile($value, $p, $acc)")
+      }
+      c.as(s"p${(p * 100).round}")
+    } :+ count(lit(1)).as("n")
+    df.groupBy(group).agg(aggs.head, aggs.tail: _*)
+  }
+}

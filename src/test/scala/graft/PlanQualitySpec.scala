@@ -50,6 +50,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(plans("q14_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("approx percentile path has no per-group full-value buffer") {
+    import graft.operators.PercentileOps
+    val df = PercentileOps.groupPercentiles(
+      Tables.load(spark, sf("sf0.001"), "lineitem"),
+      "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
+    val aggExprs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.map(_.toString).mkString(";")
+    }.mkString(";")
+    // ApproximatePercentile = bounded GK sketch, merged associatively;
+    // Percentile = OpenHashMap of every value per group (the 100 TB
+    // scale-killer this guards against)
+    assert(aggExprs.contains("approx_percentile"))
+    assert(!aggExprs.replace("approx_percentile", "").contains("percentile("),
+      s"exact percentile (full-value buffer) in approx path: $aggExprs")
+    // and it partial-aggregates: two HashAggregate stages around the
+    // exchange, like any sum/count
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("partial_approx_percentile") ||
+      phys.contains("ObjectHashAggregate"), phys)
+  }
+
   test("bucketed co-located join needs no exchange") {
     import org.apache.spark.sql.functions._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
