@@ -61,6 +61,28 @@ object CdcOps {
     * the reference's `json.dumps(default=str)` round-trip. */
   def serialize(cols: Column*): Column = to_json(struct(cols: _*))
 
+  /** Typed before/after projection over Update envelopes (SURVEY §1.4
+    * two-tier contract; reference `tests/unit/datasources/test_mysql.py:
+    * 354-359`). The write side serializes Update content as
+    * `{"before": <payload|null>, "after": <payload>}` (cdc10); this is
+    * the schema-carrying read back OUT of that envelope: one `from_json`
+    * with a declared payload schema yields nullable `before`/`after`
+    * structs whose fields project as typed columns (`$"before.k"`).
+    * A first-change event has `"before": null` → a null struct → null
+    * typed fields, exactly like the reference's None before-image.
+    */
+  def typedUpdateView(df: DataFrame,
+      payload: org.apache.spark.sql.types.StructType,
+      contentCol: String = "content"): DataFrame = {
+    val envSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("before", payload),
+      org.apache.spark.sql.types.StructField("after", payload)))
+    df.withColumn("_env", from_json(col(contentCol), envSchema))
+      .withColumn("before", col("_env.before"))
+      .withColumn("after", col("_env.after"))
+      .drop("_env")
+  }
+
   /** O7/O8 — composable filter chain (reference `filters/base.py:58-98`,
     * `filters/factory.py:14-25`). The reference folds a message through an
     * ordered list of `Message -> Message` transforms; the Spark-native

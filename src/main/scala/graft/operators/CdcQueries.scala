@@ -300,6 +300,57 @@ object CdcQueries {
           ELSE 'Skip' END = 'Update'
       ORDER BY event_id"""))
 
+  // -------------------------------------------------------------- cdc11
+  // Typed before/after views (SURVEY §1.4 two-tier contract): cdc10
+  // synthesizes the Update envelope content; this reads it BACK OUT
+  // through CdcOps.typedUpdateView with a declared payload schema —
+  // write-side serialize and read-side typed projection round-trip
+  // under one oracle. First changes have null before → null typed
+  // column, and `k_changed` uses null-safe comparison.
+  private val cdc11 = GraftQuery(
+    "cdc11_typed_update_view",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val envelopes = events(s, dir)
+        .withColumn("op", CdcOps.classifyOp($"event_type"))
+        .withColumn("prev_props", lag($"props", 1).over(w))
+        .filter($"op" === "Update")
+        .select($"event_id",
+          concat(lit("""{"before":"""),
+            coalesce($"prev_props", lit("null")),
+            lit(""","after":"""), $"props", lit("}")).as("content"))
+      val payload = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      CdcOps.typedUpdateView(envelopes, payload)
+        .select($"event_id",
+          $"before.k".as("before_k"),
+          $"after.k".as("after_k"),
+          (!($"before.k" <=> $"after.k")).as("k_changed"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH lagged AS (
+        SELECT event_id, event_type, props,
+          LAG(props, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev_props
+        FROM events)
+      SELECT event_id,
+        CAST(json_extract_string(prev_props, '$.k') AS BIGINT) AS before_k,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS after_k,
+        CAST(json_extract_string(prev_props, '$.k') AS BIGINT)
+          IS DISTINCT FROM
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_changed
+      FROM lagged
+      WHERE CASE event_type
+          WHEN 'signup' THEN 'Insert'
+          WHEN 'purchase' THEN 'Insert'
+          WHEN 'click' THEN 'Update'
+          WHEN 'error' THEN 'Delete'
+          ELSE 'Skip' END = 'Update'
+      ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10)
+    Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11)
 }
