@@ -22,12 +22,38 @@ object BatchPacker {
     * (reference `sqs.py:29`). */
   val MaxMessageBytes: Long = 245760L
 
-  final case class Entry(id: String, body: String, oversized: Boolean) {
+  /** Default message-source attribute (reference `sqs.py:80`:
+    * `source or os.getenv("SOURCE") or "stream_cdc"`). */
+  val DefaultSource = "stream_cdc"
+
+  /** Sink entry. `source` mirrors the reference's per-message
+    * `MessageAttributes: {source}` (`sqs.py:225-231`, and on
+    * claim-check stubs `sqs.py:283`): provenance rides OUTSIDE the
+    * body so consumers can route/filter without parsing payloads. */
+  final case class Entry(id: String, body: String, oversized: Boolean,
+      source: String = DefaultSource) {
     def byteSize: Long = body.getBytes(StandardCharsets.UTF_8).length.toLong
   }
 
-  /** Per-entry send failure (reference `sqs.py:304-358`). */
-  final case class EntryFailure(id: String, code: String, retriable: Boolean)
+  /** Failure codes the transport considers transient (reference
+    * `sqs.py:331-335`). */
+  val RetriableCodes: Set[String] =
+    Set("InternalError", "ServiceUnavailable", "ThrottlingException")
+
+  /** Per-entry send failure (reference `sqs.py:304-358`). `senderFault`
+    * is the transport's own attribution (SQS `SenderFault`): a failure
+    * the RECEIVER caused is always worth retrying; a sender-fault one
+    * only when its code is in the transient taxonomy. */
+  final case class EntryFailure(id: String, code: String,
+      senderFault: Boolean) {
+    def retriable: Boolean = !senderFault || RetriableCodes(code)
+  }
+
+  /** Batch-level retry decision (reference `sqs.py:336-341`): retry
+    * when ANY failure is retriable. */
+  def shouldRetry(failures: Seq[EntryFailure]): Boolean =
+    failures.exists(_.retriable)
+
   final case class SendResult(failures: Seq[EntryFailure]) {
     def allFailed(batch: Seq[Entry]): Boolean =
       batch.nonEmpty && failures.size == batch.size
@@ -71,11 +97,12 @@ object BatchPacker {
   /** Prepare one message (reference `sqs.py:205-234`): oversized bodies
     * are replaced by the claim-check stub and flagged. */
   def prepare(id: String, body: String,
-      stubFields: Map[String, String] = Map.empty): Entry = {
+      stubFields: Map[String, String] = Map.empty,
+      source: String = DefaultSource): Entry = {
     val size = body.getBytes(StandardCharsets.UTF_8).length.toLong
     if (size > MaxMessageBytes)
-      Entry(id, claimCheckStub(id, stubFields), oversized = true)
-    else Entry(id, body, oversized = false)
+      Entry(id, claimCheckStub(id, stubFields), oversized = true, source)
+    else Entry(id, body, oversized = false, source)
   }
 
   /** Greedy size-aware packing (reference `sqs.py:169-203`): consecutive

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Lakehouse write path: partitioned + bucketed parquet tables.
+  *
+  * Why bucketing matters at 100 TB: a table bucketed by its join/agg
+  * key reads back with NO Exchange — the join or aggregation reuses
+  * the on-disk hash partitioning, so the most expensive shuffle of a
+  * downstream pipeline is paid ONCE at write time instead of on every
+  * query. `PlanQualitySpec`/`LakehouseSinkSpec` assert the no-Exchange
+  * read-back.
+  *
+  * Layout contract:
+  *  - `partitionBy` columns become directory partitions → partition
+  *    pruning for predicates on them (date/tenant-style columns);
+  *  - `bucketBy` column hash-splits each partition into `buckets`
+  *    files → co-located joins/aggs on that key;
+  *  - buckets are `sortBy`-ordered on the bucket key, enabling
+  *    sort-merge reads without a sort step.
+  *
+  * Compaction note: streaming appends create one file set per
+  * micro-batch; per-bucket file counts grow with batch count, not data
+  * size. The remedy is periodic compaction — `compact()` rewrites the
+  * table in one batch job (same layout, minimal file count). Run it on
+  * a schedule, off the ingest path, like any lakehouse table service.
+  */
+object LakehouseSink {
+
+  /** Write `df` as a partitioned+bucketed managed parquet table. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, partitionCols: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    var w = df.write.mode(mode).format("parquet")
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.bucketBy(buckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
+  }
+
+  /** Rewrite the table with the same layout, minimal files. */
+  def compact(spark: SparkSession, table: String, bucketCol: String,
+      buckets: Int, partitionCols: Seq[String] = Nil): Unit = {
+    val tmp = s"${table}_compacting"
+    writeBucketed(spark.table(table), tmp, bucketCol, buckets,
+      partitionCols)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Streaming ingestion into the bucketed table via foreachBatch.
+    *
+    * Semantics: foreachBatch + append is AT-LEAST-once (a crash between
+    * table append and offset commit replays the batch); each row
+    * carries its `_batch_id` so downstream consumers can drop replayed
+    * batches idempotently — the same claim the queue sink makes, and
+    * the honest one without a transactional table format underneath.
+    */
+  def startBucketedStream(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, partitionCols: Seq[String], checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val writer = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBucketed(batch.withColumn("_batch_id", lit(batchId)),
+          table, bucketCol, buckets, partitionCols, mode = "append")
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+}

@@ -36,7 +36,7 @@ final class LocalFileQueue(dir: String) extends QueueSink {
     // else (arbitrary strings with quotes/newlines) is escaped, so the
     // output file is always parseable JSONL
     val lines = batch.map(e =>
-      s"""{"id":${JsonUtil.escape(e.id)},"oversized":${e.oversized},"body":${
+      s"""{"id":${JsonUtil.escape(e.id)},"source":${JsonUtil.escape(e.source)},"oversized":${e.oversized},"body":${
         if (JsonUtil.isValidJson(e.body)) e.body
         else JsonUtil.escape(e.body)}}""")
     Files.write(Paths.get(dir, name),

@@ -76,6 +76,38 @@ class BatchPackerSpec extends AnyFunSuite {
     }
   }
 
+  test("retriable taxonomy mirrors the reference (sqs.py:317-345)") {
+    // receiver-fault failures always retry, whatever the code
+    assert(EntryFailure("e1", "WhateverError", senderFault = false).retriable)
+    // sender-fault failures retry only on the transient codes
+    assert(EntryFailure("e2", "InternalError", senderFault = true).retriable)
+    assert(EntryFailure("e3", "ServiceUnavailable", senderFault = true).retriable)
+    assert(EntryFailure("e4", "ThrottlingException", senderFault = true).retriable)
+    assert(!EntryFailure("e5", "InvalidMessageContents",
+      senderFault = true).retriable)
+    // batch decision: ANY retriable failure -> retry
+    assert(shouldRetry(Seq(
+      EntryFailure("a", "InvalidMessageContents", senderFault = true),
+      EntryFailure("b", "ThrottlingException", senderFault = true))))
+    assert(!shouldRetry(Seq(
+      EntryFailure("a", "InvalidMessageContents", senderFault = true))))
+    assert(!shouldRetry(Nil))
+  }
+
+  test("source attribute: default, explicit, carried onto stubs and JSONL") {
+    assert(prepare("m-1", "hello").source == "stream_cdc")
+    val stub = prepare("m-2", "z" * (MaxMessageBytes.toInt + 1),
+      Map.empty, source = "orders-feed")
+    assert(stub.oversized && stub.source == "orders-feed")
+    val dir = java.nio.file.Files.createTempDirectory("srcattr").toString
+    new LocalFileQueue(dir).send(Seq(stub.copy(body = "{}"),
+      prepare("m-3", "small", Map.empty, "orders-feed")))
+    val lines = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().next()
+    val content = new String(java.nio.file.Files.readAllBytes(lines), "UTF-8")
+    assert(content.linesIterator.forall(_.contains("\"source\":\"orders-feed\"")))
+  }
+
   test("flush policy parity: size OR time, whichever first") {
     val p = FlushPolicy(batchSize = 10, flushIntervalSec = 5.0)
     assert(p.shouldFlush(10, 0, 1000))      // size reached

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Bucketed lakehouse sink: layout metadata, no-Exchange read-back
+  * joins/aggs, streaming append with batch ids, compaction. */
+class LakehouseSinkSpec extends SparkSpec {
+
+  private def noBroadcast[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed write: join AND aggregation read back with no Exchange") {
+    LakehouseSink.writeBucketed(
+      Tables.load(spark, sf("sf0.001"), "orders"),
+      "lh_orders", "o_custkey", 8)
+    LakehouseSink.writeBucketed(
+      Tables.load(spark, sf("sf0.001"), "customer"),
+      "lh_customer", "c_custkey", 8)
+    noBroadcast {
+      val joined = spark.table("lh_orders")
+        .join(spark.table("lh_customer"),
+          col("o_custkey") === col("c_custkey"))
+      assert(!joined.queryExecution.executedPlan.toString
+        .contains("Exchange"), "bucketed join still shuffles")
+      assert(joined.count() ==
+        Tables.load(spark, sf("sf0.001"), "orders").count())
+    }
+    // aggregation on the bucket key also reuses the layout
+    val agg = spark.table("lh_orders").groupBy("o_custkey")
+      .agg(count(lit(1)))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucketed aggregation still shuffles")
+  }
+
+  test("partitioned+bucketed write: partition pruning in the scan") {
+    LakehouseSink.writeBucketed(
+      Tables.load(spark, sf("sf0.001"), "orders"),
+      "lh_orders_part", "o_custkey", 4, Seq("o_orderstatus"))
+    val pruned = spark.table("lh_orders_part")
+      .filter(col("o_orderstatus") === "F")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("o_orderstatus"), scan)
+    assert(pruned.count() ==
+      Tables.load(spark, sf("sf0.001"), "orders")
+        .filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("streaming append: batches land with _batch_id, layout intact") {
+    val src = tmpDir("lh-src")
+    Tables.load(spark, sf("sf0.001"), "events")
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(CdcPipeline.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val q = LakehouseSink.startBucketedStream(stream, "lh_events",
+      "user_id", 4, Nil, tmpDir("lh-ck"))
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("lh_events")
+    assert(got.count() ==
+      Tables.load(spark, sf("sf0.001"), "events").count())
+    // one _batch_id per micro-batch (3 source files -> 3 batches)
+    assert(got.select("_batch_id").distinct().count() == 3)
+    // still a no-Exchange aggregation on the bucket key
+    val agg = got.groupBy("user_id").agg(count(lit(1)))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("compaction rewrites to minimal files, layout and data preserved") {
+    val before = spark.table("lh_events").count()
+    val filesBefore = spark.table("lh_events").inputFiles.length
+    LakehouseSink.compact(spark, "lh_events", "user_id", 4)
+    assert(spark.table("lh_events").count() == before)
+    val filesAfter = spark.table("lh_events").inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> $filesAfter")
+    val agg = spark.table("lh_events").groupBy("user_id")
+      .agg(count(lit(1)))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
