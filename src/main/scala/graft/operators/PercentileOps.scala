@@ -24,16 +24,21 @@ object PercentileOps {
   case object Exact extends Mode
   final case class Approx(accuracy: Int = 10000) extends Mode
 
-  /** Grouped percentiles of `value` per `group`. */
+  /** Grouped percentiles of `value` per `group`. All probs evaluate in
+    * ONE aggregate via the array form — a single sketch (Approx) or a
+    * single value buffer (Exact) per group, however many percentiles
+    * are requested. */
   def groupPercentiles(df: DataFrame, group: String, value: String,
       probs: Seq[Double], mode: Mode = Approx()): DataFrame = {
-    val aggs = probs.zipWithIndex.map { case (p, i) =>
-      val c = mode match {
-        case Exact => expr(s"percentile($value, $p)")
-        case Approx(acc) => expr(s"approx_percentile($value, $p, $acc)")
-      }
-      c.as(s"p${(p * 100).round}")
-    } :+ count(lit(1)).as("n")
-    df.groupBy(group).agg(aggs.head, aggs.tail: _*)
+    val arr = probs.mkString("array(", ", ", ")")
+    val agg = (mode match {
+      case Exact => expr(s"percentile($value, $arr)")
+      case Approx(acc) => expr(s"approx_percentile($value, $arr, $acc)")
+    }).as("_ps")
+    val cols = col(group) +: probs.zipWithIndex.map { case (p, i) =>
+      col("_ps").getItem(i).as(s"p${(p * 100).round}")
+    } :+ col("n")
+    df.groupBy(group).agg(agg, count(lit(1)).as("n"))
+      .select(cols: _*)
   }
 }

@@ -110,15 +110,22 @@ final class ReplayMicroBatchStream(path: String, maxPerTrigger: Long)
     availableNowTarget = Some(maxEventId)
 
   /** (file, rowGroupIdx, minId, maxId) from parquet footers — read once
-    * on the driver; this is the source's "binlog index". */
+    * on the driver; this is the source's "binlog index". Listing goes
+    * through the Hadoop FileSystem API, so `path` may be local, HDFS,
+    * or an object store (s3a/gs/abfs) — whatever filesystems are on
+    * the classpath — not just `java.io.File`. */
   private lazy val rowGroups: Seq[(String, Int, Long, Long)] = {
     val conf = new Configuration()
-    val dir = new java.io.File(path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val status = fs.getFileStatus(root)
     val files =
-      if (dir.isDirectory)
-        dir.listFiles().filter(f => f.getName.endsWith(".parquet")
-          && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-          .map(_.getAbsolutePath).sorted.toSeq
+      if (status.isDirectory)
+        fs.listStatus(root).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && n.endsWith(".parquet") &&
+            !n.startsWith(".") && !n.startsWith("_")
+        }.map(_.getPath.toString).sorted.toSeq
       else Seq(path)
     files.flatMap { f =>
       val in = HadoopInputFile.fromPath(new Path(f), conf)
