@@ -71,6 +71,15 @@ object TextFunctions {
   def bigramShingles(text: Column): Column =
     bigramShinglesFromTokens(tokens(text))
 
+  /** Distinct character trigrams — the char-n-gram dedup unit (robust
+    * to word-boundary edits where word shingles are not). Empty when
+    * the text is shorter than 3 chars. */
+  def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      array_distinct(transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Seeded MinHash component: min over shingles of md5(seed||shingle).
     * md5-as-permutation keeps the oracle SQL-expressible (DuckDB has
     * identical md5); the production-speed variant would use xxhash64.

@@ -54,6 +54,12 @@ object DedupOps {
       .select(col("doc_id"),
         explode(bigramShinglesFromTokens(col("toks"))).as("shingle"))
 
+  /** Exploded distinct (doc_id, char-trigram) pairs — the character
+    * n-gram dedup unit ([[graft.functions.TextFunctions.charTrigrams]]). */
+  def docCharTrigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(charTrigrams(col("text"))).as("shingle"))
+
   /** MinHash signature: k seeded min-hashes per doc. See [[HashScheme]]
     * for the two permutation-hash strategies. */
   def minhashSignature(docs: DataFrame, k: Int = 8,
@@ -118,13 +124,21 @@ object DedupOps {
     * count is a co-partitioned join on the shingle. */
   def verifiedNearDups(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
       minJ: Double = 0.2,
+      scheme: HashScheme = HashScheme.FastMix): DataFrame =
+    verifiedNearDupsFrom(docShingles(docs), k, rowsPerBand, minJ, scheme)
+
+  /** The MinHash→LSH→verify pipeline over ANY exploded
+    * (doc_id, shingle) set — word bigrams ([[verifiedNearDups]]),
+    * char trigrams ([[docCharTrigrams]]), or a caller-defined unit. */
+  def verifiedNearDupsFrom(shinglesRaw: DataFrame, k: Int = 8,
+      rowsPerBand: Int = 2, minJ: Double = 0.2,
       scheme: HashScheme = HashScheme.FastMix): DataFrame = {
-    // The text→tokens→bigrams→explode pipeline feeds three consumers
-    // (signature agg, and both sides of the intersection join). Persist
-    // it once rather than re-tokenizing the corpus three times;
+    // The shingle explosion feeds three consumers (signature agg, and
+    // both sides of the intersection join). Persist it once rather
+    // than re-deriving it from the corpus three times;
     // MEMORY_AND_DISK_SER spills gracefully when the shingle set
     // outgrows executor memory at large SF.
-    val shingles = docShingles(docs)
+    val shingles = shinglesRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // signature AND set size in ONE aggregation pass over the hashed
     // shingles (the shingle subtree is recomputed per consumer

@@ -125,67 +125,52 @@ object LlmQueries {
       GROUP BY md5(text)
       ORDER BY fp"""))
 
-  // -------------------------------------------------------------- doc04
-  // MinHash + LSH near-dup detection, Jaccard-verified. Full pipeline:
-  // bigram shingles → 8 seeded min-hashes (native poly31+fmix64 longs,
-  // see VectorExpressions.SeededMixHash) → 4 bands of 2 → bucket-join
-  // candidates → exact Jaccard ≥ 0.2. The oracle replays every stage,
-  // emulating the u64 hash with HUGEINT modular arithmetic; it hashes
-  // each DISTINCT shingle once (vocab CTE) because list_reduce is
-  // expensive in SQL — the Spark side hashes inline because the native
-  // expression is one multiply-add per byte.
-  private val doc04 = GraftQuery(
-    "doc04_minhash_lsh",
-    (s, dir) => {
-      import s.implicits._
-      DedupOps.verifiedNearDups(t(s, dir, "documents"))
-        .orderBy($"doc_a", $"doc_b")
-    },
-    Some {
-      // HUGEINT is SIGNED int128, so u64*u64 overflows: multiply in
-      // 32-bit halves — a*C mod 2^64 = (a*Clo mod 2^64 + (a*Chi mod
-      // 2^32)*2^32) mod 2^64, every intermediate < 2^96.
-      val U32 = "CAST('4294967296' AS HUGEINT)"
-      def mulmod(a: String, c: java.math.BigInteger): String = {
-        val hi = c.shiftRight(32)
-        val lo = c.and(java.math.BigInteger.valueOf(0xffffffffL))
-        s"(((($a) * $lo) % $U64) + (((($a) * $hi) % $U32) * $U32)) % $U64"
-      }
-      val C1 = new java.math.BigInteger("18397679294719823053")
-      val C2 = new java.math.BigInteger("14181476777654086739")
-      def poly(seed: Int): String = {
-        val p = graft.functions.VectorExpressions.SeededMixHash
-          .prefixHashUnsigned(seed)
-        s"""list_reduce(list_prepend(CAST('$p' AS HUGEINT),
-           list_transform(range(1, length(shingle) + 1),
-             i -> CAST(ascii(substring(shingle, i, 1)) AS HUGEINT))),
-           (h, b) -> (h * 31 + b) % $U64)"""
-      }
-      def cols(f: Int => String): String =
-        (0 until 8).map(s => s"${f(s)} AS u$s").mkString(", ")
-      val v0 = cols(s => poly(s))
-      val x1 = cols(s => s"xor(u$s, u$s >> 33)")
-      val m1 = cols(s => mulmod(s"u$s", C1))
-      val m2 = cols(s => mulmod(s"u$s", C2))
-      val fin = (0 until 8).map(s =>
-        s"""CASE WHEN xor(u$s, u$s >> 33) >= $I63
-           THEN CAST(xor(u$s, u$s >> 33) - $U64 AS BIGINT)
-           ELSE CAST(xor(u$s, u$s >> 33) AS BIGINT) END AS h$s""")
-        .mkString(", ")
-      val sigCols = (0 until 8).map(i => s"min(h$i) AS h$i").mkString(", ")
-      val bandRows = (0 until 4).map(b =>
-        s"""SELECT doc_id, $b AS band,
-           CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR) AS key
-           FROM sig""")
-        .mkString("\n          UNION ALL ")
-      s"""
-      WITH toks AS (
-        SELECT doc_id, string_split(TRIM(text), ' ') AS ws FROM documents),
-      sh AS (
-        SELECT DISTINCT doc_id,
-          unnest(list_transform(range(1, len(ws)),
-                 i -> ws[i] || ' ' || ws[i+1])) AS shingle
-        FROM toks WHERE len(ws) >= 2),
+  /** DuckDB replay of the full FastMix MinHash→LSH→verify pipeline
+    * over a caller-supplied shingle CTE (must end defining `sh` with
+    * columns (doc_id, shingle)). Emulates the u64 hash with HUGEINT
+    * modular arithmetic — HUGEINT is SIGNED int128, so u64·u64
+    * multiplies split into 32-bit halves: a*C mod 2^64 = (a*Clo mod
+    * 2^64 + (a*Chi mod 2^32)*2^32) mod 2^64, every intermediate
+    * < 2^96. The oracle hashes each DISTINCT shingle once (vocab CTE)
+    * because list_reduce is expensive in SQL; the Spark side hashes
+    * inline because the native expression is one multiply-add per
+    * byte. */
+  private def minhashLshOracle(shCtes: String, minJ: Double): String = {
+    val U32 = "CAST('4294967296' AS HUGEINT)"
+    def mulmod(a: String, c: java.math.BigInteger): String = {
+      val hi = c.shiftRight(32)
+      val lo = c.and(java.math.BigInteger.valueOf(0xffffffffL))
+      s"(((($a) * $lo) % $U64) + (((($a) * $hi) % $U32) * $U32)) % $U64"
+    }
+    val C1 = new java.math.BigInteger("18397679294719823053")
+    val C2 = new java.math.BigInteger("14181476777654086739")
+    def poly(seed: Int): String = {
+      val p = graft.functions.VectorExpressions.SeededMixHash
+        .prefixHashUnsigned(seed)
+      s"""list_reduce(list_prepend(CAST('$p' AS HUGEINT),
+         list_transform(range(1, length(shingle) + 1),
+           i -> CAST(ascii(substring(shingle, i, 1)) AS HUGEINT))),
+         (h, b) -> (h * 31 + b) % $U64)"""
+    }
+    def cols(f: Int => String): String =
+      (0 until 8).map(s => s"${f(s)} AS u$s").mkString(", ")
+    val v0 = cols(s => poly(s))
+    val x1 = cols(s => s"xor(u$s, u$s >> 33)")
+    val m1 = cols(s => mulmod(s"u$s", C1))
+    val m2 = cols(s => mulmod(s"u$s", C2))
+    val fin = (0 until 8).map(s =>
+      s"""CASE WHEN xor(u$s, u$s >> 33) >= $I63
+         THEN CAST(xor(u$s, u$s >> 33) - $U64 AS BIGINT)
+         ELSE CAST(xor(u$s, u$s >> 33) AS BIGINT) END AS h$s""")
+      .mkString(", ")
+    val sigCols = (0 until 8).map(i => s"min(h$i) AS h$i").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"""SELECT doc_id, $b AS band,
+         CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR) AS key
+         FROM sig""")
+      .mkString("\n          UNION ALL ")
+    s"""
+      WITH $shCtes,
       vocab AS (SELECT DISTINCT shingle FROM sh),
       v0 AS (SELECT shingle, $v0 FROM vocab),
       vx1 AS (SELECT shingle, $x1 FROM v0),
@@ -217,9 +202,55 @@ object LlmQueries {
       JOIN sizes na ON na.doc_id = i.doc_a
       JOIN sizes nb ON nb.doc_id = i.doc_b
       WHERE CAST(i.n_inter AS DOUBLE)
-          / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.2
+          / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= $minJ
       ORDER BY doc_a, doc_b"""
-    })
+  }
+
+  // -------------------------------------------------------------- doc04
+  // MinHash + LSH near-dup detection, Jaccard-verified. Full pipeline:
+  // bigram shingles → 8 seeded min-hashes (native poly31+fmix64 longs,
+  // see VectorExpressions.SeededMixHash) → 4 bands of 2 → bucket-join
+  // candidates → exact Jaccard ≥ 0.2. The oracle replays every stage.
+  private val doc04 = GraftQuery(
+    "doc04_minhash_lsh",
+    (s, dir) => {
+      import s.implicits._
+      DedupOps.verifiedNearDups(t(s, dir, "documents"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(minhashLshOracle(
+      """toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        FROM toks WHERE len(ws) >= 2)""", minJ = 0.2)))
+
+  // -------------------------------------------------------------- doc10
+  // Character-n-gram (trigram) Jaccard near-dup — the dedup unit that
+  // survives word-boundary edits (hyphenation, spacing, punctuation
+  // shifts) where word shingles churn. Same FastMix MinHash→LSH→verify
+  // pipeline over DedupOps.docCharTrigrams; oracle replays it with the
+  // trigram shingle CTE. Threshold 0.75: the generator's tiny word
+  // vocabulary makes BACKGROUND trigram Jaccard high (measured median
+  // 0.51, max 0.68 for non-dup pairs) while planted near-dups sit
+  // ≥ 0.8 — 0.75 splits the bimodal distribution; a natural-text
+  // corpus would use a lower threshold.
+  private val doc10 = GraftQuery(
+    "doc10_chartrigram_neardup",
+    (s, dir) => {
+      import s.implicits._
+      DedupOps.verifiedNearDupsFrom(
+        DedupOps.docCharTrigrams(t(s, dir, "documents")), minJ = 0.75)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(minhashLshOracle(
+      """sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, length(text) - 1),
+                 i -> substring(text, i, 3))) AS shingle
+        FROM documents WHERE length(text) >= 3)""", minJ = 0.75)))
 
   // -------------------------------------------------------------- doc05
   // SimHash fingerprints (16-bit, per-nibble majority vote).
@@ -516,6 +547,66 @@ object LlmQueries {
       FROM documents
       ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- doc09
+  // Top distinctive terms per document (TF-IDF shape). The inverse-
+  // document-frequency weight is N/df in exact double division rather
+  // than ln((N+1)/(df+1)) — same ordering for ranking, but IEEE-exact
+  // and engine-portable (libm log differs across platforms; NOTES
+  // oracle contract). Scale shape: one shuffle for tf, one for df,
+  // then a term-keyed join (vocab-sized right side broadcasts; at
+  // 100 TB it degrades to a co-partitioned shuffle join) and a 1-row
+  // broadcast for N — the q20 scalar-subquery pattern.
+  private val doc09 = GraftQuery(
+    "doc09_top_terms",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val toks = docs.select($"doc_id",
+        explode(TextFunctions.tokens($"text")).as("term"))
+        .filter($"term" =!= "")
+      val tf = toks.groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          $"tf".cast("double") *
+            ($"n_docs".cast("double") / $"df".cast("double")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      scored
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"rnk", $"term", $"tf", $"df", $"score")
+        .orderBy($"doc_id", $"rnk")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS term
+        FROM documents),
+      toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks2 GROUP BY doc_id, term),
+      dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2 GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+          CAST(tf.tf AS DOUBLE)
+            * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tf, df, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT doc_id, rnk, term, tf, df, score
+      FROM ranked WHERE rnk <= 3
+      ORDER BY doc_id, rnk"""))
+
   // -------------------------------------------------------------- doc07
   // Rolling-hash fingerprint (native codegen expression) — the
   // production-speed dedup key. The DuckDB oracle replays the
@@ -541,6 +632,6 @@ object LlmQueries {
       ORDER BY rhash"""))
 
   val all: Seq[GraftQuery] =
-    Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08,
-      emb01, emb02, emb03, emb04, mm01, mm02)
+    Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08, doc09,
+      doc10, emb01, emb02, emb03, emb04, mm01, mm02)
 }

@@ -24,9 +24,10 @@ class PlanQualitySpec extends SparkSpec {
     // q20's scalar-subquery cross join broadcasts a single aggregate
     // row; emb01's brute-force intentionally broadcasts the ≤8-row
     // query set against the corpus scan (the exact-baseline ANN path);
-    // emb04's IVF assignment broadcasts the 8-row centroid set.
+    // emb04's IVF assignment broadcasts the 8-row centroid set;
+    // doc09 broadcasts the 1-row corpus count for the IDF weight.
     val allowed = Set("q20_scalar_subquery", "emb01_cosine_topk",
-      "emb04_ivf_topk")
+      "emb04_ivf_topk", "doc09_top_terms")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
