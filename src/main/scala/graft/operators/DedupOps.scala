@@ -129,17 +129,44 @@ object DedupOps {
 
   /** The MinHash→LSH→verify pipeline over ANY exploded
     * (doc_id, shingle) set — word bigrams ([[verifiedNearDups]]),
-    * char trigrams ([[docCharTrigrams]]), or a caller-defined unit. */
+    * char trigrams ([[docCharTrigrams]]), or a caller-defined unit.
+    *
+    * `maxDocFrac` < 1 enables the stop-shingle filter: shingles
+    * present in more than that fraction of documents are dropped
+    * before signatures. A high-df shingle carries no discrimination
+    * signal but dominates MinHash minima, which collapses band keys
+    * and makes the candidate set QUADRATIC — measured 200+ seconds at
+    * sf0.1 for char trigrams over the small-vocabulary corpus vs ~2s
+    * filtered. The filter costs one vocab-sized aggregation and a
+    * join back; at 100 TB it is what keeps candidates ∝ true dups.
+    */
   def verifiedNearDupsFrom(shinglesRaw: DataFrame, k: Int = 8,
       rowsPerBand: Int = 2, minJ: Double = 0.2,
-      scheme: HashScheme = HashScheme.FastMix): DataFrame = {
+      scheme: HashScheme = HashScheme.FastMix,
+      maxDocFrac: Double = 1.0): DataFrame = {
     // The shingle explosion feeds three consumers (signature agg, and
     // both sides of the intersection join). Persist it once rather
     // than re-deriving it from the corpus three times;
     // MEMORY_AND_DISK_SER spills gracefully when the shingle set
     // outgrows executor memory at large SF.
-    val shingles = shinglesRaw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val exploded = shinglesRaw.persist(lvl)
+    val shingles =
+      if (maxDocFrac >= 1.0) exploded
+      else {
+        // rows are distinct (doc, shingle), so count(*) per shingle IS
+        // document frequency; the df table is vocab-sized (broadcasts),
+        // the doc count is a 1-row broadcast
+        val nDocs = exploded
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val dfreq = exploded.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+        exploded.join(dfreq, "shingle")
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") <= col("nd") * maxDocFrac)
+          .select("doc_id", "shingle")
+          .persist(lvl)
+      }
     // signature AND set size in ONE aggregation pass over the hashed
     // shingles (the shingle subtree is recomputed per consumer
     // otherwise — measured win at sf0.1).

@@ -230,27 +230,34 @@ object LlmQueries {
   // -------------------------------------------------------------- doc10
   // Character-n-gram (trigram) Jaccard near-dup — the dedup unit that
   // survives word-boundary edits (hyphenation, spacing, punctuation
-  // shifts) where word shingles churn. Same FastMix MinHash→LSH→verify
-  // pipeline over DedupOps.docCharTrigrams; oracle replays it with the
-  // trigram shingle CTE. Threshold 0.75: the generator's tiny word
-  // vocabulary makes BACKGROUND trigram Jaccard high (measured median
-  // 0.51, max 0.68 for non-dup pairs) while planted near-dups sit
-  // ≥ 0.8 — 0.75 splits the bimodal distribution; a natural-text
-  // corpus would use a lower threshold.
+  // shifts) where word shingles churn. FastMix MinHash→LSH→verify over
+  // DedupOps.docCharTrigrams WITH the stop-shingle filter (df ≤ 20% of
+  // docs): the generator's tiny word vocabulary makes common trigrams
+  // universal, which without the filter collapses band keys into
+  // quadratic candidates (measured 200+s at sf0.1; ~2s filtered).
+  // After filtering, planted near-dups verify at J ≥ 0.5 while
+  // background pairs max out at 0.31 — threshold 0.35 splits them.
   private val doc10 = GraftQuery(
     "doc10_chartrigram_neardup",
     (s, dir) => {
       import s.implicits._
       DedupOps.verifiedNearDupsFrom(
-        DedupOps.docCharTrigrams(t(s, dir, "documents")), minJ = 0.75)
+        DedupOps.docCharTrigrams(t(s, dir, "documents")),
+        minJ = 0.35, maxDocFrac = 0.2)
         .orderBy($"doc_a", $"doc_b")
     },
     Some(minhashLshOracle(
-      """sh AS (
+      """sh0 AS (
         SELECT DISTINCT doc_id,
           unnest(list_transform(range(1, length(text) - 1),
                  i -> substring(text, i, 3))) AS shingle
-        FROM documents WHERE length(text) >= 3)""", minJ = 0.75)))
+        FROM documents WHERE length(text) >= 3),
+      dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+      nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sh0),
+      sh AS (
+        SELECT sh0.doc_id, sh0.shingle
+        FROM sh0 JOIN dfreq ON sh0.shingle = dfreq.shingle
+        WHERE dfreq.df <= 0.2 * (SELECT n FROM nd))""", minJ = 0.35)))
 
   // -------------------------------------------------------------- doc05
   // SimHash fingerprints (16-bit, per-nibble majority vote).

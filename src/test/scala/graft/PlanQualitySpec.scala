@@ -25,9 +25,10 @@ class PlanQualitySpec extends SparkSpec {
     // row; emb01's brute-force intentionally broadcasts the ≤8-row
     // query set against the corpus scan (the exact-baseline ANN path);
     // emb04's IVF assignment broadcasts the 8-row centroid set;
-    // doc09 broadcasts the 1-row corpus count for the IDF weight.
+    // doc09 broadcasts the 1-row corpus count for the IDF weight;
+    // doc10 broadcasts the 1-row doc count for the stop-shingle filter.
     val allowed = Set("q20_scalar_subquery", "emb01_cosine_topk",
-      "emb04_ivf_topk", "doc09_top_terms")
+      "emb04_ivf_topk", "doc09_top_terms", "doc10_chartrigram_neardup")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
