@@ -422,6 +422,49 @@ object LlmQueries {
       FROM ranked WHERE rnk <= 5
       ORDER BY query_id, rnk"""))
 
+  // -------------------------------------------------------------- emb05
+  // Multi-probe IVF top-5: queries probe their 2 nearest cells — the
+  // recall lever for boundary queries. Oracle replays cell ranking
+  // with rn<=2 on the query side, rn=1 corpus assignment, then global
+  // per-query ranking across the probed cells.
+  private val emb05 = GraftQuery(
+    "emb05_ivf_multiprobe",
+    (s, dir) =>
+      SimilarityOps.ivfTopKProbed(t(s, dir, "embeddings"), nProbe = 2)
+        .orderBy(col("query_id"), col("rnk")),
+    Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               ${normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      assign AS (
+        SELECT b.vec_id, b.embedding, b.en, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            (${dotSql("b.embedding", "c.ce", 64)}) / (b.en * c.cn) DESC,
+            c.cid) AS rn
+        FROM base b CROSS JOIN cent c),
+      clustered AS (
+        SELECT vec_id, embedding, en, cid FROM assign WHERE rn = 1),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, en AS qn, cid
+        FROM assign WHERE vec_id >= 8 AND vec_id < 12 AND rn <= 2),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+          (${dotSql("q_emb", "c.embedding", 64)}) / (q.qn * c.en) AS cos
+        FROM clustered c JOIN q
+          ON c.cid = q.cid AND c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id AS neighbor_id, rnk, cos
+      FROM ranked WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+
   // -------------------------------------------------------------- emb03
   // Embedding-cosine near-duplicate pairs within LSH buckets. The data
   // has no planted embedding dups, so assert the operator by lowering
@@ -640,5 +683,5 @@ object LlmQueries {
 
   val all: Seq[GraftQuery] =
     Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08, doc09,
-      doc10, emb01, emb02, emb03, emb04, mm01, mm02)
+      doc10, emb01, emb02, emb03, emb04, emb05, mm01, mm02)
 }

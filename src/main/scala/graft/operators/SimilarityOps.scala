@@ -125,6 +125,46 @@ object SimilarityOps {
         col("rnk"), col("cos"))
   }
 
+  /** Multi-probe IVF: like [[ivfTopK]], but each query probes its
+    * `nProbe` nearest cells instead of only its own — the standard
+    * recall lever for inverted-file ANN (a query near a cell boundary
+    * has true neighbors on both sides). Cost scales linearly with
+    * nProbe (the query side of the cell equi-join carries nProbe rows
+    * per query); the corpus-side shape is unchanged, so this stays the
+    * co-partitioned non-cross-product plan at any corpus size. */
+  def ivfTopKProbed(embs: DataFrame, dim: Int = 64, nCentroids: Int = 8,
+      nProbe: Int = 2, queryLo: Int = 8, queryHi: Int = 12,
+      k: Int = 5): DataFrame = {
+    val cent = embs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding"), dim).as("cn"))
+    val base = embs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding"), dim).as("en"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val rankedCells = base.crossJoin(broadcast(cent))
+      .withColumn("ccos", dot(col("embedding"), col("ce"), dim) /
+        (col("en") * col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+    val clustered = rankedCells.filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("en"), col("cid"))
+    val queries = rankedCells
+      .filter(col("vec_id") >= queryLo && col("vec_id") < queryHi &&
+        col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("en").as("qn"), col("cid"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    clustered.join(broadcast(queries), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q_emb"), col("embedding"), dim) /
+        (col("qn") * col("en")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def embeddingNearDups(embs: DataFrame, dim: Int = 64, planes: Int = 6,
       minCos: Double = 0.9): DataFrame = {

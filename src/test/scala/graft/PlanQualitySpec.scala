@@ -28,7 +28,8 @@ class PlanQualitySpec extends SparkSpec {
     // doc09 broadcasts the 1-row corpus count for the IDF weight;
     // doc10 broadcasts the 1-row doc count for the stop-shingle filter.
     val allowed = Set("q20_scalar_subquery", "emb01_cosine_topk",
-      "emb04_ivf_topk", "doc09_top_terms", "doc10_chartrigram_neardup")
+      "emb04_ivf_topk", "emb05_ivf_multiprobe", "doc09_top_terms",
+      "doc10_chartrigram_neardup")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -93,6 +93,26 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe IVF recall dominates single-probe at every rank") {
+    def byQueryRank(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("rnk")) -> r.getAs[Double]("cos")).toMap
+    val single = byQueryRank(SimilarityOps.ivfTopK(embs))
+    val probed = byQueryRank(SimilarityOps.ivfTopKProbed(embs, nProbe = 2))
+    assert(probed.nonEmpty)
+    // widening the candidate pool can only improve (or tie) the
+    // cosine at each rank — the defining property of multi-probe
+    single.foreach { case (key, cosSingle) =>
+      probed.get(key).foreach(cosProbed =>
+        assert(cosProbed >= cosSingle - 1e-12,
+          s"$key: probed $cosProbed < single $cosSingle"))
+    }
+    // and at least one query actually benefits on this corpus
+    assert(probed.exists { case (key, c) =>
+      single.get(key).exists(c > _ + 1e-12)
+    }, "nProbe=2 changed nothing — corpus/centroids degenerate?")
+  }
+
   test("rolling hash expression matches the Scala reference") {
     import spark.implicits._
     import graft.functions.VectorExpressions
