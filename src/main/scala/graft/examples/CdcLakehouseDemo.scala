@@ -1,0 +1,102 @@
+package graft.examples
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.CdcOps
+import graft.sources.DebeziumEnvelope
+import graft.streaming.LakehouseSink
+
+/** End-to-end CDC→lakehouse pipeline over Debezium-format wire JSON:
+  *
+  * {{{
+  * Debezium envelopes (JSON strings — in production a Kafka topic)
+  *   → DebeziumEnvelope.parse (declared payload schema)
+  *   → toGraftEnvelope (op taxonomy, provenance, content)
+  *   → dropSkipped
+  *   → CdcOps.typedUpdateView (typed before/after columns back out)
+  *   → LakehouseSink.startBucketedStream (bucketed table, _batch_id)
+  *   → no-Exchange readback aggregation on the bucket key
+  * }}}
+  *
+  * Usage: sbt "runMain graft.examples.CdcLakehouseDemo"
+  */
+object CdcLakehouseDemo {
+  def main(args: Array[String]): Unit = {
+    val work = Files.createTempDirectory("graft-lakehouse").toString
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-cdc-lakehouse")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      // fresh per-run warehouse so the managed bronze table (and
+      // reruns of the demo) never collide with an old location
+      .config("spark.sql.warehouse.dir", s"$work/warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val payload = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType)))
+
+    // synthesize a Debezium topic: inserts, updates, deletes, noise
+    def src(gtid: Long) =
+      s""""source":{"connector":"mysql","name":"srv1","db":"shop",
+          "table":"orders","gtid":"uuid:$gtid"}"""
+        .replaceAll("\n\\s*", "")
+    val wire = (0 until 3000).map { i =>
+      val id = i % 500
+      i % 10 match {
+        case 0 => s"""{"before":{"id":$id,"qty":${i - 10}},"after":null,${src(i)},"op":"d","ts_ms":$i}"""
+        case 1 => s"""{"before":null,"after":null,${src(i)},"op":"t","ts_ms":$i}"""
+        case n if n % 3 == 0 =>
+          s"""{"before":{"id":$id,"qty":${i - 1}},"after":{"id":$id,"qty":$i},${src(i)},"op":"u","ts_ms":$i}"""
+        case _ => s"""{"before":null,"after":{"id":$id,"qty":$i},${src(i)},"op":"c","ts_ms":$i}"""
+      }
+    }
+    val topicDir = s"$work/topic"
+    wire.toDF("value").repartition(3).write.text(topicDir)
+
+    // stream the topic (file stream stands in for the Kafka reader —
+    // everything downstream is transport-agnostic)
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .text(topicDir)
+    val envelopes = CdcOps.dropSkipped(
+      DebeziumEnvelope.toGraftEnvelope(
+        DebeziumEnvelope.parse(raw, payload)))
+    val typed = CdcOps.typedUpdateView(envelopes, payload)
+      .select($"event_type", $"gtid", $"database", $"table", $"ts_ms",
+        $"before.id".as("before_id"), $"before.qty".as("before_qty"),
+        $"after.id".as("after_id"), $"after.qty".as("after_qty"),
+        coalesce($"after.id", $"before.id").as("row_id"))
+
+    val t0 = System.nanoTime()
+    val q = LakehouseSink.startBucketedStream(typed, "demo_cdc_bronze",
+      bucketCol = "row_id", buckets = 8, partitionCols = Seq("event_type"),
+      checkpointDir = s"$work/ckpt")
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val bronze = spark.table("demo_cdc_bronze")
+    val latest = bronze.groupBy($"row_id")
+      .agg(max($"ts_ms").as("last_change"), count(lit(1)).as("n_changes"))
+    val plan = latest.queryExecution.executedPlan.toString
+    println(s"[lakehouse] wire messages:    ${wire.size}")
+    println(s"[lakehouse] bronze rows:      ${bronze.count()} (noise dropped)")
+    println(s"[lakehouse] micro-batches:    " +
+      bronze.select("_batch_id").distinct().count())
+    println(s"[lakehouse] typed updates:    " +
+      bronze.filter($"event_type" === "Update" &&
+        $"after_qty" === $"before_qty" + 1).count() + " qty+1 changes")
+    println(s"[lakehouse] rows tracked:     ${latest.count()}")
+    println(s"[lakehouse] readback shuffle: " +
+      (if (plan.contains("Exchange")) "EXCHANGE (bad)" else "none (bucketed)"))
+    println(f"[lakehouse] wall: $secs%.1f s")
+    spark.stop()
+  }
+}
