@@ -128,21 +128,25 @@ final class ReplayMicroBatchStream(path: String, maxPerTrigger: Long)
         }.map(_.getPath.toString).sorted.toSeq
       else Seq(path)
     files.flatMap { f =>
-      val in = HadoopInputFile.fromPath(new Path(f), conf)
-      val reader = ParquetFileReader.open(in)
-      try {
-        reader.getFooter.getBlocks.asScala.zipWithIndex.map {
-          case (block, i) =>
-            val stats = block.getColumns.asScala
-              .find(_.getPath.toDotString == "event_id")
-              .map(_.getStatistics)
-            val min = stats.map(_.genericGetMin
-              .asInstanceOf[java.lang.Long].longValue).getOrElse(Long.MinValue)
-            val max = stats.map(_.genericGetMax
-              .asInstanceOf[java.lang.Long].longValue).getOrElse(Long.MaxValue)
-            (f, i, min, max)
-        }.toSeq
-      } finally reader.close()
+      // transient FS faults (networked object stores) retry with
+      // jittered backoff; missing files and corrupt footers fail fast
+      ReplayMicroBatchStream.connectRetry.connectWithRetry(() => {
+        val in = HadoopInputFile.fromPath(new Path(f), conf)
+        val reader = ParquetFileReader.open(in)
+        try {
+          reader.getFooter.getBlocks.asScala.zipWithIndex.map {
+            case (block, i) =>
+              val stats = block.getColumns.asScala
+                .find(_.getPath.toDotString == "event_id")
+                .map(_.getStatistics)
+              val min = stats.map(_.genericGetMin
+                .asInstanceOf[java.lang.Long].longValue).getOrElse(Long.MinValue)
+              val max = stats.map(_.genericGetMax
+                .asInstanceOf[java.lang.Long].longValue).getOrElse(Long.MaxValue)
+              (f, i, min, max)
+          }.toSeq
+        } finally reader.close()
+      }, ReplayMicroBatchStream.retriableIo)
     }
   }
 
@@ -194,6 +198,23 @@ final class ReplayMicroBatchStream(path: String, maxPerTrigger: Long)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+object ReplayMicroBatchStream {
+  /** Driver-side connect retry (SURVEY §2.1 S3): 3 attempts with
+    * jittered exponential backoff, shared across the stream's footer
+    * reads. */
+  val connectRetry: graft.streaming.RetryPolicy =
+    graft.streaming.RetryPolicy(maxRetries = 3)
+
+  /** Transient-IO classifier: generic IOExceptions (network blips,
+    * throttled object stores) retry; a missing file is a configuration
+    * error and fails fast. */
+  def retriableIo(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException => false
+    case _: java.io.IOException => true
+    case _ => false
+  }
 }
 
 /** Executor-side reader: opens the file, seeks to its row group, and

@@ -72,6 +72,13 @@ class RetryPolicySpec extends AnyFunSuite {
     assert(e.getMessage.contains("Failed to connect"))
   }
 
+  test("replay-source IO classifier: transient IO retries, missing file fails fast") {
+    import graft.sources.ReplayMicroBatchStream.retriableIo
+    assert(retriableIo(new java.io.IOException("connection reset")))
+    assert(!retriableIo(new java.io.FileNotFoundException("/gone.parquet")))
+    assert(!retriableIo(new RuntimeException("corrupt footer")))
+  }
+
   test("default jitter stays inside the reference's (0.1, 1.0) band") {
     val p = RetryPolicy()
     (1 to 100).foreach { _ =>
