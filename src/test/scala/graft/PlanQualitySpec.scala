@@ -13,6 +13,15 @@ class PlanQualitySpec extends SparkSpec {
       q.name -> q.run(spark, sf("sf0.001")).queryExecution.executedPlan.toString
     }.toMap
 
+  test("registry: unique names, every query has an oracle") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.length == names.length,
+      s"duplicate query names: ${names.diff(names.distinct)}")
+    val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.isEmpty,
+      s"queries outside the hard correctness signal: $noOracle")
+  }
+
   test("no cartesian products anywhere") {
     plans.foreach { case (name, plan) =>
       assert(!plan.contains("CartesianProduct"),
