@@ -155,16 +155,19 @@ object DedupOps {
       if (maxDocFrac >= 1.0) exploded
       else {
         // rows are distinct (doc, shingle), so count(*) per shingle IS
-        // document frequency; the df table is vocab-sized (broadcasts),
-        // the doc count is a 1-row broadcast
+        // document frequency. The threshold compare runs on the TINY
+        // vocab side (df table ⋈ 1-row doc count), producing a stop
+        // list that broadcast-anti-joins against the big exploded set —
+        // the corpus-sized side sees exactly one broadcast hash lookup,
+        // no extra operators.
         val nDocs = exploded
           .agg(countDistinct(col("doc_id")).as("nd"))
-        val dfreq = exploded.groupBy("shingle")
+        val stopShingles = exploded.groupBy("shingle")
           .agg(count(lit(1)).as("df"))
-        exploded.join(dfreq, "shingle")
           .crossJoin(broadcast(nDocs))
-          .filter(col("df") <= col("nd") * maxDocFrac)
-          .select("doc_id", "shingle")
+          .filter(col("df") > col("nd") * maxDocFrac)
+          .select("shingle")
+        exploded.join(broadcast(stopShingles), Seq("shingle"), "left_anti")
           .persist(lvl)
       }
     // signature AND set size in ONE aggregation pass over the hashed
