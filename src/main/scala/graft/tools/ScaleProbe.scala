@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, SimilarityOps}
+import graft.sources.Tables
+
+/** Scale probe: time the heavy dedup/similarity operators at 1× and 4×
+  * corpus size and print the wall-time growth factor. Sub-linear-in-n²
+  * growth (≈ input growth, not pair growth) is the property that says
+  * the pipeline shape survives 100 TB.
+  *
+  * The 4× corpus unions the documents table with 3 shifted copies —
+  * every doc gains 3 exact twins, a worst-case near-dup clique
+  * explosion (output pairs grow ~w², wall time must not).
+  *
+  * Usage: sbt "runMain graft.tools.ScaleProbe [sfDir]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val docs1 = Tables.load(spark, sfDir, "documents")
+    val n1 = docs1.count()
+    val docs4 = (0 until 4).map(i =>
+      docs1.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ union _)
+    val embs1 = Tables.load(spark, sfDir, "embeddings")
+    val embs4 = (0 until 4).map(i =>
+      embs1.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ union _)
+
+    def time(f: => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f.count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    def probe(name: String)(f1: => DataFrame, f4: => DataFrame): Unit = {
+      val (warm, _) = time(f1) // codegen warm
+      val (t1, r1) = time(f1)
+      val (t4, r4) = time(f4)
+      println(f"PROBE $name%-26s 1x: $t1%6.2f s / $r1%7d rows   " +
+        f"4x: $t4%6.2f s / $r4%7d rows   wall x${t4 / t1}%.1f  " +
+        f"rows x${if (r1 == 0) 0.0 else r4.toDouble / r1}%.0f  (warm $warm%.1f)")
+    }
+
+    println(s"[scale-probe] $sfDir docs=$n1 (4x=${4 * n1})")
+    probe("minhash_bigram") (
+      DedupOps.verifiedNearDups(docs1),
+      DedupOps.verifiedNearDups(docs4))
+    probe("minhash_chartrigram") (
+      DedupOps.verifiedNearDupsFrom(DedupOps.docCharTrigrams(docs1),
+        minJ = 0.35, maxDocFrac = 0.2),
+      DedupOps.verifiedNearDupsFrom(DedupOps.docCharTrigrams(docs4),
+        minJ = 0.35, maxDocFrac = 0.2))
+    probe("embedding_neardup") (
+      SimilarityOps.embeddingNearDups(embs1, minCos = 0.35),
+      SimilarityOps.embeddingNearDups(embs4, minCos = 0.35))
+    probe("exact_dedup") (
+      DedupOps.exactDupGroups(docs1),
+      DedupOps.exactDupGroups(docs4))
+    spark.stop()
+  }
+}
