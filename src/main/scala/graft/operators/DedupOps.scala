@@ -146,11 +146,18 @@ object DedupOps {
       maxDocFrac: Double = 1.0): DataFrame = {
     // The shingle explosion feeds three consumers (signature agg, and
     // both sides of the intersection join). Persist it once rather
-    // than re-deriving it from the corpus three times;
-    // MEMORY_AND_DISK_SER spills gracefully when the shingle set
-    // outgrows executor memory at large SF.
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val exploded = shinglesRaw.persist(lvl)
+    // than re-deriving it three times — MEASURED at sf0.1: uncached
+    // char-trigram steady state is 7.9s vs 3.3s cached (the explode +
+    // df-filter recompute triples the dominant cost); the serialized
+    // MEMORY_AND_DISK_SER copy spills gracefully when the shingle set
+    // outgrows executor memory at large SF. GRAFT_DEDUP_NOCACHE=true
+    // opts out for cache-pressure-bound clusters where re-scanning
+    // compressed parquet beats churning a 3-5×-input cache.
+    def maybePersist(df: DataFrame): DataFrame =
+      if (sys.env.get("GRAFT_DEDUP_NOCACHE").contains("true")) df
+      else df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val exploded = maybePersist(shinglesRaw)
     val shingles =
       if (maxDocFrac >= 1.0) exploded
       else {
@@ -167,8 +174,8 @@ object DedupOps {
           .crossJoin(broadcast(nDocs))
           .filter(col("df") > col("nd") * maxDocFrac)
           .select("shingle")
-        exploded.join(broadcast(stopShingles), Seq("shingle"), "left_anti")
-          .persist(lvl)
+        maybePersist(
+          exploded.join(broadcast(stopShingles), Seq("shingle"), "left_anti"))
       }
     // signature AND set size in ONE aggregation pass over the hashed
     // shingles (the shingle subtree is recomputed per consumer
