@@ -40,35 +40,61 @@ object CdcPipeline {
 
   final case class Config(
       sourceDir: String,
-      sourceFormat: String = "parquet", // or "graft-replay" (custom DSv2)
+      sourceFormat: String = "parquet", // "graft-replay" | "debezium-text"
       sinkType: String = "file",
       sinkConf: Map[String, String] = Map.empty,
       checkpointDir: String,
       policy: FlushPolicy = FlushPolicy(),
       chain: CdcOps.FilterChain = CdcOps.FilterChain.identity,
-      availableNow: Boolean = false)
+      availableNow: Boolean = false,
+      // payload schema for the debezium-text source (row shape of
+      // before/after images)
+      debeziumPayload: StructType = StructType(Seq(
+        StructField("k", LongType))))
 
   /** Build the streaming envelope DataFrame (source + processing).
     * "parquet" uses Spark's file source (rate-capped by files);
     * "graft-replay" uses the custom DSv2 source with event_id offsets
-    * and row-level admission control ([[graft.sources.ReplaySource]]).
+    * and row-level admission control ([[graft.sources.ReplaySource]]);
+    * "debezium-text" consumes Debezium-format wire JSON (one envelope
+    * per line — the file stream stands in for a Kafka reader; the
+    * parse/projection is transport-agnostic,
+    * [[graft.sources.DebeziumEnvelope]]).
     */
   def envelopeStream(spark: SparkSession, cfg: Config): DataFrame = {
-    val raw = cfg.sourceFormat match {
+    cfg.sourceFormat match {
       case "graft-replay" =>
-        spark.readStream.format("graft-replay")
+        val raw = spark.readStream.format("graft-replay")
           .option("path", cfg.sourceDir)
           .option("maxEventsPerTrigger",
             (cfg.policy.batchSize.toLong * 100).toString)
           .load()
+        cfg.chain(CdcOps.dropSkipped(CdcOps.toEnvelope(raw)))
+      case "debezium-text" =>
+        var reader = spark.readStream
+          .schema(StructType(Seq(StructField("value", StringType))))
+        cfg.policy.sourceOptions.foreach { case (k, v) =>
+          reader = reader.option(k, v)
+        }
+        val wire = reader.text(cfg.sourceDir)
+        val env = graft.sources.DebeziumEnvelope.toGraftEnvelope(
+          graft.sources.DebeziumEnvelope.parse(wire, cfg.debeziumPayload))
+          // align with the replay envelope column contract: an
+          // event-time ts for watermarks/windows; source fields the
+          // wire doesn't carry surface as typed nulls
+          .withColumn("ts", timestamp_millis(col("ts_ms")))
+          .withColumn("event_id", lit(null).cast(LongType))
+          .withColumn("user_id", lit(null).cast(LongType))
+          .withColumn("value", lit(null).cast(DoubleType))
+        cfg.chain(CdcOps.dropSkipped(env))
       case _ =>
         var reader = spark.readStream.schema(eventsSchema)
         cfg.policy.sourceOptions.foreach { case (k, v) =>
           reader = reader.option(k, v)
         }
-        reader.parquet(cfg.sourceDir)
+        val raw = reader.parquet(cfg.sourceDir)
+        cfg.chain(CdcOps.dropSkipped(CdcOps.toEnvelope(raw)))
     }
-    cfg.chain(CdcOps.dropSkipped(CdcOps.toEnvelope(raw)))
   }
 
   /** Start the full pipeline. At-least-once end to end: Spark commits

@@ -57,6 +57,47 @@ class CdcPipelineSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("debezium-text source: wire JSON drains through the full pipeline") {
+    import spark.implicits._
+    val src = tmpDir("dbz-src")
+    def sblock(g: Int) =
+      s""""source":{"connector":"mysql","name":"s1","db":"shop","table":"t","gtid":"uuid:$g"}"""
+    val wire = (0 until 100).map { i =>
+      i % 5 match {
+        case 0 => s"""{"before":null,"after":null,${sblock(i)},"op":"t","ts_ms":${1700000000000L + i}}"""
+        case 1 => s"""{"before":{"k":${i - 1}},"after":null,${sblock(i)},"op":"d","ts_ms":${1700000000000L + i}}"""
+        case _ => s"""{"before":null,"after":{"k":$i},${sblock(i)},"op":"c","ts_ms":${1700000000000L + i}}"""
+      }
+    }
+    wire.toDF("value").coalesce(1).write.mode("overwrite").text(src)
+
+    val sinkDir = tmpDir("dbz-sink")
+    val q = CdcPipeline.start(spark, CdcPipeline.Config(
+      sourceDir = src,
+      sourceFormat = "debezium-text",
+      sinkConf = Map("dir" -> sinkDir),
+      checkpointDir = tmpDir("dbz-ckpt"),
+      availableNow = true))
+    q.awaitTermination()
+
+    val lines = readSinkLines(sinkDir)
+    assert(lines.size == 80) // 20 op="t" noise rows dropped
+    assert(lines.forall(_.contains(""""source":"stream_cdc"""")))
+    assert(lines.count(_.contains(""""event_type":"Delete"""")) == 20)
+    assert(lines.count(_.contains(""""event_type":"Insert"""")) == 60)
+    // gtid provenance rides through to the sink id
+    assert(lines.forall(_.contains(""""id":"uuid:""")))
+    // watermarked streaming dedup composes with the debezium source
+    val dedup = CdcPipeline.dedupStream(spark, CdcPipeline.Config(
+      sourceDir = src, sourceFormat = "debezium-text",
+      checkpointDir = tmpDir("dbz-ck2")))
+    val q2 = dedup.writeStream.format("memory").queryName("dbz_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("dbz-ck3")).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("dbz_dedup").count() == 80)
+  }
+
   test("resume from checkpoint is at-least-once with no loss") {
     val src = stageSource()
     val sinkDir = tmpDir("graft-sink2")
