@@ -110,8 +110,12 @@ object VectorExpressions {
 
   /** Random-hyperplane sign bucket: one '1'/'0' char per plane. Weights
     * are the fixed integer formula w(p,i)=((i*31+p*17) mod 7)-3 over the
-    * 1-based index, zero weights skipped (exactly as the oracle SQL). */
-  case class LshBucket(child: Expression, planes: Int)
+    * 1-based index, zero weights skipped (exactly as the oracle SQL).
+    * `planeOffset` shifts the plane index — table t of a multi-table
+    * LSH uses offset t*planes, giving every table an independent
+    * deterministic plane set from the same formula. */
+  case class LshBucket(child: Expression, planes: Int,
+      planeOffset: Int = 0)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[ArrayType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = StringType
@@ -126,7 +130,7 @@ object VectorExpressions {
         var s = 0.0
         var i = 0
         while (i < n) {
-          val w = ((i + 1) * 31 + p * 17) % 7 - 3
+          val w = ((i + 1) * 31 + (p + planeOffset) * 17) % 7 - 3
           if (w != 0) s += x.getFloat(i).toDouble * w.toDouble
           i += 1
         }
@@ -151,7 +155,7 @@ object VectorExpressions {
         for (int $p = 0; $p < $planes; $p++) {
           double $s = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            int $w = (($i + 1) * 31 + $p * 17) % 7 - 3;
+            int $w = (($i + 1) * 31 + ($p + $planeOffset) * 17) % 7 - 3;
             if ($w != 0) $s += ((double) $a.getFloat($i)) * ((double) $w);
           }
           $bits[$p] = ($s > 0) ? '1' : '0';
@@ -296,6 +300,10 @@ object VectorExpressions {
 
   def vec_lsh_bucket(a: Column, planes: Int): Column =
     ColumnBridge.column(LshBucket(ColumnBridge.expression(a), planes))
+
+  def vec_lsh_bucket_offset(a: Column, planes: Int, offset: Int): Column =
+    ColumnBridge.column(
+      LshBucket(ColumnBridge.expression(a), planes, offset))
 
   def text_rolling_hash(a: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(a)))

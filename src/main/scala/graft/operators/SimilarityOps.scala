@@ -86,6 +86,46 @@ object SimilarityOps {
         col("rnk"), col("cos"))
   }
 
+  /** Multi-table LSH top-k: `tables` independent hyperplane sets, each
+    * an equi-join on its own bucket key; candidates are the UNION of
+    * per-table collisions (AND within a table, OR across tables — the
+    * classical LSH amplification). Recall grows with tables at
+    * linearly growing candidate cost; each table reuses plane indices
+    * offset by `t*planes` so all tables share one deterministic weight
+    * formula. Plan shape: one bucket-exploded corpus (tables ≤ 8 rows
+    * per vector), one co-partitioned equi-join on (table, bucket) —
+    * still never a cross product. */
+  def lshTopKMulti(embs: DataFrame, dim: Int = 64, planes: Int = 6,
+      tables: Int = 4, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val buckets = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        vec_lsh_bucket_offset(col("embedding"), planes, t * planes)
+          .as("bucket"))
+    }: _*)
+    val exploded = embs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding"), dim).as("e_norm"),
+      explode(buckets).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("e_norm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val queries = exploded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("e_norm").as("q_norm"), col("tbl"), col("bucket"))
+    val cands = exploded.join(broadcast(queries), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("q_emb"),
+        col("q_norm"), col("embedding"), col("e_norm"))
+      .dropDuplicates("query_id", "vec_id") // OR across tables
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cands
+      .withColumn("cos", dot(col("q_emb"), col("embedding"), dim) /
+        (col("q_norm") * col("e_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("cos"))
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is assigned to
     * coarse cells (nearest of `nCentroids` fixed centroid vectors —
     * deterministic: the first vectors of the corpus serve as centroids,

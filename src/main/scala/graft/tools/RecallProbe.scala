@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+import graft.sources.Tables
+
+/** ANN quality probe: recall@5 of each approximate path against the
+  * brute-force ground truth, per query set. Recall is THE quality axis
+  * approximate search trades for speed — this prints where each path
+  * sits so threshold/plane/probe choices are data, not guesses.
+  *
+  * Usage: sbt "runMain graft.tools.RecallProbe [sfDir]"
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val embs = Tables.load(spark, sfDir, "embeddings")
+
+    def neighborSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+    def recall(approx: Map[Long, Set[Long]],
+        truth: Map[Long, Set[Long]]): Double = {
+      val per = truth.toSeq.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      per.sum / per.size
+    }
+
+    // ground truth for both query ranges (k=5)
+    val truthLo = neighborSets(
+      SimilarityOps.bruteForceTopK(embs, nQueries = 8, k = 5))
+    val truthHi = neighborSets(
+      SimilarityOps.bruteForceTopK(embs, nQueries = 12, k = 5)
+        .filter(col("query_id") >= 8))
+
+    val lsh = neighborSets(SimilarityOps.lshTopK(embs, k = 5))
+    val lshM4 = neighborSets(SimilarityOps.lshTopKMulti(embs, tables = 4))
+    val lshM8 = neighborSets(SimilarityOps.lshTopKMulti(embs, tables = 8))
+    val lshM8p4 = neighborSets(
+      SimilarityOps.lshTopKMulti(embs, planes = 4, tables = 8))
+    val ivf1 = neighborSets(SimilarityOps.ivfTopK(embs))
+    val ivf2 = neighborSets(SimilarityOps.ivfTopKProbed(embs, nProbe = 2))
+    val ivf3 = neighborSets(SimilarityOps.ivfTopKProbed(embs, nProbe = 3))
+
+    println(f"RECALL lsh_6planes     ${recall(lsh, truthLo)}%.2f  (queries 0-7)")
+    println(f"RECALL lsh_4tables     ${recall(lshM4, truthLo)}%.2f")
+    println(f"RECALL lsh_8tables     ${recall(lshM8, truthLo)}%.2f")
+    println(f"RECALL lsh_8t_4planes  ${recall(lshM8p4, truthLo)}%.2f")
+    println(f"RECALL ivf_probe1      ${recall(ivf1, truthHi)}%.2f  (queries 8-11)")
+    println(f"RECALL ivf_probe2      ${recall(ivf2, truthHi)}%.2f")
+    println(f"RECALL ivf_probe3      ${recall(ivf3, truthHi)}%.2f")
+    spark.stop()
+  }
+}
