@@ -351,6 +351,81 @@ object CdcQueries {
           ELSE 'Skip' END = 'Update'
       ORDER BY event_id"""))
 
+  // -------------------------------------------------------------- cdc12
+  // SCD2 validity intervals: each change row gets [valid_from,
+  // valid_to) from its own ts and the NEXT change of the same key
+  // (lead), with the newest row open-ended — the standard "type 2
+  // slowly changing dimension" view every CDC consumer builds. One
+  // shuffle on the key, one window pass.
+  private val cdc12 = GraftQuery(
+    "cdc12_scd2_intervals",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, dir)
+        .withColumn("op", CdcOps.classifyOp($"event_type"))
+        .filter($"op" =!= "Skip")
+        .select($"user_id", $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k"),
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(lead($"ts", 1).over(w), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_to"),
+          (lead($"ts", 1).over(w).isNull).as("is_current"))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      WITH ch AS (
+        SELECT user_id, event_id, ts,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE CASE event_type
+            WHEN 'signup' THEN 'Insert'
+            WHEN 'purchase' THEN 'Insert'
+            WHEN 'click' THEN 'Update'
+            WHEN 'error' THEN 'Delete'
+            ELSE 'Skip' END <> 'Skip')
+      SELECT user_id, event_id, k,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        strftime(LEAD(ts, 1) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to,
+        LEAD(ts, 1) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) IS NULL AS is_current
+      FROM ch
+      ORDER BY user_id, event_id"""))
+
+  // -------------------------------------------------------------- cdc13
+  // Sliding-window aggregation (2h window, 1h slide): each event lands
+  // in len/slide windows via Spark's native window() Expand — the
+  // overlapping-window twin of cdc05. Oracle enumerates each event's
+  // two member windows with unnest(range).
+  private val cdc13 = GraftQuery(
+    "cdc13_sliding_window",
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec12($"value")).cast("double").as("total_value"))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss")
+            .as("w_start"),
+          $"event_type", $"n", $"total_value")
+        .orderBy($"w_start", $"event_type")
+    },
+    Some(s"""
+      WITH ex AS (
+        SELECT to_timestamp(
+                 (epoch_ms(ts) // 1000 // 3600 - k) * 3600) AS w_start,
+               event_type, value
+        FROM events, (SELECT unnest(range(0, 2)) AS k) ks)
+      SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS $D12)) AS DOUBLE) AS total_value
+      FROM ex
+      GROUP BY 1, 2
+      ORDER BY w_start, event_type"""))
+
   val all: Seq[GraftQuery] =
-    Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11)
+    Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
+      cdc12, cdc13)
 }
