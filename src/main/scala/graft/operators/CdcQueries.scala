@@ -425,7 +425,57 @@ object CdcQueries {
       GROUP BY 1, 2
       ORDER BY w_start, event_type"""))
 
+  // -------------------------------------------------------------- cdc14
+  // Native session_window (24h gap): Spark's built-in gap-window
+  // operator — the engine-level twin of cdc06's manual lag+sum
+  // sessionize. window.start = first event, window.end = LAST event +
+  // gap (the session's expiry time); the oracle replays the gap logic
+  // and computes the same boundaries, proving the built-in agrees with
+  // first principles.
+  private val cdc14 = GraftQuery(
+    "cdc14_session_window",
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(session_window($"ts", "24 hours"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec12($"value")).cast("double").as("session_value"))
+        .select($"user_id",
+          date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format($"session_window.end", "yyyy-MM-dd HH:mm:ss")
+            .as("session_expiry"),
+          $"n_events", $"session_value")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some(s"""
+      WITH lagged AS (
+        SELECT user_id, event_id, ts, value,
+               LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_ms
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN prev_ms IS NULL
+                         OR epoch_ms(ts) - prev_ms >= 86400000
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM lagged),
+      sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+        FROM flagged)
+      SELECT user_id,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(MAX(ts) + INTERVAL 24 HOUR,
+                      '%Y-%m-%d %H:%M:%S') AS session_expiry,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS $D12)) AS DOUBLE) AS session_value
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""))
+
   val all: Seq[GraftQuery] =
     Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
-      cdc12, cdc13)
+      cdc12, cdc13, cdc14)
 }
