@@ -445,7 +445,36 @@ object ExtendedQueries {
         SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
       ) x GROUP BY k ORDER BY k"""))
 
+  // -------------------------------------------------------------- q36
+  // Ranking-function family: rank (gapped), dense_rank, percent_rank
+  // and cume_dist — the tie-aware ranks q08's row_number doesn't cover.
+  // percent_rank/cume_dist are exact integer ratios in double, so the
+  // oracle matches bit-for-bit.
+  private val q36 = GraftQuery(
+    "q36_window_ranks",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderstatus").orderBy($"o_totalprice".desc)
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus",
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CAST(RANK() OVER w AS BIGINT) AS rnk,
+        CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        PERCENT_RANK() OVER w AS prnk,
+        CUME_DIST() OVER w AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
+      ORDER BY o_orderkey"""))
+
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
-      q33, q34, q35)
+      q33, q34, q35, q36)
 }

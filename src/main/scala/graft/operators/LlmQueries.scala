@@ -727,7 +727,47 @@ object LlmQueries {
       GROUP BY rhash
       ORDER BY rhash"""))
 
+  // -------------------------------------------------------------- mm03
+  // Frame-sampling + resize planning: evenly spaced frame indices and
+  // aspect-preserving integer resize over the (stub-decoded) media
+  // dimensions — fully declarative (no UDF), oracle replays the
+  // arithmetic incl. the sampled-index list.
+  private val mm03 = GraftQuery(
+    "mm03_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      MultimodalOps.sampleAndResizePlan(
+        MultimodalOps.toMediaColumns(t(s, dir, "documents")))
+        .select($"doc_id", $"n_frames", $"frame_step",
+          array_join($"sampled_frames", ",").as("frames_csv"),
+          $"src_w", $"src_h", $"out_w", $"out_h")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents),
+      d AS (
+        SELECT doc_id, n,
+          n % 640 AS w, (n * 7) % 480 AS h,
+          n // 1000 + 1 AS n_frames
+        FROM m),
+      s AS (
+        SELECT *, GREATEST(1, (n_frames + 7) // 8) AS step,
+          GREATEST(GREATEST(w, h), 1) AS longest
+        FROM d)
+      SELECT doc_id, n_frames, step AS frame_step,
+        array_to_string(list_transform(
+          range(0, CAST((n_frames - 1) // step + 1 AS BIGINT)),
+          i -> i * step), ',') AS frames_csv,
+        w AS src_w, h AS src_h,
+        w * 224 // longest AS out_w,
+        h * 224 // longest AS out_h
+      FROM s
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08, doc09,
-      doc10, emb01, emb02, emb03, emb04, emb05, emb06, mm01, mm02)
+      doc10, emb01, emb02, emb03, emb04, emb05, emb06, mm01, mm02, mm03)
 }

@@ -45,6 +45,38 @@ object MultimodalOps {
     (first, n % 640, (n * 7) % 480, sum)
   }
 
+  /** Declarative frame-sampling + resize planning over the media
+    * metadata — the video/image preprocessing half that is pure
+    * arithmetic on the (stub) decoded dimensions, so it stays inside
+    * whole-stage codegen with no UDF. The stub frame count derives
+    * from payload size (a real decoder would read the container
+    * header); sampling picks ≤ `maxFrames` evenly spaced frame
+    * indices; resize fits the stub WxH into a square `target` box
+    * preserving aspect (integer arithmetic, no float drift).
+    */
+  def sampleAndResizePlan(media: DataFrame, maxFrames: Int = 8,
+      target: Int = 224): DataFrame =
+    // all arithmetic in `div` (integer division) — Spark's `/` on
+    // longs is DOUBLE division, which both breaks sequence() typing
+    // and would put float drift into an exactly-replayable plan
+    media
+      .select(col("doc_id"), col("media_meta.n_bytes").as("n"))
+      .withColumn("w", expr("n % 640"))
+      .withColumn("h", expr("(n * 7) % 480"))
+      .withColumn("n_frames", expr("n div 1000 + 1"))
+      .withColumn("frame_step",
+        expr(s"greatest(1L, (n_frames + ${maxFrames - 1}) div $maxFrames)"))
+      .withColumn("longest", expr("greatest(w, h, 1L)"))
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        col("frame_step"),
+        expr("transform(sequence(0L, (n_frames - 1) div frame_step)," +
+          " i -> i * frame_step)").as("sampled_frames"),
+        col("w").as("src_w"), col("h").as("src_h"),
+        expr(s"w * $target div longest").as("out_w"),
+        expr(s"h * $target div longest").as("out_h"))
+
   /** Batch feature extraction: partition-iterator in/out, mirroring a
     * vectorized decode UDF's batch shape. */
   def extractFeatures(spark: SparkSession, media: DataFrame)
