@@ -46,10 +46,17 @@ object CorpusPipelineDemo {
     val exactDeduped = quality.join(survivors, Seq("doc_id"), "left_semi")
     val nExact = exactDeduped.count()
 
-    // 3. near-dup removal: drop the higher doc_id of each verified pair
-    val nearDupLosers = DedupOps.verifiedNearDups(exactDeduped)
+    // 3. near-dup removal, two complementary units: word-bigram MinHash
+    // then char-trigram MinHash (with the stop-shingle df filter) —
+    // drop the higher doc_id of each verified pair
+    val bigramLosers = DedupOps.verifiedNearDups(exactDeduped)
       .select($"doc_b".as("doc_id")).distinct()
-    val curated = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val afterBigram = exactDeduped.join(bigramLosers, Seq("doc_id"), "left_anti")
+    val trigramLosers = DedupOps.verifiedNearDupsFrom(
+      DedupOps.docCharTrigrams(afterBigram), minJ = 0.35, maxDocFrac = 0.2)
+      .select($"doc_b".as("doc_id")).distinct()
+    val curated = afterBigram.join(trigramLosers, Seq("doc_id"), "left_anti")
+    val nBigram = afterBigram.count()
     val nCurated = curated.count()
 
     // 4. token budget report
@@ -58,18 +65,24 @@ object CorpusPipelineDemo {
       avg(TextFunctions.qualityScore($"text")).as("mean_quality"))
       .collect()(0)
 
-    // 5. write the corpus partitioned by language
+    // 5. deterministic split + write partitioned by (lang, split)
+    val hx = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+    val split = when(conv(hx, 16, 10).cast("long") < 204, "train")
+      .when(conv(hx, 16, 10).cast("long") < 230, "val").otherwise("test")
     val out = Files.createTempDirectory("graft-corpus").toString
-    Formats.write(curated.select($"doc_id", $"lang", $"text", $"quality"),
-      "parquet", out, partitionBy = Seq("lang"))
+    Formats.write(
+      curated.select($"doc_id", $"lang", $"text", $"quality")
+        .withColumn("split", split),
+      "parquet", out, partitionBy = Seq("lang", "split"))
 
-    println(s"[corpus] input docs:        $total")
-    println(s"[corpus] after quality:     $nQuality")
-    println(s"[corpus] after exact dedup: $nExact")
-    println(s"[corpus] after near dedup:  $nCurated")
-    println(s"[corpus] total tokens:      ${budget.getAs[Long]("total_tokens")}")
-    println(f"[corpus] mean quality:      ${budget.getAs[Double]("mean_quality")}%.3f")
-    println(s"[corpus] corpus written to: $out (partitioned by lang)")
+    println(s"[corpus] input docs:           $total")
+    println(s"[corpus] after quality:        $nQuality")
+    println(s"[corpus] after exact dedup:    $nExact")
+    println(s"[corpus] after bigram dedup:   $nBigram")
+    println(s"[corpus] after trigram dedup:  $nCurated")
+    println(s"[corpus] total tokens:         ${budget.getAs[Long]("total_tokens")}")
+    println(f"[corpus] mean quality:         ${budget.getAs[Double]("mean_quality")}%.3f")
+    println(s"[corpus] corpus written to:    $out (partitioned by lang, split)")
     spark.stop()
   }
 }

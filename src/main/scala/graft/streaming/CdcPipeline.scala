@@ -163,6 +163,18 @@ object CdcPipeline {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming session windows: gap-based per-user sessions with
+    * watermark-bounded state — the streaming twin of cdc14 (and of the
+    * batch sessionize cdc06). A session closes (emits, evicts) once
+    * the watermark passes its gap-extended end; state per live session
+    * is O(1). */
+  def sessionCounts(spark: SparkSession, cfg: Config,
+      gap: String = "24 hours", watermark: String = "2 hours"): DataFrame =
+    envelopeStream(spark, cfg)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+
   /** File-sink variant: same envelope pipeline into a transactional
     * parquet sink. Unlike the queue path (at-least-once, matching the
     * reference), Spark's file sink commits atomically with the offset

@@ -99,6 +99,34 @@ class WatermarkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows match the batch session_window result") {
+    import spark.implicits._
+    val src = tmpDir("sess-src")
+    graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val cfg = CdcPipeline.Config(sourceDir = src,
+      checkpointDir = tmpDir("sess-ck"), sinkConf = Map.empty)
+    val q = CdcPipeline.sessionCounts(spark, cfg)
+      .select($"session_window.start".as("s"), $"user_id", $"n_events")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("sess-ck2")).start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode only emits sessions the final watermark closed; every
+    // emitted session must agree with the batch operator exactly
+    val batch = spark.read.parquet(src)
+      .filter(graft.operators.CdcOps.classifyOp(col("event_type")) =!= "Skip")
+      .groupBy(session_window($"ts", "24 hours"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"session_window.start".as("s"), $"user_id",
+        $"n_events".as("n_batch"))
+    val emitted = spark.table("sess_out")
+    assert(emitted.count() > 0)
+    val joined = emitted.join(batch, Seq("s", "user_id"))
+    assert(joined.count() == emitted.count(), "streaming session not in batch")
+    assert(joined.filter($"n_events" =!= $"n_batch").count() == 0)
+  }
+
   test("transformWithState (Spark 4 API) matches the batch aggregation") {
     import spark.implicits._
     val src = tmpDir("tws-src")
