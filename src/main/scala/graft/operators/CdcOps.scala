@@ -61,6 +61,30 @@ object CdcOps {
     * the reference's `json.dumps(default=str)` round-trip. */
   def serialize(cols: Column*): Column = to_json(struct(cols: _*))
 
+  /** Sequence-gap audit over a dense id (lost-event detection — the
+    * CDC consumer's "did I miss a binlog position" check). The
+    * SCALABLE formulation: bucket the id space (`id div bucketSize`),
+    * aggregate (count, min, max) per bucket — one partial-aggregated
+    * shuffle — and report buckets whose span exceeds their count
+    * (internal gaps) plus the gap to the previous bucket's max
+    * (boundary gaps, a bucket-level lag over the TINY aggregate).
+    * A naive global-sort + lag is a single-partition window — the
+    * anti-pattern this avoids; here the full-data pass is embarrassingly
+    * parallel and only bucket-level rows are ever windowed.
+    */
+  def sequenceGaps(df: DataFrame, idCol: String,
+      bucketSize: Long = 100L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+    df.select((col(idCol) / bucketSize).cast("long").as("bucket"),
+      col(idCol).as("id"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .withColumn("missing_inside", col("mx") - col("mn") + 1 - col("n"))
+      .withColumn("gap_before",
+        col("mn") - lag(col("mx"), 1).over(w) - 1)
+      .filter(col("missing_inside") > 0 || col("gap_before") > 0)
+  }
+
   /** Typed before/after projection over Update envelopes (SURVEY §1.4
     * two-tier contract; reference `tests/unit/datasources/test_mysql.py:
     * 354-359`). The write side serializes Update content as

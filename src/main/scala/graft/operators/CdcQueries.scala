@@ -475,7 +475,37 @@ object CdcQueries {
       GROUP BY user_id, session_id
       ORDER BY user_id, session_start"""))
 
+  // -------------------------------------------------------------- cdc15
+  // Sequence-gap audit (lost-event detection) over the purchase
+  // subset's event_ids — deliberately sparse so every bucket reports.
+  // See CdcOps.sequenceGaps for the scalable bucket-aggregate shape
+  // (no global-sort window over row-level data).
+  private val cdc15 = GraftQuery(
+    "cdc15_gap_detect",
+    (s, dir) => {
+      import s.implicits._
+      CdcOps.sequenceGaps(
+        events(s, dir).filter($"event_type" === "purchase"), "event_id")
+        .orderBy($"bucket")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id FROM events WHERE event_type = 'purchase'),
+      agg AS (
+        SELECT event_id // 100 AS bucket, COUNT(*) AS n,
+               MIN(event_id) AS mn, MAX(event_id) AS mx
+        FROM p GROUP BY 1),
+      g AS (
+        SELECT bucket, n, mn, mx,
+               mx - mn + 1 - n AS missing_inside,
+               mn - LAG(mx, 1) OVER (ORDER BY bucket) - 1 AS gap_before
+        FROM agg)
+      SELECT bucket, n, mn, mx, missing_inside, gap_before
+      FROM g
+      WHERE missing_inside > 0 OR gap_before > 0
+      ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] =
     Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
-      cdc12, cdc13, cdc14)
+      cdc12, cdc13, cdc14, cdc15)
 }
