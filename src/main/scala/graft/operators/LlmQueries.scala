@@ -727,6 +727,76 @@ object LlmQueries {
       GROUP BY rhash
       ORDER BY rhash"""))
 
+  // -------------------------------------------------------------- emb07
+  // Scalar int8 quantization of embeddings (min-max per vector) — the
+  // storage-compression step before ANN serving (4× smaller than
+  // float32). floor() keeps every op IEEE-exact (round() ties differ
+  // across engines); the oracle replays per-element arithmetic and the
+  // quantized checksum.
+  private val emb07 = GraftQuery(
+    "emb07_int8_quantize",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"vec_id",
+          array_min($"embedding").cast("double").as("mn"),
+          array_max($"embedding").cast("double").as("mx"))
+        .join(t(s, dir, "embeddings"), Seq("vec_id"))
+        .select($"vec_id", $"mn", $"mx",
+          aggregate(
+            transform($"embedding", v =>
+              floor((v.cast("double") - $"mn") / ($"mx" - $"mn") * 255)
+                .cast("long")),
+            lit(0L), (acc, x) => acc + x).as("qsum"))
+        .orderBy($"vec_id")
+    },
+    Some("""
+      WITH mm AS (
+        SELECT vec_id,
+          CAST(list_min(embedding) AS DOUBLE) AS mn,
+          CAST(list_max(embedding) AS DOUBLE) AS mx
+        FROM embeddings),
+      ex AS (
+        SELECT e.vec_id, mm.mn, mm.mx,
+          CAST(unnest(e.embedding) AS DOUBLE) AS v
+        FROM embeddings e JOIN mm ON e.vec_id = mm.vec_id)
+      SELECT vec_id, mn, mx,
+        CAST(SUM(CAST(FLOOR((v - mn) / (mx - mn) * 255) AS BIGINT))
+             AS BIGINT) AS qsum
+      FROM ex
+      GROUP BY vec_id, mn, mx
+      ORDER BY vec_id"""))
+
+  // -------------------------------------------------------------- doc11
+  // Text normalization: the canonicalization pass every dedup/tokenize
+  // stage sits behind — lowercase, strip non-alphanumerics to spaces,
+  // collapse runs, trim. Emitting the normalized fingerprint shows the
+  // usual effect: normalization merges formatting variants.
+  private val doc11 = GraftQuery(
+    "doc11_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", " "),
+        " +", " "))
+      t(s, dir, "documents")
+        .select($"doc_id", norm.as("norm_text"),
+          length(norm).as("n_norm_chars"),
+          md5(norm.cast("binary")).as("norm_fp"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+          AS n_norm_chars,
+        md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp
+      FROM documents
+      ORDER BY doc_id"""))
+
   // -------------------------------------------------------------- mm03
   // Frame-sampling + resize planning: evenly spaced frame indices and
   // aspect-preserving integer resize over the (stub-decoded) media
@@ -769,5 +839,6 @@ object LlmQueries {
 
   val all: Seq[GraftQuery] =
     Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08, doc09,
-      doc10, emb01, emb02, emb03, emb04, emb05, emb06, mm01, mm02, mm03)
+      doc10, doc11, emb01, emb02, emb03, emb04, emb05, emb06, emb07,
+      mm01, mm02, mm03)
 }
