@@ -38,6 +38,21 @@ object LakehouseSink {
     w.bucketBy(buckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
   }
 
+  /** Repartition so output files land near `targetMB` each, using
+    * Catalyst's own size estimate for the plan (columnar stats /
+    * scan sizes — no extra pass over the data). The chronic lakehouse
+    * failure modes this guards: thousands of KB-sized files from
+    * over-parallel writers (NameNode/listing pressure, read-amp), or
+    * single multi-GB files that serialize downstream scans. Estimates
+    * are coarse (pre-compression logical size), so this targets the
+    * right ORDER of file count, which is what matters. */
+  def repartitionForTarget(df: DataFrame, targetMB: Int = 256): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (bytes / (targetMB.toLong * 1024 * 1024)).toLong
+      .max(1L).min(100000L).toInt
+    df.repartition(parts)
+  }
+
   /** Rewrite the table with the same layout, minimal files. */
   def compact(spark: SparkSession, table: String, bucketCol: String,
       buckets: Int, partitionCols: Seq[String] = Nil): Unit = {

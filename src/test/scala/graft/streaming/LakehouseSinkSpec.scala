@@ -74,6 +74,17 @@ class LakehouseSinkSpec extends SparkSpec {
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("repartitionForTarget sizes partitions from plan stats") {
+    val orders = Tables.load(spark, sf("sf0.001"), "orders")
+    // tiny target -> many partitions; huge target -> one
+    val small = LakehouseSink.repartitionForTarget(orders, targetMB = 1)
+    val big = LakehouseSink.repartitionForTarget(orders, targetMB = 10000)
+    assert(big.rdd.getNumPartitions == 1)
+    assert(small.rdd.getNumPartitions >= 1 &&
+      small.rdd.getNumPartitions < 1000)
+    assert(small.count() == orders.count())
+  }
+
   test("compaction rewrites to minimal files, layout and data preserved") {
     val before = spark.table("lh_events").count()
     val filesBefore = spark.table("lh_events").inputFiles.length
