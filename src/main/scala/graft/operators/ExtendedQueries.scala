@@ -474,7 +474,95 @@ object ExtendedQueries {
       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
       ORDER BY o_orderkey"""))
 
+  // -------------------------------------------------------------- q37
+  // Statistical aggregates (variance, stddev, covariance, Pearson
+  // correlation) computed the DETERMINISTIC way: exact DECIMAL
+  // sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² — associative and
+  // order-independent) then ONE closed-form double expression per
+  // statistic. Spark's native corr/stddev accumulate doubles in
+  // partition order, so their low bits vary run to run and can never
+  // hash-match an oracle; this formulation is bit-stable on both
+  // engines and map-side partial-aggregates like any sum.
+  private val q37 = GraftQuery(
+    "q37_stats_aggs",
+    (s, dir) => {
+      import s.implicits._
+      // inputs have ≤2 decimals → ×100 is an EXACT integer; all
+      // sufficient statistics are then scale-0 (pure integers), whose
+      // double conversion is a SINGLE correct rounding on both engines
+      // (a DECIMAL(p, s>0) → double cast double-rounds through the
+      // 10^s division in DuckDB and mismatched q37 by 1 ulp)
+      // round() before the long cast: v*100 sits ±1 ulp off the exact
+      // integer, and Spark's double→long cast TRUNCATES while DuckDB's
+      // CAST rounds — rounding first makes both engines land on the
+      // same exact integer
+      val x = round($"l_quantity" * 100).cast("long")
+      val y = round($"l_extendedprice" * 100).cast("long")
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+          // long sums are exact here: Σy² ≈ 7.4e18 at sf0.1 < 2^63.
+          // Beyond ~1e9 rows the y² sum needs DECIMAL(38,0) — but note
+          // Spark's decimal MULTIPLY rounds (allowPrecisionLoss), so
+          // the exact form is sum(cast(y*y as decimal)), multiplying
+          // in long first
+          sum(y * y).as("syy"))
+        .select($"l_returnflag", $"n", $"n".cast("double").as("nd"),
+          $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
+          $"sxy".cast("double").as("sxyd"),
+          $"sxx".cast("double").as("sxxd"),
+          $"syy".cast("double").as("syyd"))
+        // closed forms in pure IEEE double over the ×100-scaled units,
+        // de-scaled at the end (10^4 is exactly representable); corr is
+        // scale-free
+        .select($"l_returnflag", $"n",
+          (($"sxxd" - $"sxd" * $"sxd" / $"nd") / ($"nd" - 1.0) / 1.0e4)
+            .as("var_qty"),
+          sqrt(($"sxxd" - $"sxd" * $"sxd" / $"nd") / ($"nd" - 1.0) / 1.0e4)
+            .as("stddev_qty"),
+          (($"sxyd" - $"sxd" * $"syd" / $"nd") / ($"nd" - 1.0) / 1.0e4)
+            .as("covar_qty_price"),
+          ((($"sxyd" - $"sxd" * $"syd" / $"nd") / ($"nd" - 1.0)) /
+            (sqrt(($"sxxd" - $"sxd" * $"sxd" / $"nd") / ($"nd" - 1.0)) *
+              sqrt(($"syyd" - $"syd" * $"syd" / $"nd") / ($"nd" - 1.0))))
+            .as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH i AS (
+        SELECT l_returnflag,
+          CAST(l_quantity * 100 AS BIGINT) AS x,
+          CAST(l_extendedprice * 100 AS BIGINT) AS y
+        FROM lineitem),
+      s AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(x * x) AS BIGINT) AS sxx,
+          SUM(y * y) AS syy
+        FROM i GROUP BY l_returnflag),
+      d AS (
+        SELECT l_returnflag, n,
+          CAST(n AS DOUBLE) AS nd,
+          CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+          CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+          CAST(syy AS DOUBLE) AS syyd
+        FROM s)
+      SELECT l_returnflag, n,
+        (sxxd - sxd * sxd / nd) / (nd - 1.0) / 1e4 AS var_qty,
+        SQRT((sxxd - sxd * sxd / nd) / (nd - 1.0) / 1e4) AS stddev_qty,
+        (sxyd - sxd * syd / nd) / (nd - 1.0) / 1e4 AS covar_qty_price,
+        ((sxyd - sxd * syd / nd) / (nd - 1.0))
+          / (SQRT((sxxd - sxd * sxd / nd) / (nd - 1.0))
+             * SQRT((syyd - syd * syd / nd) / (nd - 1.0)))
+          AS corr_qty_price
+      FROM d
+      ORDER BY l_returnflag"""))
+
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
-      q33, q34, q35, q36)
+      q33, q34, q35, q36, q37)
 }
