@@ -83,6 +83,8 @@ object CorpusPipelineDemo {
     println(s"[corpus] total tokens:         ${budget.getAs[Long]("total_tokens")}")
     println(f"[corpus] mean quality:         ${budget.getAs[Double]("mean_quality")}%.3f")
     println(s"[corpus] corpus written to:    $out (partitioned by lang, split)")
+    // all dedup plans have materialized — release their shingle caches
+    DedupOps.unpersistShingleCaches()
     spark.stop()
   }
 }

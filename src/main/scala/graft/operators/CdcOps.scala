@@ -63,26 +63,52 @@ object CdcOps {
 
   /** Sequence-gap audit over a dense id (lost-event detection — the
     * CDC consumer's "did I miss a binlog position" check). The
-    * SCALABLE formulation: bucket the id space (`id div bucketSize`),
-    * aggregate (count, min, max) per bucket — one partial-aggregated
-    * shuffle — and report buckets whose span exceeds their count
-    * (internal gaps) plus the gap to the previous bucket's max
-    * (boundary gaps, a bucket-level lag over the TINY aggregate).
-    * A naive global-sort + lag is a single-partition window — the
-    * anti-pattern this avoids; here the full-data pass is embarrassingly
-    * parallel and only bucket-level rows are ever windowed.
+    * SCALABLE formulation, fully partitioned at every level:
+    *
+    *  1. bucket the id space with integer `div` (exact at any id
+    *     magnitude — a double division loses precision above 2^53 and
+    *     rounds toward zero for negatives) and aggregate (count, min,
+    *     max) per bucket — one partial-aggregated shuffle over the
+    *     row-level data;
+    *  2. group buckets into superbuckets of `superSize` buckets;
+    *     within-superbucket boundary gaps come from a lag window
+    *     PARTITIONED by superbucket (≤ superSize bucket-rows per task);
+    *  3. the carry across superbucket boundaries (max id of all earlier
+    *     superbuckets — i.e. the previous non-empty bucket's max, since
+    *     bucket maxima are monotone in bucket id) comes from a
+    *     broadcast theta-join over the superbucket aggregate, whose
+    *     cardinality is idRange / (bucketSize·superSize) — e.g. ~95
+    *     rows for 1e13 ids at the defaults.
+    *
+    * No operator anywhere in the plan funnels more than `superSize`
+    * rows through one task; a naive global-sort + lag (or even a
+    * bucket-level global window) would — PlanQualitySpec asserts no
+    * registered plan contains a partition-less window.
     */
   def sequenceGaps(df: DataFrame, idCol: String,
-      bucketSize: Long = 100L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
-    df.select((col(idCol) / bucketSize).cast("long").as("bucket"),
-      col(idCol).as("id"))
+      bucketSize: Long = 100L, superSize: Long = 1L << 20): DataFrame = {
+    val agg = df
+      .select(expr(s"`$idCol` div $bucketSize").as("bucket"),
+        col(idCol).as("id"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .withColumn("sb", expr(s"bucket div $superSize"))
+    val sbAgg = agg.groupBy("sb").agg(max("mx").as("sb_mx"))
+    // prev_sb_mx(sb) = max id of ALL earlier superbuckets; tiny side,
+    // broadcast non-equi join (work ∝ S², S = superbucket count)
+    val carry = sbAgg.toDF("sb", "sb_mx")
+      .join(broadcast(sbAgg.toDF("sb_b", "sb_mx_b")),
+        col("sb") > col("sb_b"), "left")
+      .groupBy("sb").agg(max("sb_mx_b").as("prev_sb_mx"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("sb").orderBy("bucket")
+    agg.join(broadcast(carry), Seq("sb"), "left")
       .withColumn("missing_inside", col("mx") - col("mn") + 1 - col("n"))
       .withColumn("gap_before",
-        col("mn") - lag(col("mx"), 1).over(w) - 1)
+        col("mn") -
+          coalesce(lag(col("mx"), 1).over(wIn), col("prev_sb_mx")) - 1)
       .filter(col("missing_inside") > 0 || col("gap_before") > 0)
+      .select("bucket", "n", "mn", "mx", "missing_inside", "gap_before")
   }
 
   /** Typed before/after projection over Update envelopes (SURVEY §1.4

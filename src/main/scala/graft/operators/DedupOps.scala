@@ -38,6 +38,29 @@ object DedupOps {
     case object Md5Vocab extends HashScheme
   }
 
+  /** Frames persisted by [[verifiedNearDupsFrom]] for intra-plan reuse.
+    * The cache must OUTLIVE the call (the returned DataFrame is lazy;
+    * the persist pays off when the caller's single action hits the
+    * shingle subtree three times), so lifecycle is a caller-visible
+    * drain: run the action, then [[unpersistShingleCaches]]. Bench,
+    * ScaleProbe and the demos do exactly that — without it, repeated
+    * calls in one session accumulate 3-5× input in cache until LRU
+    * churn. */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every shingle cache registered since the last drain;
+    * returns how many were released. Safe to call any time — caches
+    * re-materialize transparently if a held DataFrame is re-executed. */
+  def unpersistShingleCaches(blocking: Boolean = false): Int = {
+    var n = 0
+    var df = liveCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking); n += 1; df = liveCaches.poll()
+    }
+    n
+  }
+
   /** Exact dedup groups: one row per distinct content fingerprint with
     * the surviving (minimum) id and the duplicate count. */
   def exactDupGroups(docs: DataFrame): DataFrame =
@@ -155,8 +178,12 @@ object DedupOps {
     // compressed parquet beats churning a 3-5×-input cache.
     def maybePersist(df: DataFrame): DataFrame =
       if (sys.env.get("GRAFT_DEDUP_NOCACHE").contains("true")) df
-      else df.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else {
+        val p = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        liveCaches.add(p)
+        p
+      }
     val exploded = maybePersist(shinglesRaw)
     val shingles =
       if (maxDocFrac >= 1.0) exploded

@@ -503,13 +503,17 @@ object ExtendedQueries {
         .agg(
           count(lit(1)).as("n"),
           sum(x).as("sx"), sum(y).as("sy"),
-          sum(x * y).as("sxy"), sum(x * x).as("sxx"),
-          // long sums are exact here: Σy² ≈ 7.4e18 at sf0.1 < 2^63.
-          // Beyond ~1e9 rows the y² sum needs DECIMAL(38,0) — but note
-          // Spark's decimal MULTIPLY rounds (allowPrecisionLoss), so
-          // the exact form is sum(cast(y*y as decimal)), multiplying
-          // in long first
-          sum(y * y).as("syy"))
+          // per-row products fit a long exactly (xy ≤ 5e10, y² ≤ 1e14)
+          // but their SUMS cross 2^63 near 1e9 rows, where Spark's
+          // non-ANSI long sum would wrap silently while DuckDB promotes
+          // to HUGEINT. Multiply in long (exact), ACCUMULATE in
+          // DECIMAL(38,0) — the cast is on the product, not the
+          // multiply, because Spark's decimal multiply rounds under
+          // allowPrecisionLoss. Exact to 1e38; same doubles after the
+          // final cast on both engines.
+          sum((x * y).cast(DecimalType(38, 0))).as("sxy"),
+          sum((x * x).cast(DecimalType(38, 0))).as("sxx"),
+          sum((y * y).cast(DecimalType(38, 0))).as("syy"))
         .select($"l_returnflag", $"n", $"n".cast("double").as("nd"),
           $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
           $"sxy".cast("double").as("sxyd"),

@@ -53,14 +53,34 @@ object LakehouseSink {
     df.repartition(parts)
   }
 
-  /** Rewrite the table with the same layout, minimal files. */
+  /** Rewrite the table with the same layout, minimal files.
+    *
+    * The swap is a staged rename chain — table→_old, tmp→table,
+    * drop _old — so the data is recoverable at EVERY step: a crash
+    * leaves the rows under `table`, `_old`, or `_compacting`, never
+    * lost between a DROP and a RENAME. If the forward rename fails the
+    * original name is restored in the catch; leftovers from a previous
+    * crashed run are cleared up front so compact is re-runnable.
+    * (The name is still unresolvable for the instant between the two
+    * renames — single-writer assumed, like any non-transactional
+    * lakehouse table service.)
+    */
   def compact(spark: SparkSession, table: String, bucketCol: String,
       buckets: Int, partitionCols: Seq[String] = Nil): Unit = {
     val tmp = s"${table}_compacting"
+    val old = s"${table}_old"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
     writeBucketed(spark.table(table), tmp, bucketCol, buckets,
       partitionCols)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    try spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    catch {
+      case e: Throwable =>
+        spark.sql(s"ALTER TABLE $old RENAME TO $table")
+        throw e
+    }
+    spark.sql(s"DROP TABLE $old")
   }
 
   /** Streaming ingestion into the bucketed table via foreachBatch.

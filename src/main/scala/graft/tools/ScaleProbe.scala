@@ -43,7 +43,11 @@ object ScaleProbe {
     def time(f: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = f.count()
-      ((System.nanoTime() - t0) / 1e9, rows)
+      val t = (System.nanoTime() - t0) / 1e9
+      // drain per-call shingle caches so repeated probes measure a
+      // cold plan and the session never accumulates cached blocks
+      DedupOps.unpersistShingleCaches(blocking = true)
+      (t, rows)
     }
 
     def probe(name: String)(f1: => DataFrame, f4: => DataFrame): Unit = {

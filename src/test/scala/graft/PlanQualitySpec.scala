@@ -35,10 +35,12 @@ class PlanQualitySpec extends SparkSpec {
     // query set against the corpus scan (the exact-baseline ANN path);
     // emb04's IVF assignment broadcasts the 8-row centroid set;
     // doc09 broadcasts the 1-row corpus count for the IDF weight;
-    // doc10 broadcasts the 1-row doc count for the stop-shingle filter.
+    // doc10 broadcasts the 1-row doc count for the stop-shingle filter;
+    // cdc15's superbucket carry theta-joins the idRange/(bucket·super)-
+    // row superbucket aggregate against itself (broadcast, tiny).
     val allowed = Set("q20_scalar_subquery", "emb01_cosine_topk",
       "emb04_ivf_topk", "emb05_ivf_multiprobe", "doc09_top_terms",
-      "doc10_chartrigram_neardup")
+      "doc10_chartrigram_neardup", "cdc15_gap_detect")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
@@ -82,6 +84,25 @@ class PlanQualitySpec extends SparkSpec {
     val phys = df.queryExecution.executedPlan.toString
     assert(phys.contains("partial_approx_percentile") ||
       phys.contains("ObjectHashAggregate"), phys)
+  }
+
+  test("every window is partitioned (no single-task global windows)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    SparkEntry.registry.foreach { q =>
+      // the trailing .orderBy (oracle determinism) is a global SORT,
+      // which AQE/TakeOrdered handle; what must never appear is a
+      // partition-less WINDOW — every row of its input funnels through
+      // ONE task regardless of cluster size
+      q.run(spark, sf("sf0.001")).queryExecution.optimizedPlan.foreach {
+        case w: logical.Window =>
+          assert(w.partitionSpec.nonEmpty,
+            s"${q.name}: Window with empty partitionBy")
+        case w: logical.WindowGroupLimit =>
+          assert(w.partitionSpec.nonEmpty,
+            s"${q.name}: WindowGroupLimit with empty partitionBy")
+        case _ => ()
+      }
+    }
   }
 
   test("bucketed co-located join needs no exchange") {

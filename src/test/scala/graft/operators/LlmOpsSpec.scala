@@ -192,4 +192,18 @@ class LlmOpsSpec extends SparkSpec {
       one.height == h && one.checksum == sum)
     assert(one.n_bytes == text.getBytes("UTF-8").length)
   }
+
+  test("shingle caches drain: no residual cached blocks after release") {
+    import spark.implicits._
+    DedupOps.unpersistShingleCaches(blocking = true) // start clean
+    val twins = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),
+      (3L, "p q r m n o k j")).toDF("doc_id", "text")
+    (1 to 3).foreach { _ =>
+      DedupOps.verifiedNearDups(twins).count()
+      val released = DedupOps.unpersistShingleCaches(blocking = true)
+      assert(released >= 1, "persist was not registered for release")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"residual cached RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
 }

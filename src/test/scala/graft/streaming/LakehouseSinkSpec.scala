@@ -97,4 +97,25 @@ class LakehouseSinkSpec extends SparkSpec {
       .agg(count(lit(1)))
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("compact swap is staged: recoverable leftovers, no stale tables") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").bucketBy(2, "k").sortBy("k")
+      .saveAsTable("lh_swap")
+    // simulate a previous crashed compaction leaving both stages behind
+    Seq((9L, "stale")).toDF("k", "v")
+      .write.bucketBy(2, "k").sortBy("k").saveAsTable("lh_swap_compacting")
+    Seq((8L, "stale")).toDF("k", "v")
+      .write.bucketBy(2, "k").sortBy("k").saveAsTable("lh_swap_old")
+    LakehouseSink.compact(spark, "lh_swap", "k", 2)
+    // data intact under the original name, stale stages cleared
+    assert(spark.table("lh_swap").as[(Long, String)].collect().sorted
+      .toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!spark.catalog.tableExists("lh_swap_compacting"))
+    assert(!spark.catalog.tableExists("lh_swap_old"))
+    // and the swap is re-runnable immediately (idempotent staging)
+    LakehouseSink.compact(spark, "lh_swap", "k", 2)
+    assert(spark.table("lh_swap").count() == 3)
+  }
 }
