@@ -475,6 +475,53 @@ object CdcQueries {
       GROUP BY user_id, session_id
       ORDER BY user_id, session_start"""))
 
+  // -------------------------------------------------------------- cdc16
+  // CDC apply/merge: materialize the change stream into a
+  // continuously-maintained latest-state table (CdcMerge). The query
+  // replays the envelope stream as THREE micro-batches plus a
+  // REDELIVERED batch (the at-least-once case), merges each into the
+  // hash-partitioned state table, and reads the converged state back —
+  // which must equal the one-shot SQL latest-state answer with deleted
+  // keys absent. Tombstones make the redelivery a no-op; see
+  // CdcMerge's scaladoc for the partition-overwrite merge shape.
+  private val cdc16 = GraftQuery(
+    "cdc16_merge_apply",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc16_state"
+      graft.streaming.CdcMerge.dropStateTable(s, table)
+      graft.streaming.CdcMerge.dropStateTable(s, s"${table}_stage")
+      val env = CdcOps.dropSkipped(CdcOps.toEnvelope(events(s, dir)))
+      def part(i: Int) = env.filter(pmod($"event_id", lit(3)) === i)
+      Seq(part(0), part(1), part(2), part(1)).foreach { b =>
+        graft.streaming.CdcMerge.applyBatch(
+          s, table, b, "user_id", Seq("ts", "event_id"), nBuckets = 8)
+      }
+      graft.streaming.CdcMerge.readState(s, table)
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"event_type".as("last_op"),
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH env AS (
+        SELECT user_id, event_id, ts,
+          CASE event_type
+            WHEN 'signup' THEN 'Insert'
+            WHEN 'purchase' THEN 'Insert'
+            WHEN 'click' THEN 'Update'
+            WHEN 'error' THEN 'Delete'
+            ELSE 'Skip' END AS op
+        FROM events),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM env WHERE op <> 'Skip')
+      SELECT user_id, event_id AS last_event_id, op AS last_op,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen
+      FROM r WHERE rn = 1 AND op <> 'Delete'
+      ORDER BY user_id"""))
+
   // -------------------------------------------------------------- cdc15
   // Sequence-gap audit (lost-event detection) over the purchase
   // subset's event_ids — deliberately sparse so every bucket reports.
@@ -507,5 +554,5 @@ object CdcQueries {
 
   val all: Seq[GraftQuery] =
     Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
-      cdc12, cdc13, cdc14, cdc15)
+      cdc12, cdc13, cdc14, cdc15, cdc16)
 }

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** CDC apply/merge: materialize a stream of Insert/Update/Delete
+  * envelopes into a continuously-maintained latest-state table — the
+  * operator every CDC consumer runs downstream of the forwarder. The
+  * reference's flush-then-checkpoint contract
+  * (`stream_cdc/processing/coordinator.py:281-303`) exists precisely so
+  * a consumer can converge on table state from an at-least-once
+  * envelope stream; this is that consumer, Spark-native and without a
+  * transactional table format underneath.
+  *
+  * Design for 100 TB:
+  *
+  *  - The state table is hash-partitioned into `nBuckets` DIRECTORY
+  *    partitions on `_kb = pmod(xxhash64(key), nBuckets)`. A merge
+  *    touches only the partitions its batch keys hash into, read with
+  *    partition pruning and rewritten with dynamic partition overwrite
+  *    — work scales with touched data, not table size. Size `nBuckets`
+  *    so one bucket ≈ a few GB at the target scale (e.g. 16k buckets
+  *    for a 50 TB state table); skewed/temporal key batches then prune
+  *    hard.
+  *  - Merge = union(current rows of touched partitions, batch upserts)
+  *    → one row_number window PARTITIONED BY key, survivor = max
+  *    (versionCols) — one shuffle of touched data, no global ordering
+  *    anywhere.
+  *  - Deletes persist as TOMBSTONES (the envelope row with op
+  *    `Delete`), filtered by [[readState]]. Physically removing the row
+  *    would let a redelivered older batch resurrect the key; with the
+  *    tombstone in place the version comparison always sees the delete.
+  *    That makes [[applyBatch]] IDEMPOTENT — re-applying any batch (the
+  *    at-least-once replay case) changes nothing, because max(version)
+  *    is associative, commutative and idempotent.
+  *  - The merged result is staged to a side table first, then swapped
+  *    in via dynamic partition overwrite: Spark (correctly) refuses to
+  *    overwrite a table it is reading, and the stage write doubles as
+  *    the failure barrier — a crash mid-merge leaves the state table
+  *    untouched, and the replayed batch redoes the merge.
+  */
+object CdcMerge {
+
+  /** Drop a state table AND its warehouse location. The catalog is
+    * per-session but managed-table directories persist across sessions;
+    * a fresh session's `DROP TABLE IF EXISTS` alone is a no-op that
+    * leaves the stale location to fail the next `saveAsTable` with
+    * LOCATION_ALREADY_EXISTS. */
+  def dropStateTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Read the current state (tombstones filtered). `opCol` rows equal
+    * to `deleteOp` are deleted keys retained for replay safety. */
+  def readState(spark: SparkSession, table: String,
+      opCol: String = "event_type", deleteOp: String = "Delete"): DataFrame =
+    spark.table(table).filter(col(opCol) =!= deleteOp).drop("_kb")
+
+  /** Merge one batch of change envelopes into the state table.
+    *
+    * @param keyCol      primary-key column of the envelope
+    * @param versionCols change-order columns, compared DESC in order
+    *                    (e.g. ts, event_id); the max wins
+    * @param nBuckets    hash-partition count of the state table (fixed
+    *                    for the table's lifetime)
+    */
+  def applyBatch(spark: SparkSession, table: String, batch: DataFrame,
+      keyCol: String, versionCols: Seq[String], nBuckets: Int): Unit = {
+    val byVersion = Window.partitionBy(col(keyCol))
+      .orderBy(versionCols.map(col(_).desc): _*)
+    // pre-dedup the batch (cheap: batch-sized) so the state union
+    // carries one row per key, then bucket it
+    val upserts = batch
+      .withColumn("_rn", row_number().over(byVersion))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("_kb", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
+
+    if (batch.isEmpty) return
+
+    if (!spark.catalog.tableExists(table)) {
+      upserts.write.mode("overwrite").format("parquet")
+        .partitionBy("_kb").saveAsTable(table)
+      return
+    }
+
+    // touched partition ids: driver-side, but bounded by nBuckets (a
+    // metadata-sized list, like any dynamic partition pruning)
+    val touched = upserts.select("_kb").distinct()
+      .collect().map(_.getLong(0))
+    val current = spark.table(table)
+      .filter(col("_kb").isin(touched: _*))
+    val cols = spark.table(table).columns
+    val merged = current.unionByName(upserts.select(cols.map(col): _*))
+      .withColumn("_rn", row_number().over(byVersion))
+      .filter(col("_rn") === 1).drop("_rn")
+      .select(cols.map(col): _*)
+
+    // stage, then dynamic-partition-overwrite only the touched buckets
+    val stage = s"${table}_stage"
+    if (!spark.catalog.tableExists(stage)) dropStateTable(spark, stage)
+    merged.write.mode("overwrite").format("parquet").saveAsTable(stage)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.table(stage).select(cols.map(col): _*)
+      .write.mode("overwrite").insertInto(table)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+  }
+
+  /** Continuous apply: foreachBatch merge of a streaming envelope
+    * DataFrame. At-least-once upstream (a crash between merge and
+    * offset commit replays the batch) + idempotent merge = effectively
+    * exactly-once table state — the convergence the reference's
+    * sink-then-checkpoint ordering promises its consumers. */
+  def startMergeStream(df: DataFrame, table: String, keyCol: String,
+      versionCols: Seq[String], nBuckets: Int, checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val writer = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch.sparkSession, table, batch, keyCol, versionCols,
+          nBuckets)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** CDC apply/merge: convergence to latest state, tombstone semantics
+  * under redelivery, partition-overwrite locality, streaming apply. */
+class CdcMergeSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def env(rows: (Long, String, String, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq
+      .map { case (k, t, op, id) => (k, ts(t), op, id, s"payload-$id") }
+      .toDF("k", "ts", "event_type", "event_id", "content")
+  }
+
+  private def apply1(table: String, b: DataFrame): Unit =
+    CdcMerge.applyBatch(spark, table, b, "k", Seq("ts", "event_id"), 4)
+
+  private def state(table: String): Map[Long, Long] =
+    CdcMerge.readState(spark, table)
+      .select("k", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("batches converge to latest state; deletes disappear from reads") {
+    val t = "merge_basic"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val b1 = env(
+      (1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (2L, "2026-01-01 00:00:02", "Insert", 2L))
+    val b2 = env(
+      (1L, "2026-01-01 00:00:03", "Update", 3L),
+      (2L, "2026-01-01 00:00:04", "Delete", 4L),
+      (3L, "2026-01-01 00:00:05", "Insert", 5L))
+    apply1(t, b1); apply1(t, b2)
+    assert(state(t) == Map(1L -> 3L, 3L -> 5L))
+    // the delete survives as a tombstone in the raw table
+    val raw = spark.table(t).filter(col("k") === 2L).collect()
+    assert(raw.length == 1 &&
+      raw(0).getAs[String]("event_type") == "Delete")
+  }
+
+  test("redelivered older batch is a no-op: no resurrection, same rows") {
+    val t = "merge_replay"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val b1 = env(
+      (1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (2L, "2026-01-01 00:00:02", "Insert", 2L))
+    val b2 = env(
+      (2L, "2026-01-01 00:00:04", "Delete", 4L))
+    apply1(t, b1); apply1(t, b2)
+    val before = spark.table(t).orderBy("k").collect().toSeq
+    // at-least-once: b1 (which INSERTED the now-deleted key 2) replays
+    // — the tombstone's higher version must keep winning
+    apply1(t, b1)
+    assert(spark.table(t).orderBy("k").collect().toSeq == before)
+    assert(state(t) == Map(1L -> 1L))
+    // and replaying the delete batch is equally a no-op
+    apply1(t, b2)
+    assert(spark.table(t).orderBy("k").collect().toSeq == before)
+  }
+
+  test("merge rewrites only the partitions its batch keys hash into") {
+    import spark.implicits._
+    val t = "merge_prune"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // pick two keys in DIFFERENT buckets of 4
+    val buckets = (1L to 20L).map { k =>
+      k -> spark.range(1).select(
+        pmod(xxhash64(lit(k)), lit(4))).collect()(0).getLong(0)
+    }
+    val (kA, bA) = buckets.head
+    val (kB, bB) = buckets.find(_._2 != bA).get
+    apply1(t, env(
+      (kA, "2026-01-01 00:00:01", "Insert", 1L),
+      (kB, "2026-01-01 00:00:02", "Insert", 2L)))
+    def filesIn(b: Long) =
+      spark.table(t).inputFiles.filter(_.contains(s"_kb=$b")).toSet
+    val untouchedBefore = filesIn(bB)
+    assert(untouchedBefore.nonEmpty)
+    // second batch touches only kA's bucket
+    apply1(t, env((kA, "2026-01-01 00:00:03", "Update", 3L)))
+    assert(filesIn(bA) != Set.empty)
+    assert(filesIn(bB) == untouchedBefore,
+      "untouched partition was rewritten by the merge")
+    assert(state(t) == Map(kA -> 3L, kB -> 2L))
+  }
+
+  test("streaming apply converges like the batch path") {
+    import spark.implicits._
+    val t = "merge_stream"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val src = tmpDir("merge-src")
+    // three files -> three micro-batches (maxFilesPerTrigger=1); the
+    // LAST event per key decides, whatever batch it lands in
+    env((1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (2L, "2026-01-01 00:00:02", "Insert", 2L))
+      .write.parquet(s"$src/f1")
+    env((1L, "2026-01-01 00:00:03", "Update", 3L),
+      (3L, "2026-01-01 00:00:04", "Insert", 4L))
+      .write.parquet(s"$src/f2")
+    env((3L, "2026-01-01 00:00:05", "Delete", 5L))
+      .write.parquet(s"$src/f3")
+    val schema = env((0L, "2026-01-01 00:00:00", "Insert", 0L)).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val q = CdcMerge.startMergeStream(stream, t, "k",
+      Seq("ts", "event_id"), 4, tmpDir("merge-ck"))
+    try q.awaitTermination() finally q.stop()
+    assert(state(t) == Map(1L -> 3L, 2L -> 2L))
+  }
+}
