@@ -522,6 +522,51 @@ object CdcQueries {
       FROM r WHERE rn = 1 AND op <> 'Delete'
       ORDER BY user_id"""))
 
+  // -------------------------------------------------------------- cdc17
+  // Schema-drift report (SchemaDrift.driftReport): upstream DDL shows
+  // up as new/missing content keys, never as a broken pipeline. The
+  // query PLANTS drift deterministically — click events get a new
+  // `ts_ms` key (and lose `k`), high-value events grow a `surge` key —
+  // then reports every key's observation count classified against the
+  // declared view {k, user_agent} (user_agent is declared-but-absent →
+  // `missing`). Oracle restates both the planting and the report.
+  private val cdc17 = GraftQuery(
+    "cdc17_drift_report",
+    (s, dir) => {
+      import s.implicits._
+      val planted = events(s, dir).withColumn("content",
+        when($"event_type" === "click",
+          concat(lit("{\"ts_ms\":"), $"event_id".cast("string"), lit("}")))
+          .when($"value" >= 100,
+            concat(lit("{\"k\":"), get_json_object($"props", "$.k"),
+              lit(",\"surge\":true}")))
+          .otherwise($"props"))
+      SchemaDrift.driftReport(planted, "content", Seq("k", "user_agent"))
+        .orderBy($"key")
+    },
+    Some("""
+      WITH planted AS (
+        SELECT CASE
+          WHEN event_type = 'click'
+            THEN '{"ts_ms":' || CAST(event_id AS VARCHAR) || '}'
+          WHEN value >= 100
+            THEN '{"k":' || json_extract_string(props, '$.k')
+                 || ',"surge":true}'
+          ELSE props END AS content
+        FROM events),
+      observed AS (
+        SELECT unnest(json_keys(content)) AS key FROM planted),
+      counts AS (
+        SELECT key, COUNT(*) AS n_events FROM observed GROUP BY key),
+      declared AS (SELECT unnest(['k', 'user_agent']) AS key)
+      SELECT COALESCE(c.key, d.key) AS key,
+             CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events,
+             CASE WHEN d.key IS NULL THEN 'new'
+                  WHEN c.key IS NULL THEN 'missing'
+                  ELSE 'declared' END AS status
+      FROM counts c FULL OUTER JOIN declared d ON c.key = d.key
+      ORDER BY key"""))
+
   // -------------------------------------------------------------- cdc15
   // Sequence-gap audit (lost-event detection) over the purchase
   // subset's event_ids — deliberately sparse so every bucket reports.
@@ -554,5 +599,5 @@ object CdcQueries {
 
   val all: Seq[GraftQuery] =
     Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
-      cdc12, cdc13, cdc14, cdc15, cdc16)
+      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17)
 }

@@ -91,6 +91,26 @@ object LakehouseSink {
     * batches idempotently — the same claim the queue sink makes, and
     * the honest one without a transactional table format underneath.
     */
+  /** Exactly-once consumer view over the at-least-once append table:
+    * one row per natural key, survivor = the FIRST delivery (lowest
+    * `_batch_id`, then arbitrary-but-deterministic within a replayed
+    * batch — replayed rows are byte-identical, so any survivor is the
+    * same row). A crash between table append and offset commit replays
+    * the whole batch (`startBucketedStream`'s documented contract, the
+    * reference's own at-least-once semantics at
+    * `stream_cdc/processing/coordinator.py:291-298`); this is the
+    * idempotent-read half that turns it into effectively-exactly-once.
+    * One row_number window partitioned by key — a single keyed shuffle,
+    * no global ordering. */
+  def dedupReplayedBatches(df: DataFrame, keyCols: Seq[String],
+      batchIdCol: String = "_batch_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(batchIdCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   def startBucketedStream(df: DataFrame, table: String, bucketCol: String,
       buckets: Int, partitionCols: Seq[String], checkpointDir: String,
       availableNow: Boolean = true): StreamingQuery = {

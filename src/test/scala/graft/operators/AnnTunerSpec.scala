@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** ANN auto-tuning: target-recall selection on the embeddings corpus
+  * and on a skewed synthetic one; ladder-order cost monotonicity. */
+class AnnTunerSpec extends SparkSpec {
+
+  private lazy val embs: DataFrame =
+    Tables.load(spark, sf("sf0.001"), "embeddings")
+
+  /** Deterministic synthetic corpus with heavy cluster skew: ids
+    * 0..nClustered-1 are tiny per-id perturbations of ONE base pattern
+    * (near-dup pile — every query's true neighbors live in it); ids
+    * nClustered.. are spread pseudo-random vectors. No RNG: integer
+    * formulas only. */
+  private def skewed(nClustered: Int, nSpread: Int,
+      dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until (nClustered + nSpread)).map { id =>
+      val emb = (0 until dim).map { i =>
+        if (id < nClustered)
+          (if (i % 3 == 0) 1.0f else 0.2f) + ((id * 7 + i) % 5) * 0.01f
+        else
+          (((id * 31 + i * 17) % 13) - 6) * 0.3f
+      }.toArray
+      (id.toLong, emb)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("tuneLsh meets the target on the embeddings corpus") {
+    val tuned = AnnTuner.tuneLsh(embs, targetRecall = 0.3)
+    assert(tuned.recall >= 0.3,
+      s"best rung only reached ${tuned.recall}")
+    // the audit path reproduces the tuner's measurement
+    val audited = AnnTuner.measuredLshRecall(embs, tuned.planes,
+      tuned.tables)
+    assert(math.abs(audited - tuned.recall) < 1e-9)
+  }
+
+  test("harder targets never pick a cheaper rung (ladder monotone)") {
+    val easy = AnnTuner.tuneLsh(embs, targetRecall = 0.05)
+    val hard = AnnTuner.tuneLsh(embs, targetRecall = 0.45)
+    assert(easy.ladderRung <= hard.ladderRung)
+    assert(hard.recall >= easy.recall - 1e-9)
+  }
+
+  test("tuneLsh hits a high target on the skewed clustered corpus") {
+    // every true neighbor is a near-identical cluster member → LSH
+    // buckets them together at any rung; the tuner should meet a high
+    // target on an early (cheap) rung
+    val tuned = AnnTuner.tuneLsh(skewed(40, 160), targetRecall = 0.9,
+      dim = 16, nQueries = 4)
+    assert(tuned.recall >= 0.9)
+    assert(tuned.ladderRung == 0, "paid for amplification it didn't need")
+  }
+
+  test("tuneIvf walks nProbe upward and meets the target") {
+    val probe1 = AnnTuner.tuneIvf(embs, targetRecall = 0.0)
+    assert(probe1.nProbe == 1, "target 0 must not pay for extra probes")
+    val tuned = AnnTuner.tuneIvf(embs, targetRecall = 0.5)
+    assert(tuned.recall >= 0.5 || tuned.nProbe == 4,
+      s"stopped early below target: $tuned")
+    assert(tuned.recall >= probe1.recall - 1e-9)
+  }
+}

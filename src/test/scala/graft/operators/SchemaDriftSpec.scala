@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Schema drift: report classification, quarantine split, widened
+  * typed view with old readers unaffected. */
+class SchemaDriftSpec extends SparkSpec {
+
+  private lazy val rows = {
+    import spark.implicits._
+    Seq(
+      (1L, """{"k":1}"""),
+      (2L, """{"k":2,"surge":true}"""),
+      (3L, """{"ts_ms":333}"""),
+      (4L, """{"k":4}""")).toDF("id", "content")
+  }
+
+  test("driftReport classifies declared, new and missing keys") {
+    val got = SchemaDrift
+      .driftReport(rows, "content", Seq("k", "user_agent"))
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("k", 3L, "declared"),
+      ("surge", 1L, "new"),
+      ("ts_ms", 1L, "new"),
+      ("user_agent", 0L, "missing")))
+  }
+
+  test("quarantine splits drifted rows; clean rows keep their schema") {
+    val (clean, bad) = SchemaDrift.quarantine(rows, "content", Seq("k"))
+    assert(clean.select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 4L))
+    assert(clean.columns.toSeq == rows.columns.toSeq)
+    val badKeys = bad.select(explode(col("undeclared_keys")))
+      .collect().map(_.getString(0)).sorted
+    assert(badKeys.toSeq == Seq("surge", "ts_ms"))
+  }
+
+  test("widenedView grows new keys as strings; old readers keep working") {
+    val declared = StructType(Seq(StructField("k", IntegerType)))
+    val (view, newKeys) = SchemaDrift.widenedView(rows, "content", declared)
+    assert(newKeys == Seq("surge", "ts_ms"))
+    // declared field keeps its declared type...
+    assert(view.schema("k").dataType == IntegerType)
+    // ...and an OLD reader's projection is untouched by the widening:
+    // same rows as parsing with the pre-drift schema alone
+    val oldReader = view.select("id", "k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(oldReader.sorted.toSeq ==
+      Seq((1L, 1), (2L, 2), (3L, -1), (4L, 4)))
+    // new keys parse as nullable strings only where present
+    val surge = view.select("id", "surge").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(surge.count(_._2 != null) == 1 &&
+      surge.find(_._1 == 2L).get._2 == "true")
+  }
+}

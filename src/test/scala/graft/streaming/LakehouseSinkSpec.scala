@@ -98,6 +98,32 @@ class LakehouseSinkSpec extends SparkSpec {
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("replayed batch dedups to exactly-once: zero duplicate events") {
+    // depends on "streaming append" above having built lh_events;
+    // snapshot the clean rows BEFORE the replay (spark.table is lazy)
+    val cleanRows = spark.table("lh_events").collect().toSet
+    val nClean = cleanRows.size
+    // crash-before-checkpoint replay: the batch re-appends with the
+    // SAME _batch_id and byte-identical rows
+    val replayed = spark.table("lh_events")
+      .filter(col("_batch_id") === 1L).collect()
+    assert(replayed.nonEmpty)
+    val replayDf = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(replayed: _*)),
+      spark.table("lh_events").schema)
+    LakehouseSink.writeBucketed(replayDf, "lh_events", "user_id", 4,
+      mode = "append")
+    val dirty = spark.table("lh_events")
+    assert(dirty.count() > nClean, "replay simulation appended nothing")
+    val deduped = LakehouseSink.dedupReplayedBatches(
+      dirty, Seq("event_id"))
+    // zero duplicate keys survive
+    assert(deduped.groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // and the surviving rows are exactly the pre-replay table
+    assert(deduped.collect().toSet == cleanRows)
+  }
+
   test("compact swap is staged: recoverable leftovers, no stale tables") {
     import spark.implicits._
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
