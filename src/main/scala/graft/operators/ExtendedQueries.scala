@@ -196,15 +196,18 @@ object ExtendedQueries {
   // -------------------------------------------------------------- q28
   // Percentiles (exact, linear interpolation) per group — the
   // Exact mode of PercentileOps, kept because it matches DuckDB
-  // quantile_cont bit-for-bit. The 100 TB default is Approx (q35);
-  // see PercentileOps scaladoc + SCALE.md for the memory bound.
+  // quantile_cont bit-for-bit. Exact is GATED (allowExact) and opted
+  // into here deliberately: the oracle contract requires bit-exact
+  // interpolation and the gate's bounded-input condition holds at
+  // every test SF. The 100 TB default is Approx (q35); see
+  // PercentileOps scaladoc + SCALE.md for the memory bound.
   private val q28 = GraftQuery(
     "q28_percentiles",
     (s, dir) => {
       import s.implicits._
       PercentileOps.groupPercentiles(
         t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
-        Seq(0.5, 0.95), PercentileOps.Exact)
+        Seq(0.5, 0.95), PercentileOps.Exact, allowExact = true)
         .select($"l_returnflag", $"p50".as("median_price"),
           $"p95".as("p95_price"), $"n")
         .orderBy($"l_returnflag")

@@ -27,9 +27,22 @@ object PercentileOps {
   /** Grouped percentiles of `value` per `group`. All probs evaluate in
     * ONE aggregate via the array form — a single sketch (Approx) or a
     * single value buffer (Exact) per group, however many percentiles
-    * are requested. */
+    * are requested.
+    *
+    * Exact mode is gated behind `allowExact = true`: its per-group
+    * full-value buffer is a scale-killer on large groups (near-full-
+    * table memory on a handful of reducers at 100 TB), so reaching it
+    * must be a deliberate, visible decision at the call site — exact
+    * semantics on bounded/sampled inputs only. The ungated default for
+    * any scale is [[Approx]]. */
   def groupPercentiles(df: DataFrame, group: String, value: String,
-      probs: Seq[Double], mode: Mode = Approx()): DataFrame = {
+      probs: Seq[Double], mode: Mode = Approx(),
+      allowExact: Boolean = false): DataFrame = {
+    require(mode != Exact || allowExact,
+      "PercentileOps.Exact buffers every group value on one reducer — " +
+        "a 100 TB scale-killer. Pass allowExact=true only for bounded " +
+        "or sampled inputs where exactness is contractual; otherwise " +
+        "use PercentileOps.Approx (GK sketch, bounded memory).")
     val arr = probs.mkString("array(", ", ", ")")
     val agg = (mode match {
       case Exact => expr(s"percentile($value, $arr)")

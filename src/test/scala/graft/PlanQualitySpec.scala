@@ -86,6 +86,16 @@ class PlanQualitySpec extends SparkSpec {
       phys.contains("ObjectHashAggregate"), phys)
   }
 
+  test("exact percentile mode is gated behind allowExact") {
+    import graft.operators.PercentileOps
+    intercept[IllegalArgumentException] {
+      PercentileOps.groupPercentiles(
+        Tables.load(spark, sf("sf0.001"), "lineitem"),
+        "l_returnflag", "l_extendedprice", Seq(0.5),
+        mode = PercentileOps.Exact)
+    }
+  }
+
   test("every window is partitioned (no single-task global windows)") {
     import org.apache.spark.sql.catalyst.plans.logical
     SparkEntry.registry.foreach { q =>
