@@ -25,11 +25,11 @@ object LlmQueries {
   private val I63 = "CAST('9223372036854775808' AS HUGEINT)"
 
   // ---- shared SQL generators (oracle side of SimilarityOps) ----------
-  private def dotSql(a: String, b: String, dim: Int): String =
+  private[operators] def dotSql(a: String, b: String, dim: Int): String =
     (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
       .reduceLeft((acc, t) => s"($acc + $t)")
 
-  private def normSql(c: String, dim: Int): String =
+  private[operators] def normSql(c: String, dim: Int): String =
     "sqrt(" + (1 to dim).map(i =>
       s"(CAST($c[$i] AS DOUBLE)*CAST($c[$i] AS DOUBLE))")
       .reduceLeft((acc, t) => s"($acc + $t)") + ")"

@@ -126,16 +126,15 @@ object SimilarityOps {
         col("rnk"), col("cos"))
   }
 
-  /** IVF (inverted-file) approximate top-k: the corpus is assigned to
-    * coarse cells (nearest of `nCentroids` fixed centroid vectors —
-    * deterministic: the first vectors of the corpus serve as centroids,
-    * the one-pass stand-in for a trained codebook); a query probes only
-    * its own cell. Cell assignment is a broadcast of the tiny centroid
-    * set + one corpus scan; search is an equi-join on cell id — the
-    * same co-partitioned shape as the LSH path, with recall governed by
-    * cell granularity instead of plane count. */
-  def ivfTopK(embs: DataFrame, dim: Int = 64, nCentroids: Int = 8,
-      queryLo: Int = 8, queryHi: Int = 12, k: Int = 5): DataFrame = {
+  /** Per-vector ranked centroid-cell assignments — the k-means / IVF
+    * coarse assignment step shared by [[ivfTopK]], [[ivfTopKProbed]]
+    * and [[CurationOps.assignClusters]]: a broadcast of the tiny
+    * centroid set (the first `nCentroids` corpus vectors — the
+    * deterministic one-pass stand-in for a trained codebook) against
+    * one corpus scan; `rn` ranks candidate cells per vector by cosine.
+    * Columns: vec_id, embedding, en, cid, ccos, rn. */
+  def rankedCellAssignments(embs: DataFrame, dim: Int = 64,
+      nCentroids: Int = 8): DataFrame = {
     val cent = embs.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         norm(col("embedding"), dim).as("cn"))
@@ -143,10 +142,22 @@ object SimilarityOps {
       norm(col("embedding"), dim).as("en"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val clustered = base.crossJoin(broadcast(cent))
+    base.crossJoin(broadcast(cent))
       .withColumn("ccos", dot(col("embedding"), col("ce"), dim) /
         (col("en") * col("cn")))
       .withColumn("rn", row_number().over(wAssign))
+      .select(col("vec_id"), col("embedding"), col("en"), col("cid"),
+        col("ccos"), col("rn"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: the corpus is assigned to
+    * coarse cells ([[rankedCellAssignments]]); a query probes only its
+    * own cell. Search is an equi-join on cell id — the same
+    * co-partitioned shape as the LSH path, with recall governed by
+    * cell granularity instead of plane count. */
+  def ivfTopK(embs: DataFrame, dim: Int = 64, nCentroids: Int = 8,
+      queryLo: Int = 8, queryHi: Int = 12, k: Int = 5): DataFrame = {
+    val clustered = rankedCellAssignments(embs, dim, nCentroids)
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("en"), col("cid"))
     val queries = clustered
@@ -175,17 +186,7 @@ object SimilarityOps {
   def ivfTopKProbed(embs: DataFrame, dim: Int = 64, nCentroids: Int = 8,
       nProbe: Int = 2, queryLo: Int = 8, queryHi: Int = 12,
       k: Int = 5): DataFrame = {
-    val cent = embs.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        norm(col("embedding"), dim).as("cn"))
-    val base = embs.select(col("vec_id"), col("embedding"),
-      norm(col("embedding"), dim).as("en"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val rankedCells = base.crossJoin(broadcast(cent))
-      .withColumn("ccos", dot(col("embedding"), col("ce"), dim) /
-        (col("en") * col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
+    val rankedCells = rankedCellAssignments(embs, dim, nCentroids)
     val clustered = rankedCells.filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("en"), col("cid"))
     val queries = rankedCells

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Oracle-checked queries over the training-corpus curation surface
+  * ([[CurationOps]]): sequence packing, benchmark decontamination,
+  * corpus clustering. Oracles restate each stage independently in
+  * DuckDB SQL (shingle construction and vector math reuse the proven
+  * formulations from [[LlmQueries]]).
+  */
+object TrainingQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // -------------------------------------------------------------- doc12
+  // Sequence packing: docs → per-shard cumulative token-budget bins
+  // (budget 512, 8 shards), reported at bin granularity. Scale: the
+  // running sum is partitioned by shard (the parallelism knob); the
+  // report is one partial-aggregated groupBy.
+  private val doc12 = GraftQuery(
+    "doc12_pack_sequences",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.packSequences(t(s, dir, "documents"),
+          budget = 512, shards = 8)
+        .groupBy($"shard", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("bin_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"shard", $"bin")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(TRIM(text), ' ')) AS BIGINT)
+                 AS n_tokens,
+               doc_id % 8 AS shard
+        FROM documents),
+      c AS (
+        SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks),
+      b AS (
+        SELECT *, CAST((cum_tokens - 1) // 512 AS BIGINT) AS bin FROM c)
+      SELECT shard, bin, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM b GROUP BY shard, bin
+      ORDER BY shard, bin"""))
+
+  // -------------------------------------------------------------- doc13
+  // Benchmark decontamination: the deterministic pseudo-benchmark is
+  // every 97th doc; training docs sharing >= 3 distinct word-bigram
+  // shingles with it are flagged with their overlap count. The eval
+  // shingle vocab is benchmark-sized -> one equi-join against it, work
+  // proportional to true overlaps.
+  private val doc13 = GraftQuery(
+    "doc13_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.contamination(
+          DedupOps.docShingles(t(s, dir, "documents")),
+          isEval = col("doc_id") % 97 === 0, minOverlap = 3)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        FROM toks WHERE len(ws) >= 2),
+      ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+      SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM tr JOIN ev USING (shingle)
+      GROUP BY tr.doc_id
+      HAVING COUNT(*) >= 3
+      ORDER BY doc_id"""))
+
+  // -------------------------------------------------------------- emb08
+  // K-means assignment step: every vector to its nearest of 8 fixed
+  // centroids (broadcast scan), reported per cluster with
+  // order-independent stats (count, min/max cosine — exact doubles on
+  // both engines; no order-dependent float sums).
+  private val emb08 = GraftQuery(
+    "emb08_cluster_assign",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.assignClusters(t(s, dir, "embeddings"))
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_members"),
+          min($"ccos").as("min_cos"), max($"ccos").as("max_cos"))
+        .orderBy($"cid")
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               ${LlmQueries.normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding,
+               ${LlmQueries.normSql("embedding", 64)} AS en
+        FROM embeddings),
+      assign AS (
+        SELECT b.vec_id, c.cid,
+          (${LlmQueries.dotSql("b.embedding", "c.ce", 64)})
+            / (b.en * c.cn) AS ccos,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            (${LlmQueries.dotSql("b.embedding", "c.ce", 64)})
+              / (b.en * c.cn) DESC, c.cid) AS rn
+        FROM base b CROSS JOIN cent c)
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+             MIN(ccos) AS min_cos, MAX(ccos) AS max_cos
+      FROM assign WHERE rn = 1
+      GROUP BY cid ORDER BY cid"""))
+
+  val all: Seq[GraftQuery] = Seq(doc12, doc13, emb08)
+}

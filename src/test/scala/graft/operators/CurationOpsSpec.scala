@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Curation operators: packing bin boundaries, planted contamination,
+  * cluster self-assignment. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("packSequences: bins follow the cumulative budget per shard") {
+    import spark.implicits._
+    // shard = doc_id % 2; budget 10. shard 0: token counts 4, 5, 3 →
+    // cums 4, 9, 12 → bins 0, 0, 1. shard 1: a 12-token doc overflows
+    // the budget alone — it lands in the bin of its LAST token (1).
+    val docs = Seq(
+      (0L, "a b c d"),
+      (2L, "a b c d e"),
+      (4L, "a b c"),
+      (1L, "t t t t t t t t t t t t")).toDF("doc_id", "text")
+    val got = CurationOps.packSequences(docs, budget = 10, shards = 2)
+      .select("doc_id", "shard", "cum_tokens", "bin").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(0L) == (0L, 4L, 0L))
+    assert(got(2L) == (0L, 9L, 0L))
+    assert(got(4L) == (0L, 12L, 1L))
+    assert(got(1L) == (1L, 12L, 1L))
+  }
+
+  test("contamination flags exactly the planted overlaps") {
+    import spark.implicits._
+    // eval doc 0 = "a b c d e"; doc 1 shares 3 bigrams (a b, b c, c d)
+    // → flagged at minOverlap 3; doc 2 shares only "a b" → clean
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d x"),
+      (2L, "a b z w q")).toDF("doc_id", "text")
+    val got = CurationOps.contamination(
+      DedupOps.docShingles(docs), col("doc_id") === 0L, minOverlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 3L)))
+  }
+
+  test("assignClusters: centroid vectors assign to themselves at cos 1") {
+    val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val selfAssign = CurationOps.assignClusters(embs)
+      .filter(col("vec_id") < 8).collect()
+    assert(selfAssign.length == 8)
+    selfAssign.foreach { r =>
+      assert(r.getAs[Long]("vec_id") == r.getAs[Long]("cid"))
+      assert(math.abs(r.getAs[Double]("ccos") - 1.0) < 1e-9)
+    }
+  }
+}
