@@ -567,6 +567,66 @@ object CdcQueries {
       FROM counts c FULL OUTER JOIN declared d ON c.key = d.key
       ORDER BY key"""))
 
+  // -------------------------------------------------------------- cdc18
+  // Incremental aggregate maintenance (IncrementalAgg): a per-group
+  // (n_live, sum_value) materialized view over the merged latest-state
+  // table, updated from each batch's state TRANSITION (new − old
+  // contributions; tombstones contribute zero) — never by rescanning
+  // state. Same replay schedule as cdc16 (three batches + a
+  // redelivered one); the batch watermark + transition-derived deltas
+  // make the redelivery a no-op. The grouping column is the value
+  // bucket, so updates that move a row between buckets exercise the
+  // debit-old/credit-new path. Must equal the one-shot SQL aggregate
+  // over the final live state.
+  private val cdc18 = GraftQuery(
+    "cdc18_incremental_agg",
+    (s, dir) => {
+      import s.implicits._
+      val state = "cdc18_state"
+      val agg = "cdc18_agg"
+      Seq(state, s"${state}_stage", agg, s"${agg}_stage")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val env = CdcOps.dropSkipped(CdcOps.toEnvelope(events(s, dir)))
+        .withColumn("vbucket",
+          when($"value" >= 100, "high")
+            .when($"value" >= 10, "mid").otherwise("low"))
+      def part(i: Int) = env.filter(pmod($"event_id", lit(3)) === i)
+      // batches 0,1,2 then batch 1 REDELIVERED with its original id
+      Seq(0 -> part(0), 1 -> part(1), 2 -> part(2), 1 -> part(1))
+        .foreach { case (id, b) =>
+          graft.streaming.IncrementalAgg.applyBatch(s, state, agg, b,
+            "user_id", Seq("ts", "event_id"), nBuckets = 8,
+            groupCol = "vbucket", valueCol = "value", batchId = id)
+        }
+      graft.streaming.IncrementalAgg.readAgg(s, agg)
+        .select($"vbucket", $"n_live",
+          $"sum_value".cast("double").as("sum_value"))
+        .orderBy($"vbucket")
+    },
+    Some("""
+      WITH env AS (
+        SELECT user_id, event_id, ts, value,
+          CASE event_type
+            WHEN 'signup' THEN 'Insert'
+            WHEN 'purchase' THEN 'Insert'
+            WHEN 'click' THEN 'Update'
+            WHEN 'error' THEN 'Delete'
+            ELSE 'Skip' END AS op
+        FROM events),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM env WHERE op <> 'Skip'),
+      live AS (SELECT * FROM r WHERE rn = 1 AND op <> 'Delete')
+      SELECT CASE WHEN value >= 100 THEN 'high'
+                  WHEN value >= 10 THEN 'mid'
+                  ELSE 'low' END AS vbucket,
+             CAST(COUNT(*) AS BIGINT) AS n_live,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_value
+      FROM live
+      GROUP BY 1 ORDER BY vbucket"""))
+
   // -------------------------------------------------------------- cdc15
   // Sequence-gap audit (lost-event detection) over the purchase
   // subset's event_ids — deliberately sparse so every bucket reports.
@@ -599,5 +659,5 @@ object CdcQueries {
 
   val all: Seq[GraftQuery] =
     Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
-      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17)
+      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18)
 }

@@ -59,6 +59,26 @@ object CurationOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Deterministic mixture sampling: per-stratum inclusion rates (out
+    * of 256) keyed on a content-independent hash of the id — the
+    * training-mixture knob ("keep 25% of en, all of de, ...") with the
+    * property RAND() lacks: stable under reprocessing and
+    * repartitioning, so a resumed or re-run pipeline selects the SAME
+    * documents. Pure codegen filter, no shuffle; strata missing from
+    * `rates256` default to rate 0 (excluded). */
+  def mixtureSample(docs: DataFrame, strataCol: String,
+      rates256: Map[String, Int], idCol: String = "doc_id"): DataFrame = {
+    val bucket = conv(substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("long")
+    val rate = rates256.foldLeft(lit(0)) { case (acc, (stratum, r)) =>
+      when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucket)
+      .withColumn("rate256", rate)
+      .filter(col("bucket") < col("rate256"))
+  }
+
   /** K-means assignment step over an embedding corpus (cosine): each
     * vector's nearest centroid, via the shared
     * [[SimilarityOps.rankedCellAssignments]] broadcast-scan. The

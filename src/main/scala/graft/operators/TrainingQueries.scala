@@ -86,6 +86,39 @@ object TrainingQueries {
       HAVING COUNT(*) >= 3
       ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- doc14
+  // Training-mixture sampling: per-language inclusion rates (en 25%,
+  // fr/es 50%, zh 75%, de 100% of the 0-255 hash space), reported per
+  // language with the min/max selected bucket as an audit of the
+  // threshold. Deterministic hash gating -> the same docs are selected
+  // under any re-run or repartitioning.
+  private val doc14 = GraftQuery(
+    "doc14_mixture_sample",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.mixtureSample(t(s, dir, "documents"), "lang",
+          Map("en" -> 64, "fr" -> 128, "es" -> 128, "zh" -> 192,
+            "de" -> 256))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          min($"bucket").as("min_bucket"),
+          max($"bucket").as("max_bucket"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH h AS (
+        SELECT lang,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+               AS BIGINT) AS bucket,
+          CASE lang WHEN 'en' THEN 64 WHEN 'fr' THEN 128
+                    WHEN 'es' THEN 128 WHEN 'zh' THEN 192
+                    WHEN 'de' THEN 256 ELSE 0 END AS rate256
+        FROM documents)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket
+      FROM h WHERE bucket < rate256
+      GROUP BY lang ORDER BY lang"""))
+
   // -------------------------------------------------------------- emb08
   // K-means assignment step: every vector to its nearest of 8 fixed
   // centroids (broadcast scan), reported per cluster with
@@ -123,5 +156,5 @@ object TrainingQueries {
       FROM assign WHERE rn = 1
       GROUP BY cid ORDER BY cid"""))
 
-  val all: Seq[GraftQuery] = Seq(doc12, doc13, emb08)
+  val all: Seq[GraftQuery] = Seq(doc12, doc13, doc14, emb08)
 }

@@ -69,9 +69,20 @@ object CdcMerge {
     *                    (e.g. ts, event_id); the max wins
     * @param nBuckets    hash-partition count of the state table (fixed
     *                    for the table's lifetime)
+    * @param beforeCommit hook run after the merged result is staged but
+    *                    BEFORE the state table is overwritten, with
+    *                    (oldRows, newRows) = the touched partitions'
+    *                    rows before and after the merge. This is the
+    *                    transactional window for derived-state
+    *                    maintenance ([[IncrementalAgg]]): at hook time
+    *                    the state table still holds the OLD rows, so a
+    *                    crash anywhere leaves derived state recoverable
+    *                    by replaying the batch (see IncrementalAgg's
+    *                    batch-watermark idempotence).
     */
   def applyBatch(spark: SparkSession, table: String, batch: DataFrame,
-      keyCol: String, versionCols: Seq[String], nBuckets: Int): Unit = {
+      keyCol: String, versionCols: Seq[String], nBuckets: Int,
+      beforeCommit: (DataFrame, DataFrame) => Unit = (_, _) => ()): Unit = {
     val byVersion = Window.partitionBy(col(keyCol))
       .orderBy(versionCols.map(col(_).desc): _*)
     // pre-dedup the batch (cheap: batch-sized) so the state union
@@ -84,6 +95,7 @@ object CdcMerge {
     if (batch.isEmpty) return
 
     if (!spark.catalog.tableExists(table)) {
+      beforeCommit(upserts.limit(0), upserts)
       upserts.write.mode("overwrite").format("parquet")
         .partitionBy("_kb").saveAsTable(table)
       return
@@ -105,6 +117,9 @@ object CdcMerge {
     val stage = s"${table}_stage"
     if (!spark.catalog.tableExists(stage)) dropStateTable(spark, stage)
     merged.write.mode("overwrite").format("parquet").saveAsTable(stage)
+    // state table still holds the OLD rows here; the stage is the
+    // post-merge snapshot — the hook sees a consistent before/after
+    beforeCommit(current, spark.table(stage))
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try spark.table(stage).select(cols.map(col): _*)

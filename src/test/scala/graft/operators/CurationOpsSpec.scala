@@ -43,6 +43,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L)))
   }
 
+  test("mixtureSample: deterministic, rate-bounded, unknown strata out") {
+    import spark.implicits._
+    val docs = (0L until 200L).map { i =>
+      (i, if (i % 2 == 0) "en" else "xx")
+    }.toDF("doc_id", "lang")
+    val rates = Map("en" -> 64) // 25% of the hash space
+    val s1 = CurationOps.mixtureSample(docs, "lang", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // unknown stratum fully excluded; selection stable across runs
+    assert(s1.forall(_ % 2 == 0))
+    val s2 = CurationOps.mixtureSample(docs.repartition(7), "lang", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    // ~25% of the 100 en docs (hash-uniform, loose bounds)
+    assert(s1.size > 10 && s1.size < 45, s"selected ${s1.size}")
+  }
+
   test("assignClusters: centroid vectors assign to themselves at cos 1") {
     val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
     val selfAssign = CurationOps.assignClusters(embs)
