@@ -29,22 +29,46 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // per-query shuffle-write bytes: the scale health signal (a query
+    // whose shuffle grows out of line with input is the 100 TB
+    // regression to catch early). Listener events are async; the
+    // short settle wait after each query keeps attribution ~exact for
+    // a single-threaded bench loop.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+
     // noop sink executes the FULL physical plan (projections, sorts);
     // a count() would let Catalyst prune everything but the scan.
     val results = SparkEntry.registry.map { q =>
+      val s0 = shuffleBytes.get
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      val sec = (System.nanoTime() - t0) / 1e9
       // dedup queries persist their shingle explosion for intra-plan
       // reuse; release it so caches never accumulate across queries
       graft.operators.DedupOps.unpersistShingleCaches()
-      q.name -> (System.nanoTime() - t0) / 1e9
+      Thread.sleep(50) // let straggler task-end events land
+      (q.name, sec, (shuffleBytes.get - s0) / 1e6)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, mb) =>
+      "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(mb))
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_mb":$sh,"sf":"$sfDir"}"""
     println(line)
     // Self-contained artifact: the stdout tail the driver captures has
     // truncated the (single, long) JSON line three rounds running, so

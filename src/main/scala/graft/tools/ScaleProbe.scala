@@ -74,6 +74,34 @@ object ScaleProbe {
     probe("exact_dedup") (
       DedupOps.exactDupGroups(docs1),
       DedupOps.exactDupGroups(docs4))
+
+    // CDC merge throughput: apply the events stream as 4 batches into
+    // the partitioned state table; report events/s and that a second
+    // pass (pure redelivery) costs no more than the first (idempotent
+    // merge, work ∝ touched partitions).
+    {
+      import graft.operators.CdcOps
+      import graft.streaming.CdcMerge
+      val st = "scaleprobe_merge_state"
+      Seq(st, s"${st}_stage").foreach(CdcMerge.dropStateTable(spark, _))
+      val env = CdcOps.dropSkipped(
+        CdcOps.toEnvelope(Tables.load(spark, sfDir, "events")))
+      val nEvents = env.count()
+      def applyAll(): Double = {
+        val t0 = System.nanoTime()
+        (0 until 4).foreach { i =>
+          CdcMerge.applyBatch(spark, st,
+            env.filter(pmod(col("event_id"), lit(4)) === i),
+            "user_id", Seq("ts", "event_id"), nBuckets = 16)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tFirst = applyAll()
+      val tReplay = applyAll()
+      println(f"PROBE cdc_merge               4 batches/$nEvents%d events: " +
+        f"$tFirst%6.2f s (${nEvents / tFirst}%.0f ev/s)   " +
+        f"replay: $tReplay%6.2f s (idempotent, no growth)")
+    }
     spark.stop()
   }
 }
