@@ -73,6 +73,32 @@ object SchemaDrift {
      flagged.filter(col("has_drift")))
   }
 
+  /** Continuous drift monitoring: every micro-batch appends its drift
+    * report (tagged with the batch id) to a monitoring table — the
+    * streaming half of the consumer contract, catching upstream DDL
+    * within one batch of it appearing instead of at the next full-scan
+    * audit. The report per batch is vocab-sized, so the monitor's
+    * footprint is metadata-scale regardless of stream volume. */
+  def monitorStream(df: DataFrame, contentCol: String,
+      declared: Seq[String], reportTable: String, checkpointDir: String,
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: DataFrame, batchId: Long) =>
+          driftReport(batch, contentCol, declared)
+            .withColumn("_batch_id", lit(batchId))
+            .write.mode("append").format("parquet")
+            .saveAsTable(reportTable)
+          ()
+      }
+    (if (availableNow)
+       writer.trigger(
+         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
   /** Typed view widened by the NEW keys observed in the data: declared
     * fields keep their declared types; new keys parse as nullable
     * strings. Old readers (selecting declared fields) are unaffected.

@@ -40,6 +40,36 @@ class SchemaDriftSpec extends SparkSpec {
     assert(badKeys.toSeq == Seq("surge", "ts_ms"))
   }
 
+  test("monitorStream reports drift within the batch it appears in") {
+    import spark.implicits._
+    graft.streaming.CdcMerge.dropStateTable(spark, "drift_reports")
+    val src = tmpDir("drift-src")
+    // batch 1: clean; batch 2: a new key appears upstream
+    Seq((1L, """{"k":1}"""), (2L, """{"k":2}"""))
+      .toDF("id", "content").coalesce(1).write.parquet(s"$src/f1")
+    Seq((3L, """{"k":3,"surge":true}"""))
+      .toDF("id", "content").coalesce(1).write.parquet(s"$src/f2")
+    val stream = spark.readStream
+      .schema(rows.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+    val q = SchemaDrift.monitorStream(stream, "content", Seq("k"),
+      "drift_reports", tmpDir("drift-ck"))
+    try q.awaitTermination() finally q.stop()
+    val reports = spark.table("drift_reports")
+    // one report row per (batch, key); the new key surfaces in exactly
+    // one batch's report, flagged new
+    assert(reports.select("_batch_id").distinct().count() == 2)
+    val surge = reports.filter($"key" === "surge").collect()
+    assert(surge.length == 1 &&
+      surge(0).getAs[String]("status") == "new")
+    // declared key reported in every batch
+    assert(reports.filter($"key" === "k" && $"status" === "declared")
+      .count() == 2)
+  }
+
   test("widenedView grows new keys as strings; old readers keep working") {
     val declared = StructType(Seq(StructField("k", IntegerType)))
     val (view, newKeys) = SchemaDrift.widenedView(rows, "content", declared)
