@@ -97,6 +97,38 @@ object CdcLakehouseDemo {
     println(s"[lakehouse] readback shuffle: " +
       (if (plan.contains("Exchange")) "EXCHANGE (bad)" else "none (bucketed)"))
     println(f"[lakehouse] wall: $secs%.1f s")
+
+    // silver: the SAME envelope stream merged into a latest-state
+    // table with a per-bucket aggregate maintained incrementally
+    // (CdcMerge + IncrementalAgg) — the consumer layer the bronze
+    // append feeds in a real deployment
+    val silverIn = typed
+      .withColumn("qty_bucket",
+        when(coalesce($"after_qty", lit(0L)) >= 2750L, "big")
+          .otherwise("small"))
+      .withColumn("value", coalesce($"after_qty", lit(0L)).cast("double"))
+    val q2 = silverIn.writeStream
+      .option("checkpointLocation", s"$work/ckpt-silver")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.IncrementalAgg.applyBatch(batch.sparkSession,
+          "demo_cdc_silver", "demo_cdc_agg", batch, "row_id",
+          Seq("ts_ms", "gtid"), nBuckets = 8, groupCol = "qty_bucket",
+          valueCol = "value", batchId = id)
+        ()
+      }.start()
+    q2.awaitTermination()
+    val live = graft.streaming.CdcMerge.readState(spark, "demo_cdc_silver")
+    println(s"[lakehouse] silver live rows:  ${live.count()} " +
+      s"(deletes tombstoned: " +
+      spark.table("demo_cdc_silver")
+        .filter($"event_type" === "Delete").count() + ")")
+    graft.streaming.IncrementalAgg.readAgg(spark, "demo_cdc_agg")
+      .orderBy($"qty_bucket").collect().foreach { r =>
+        println(s"[lakehouse] agg ${r.getAs[String]("qty_bucket")}: " +
+          s"n_live=${r.getAs[Long]("n_live")} " +
+          s"sum=${r.getAs[java.math.BigDecimal]("sum_value")}")
+      }
     spark.stop()
   }
 }

@@ -92,6 +92,28 @@ class CdcMergeSpec extends SparkSpec {
     assert(state(t) == Map(kA -> 3L, kB -> 2L))
   }
 
+  test("merge reads state through partition pruning on _kb") {
+    val t = "merge_pruned_scan"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    apply1(t, env(
+      (1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (2L, "2026-01-01 00:00:02", "Insert", 2L),
+      (3L, "2026-01-01 00:00:03", "Insert", 3L)))
+    // the merge-side read: state filtered to the touched buckets must
+    // prune at the PARTITION level (directory skip), not row filters —
+    // this is what makes per-batch cost ∝ touched data at 100 TB
+    val touched = Seq(0L)
+    val scan = spark.table(t)
+      .filter(col("_kb").isin(touched: _*))
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("_kb"),
+      s"no partition pruning on _kb:\n$scan")
+    // and _kb is not read as a data column (it exists only in the
+    // directory layout)
+    assert(!scan.contains("PushedFilters: [In(_kb"),
+      "bucket filter fell through to row-level pushdown")
+  }
+
   test("streaming apply converges like the batch path") {
     import spark.implicits._
     val t = "merge_stream"
