@@ -86,46 +86,53 @@ object CdcMerge {
     val byVersion = Window.partitionBy(col(keyCol))
       .orderBy(versionCols.map(col(_).desc): _*)
     // pre-dedup the batch (cheap: batch-sized) so the state union
-    // carries one row per key, then bucket it
+    // carries one row per key, then bucket it. Persisted: the dedup
+    // window feeds several consumers below (touched-bucket collect,
+    // stage write / create write, the hook's create-path delta) —
+    // batch-sized, released before returning.
     val upserts = batch
       .withColumn("_rn", row_number().over(byVersion))
       .filter(col("_rn") === 1).drop("_rn")
       .withColumn("_kb", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // touched partition ids: driver-side, but bounded by nBuckets (a
+      // metadata-sized list, like any dynamic partition pruning). Also
+      // the empty-batch check — no separate isEmpty job.
+      val touched = upserts.select("_kb").distinct()
+        .collect().map(_.getLong(0))
+      if (touched.isEmpty) return
 
-    if (batch.isEmpty) return
+      if (!spark.catalog.tableExists(table)) {
+        beforeCommit(upserts.limit(0), upserts)
+        upserts.write.mode("overwrite").format("parquet")
+          .partitionBy("_kb").saveAsTable(table)
+        return
+      }
 
-    if (!spark.catalog.tableExists(table)) {
-      beforeCommit(upserts.limit(0), upserts)
-      upserts.write.mode("overwrite").format("parquet")
-        .partitionBy("_kb").saveAsTable(table)
-      return
-    }
+      val current = spark.table(table)
+        .filter(col("_kb").isin(touched: _*))
+      val cols = spark.table(table).columns
+      val merged = current.unionByName(upserts.select(cols.map(col): _*))
+        .withColumn("_rn", row_number().over(byVersion))
+        .filter(col("_rn") === 1).drop("_rn")
+        .select(cols.map(col): _*)
 
-    // touched partition ids: driver-side, but bounded by nBuckets (a
-    // metadata-sized list, like any dynamic partition pruning)
-    val touched = upserts.select("_kb").distinct()
-      .collect().map(_.getLong(0))
-    val current = spark.table(table)
-      .filter(col("_kb").isin(touched: _*))
-    val cols = spark.table(table).columns
-    val merged = current.unionByName(upserts.select(cols.map(col): _*))
-      .withColumn("_rn", row_number().over(byVersion))
-      .filter(col("_rn") === 1).drop("_rn")
-      .select(cols.map(col): _*)
-
-    // stage, then dynamic-partition-overwrite only the touched buckets
-    val stage = s"${table}_stage"
-    if (!spark.catalog.tableExists(stage)) dropStateTable(spark, stage)
-    merged.write.mode("overwrite").format("parquet").saveAsTable(stage)
-    // state table still holds the OLD rows here; the stage is the
-    // post-merge snapshot — the hook sees a consistent before/after
-    beforeCommit(current, spark.table(stage))
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try spark.table(stage).select(cols.map(col): _*)
-      .write.mode("overwrite").insertInto(table)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    spark.sql(s"DROP TABLE IF EXISTS $stage")
+      // stage, then dynamic-partition-overwrite only the touched buckets
+      val stage = s"${table}_stage"
+      if (!spark.catalog.tableExists(stage)) dropStateTable(spark, stage)
+      merged.write.mode("overwrite").format("parquet").saveAsTable(stage)
+      // state table still holds the OLD rows here; the stage is the
+      // post-merge snapshot — the hook sees a consistent before/after
+      beforeCommit(current, spark.table(stage))
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try spark.table(stage).select(cols.map(col): _*)
+        .write.mode("overwrite").insertInto(table)
+      finally
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+    } finally upserts.unpersist()
   }
 
   /** Continuous apply: foreachBatch merge of a streaming envelope
