@@ -135,6 +135,52 @@ object CdcMerge {
     } finally upserts.unpersist()
   }
 
+  /** Remove tombstones matching `prunable` from the state table;
+    * returns how many were removed. Only partitions containing
+    * prunable tombstones are rewritten (same partition-overwrite
+    * machinery as the merge); a partition left with zero rows is
+    * dropped outright (dynamic overwrite cannot write an empty
+    * partition).
+    *
+    * SAFETY CONTRACT: a tombstone is only prunable once the upstream
+    * replay horizon has passed it — i.e. no batch that could recreate
+    * the deleted key with an OLDER version can ever be redelivered.
+    * Vacuuming inside the horizon reopens the resurrection window the
+    * tombstone exists to close. Express the horizon in the predicate
+    * (e.g. `col("ts") < cutoff`), matching however the source bounds
+    * redelivery (checkpoint age, queue retention). */
+  def vacuumTombstones(spark: SparkSession, table: String,
+      prunable: org.apache.spark.sql.Column,
+      opCol: String = "event_type", deleteOp: String = "Delete"): Long = {
+    val dead = spark.table(table)
+      .filter(col(opCol) === deleteOp && prunable)
+    val kbs = dead.select("_kb").distinct().collect().map(_.getLong(0))
+    if (kbs.isEmpty) return 0L
+    val removed = dead.count()
+    val cols = spark.table(table).columns
+    val kept = spark.table(table)
+      .filter(col("_kb").isin(kbs: _*))
+      .filter(!(col(opCol) === deleteOp && prunable))
+    val stage = s"${table}_stage"
+    if (!spark.catalog.tableExists(stage)) dropStateTable(spark, stage)
+    kept.write.mode("overwrite").format("parquet").saveAsTable(stage)
+    val keptKbs = spark.table(stage).select("_kb").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.table(stage).select(cols.map(col): _*)
+      .write.mode("overwrite").insertInto(table)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    // fully-drained partitions have no rows in the stage, so the
+    // dynamic overwrite never touched them — drop them explicitly
+    kbs.filterNot(keptKbs).foreach { kb =>
+      spark.sql(
+        s"ALTER TABLE $table DROP IF EXISTS PARTITION (_kb=$kb)")
+    }
+    removed
+  }
+
   /** Continuous apply: foreachBatch merge of a streaming envelope
     * DataFrame. At-least-once upstream (a crash between merge and
     * offset commit replays the batch) + idempotent merge = effectively

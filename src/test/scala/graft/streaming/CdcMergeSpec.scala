@@ -114,6 +114,38 @@ class CdcMergeSpec extends SparkSpec {
       "bucket filter fell through to row-level pushdown")
   }
 
+  test("vacuum removes only horizon-passed tombstones; drained partition drops") {
+    import spark.implicits._
+    val t = "merge_vacuum"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // two keys in different buckets of 4, so one partition can drain
+    val buckets = (1L to 20L).map { k =>
+      k -> spark.range(1).select(
+        pmod(xxhash64(lit(k)), lit(4))).collect()(0).getLong(0)
+    }
+    val (kA, bA) = buckets.head
+    val (kB, bB) = buckets.find(_._2 != bA).get
+    apply1(t, env(
+      (kA, "2026-01-01 00:00:01", "Insert", 1L),
+      (kB, "2026-01-01 00:00:02", "Insert", 2L)))
+    apply1(t, env(
+      (kA, "2026-01-02 00:00:00", "Delete", 3L), // old tombstone
+      (kB, "2026-06-01 00:00:00", "Delete", 4L))) // recent tombstone
+    assert(state(t).isEmpty)
+    val horizon = ts("2026-03-01 00:00:00")
+    val removed = CdcMerge.vacuumTombstones(spark, t,
+      col("ts") < lit(horizon))
+    assert(removed == 1L)
+    // the recent tombstone survives (still inside the replay horizon)
+    val remaining = spark.table(t).collect()
+    assert(remaining.length == 1 && remaining(0).getAs[Long]("k") == kB)
+    // kA's partition fully drained -> dropped from the table layout
+    assert(!spark.table(t).inputFiles.exists(_.contains(s"_kb=$bA")))
+    // and the table keeps merging normally afterwards
+    apply1(t, env((kA, "2026-07-01 00:00:00", "Insert", 5L)))
+    assert(state(t) == Map(kA -> 5L))
+  }
+
   test("streaming apply converges like the batch path") {
     import spark.implicits._
     val t = "merge_stream"
