@@ -116,7 +116,7 @@ object SchemaDrift {
     // column names (the usual CDC layout: typed payload beside metadata)
     val view = df
       .withColumn("_parsed", from_json(col(contentCol), widened))
-      .select(df.columns.map(col) ++
+      .select(df.columns.toSeq.map(col) ++
         widened.fieldNames.map(n =>
           col("_parsed").getField(n).as(n)): _*)
       .drop("_parsed")

@@ -111,12 +111,12 @@ object CdcMerge {
       }
 
       val current = spark.table(table)
-        .filter(col("_kb").isin(touched: _*))
+        .filter(col("_kb").isin(touched.toSeq: _*))
       val cols = spark.table(table).columns
-      val merged = current.unionByName(upserts.select(cols.map(col): _*))
+      val merged = current.unionByName(upserts.select(cols.toSeq.map(col): _*))
         .withColumn("_rn", row_number().over(byVersion))
         .filter(col("_rn") === 1).drop("_rn")
-        .select(cols.map(col): _*)
+        .select(cols.toSeq.map(col): _*)
 
       // stage, then dynamic-partition-overwrite only the touched buckets
       val stage = s"${table}_stage"
@@ -127,7 +127,7 @@ object CdcMerge {
       beforeCommit(current, spark.table(stage))
       val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try spark.table(stage).select(cols.map(col): _*)
+      try spark.table(stage).select(cols.toSeq.map(col): _*)
         .write.mode("overwrite").insertInto(table)
       finally
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
@@ -159,7 +159,7 @@ object CdcMerge {
     val removed = dead.count()
     val cols = spark.table(table).columns
     val kept = spark.table(table)
-      .filter(col("_kb").isin(kbs: _*))
+      .filter(col("_kb").isin(kbs.toSeq: _*))
       .filter(!(col(opCol) === deleteOp && prunable))
     val stage = s"${table}_stage"
     if (!spark.catalog.tableExists(stage)) dropStateTable(spark, stage)
@@ -168,7 +168,7 @@ object CdcMerge {
       .collect().map(_.getLong(0)).toSet
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try spark.table(stage).select(cols.map(col): _*)
+    try spark.table(stage).select(cols.toSeq.map(col): _*)
       .write.mode("overwrite").insertInto(table)
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.sql(s"DROP TABLE IF EXISTS $stage")
