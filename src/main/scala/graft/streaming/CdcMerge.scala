@@ -105,7 +105,8 @@ object CdcMerge {
 
       if (!spark.catalog.tableExists(table)) {
         beforeCommit(upserts.limit(0), upserts)
-        upserts.write.mode("overwrite").format("parquet")
+        upserts.repartition(col("_kb"))
+          .write.mode("overwrite").format("parquet")
           .partitionBy("_kb").saveAsTable(table)
         return
       }
@@ -118,10 +119,16 @@ object CdcMerge {
         .filter(col("_rn") === 1).drop("_rn")
         .select(cols.toSeq.map(col): _*)
 
-      // stage, then dynamic-partition-overwrite only the touched buckets
+      // stage, then dynamic-partition-overwrite only the touched
+      // buckets. The repartition on _kb clusters each touched bucket
+      // into one task → ONE file per partition per merge (overwrite
+      // then replaces it wholesale), instead of shuffle.partitions
+      // fragments per bucket — without it a 16k-bucket table accretes
+      // a small-file explosion merge after merge.
       val stage = s"${table}_stage"
       if (!spark.catalog.tableExists(stage)) dropStateTable(spark, stage)
-      merged.write.mode("overwrite").format("parquet").saveAsTable(stage)
+      merged.repartition(col("_kb"))
+        .write.mode("overwrite").format("parquet").saveAsTable(stage)
       // state table still holds the OLD rows here; the stage is the
       // post-merge snapshot — the hook sees a consistent before/after
       beforeCommit(current, spark.table(stage))
@@ -163,7 +170,8 @@ object CdcMerge {
       .filter(!(col(opCol) === deleteOp && prunable))
     val stage = s"${table}_stage"
     if (!spark.catalog.tableExists(stage)) dropStateTable(spark, stage)
-    kept.write.mode("overwrite").format("parquet").saveAsTable(stage)
+    kept.repartition(col("_kb"))
+      .write.mode("overwrite").format("parquet").saveAsTable(stage)
     val keptKbs = spark.table(stage).select("_kb").distinct()
       .collect().map(_.getLong(0)).toSet
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")

@@ -106,7 +106,8 @@ object IncrementalAgg {
     val stage = s"${aggTable}_stage"
     if (!spark.catalog.tableExists(stage))
       CdcMerge.dropStateTable(spark, stage)
-    updated.write.mode("overwrite").format("parquet").saveAsTable(stage)
+    updated.coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(stage)
     if (exists)
       spark.table(stage).write.mode("overwrite").format("parquet")
         .insertInto(aggTable)

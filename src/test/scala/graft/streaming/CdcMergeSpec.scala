@@ -114,6 +114,24 @@ class CdcMergeSpec extends SparkSpec {
       "bucket filter fell through to row-level pushdown")
   }
 
+  test("one file per partition, however many merges ran") {
+    val t = "merge_files"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    (1 to 4).foreach { i =>
+      apply1(t, env((1L to 10L).map(k =>
+        (k, s"2026-01-0$i 00:00:00", "Insert", i * 100L + k)): _*))
+    }
+    // without the _kb repartition each merge would fragment every
+    // touched partition into shuffle.partitions files
+    val perPartition = spark.table(t).inputFiles
+      .groupBy(_.split("/").takeWhile(!_.startsWith("part-"))
+        .reverse.find(_.startsWith("_kb=")).getOrElse("?"))
+    perPartition.foreach { case (kb, files) =>
+      assert(files.length == 1, s"$kb has ${files.length} files")
+    }
+    assert(state(t).size == 10)
+  }
+
   test("vacuum removes only horizon-passed tombstones; drained partition drops") {
     import spark.implicits._
     val t = "merge_vacuum"
