@@ -97,6 +97,22 @@ object CdcPipeline {
     }
   }
 
+  /** The consumer-side completion of the pipeline: the same envelope
+    * stream the queue sink forwards, merged instead into a
+    * continuously-maintained latest-state table ([[CdcMerge]] —
+    * tombstoned deletes, idempotent under the pipeline's at-least-once
+    * replay). One call takes a source directory to a queryable state
+    * table, which is what a reference user ultimately deploys the
+    * forwarder FOR. */
+  def materializeLatestState(spark: SparkSession, cfg: Config,
+      table: String, nBuckets: Int = 64,
+      keyCol: String = "user_id",
+      versionCols: Seq[String] = Seq("ts", "event_id"))
+      : StreamingQuery =
+    CdcMerge.startMergeStream(envelopeStream(spark, cfg), table,
+      keyCol, versionCols, nBuckets, cfg.checkpointDir,
+      availableNow = cfg.availableNow)
+
   /** Start the full pipeline. At-least-once end to end: Spark commits
     * the sink (foreachBatch) before the offset WAL, duplicates possible
     * on crash-between — identical guarantee to the reference's

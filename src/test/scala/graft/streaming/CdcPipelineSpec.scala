@@ -185,6 +185,36 @@ class CdcPipelineSpec extends SparkSpec {
     assert(readSinkLines(sinkDir).size == expected)
   }
 
+  test("materializeLatestState: source dir to queryable state table") {
+    val src = stageSource()
+    CdcMerge.dropStateTable(spark, "pipe_state")
+    CdcMerge.dropStateTable(spark, "pipe_state_stage")
+    val q = CdcPipeline.materializeLatestState(spark,
+      CdcPipeline.Config(
+        sourceDir = src,
+        sourceFormat = "graft-replay",
+        checkpointDir = tmpDir("graft-ckpt-m"),
+        availableNow = true),
+      table = "pipe_state", nBuckets = 8)
+    q.awaitTermination()
+    // converged state = batch latest-state over non-skip events, with
+    // users whose LAST event classifies Delete absent
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = Tables.load(spark, sf("sf0.001"), "events")
+      .withColumn("op", CdcOps.classifyOp(col("event_type")))
+      .filter(col("op") =!= "Skip")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "Delete")
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = CdcMerge.readState(spark, "pipe_state")
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("parquet file sink is exactly-once across restart") {
     val src = stageSource()
     val out = tmpDir("graft-pq-out")
