@@ -59,8 +59,36 @@ object CorpusPipelineDemo {
     val nBigram = afterBigram.count()
     val nCurated = curated.count()
 
+    // 3b. benchmark decontamination: drop training docs overlapping
+    // the held-out pseudo-benchmark (every 97th doc). Threshold note:
+    // on a real corpus background bigram overlap is ~0 and minOverlap
+    // 3 catches verbatim leakage; this synthetic generator draws from
+    // a ~31-word vocabulary, putting MEDIAN benchmark overlap at 14 —
+    // so the demo cuts at the p95 tail (26) to drop only the
+    // most-entangled docs instead of the whole corpus.
+    val contaminated = graft.operators.CurationOps.contamination(
+      DedupOps.docShingles(curated), $"doc_id" % 97 === 0,
+      minOverlap = 26)
+      .select($"doc_id")
+    val decontaminated = curated
+      .filter($"doc_id" % 97 =!= 0) // the benchmark itself never trains
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val nDecon = decontaminated.count()
+
+    // 3c. training mixture: per-language inclusion rates
+    val mixed = graft.operators.CurationOps.mixtureSample(
+      decontaminated, "lang",
+      Map("en" -> 192, "fr" -> 256, "es" -> 256, "zh" -> 256,
+        "de" -> 256))
+    val nMixed = mixed.count()
+
+    // 3d. sequence packing: token-budget bins per shard
+    val packed = graft.operators.CurationOps.packSequences(
+      mixed, budget = 512, shards = 8)
+    val nBins = packed.select("shard", "bin").distinct().count()
+
     // 4. token budget report
-    val budget = curated.agg(
+    val budget = mixed.agg(
       sum(TextFunctions.tokenCount($"text")).as("total_tokens"),
       avg(TextFunctions.qualityScore($"text")).as("mean_quality"))
       .collect()(0)
@@ -71,7 +99,7 @@ object CorpusPipelineDemo {
       .when(conv(hx, 16, 10).cast("long") < 230, "val").otherwise("test")
     val out = Files.createTempDirectory("graft-corpus").toString
     Formats.write(
-      curated.select($"doc_id", $"lang", $"text", $"quality")
+      mixed.select($"doc_id", $"lang", $"text", $"quality")
         .withColumn("split", split),
       "parquet", out, partitionBy = Seq("lang", "split"))
 
@@ -80,6 +108,9 @@ object CorpusPipelineDemo {
     println(s"[corpus] after exact dedup:    $nExact")
     println(s"[corpus] after bigram dedup:   $nBigram")
     println(s"[corpus] after trigram dedup:  $nCurated")
+    println(s"[corpus] after decontam:       $nDecon")
+    println(s"[corpus] after mixture:        $nMixed")
+    println(s"[corpus] packed bins (512tk):  $nBins")
     println(s"[corpus] total tokens:         ${budget.getAs[Long]("total_tokens")}")
     println(f"[corpus] mean quality:         ${budget.getAs[Double]("mean_quality")}%.3f")
     println(s"[corpus] corpus written to:    $out (partitioned by lang, split)")
