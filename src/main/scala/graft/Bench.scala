@@ -60,7 +60,12 @@ object Bench {
       Thread.sleep(50) // let straggler task-end events land
       (q.name, sec, (shuffleBytes.get - s0) / 1e6)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the single JSON line ~40% shorter
+    // (it has been lost to driver-side tail truncation at full double
+    // precision three rounds running)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, mb) =>
       "\"" + k + "\":" +
@@ -68,7 +73,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_mb":$sh,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"shuffle_write_mb":$sh,"sf":"$sfDir"}"""
     println(line)
     // Self-contained artifact: the stdout tail the driver captures has
     // truncated the (single, long) JSON line three rounds running, so
