@@ -60,28 +60,46 @@ object Bench {
       Thread.sleep(50) // let straggler task-end events land
       (q.name, sec, (shuffleBytes.get - s0) / 1e6)
     }
-    // millisecond precision keeps the single JSON line ~40% shorter
-    // (it has been lost to driver-side tail truncation at full double
-    // precision three rounds running)
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, mb) =>
-      "\"" + k + "\":" +
-        String.format(java.util.Locale.ROOT, "%.1f", Double.box(mb))
-    }.mkString("{", ",", "}")
+    def dict(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qs = dict(results.map { case (k, v, _) => k -> f3(v) })
+    val sh = dict(results.map { case (k, _, mb) =>
+      k -> String.format(java.util.Locale.ROOT, "%.1f", Double.box(mb))
+    })
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"shuffle_write_mb":$sh,"sf":"$sfDir"}"""
-    println(line)
-    // Self-contained artifact: the stdout tail the driver captures has
-    // truncated the (single, long) JSON line three rounds running, so
-    // the full line is also written to a file.
+    // FULL artifact (all queries + shuffle-write bytes) goes to a
+    // file, committed per round as BENCH_LOCAL.json.
+    val full =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"shuffle_write_mb":$sh,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // STDOUT gets a line guaranteed to fit the driver's 2000-char
+    // stdout tail (sbt's trailing "[success] ..." line included): the
+    // full 80-query line is ~3.7 kB and has arrived truncated —
+    // unparseable — three rounds running. Print total + a fixed
+    // headline subset (the expensive representative op per module;
+    // stable across rounds for comparability) and point at the file.
+    val headline = Seq(
+      "q01_pricing_summary", "q03_join_agg_topk", "q05_multi_join",
+      "q08_window_topn", "q09_window_running", "q13_distinct_agg",
+      "q28_percentiles", "q31_window_range", "q35_approx_percentiles",
+      "q36_window_ranks", "cdc01_envelope", "cdc06_sessionize",
+      "cdc08_asof_join", "cdc12_scd2_intervals", "cdc16_merge_apply",
+      "cdc18_incremental_agg", "doc03_dedup_exact", "doc04_minhash_lsh",
+      "doc09_top_terms", "doc10_chartrigram_neardup",
+      "doc13_decontaminate", "emb01_cosine_topk", "emb02_ann_lsh",
+      "emb04_ivf_topk", "emb06_ann_multitable", "emb08_cluster_assign",
+      "mm02_decode_features")
+    val hset = headline.toSet
+    val hqs = dict(results.collect {
+      case (k, v, _) if hset(k) => k -> f3(v) })
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$hqs,"detail":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,7 +26,11 @@ object CurationOps {
     * running sum would be the single-task window this library bans.
     *
     * Returns per-doc rows: doc_id, shard, n_tokens, cum_tokens, bin
-    * (a doc lands in the bin its last token falls into). */
+    * (a doc lands in the bin its last token falls into; zero-token
+    * docs at the head of a shard have cum_tokens 0, clamped into bin 0
+    * — without the clamp, `-1 div budget` is 0 under Spark's
+    * truncating `div` but -1 under floor-division engines, an
+    * engine-dependent bin id for an empty doc). */
   def packSequences(docs: DataFrame, budget: Int = 512,
       shards: Int = 8): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
@@ -35,7 +39,8 @@ object CurationOps {
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
         pmod(col("doc_id"), lit(shards)).as("shard"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("bin", expr(s"(cum_tokens - 1) div $budget"))
+      .withColumn("bin",
+        expr(s"greatest(cum_tokens - 1, 0L) div $budget"))
   }
 
   /** Benchmark decontamination: training documents sharing at least

@@ -73,12 +73,20 @@ object SchemaDrift {
      flagged.filter(col("has_drift")))
   }
 
-  /** Continuous drift monitoring: every micro-batch appends its drift
+  /** Continuous drift monitoring: every micro-batch writes its drift
     * report (tagged with the batch id) to a monitoring table — the
     * streaming half of the consumer contract, catching upstream DDL
     * within one batch of it appearing instead of at the next full-scan
     * audit. The report per batch is vocab-sized, so the monitor's
-    * footprint is metadata-scale regardless of stream volume. */
+    * footprint is metadata-scale regardless of stream volume.
+    *
+    * The write is IDEMPOTENT per batch: the report table is
+    * directory-partitioned on `_batch_id` and each batch dynamically
+    * overwrites only its own partition, so Spark's at-least-once batch
+    * replay (crash between write and offset commit) rewrites the same
+    * partition with the same rows instead of appending duplicates that
+    * would inflate per-key `n_events` — the same replay tolerance
+    * [[graft.streaming.CdcMerge]] gives the state table. */
   def monitorStream(df: DataFrame, contentCol: String,
       declared: Seq[String], reportTable: String, checkpointDir: String,
       availableNow: Boolean = true)
@@ -87,16 +95,33 @@ object SchemaDrift {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: DataFrame, batchId: Long) =>
-          driftReport(batch, contentCol, declared)
-            .withColumn("_batch_id", lit(batchId))
-            .write.mode("append").format("parquet")
-            .saveAsTable(reportTable)
-          ()
+          writeReport(driftReport(batch, contentCol, declared)
+            .withColumn("_batch_id", lit(batchId)), reportTable)
       }
     (if (availableNow)
        writer.trigger(
          org.apache.spark.sql.streaming.Trigger.AvailableNow())
      else writer).start()
+  }
+
+  /** Idempotent per-batch report write: dynamic overwrite of the
+    * report's own `_batch_id` partition (replay-safe); the create path
+    * clears any stale warehouse location a crashed first write left
+    * behind before re-creating the table. */
+  private[graft] def writeReport(report: DataFrame,
+      reportTable: String): Unit = {
+    val spark = report.sparkSession
+    if (spark.catalog.tableExists(reportTable)) {
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try report.write.mode("overwrite").insertInto(reportTable)
+      finally
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    } else {
+      graft.streaming.CdcMerge.dropStateTable(spark, reportTable)
+      report.write.mode("overwrite").format("parquet")
+        .partitionBy("_batch_id").saveAsTable(reportTable)
+    }
   }
 
   /** Typed view widened by the NEW keys observed in the data: declared

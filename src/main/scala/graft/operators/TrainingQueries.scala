@@ -47,7 +47,8 @@ object TrainingQueries {
                ROWS UNBOUNDED PRECEDING) AS cum_tokens
         FROM toks),
       b AS (
-        SELECT *, CAST((cum_tokens - 1) // 512 AS BIGINT) AS bin FROM c)
+        SELECT *, CAST(greatest(cum_tokens - 1, 0) // 512 AS BIGINT)
+          AS bin FROM c)
       SELECT shard, bin, COUNT(*) AS n_docs,
              CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
              MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

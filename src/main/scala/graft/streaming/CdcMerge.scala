@@ -104,6 +104,12 @@ object CdcMerge {
       if (touched.isEmpty) return
 
       if (!spark.catalog.tableExists(table)) {
+        // a crash during a previous create can leave a partial
+        // warehouse directory with NO catalog entry; the replayed
+        // batch still sees tableExists=false, and without clearing
+        // the stale location the re-run saveAsTable fails with
+        // LOCATION_ALREADY_EXISTS (same hygiene the stage table gets)
+        dropStateTable(spark, table)
         beforeCommit(upserts.limit(0), upserts)
         upserts.repartition(col("_kb"))
           .write.mode("overwrite").format("parquet")

@@ -37,9 +37,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object IncrementalAgg {
 
-  /** Read the maintained aggregate (watermark column dropped). */
+  /** Read the maintained aggregate (watermark column dropped, drained
+    * groups filtered — rows with `n_live` 0 are retained physically
+    * only to carry the idempotence watermark, see [[applyDeltas]]). */
   def readAgg(spark: SparkSession, aggTable: String): DataFrame =
-    spark.table(aggTable).drop("_batch")
+    spark.table(aggTable).filter(col("n_live") > 0).drop("_batch")
 
   /** Merge `batch` into `stateTable` AND maintain `aggTable`
     * incrementally, in the crash-safe order described above.
@@ -100,7 +102,12 @@ object IncrementalAgg {
       else
         deltas.select(col("g").as(groupCol), col("dn").as("n_live"),
           col("dv").cast(DecimalType(20, 2)).as("sum_value")))
-      .filter(col("n_live") > 0) // fully-drained groups drop out
+      // Drained groups (n_live 0) are KEPT as rows: the idempotence
+      // watermark is max(_batch) over the table, so dropping the last
+      // live group would drop the watermark with it — a crash between
+      // agg write and state commit would then RE-apply the delta on
+      // replay instead of skipping it. readAgg filters them out; the
+      // table stays groups-ever-seen-sized (still metadata-scale).
       .withColumn("_batch", lit(batchId))
     // groups-sized table: stage-then-overwrite like the state table
     val stage = s"${aggTable}_stage"

@@ -59,16 +59,31 @@ object LakehouseSink {
     * drop _old — so the data is recoverable at EVERY step: a crash
     * leaves the rows under `table`, `_old`, or `_compacting`, never
     * lost between a DROP and a RENAME. If the forward rename fails the
-    * original name is restored in the catch; leftovers from a previous
-    * crashed run are cleared up front so compact is re-runnable.
-    * (The name is still unresolvable for the instant between the two
-    * renames — single-writer assumed, like any non-transactional
-    * lakehouse table service.)
+    * original name is restored in the catch. Re-runnability: before
+    * clearing leftovers of a crashed run, the half-swapped state (a
+    * crash BETWEEN the two renames leaves `table` absent and the data
+    * only under `_old`/`_compacting`) is detected and the table name
+    * restored first — a blind up-front DROP there would destroy the
+    * only surviving copies. (The name is still unresolvable for the
+    * instant between the two renames — single-writer assumed, like any
+    * non-transactional lakehouse table service.)
     */
   def compact(spark: SparkSession, table: String, bucketCol: String,
       buckets: Int, partitionCols: Seq[String] = Nil): Unit = {
     val tmp = s"${table}_compacting"
     val old = s"${table}_old"
+    if (!spark.catalog.tableExists(table)) {
+      // half-swapped crash state: restore the name before any DROP.
+      // Prefer _old (the pre-compaction original); _compacting holds
+      // the same rows post-compaction if _old is somehow gone too.
+      if (spark.catalog.tableExists(old))
+        spark.sql(s"ALTER TABLE $old RENAME TO $table")
+      else if (spark.catalog.tableExists(tmp))
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      else throw new IllegalStateException(
+        s"compact($table): table does not exist and no crash leftovers " +
+          s"($old / $tmp) to recover from")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     spark.sql(s"DROP TABLE IF EXISTS $old")
     writeBucketed(spark.table(table), tmp, bucketCol, buckets,

@@ -29,6 +29,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(1L) == (1L, 12L, 1L))
   }
 
+  test("packSequences: head-of-shard bin is clamped non-negative") {
+    import spark.implicits._
+    // The whitespace tokenizer never yields 0 tokens (split of "" is
+    // [""], both engines), but packSequences must stay well-defined
+    // for ANY pluggable token counter: cum_tokens 0 at a shard head
+    // would make `-1 div budget` engine-dependent (0 truncating, -1
+    // flooring). The clamp pins bin ≥ 0; this test pins both the
+    // tokenizer's ≥1 floor and the clamp's no-op on normal data.
+    val docs = Seq(
+      (0L, "   "),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val got = CurationOps.packSequences(docs, budget = 10, shards = 1)
+      .select("doc_id", "n_tokens", "bin").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == (1L, 0L)) // whitespace-only doc: one empty token
+    assert(got(2L) == (3L, 0L))
+    // the clamp itself, on the op's exact bin expression: cum_tokens 0
+    // (a zero-token head doc under some other tokenizer) → bin 0
+    val bin = spark.sql(
+      "SELECT greatest(CAST(0 AS BIGINT) - 1, 0L) div 10 AS bin")
+      .collect()(0).getLong(0)
+    assert(bin == 0L)
+  }
+
   test("contamination flags exactly the planted overlaps") {
     import spark.implicits._
     // eval doc 0 = "a b c d e"; doc 1 shares 3 bigrams (a b, b c, c d)

@@ -70,6 +70,27 @@ class SchemaDriftSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("monitor report write is idempotent under batch replay") {
+    import spark.implicits._
+    graft.streaming.CdcMerge.dropStateTable(spark, "drift_replay")
+    def report(batchId: Long, df: org.apache.spark.sql.DataFrame) =
+      SchemaDrift.driftReport(df, "content", Seq("k"))
+        .withColumn("_batch_id", lit(batchId))
+    val b0 = Seq((1L, """{"k":1}""")).toDF("id", "content")
+    val b1 = Seq((2L, """{"k":2,"surge":true}""")).toDF("id", "content")
+    SchemaDrift.writeReport(report(0L, b0), "drift_replay")
+    SchemaDrift.writeReport(report(1L, b1), "drift_replay")
+    val before = spark.table("drift_replay").collect().toSet
+    // crash-before-offset-commit: batch 1 is REPLAYED with identical
+    // content — the write must overwrite its own partition, not append
+    // duplicate rows that double per-key n_events
+    SchemaDrift.writeReport(report(1L, b1), "drift_replay")
+    assert(spark.table("drift_replay").collect().toSet == before)
+    assert(spark.table("drift_replay")
+      .groupBy("key", "_batch_id").count()
+      .filter($"count" > 1).count() == 0)
+  }
+
   test("widenedView grows new keys as strings; old readers keep working") {
     val declared = StructType(Seq(StructField("k", IntegerType)))
     val (view, newKeys) = SchemaDrift.widenedView(rows, "content", declared)

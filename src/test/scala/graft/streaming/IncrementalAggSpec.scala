@@ -65,6 +65,30 @@ class IncrementalAggSpec extends SparkSpec {
     assert(aggMap(ag).isEmpty)
   }
 
+  test("watermark survives a fully-drained view (crash-window replay)") {
+    import org.apache.spark.sql.functions._
+    val (st, ag) = fresh("ia_wm")
+    val b0 = env((1L, "2026-01-01 00:00:01", "Insert", 1L, "only", 3.0))
+    apply1(st, ag, b0, 0L)
+    // batch 1 drains the only group -> the VIEW is empty, but the
+    // watermark row (n_live 0) must remain in the physical table
+    apply1(st, ag, env(
+      (1L, "2026-01-01 00:00:02", "Delete", 2L, "only", 0.0)), 1L)
+    assert(aggMap(ag).isEmpty)
+    assert(spark.table(ag).agg(max("_batch")).collect()(0).getLong(0) == 1L,
+      "drained view lost the idempotence watermark")
+    // crash between agg write and state commit, replay of batch 1 with
+    // a (hypothetically) non-zero delta: must be SKIPPED by the
+    // watermark, not re-applied — the exact case an empty-table
+    // max(_batch) watermark gets wrong
+    IncrementalAgg.applyDeltas(spark, ag,
+      oldRows = b0.limit(0), newRows = b0,
+      groupCol = "grp", valueCol = "value", batchId = 1L,
+      opCol = "event_type", deleteOp = "Delete")
+    assert(aggMap(ag).isEmpty,
+      "replayed batch re-applied its delta after the view drained")
+  }
+
   test("replayed batch is a no-op twice over: zero delta AND watermark") {
     val (st, ag) = fresh("ia_replay")
     val b0 = env((1L, "2026-01-01 00:00:01", "Insert", 1L, "a", 10.0))

@@ -144,4 +144,35 @@ class LakehouseSinkSpec extends SparkSpec {
     LakehouseSink.compact(spark, "lh_swap", "k", 2)
     assert(spark.table("lh_swap").count() == 3)
   }
+
+  test("compact recovers the half-swapped crash state without data loss") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").bucketBy(2, "k").sortBy("k")
+      .saveAsTable("lh_half")
+    // crash BETWEEN the two renames: `table` is gone, the original
+    // rows live only under _old, the compacted copy under _compacting
+    spark.sql("ALTER TABLE lh_half RENAME TO lh_half_old")
+    spark.table("lh_half_old")
+      .write.bucketBy(2, "k").sortBy("k").saveAsTable("lh_half_compacting")
+    assert(!spark.catalog.tableExists("lh_half"))
+    // a recovery re-run must restore the name and complete — not drop
+    // the only surviving copies
+    LakehouseSink.compact(spark, "lh_half", "k", 2)
+    assert(spark.table("lh_half").as[(Long, String)].collect().sorted
+      .toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!spark.catalog.tableExists("lh_half_compacting"))
+    assert(!spark.catalog.tableExists("lh_half_old"))
+
+    // deeper crash: only _compacting survives (original already
+    // renamed away and dropped mid-recovery) — still recoverable
+    spark.sql("ALTER TABLE lh_half RENAME TO lh_half_compacting")
+    LakehouseSink.compact(spark, "lh_half", "k", 2)
+    assert(spark.table("lh_half").count() == 3)
+
+    // nothing to recover from -> explicit failure, not a silent create
+    intercept[IllegalStateException] {
+      LakehouseSink.compact(spark, "lh_half_missing", "k", 2)
+    }
+  }
 }
