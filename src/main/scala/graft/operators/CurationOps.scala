@@ -95,4 +95,75 @@ object CurationOps {
     SimilarityOps.rankedCellAssignments(embs, dim, nCentroids)
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("ccos"))
+
+  /** Per-dimension Lloyd-update numerators over an assignment: for
+    * each (cid, pos), the exact fixed-point sum `s = Σ floor(v·scale)`
+    * of member values and the member count `n`. Fixed-point makes the
+    * update EXACT and partition-order-proof (the library's determinism
+    * contract — a float mean reduced in shuffle order is not): floor
+    * of an IEEE-exact product is the same integer on every engine and
+    * under every partitioning, and integer sums are associative.
+    *
+    * Scale shape: posexplode then groupBy(cid, pos) — map-side
+    * combined, so the shuffle carries k·dim·tasks rows regardless of
+    * corpus size. `assigned` needs (cid, embedding). */
+  def centroidSums(assigned: DataFrame, dim: Int = 64,
+      scale: Long = 1000000L): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cid"), col("pos"),
+        floor(col("v").cast("double") * scale).cast("long").as("q"))
+      .groupBy("cid", "pos")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+
+  /** One full Lloyd update: new centroid per cluster = per-dimension
+    * mean of its members, computed on the [[centroidSums]] fixed-point
+    * grid (quantization error ≤ 1/scale per component, far below
+    * float32 resolution at the default 1e6). Returns
+    * (cid, n_members, ce: array&lt;float&gt;) — float to match the
+    * corpus width, ready to feed back into
+    * [[SimilarityOps.assignToCentroids]]. The collect_list is k rows
+    * of dim structs — metadata-sized by construction. */
+  def updateCentroids(assigned: DataFrame, dim: Int = 64,
+      scale: Long = 1000000L): DataFrame =
+    centroidSums(assigned, dim, scale)
+      .withColumn("comp",
+        (col("s").cast("double") / col("n").cast("double")) / scale)
+      .groupBy("cid")
+      .agg(max(col("n")).as("n_members"),
+        array_sort(collect_list(struct(col("pos"), col("comp"))))
+          .as("comps"))
+      .select(col("cid"), col("n_members"),
+        transform(col("comps"), c => c.getField("comp"))
+          .cast("array<float>").as("ce"))
+
+  /** Lloyd's k-means over an embedding corpus: `iters` assignment
+    * passes with a centroid update between consecutive passes. Seeds
+    * are the first k corpus vectors (deterministic; callers wanting
+    * k-means++ pass their own seeds via the centroids overload).
+    * Returns (assignments, centroids) where assignments =
+    * (vec_id, cid, ccos) of the LAST pass and centroids the set that
+    * produced it.
+    *
+    * Each iteration is one broadcast corpus scan + one k·dim-sized
+    * aggregate — no corpus shuffle anywhere, so wall-clock is
+    * iters × scan cost at any corpus size. Lineage grows per
+    * iteration; for many iterations at cluster scale, checkpoint or
+    * materialize `centroids` between calls (they are k rows — free). */
+  def kmeans(embs: DataFrame, dim: Int = 64, k: Int = 8,
+      iters: Int = 2, scale: Long = 1000000L)
+      : (DataFrame, DataFrame) = {
+    require(iters >= 1, "kmeans needs at least one assignment pass")
+    var cents = embs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    var assigned = SimilarityOps.assignToCentroids(embs, cents, dim)
+      .filter(col("rn") === 1)
+    for (_ <- 1 until iters) {
+      cents = updateCentroids(assigned, dim, scale)
+        .select(col("cid"), col("ce"))
+      assigned = SimilarityOps.assignToCentroids(embs, cents, dim)
+        .filter(col("rn") === 1)
+    }
+    (assigned.select(col("vec_id"), col("cid"), col("ccos")), cents)
+  }
 }

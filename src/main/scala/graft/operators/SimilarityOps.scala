@@ -134,10 +134,23 @@ object SimilarityOps {
     * one corpus scan; `rn` ranks candidate cells per vector by cosine.
     * Columns: vec_id, embedding, en, cid, ccos, rn. */
   def rankedCellAssignments(embs: DataFrame, dim: Int = 64,
-      nCentroids: Int = 8): DataFrame = {
-    val cent = embs.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        norm(col("embedding"), dim).as("cn"))
+      nCentroids: Int = 8): DataFrame =
+    assignToCentroids(embs,
+      embs.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")), dim)
+
+  /** Cosine assignment of every corpus vector to its nearest centroid
+    * from an ARBITRARY centroid set `(cid, ce)` — the general form of
+    * [[rankedCellAssignments]] (whose centroids are corpus rows), and
+    * the per-iteration step of [[CurationOps.kmeans]]. The centroid
+    * set is k-sized (metadata-scale) and broadcast; the corpus is
+    * scanned once per call, no shuffle of corpus data — the per-vector
+    * rank window partitions by `vec_id`. Ties break on lowest cid
+    * (deterministic). Returns (vec_id, embedding, en, cid, ccos, rn). */
+  def assignToCentroids(embs: DataFrame, centroids: DataFrame,
+      dim: Int = 64): DataFrame = {
+    val cent = centroids
+      .select(col("cid"), col("ce"), norm(col("ce"), dim).as("cn"))
     val base = embs.select(col("vec_id"), col("embedding"),
       norm(col("embedding"), dim).as("en"))
     val wAssign = Window.partitionBy(col("vec_id"))

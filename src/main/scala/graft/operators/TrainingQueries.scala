@@ -157,5 +157,61 @@ object TrainingQueries {
       FROM assign WHERE rn = 1
       GROUP BY cid ORDER BY cid"""))
 
-  val all: Seq[GraftQuery] = Seq(doc12, doc13, doc14, emb08)
+  // -------------------------------------------------------------- emb09
+  // K-means Lloyd UPDATE step (the half emb08's assignment leaves
+  // out): members of each seed centroid, then the per-dimension
+  // fixed-point mean numerators — n_members, Σs (total quantized
+  // mass) and Σs² (dimension-sensitive checksum; permutation of dims
+  // would change it). Exact integer arithmetic end-to-end after the
+  // bit-exact double assignment, so the result is partition-order-
+  // proof on both engines. Scale: one broadcast corpus scan + one
+  // map-side-combined k·dim aggregate.
+  private val emb09 = GraftQuery(
+    "emb09_kmeans_step",
+    (s, dir) => {
+      import s.implicits._
+      val embs = t(s, dir, "embeddings")
+      val seeds = embs.filter($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val assigned = SimilarityOps.assignToCentroids(embs, seeds, 64)
+        .filter($"rn" === 1)
+      CurationOps.centroidSums(assigned, 64)
+        .groupBy($"cid")
+        .agg(max($"n").as("n_members"),
+          sum($"s").as("fp_sum"),
+          sum(expr("cast(s as decimal(19,0)) * cast(s as decimal(19,0))"))
+            .cast("double").as("fp_sq_sum"))
+        .orderBy($"cid")
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               ${LlmQueries.normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding,
+               ${LlmQueries.normSql("embedding", 64)} AS en
+        FROM embeddings),
+      assign AS (
+        SELECT b.vec_id, c.cid, b.embedding,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            (${LlmQueries.dotSql("b.embedding", "c.ce", 64)})
+              / (b.en * c.cn) DESC, c.cid) AS rn
+        FROM base b CROSS JOIN cent c),
+      mem AS (SELECT cid, embedding FROM assign WHERE rn = 1),
+      qv AS (
+        SELECT m.cid, t.i AS pos,
+          CAST(FLOOR(CAST(m.embedding[t.i] AS DOUBLE) * 1000000)
+               AS BIGINT) AS q
+        FROM mem m, range(1, 65) t(i)),
+      dims AS (
+        SELECT cid, pos, CAST(SUM(q) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM qv GROUP BY cid, pos)
+      SELECT cid, CAST(MAX(n) AS BIGINT) AS n_members,
+             CAST(SUM(s) AS BIGINT) AS fp_sum,
+             CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE) AS fp_sq_sum
+      FROM dims GROUP BY cid ORDER BY cid"""))
+
+  val all: Seq[GraftQuery] = Seq(doc12, doc13, doc14, emb08, emb09)
 }

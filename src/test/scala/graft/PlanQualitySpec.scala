@@ -39,10 +39,11 @@ class PlanQualitySpec extends SparkSpec {
     // cdc15's superbucket carry theta-joins the idRange/(bucket·super)-
     // row superbucket aggregate against itself (broadcast, tiny);
     // emb08's k-means assignment broadcasts the 8-row centroid set.
+    // emb09's Lloyd step broadcasts the same 8-row centroid set
     val allowed = Set("q20_scalar_subquery", "emb01_cosine_topk",
       "emb04_ivf_topk", "emb05_ivf_multiprobe", "doc09_top_terms",
       "doc10_chartrigram_neardup", "cdc15_gap_detect",
-      "emb08_cluster_assign")
+      "emb08_cluster_assign", "emb09_kmeans_step")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -84,6 +84,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(s1.size > 10 && s1.size < 45, s"selected ${s1.size}")
   }
 
+  test("kmeans: planted clusters converge; update is deterministic") {
+    import spark.implicits._
+    // two planted directions (x-axis and y-axis mass) in dim 4; seeds
+    // are vecs 0 and 1, with seed 1 sitting between the masses. All
+    // component values are binary-exact so the fixed-point grid is too.
+    val embs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.5f, 0.5f, 0f, 0f)),
+      (2L, Array(0.5f, 0f, 0f, 0f)),
+      (3L, Array(0.75f, 0.25f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0.25f, 0.75f, 0f, 0f))).toDF("vec_id", "embedding")
+    val (assigned, cents) = CurationOps.kmeans(embs, dim = 4, k = 2,
+      iters = 2)
+    val memb = assigned.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(memb == Map(0L -> 0L, 2L -> 0L, 3L -> 0L,
+      1L -> 1L, 4L -> 1L, 5L -> 1L))
+    // the updated centroid of the y-mass cluster tilted toward y
+    val ce1 = cents.filter($"cid" === 1L)
+      .select("ce").collect()(0).getSeq[Float](0)
+    assert(ce1(1) > ce1(0), s"centroid 1 did not move to the mass: $ce1")
+    // n_members from updateCentroids matches the assignment
+    val nm = CurationOps.updateCentroids(
+      graft.operators.SimilarityOps.assignToCentroids(embs,
+        embs.filter($"vec_id" < 2)
+          .select($"vec_id".as("cid"), $"embedding".as("ce")), 4)
+        .filter($"rn" === 1), dim = 4)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        r.getAs[Long]("n_members")).toMap
+    assert(nm == Map(0L -> 3L, 1L -> 3L))
+    // determinism contract: any input partitioning, bit-identical output
+    val (a2, c2) = CurationOps.kmeans(embs.repartition(5), dim = 4,
+      k = 2, iters = 2)
+    assert(a2.collect().toSet == assigned.collect().toSet)
+    assert(c2.collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toList)).toSet ==
+      cents.collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toList)).toSet)
+  }
+
   test("assignClusters: centroid vectors assign to themselves at cos 1") {
     val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
     val selfAssign = CurationOps.assignClusters(embs)
