@@ -96,6 +96,25 @@ object CurationOps {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("ccos"))
 
+  /** Cluster-balanced deterministic sampling: assign each vector to
+    * its nearest centroid, then apply per-CLUSTER inclusion rates (out
+    * of 256) with the same content-independent id-hash gate as
+    * [[mixtureSample]] — the semantic-curation knob ("down-sample the
+    * over-represented cluster, keep the rare ones whole") with the
+    * same stability contract: a re-run or repartitioned pipeline
+    * selects the SAME vectors. Clusters missing from `rates256`
+    * default to rate 0 (excluded). Returns the assignment columns
+    * (vec_id, cid, ccos) plus the audit columns bucket/rate256. */
+  def clusterSample(embs: DataFrame, rates256: Map[Long, Int],
+      dim: Int = 64, nCentroids: Int = 8): DataFrame =
+    mixtureSample(
+      assignClusters(embs, dim, nCentroids)
+        .withColumn("_cid_s", col("cid").cast("string")),
+      "_cid_s",
+      rates256.map { case (cid, r) => cid.toString -> r },
+      idCol = "vec_id")
+      .drop("_cid_s")
+
   /** Per-dimension Lloyd-update numerators over an assignment: for
     * each (cid, pos), the exact fixed-point sum `s = Σ floor(v·scale)`
     * of member values and the member count `n`. Fixed-point makes the

@@ -95,7 +95,7 @@ object SchemaDrift {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: DataFrame, batchId: Long) =>
-          writeReport(driftReport(batch, contentCol, declared)
+          writeBatchIdempotent(driftReport(batch, contentCol, declared)
             .withColumn("_batch_id", lit(batchId)), reportTable)
       }
     (if (availableNow)
@@ -104,24 +104,57 @@ object SchemaDrift {
      else writer).start()
   }
 
-  /** Idempotent per-batch report write: dynamic overwrite of the
-    * report's own `_batch_id` partition (replay-safe); the create path
-    * clears any stale warehouse location a crashed first write left
-    * behind before re-creating the table. */
-  private[graft] def writeReport(report: DataFrame,
-      reportTable: String): Unit = {
-    val spark = report.sparkSession
-    if (spark.catalog.tableExists(reportTable)) {
+  /** Idempotent per-batch table write: the rows (which must carry a
+    * `_batch_id` column) dynamically overwrite their own `_batch_id`
+    * partition, so an at-least-once replayed batch rewrites the same
+    * partition with the same rows instead of appending duplicates.
+    * The create path clears any stale warehouse location a crashed
+    * first write left behind before re-creating the table. Shared by
+    * the drift monitor and the quarantine stream. */
+  def writeBatchIdempotent(rows: DataFrame, table: String): Unit = {
+    val spark = rows.sparkSession
+    if (spark.catalog.tableExists(table)) {
       val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try report.write.mode("overwrite").insertInto(reportTable)
+      try rows.write.mode("overwrite").insertInto(table)
       finally
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     } else {
-      graft.streaming.CdcMerge.dropStateTable(spark, reportTable)
-      report.write.mode("overwrite").format("parquet")
-        .partitionBy("_batch_id").saveAsTable(reportTable)
+      graft.streaming.CdcMerge.dropStateTable(spark, table)
+      rows.write.mode("overwrite").format("parquet")
+        .partitionBy("_batch_id").saveAsTable(table)
     }
+  }
+
+  /** Continuous containment: every micro-batch is SPLIT — rows whose
+    * content stays inside the declared key set flow to `cleanTable`,
+    * rows carrying undeclared keys (with their `undeclared_keys`
+    * evidence column) land in `quarantineTable`, the dead-letter side
+    * of the drift contract: upstream DDL never stops the pipeline and
+    * never silently pollutes the clean table, and the quarantined rows
+    * keep enough context to re-ingest after the consumer widens its
+    * view. Both writes are per-batch idempotent
+    * ([[writeBatchIdempotent]]), so a replayed batch lands exactly
+    * once in EACH table. */
+  def startQuarantineStream(df: DataFrame, contentCol: String,
+      declared: Seq[String], cleanTable: String, quarantineTable: String,
+      checkpointDir: String, availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: DataFrame, batchId: Long) =>
+          val (clean, bad) = quarantine(batch, contentCol, declared)
+          writeBatchIdempotent(
+            clean.withColumn("_batch_id", lit(batchId)), cleanTable)
+          writeBatchIdempotent(
+            bad.drop("has_drift").withColumn("_batch_id", lit(batchId)),
+            quarantineTable)
+      }
+    (if (availableNow)
+       writer.trigger(
+         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
   }
 
   /** Typed view widened by the NEW keys observed in the data: declared

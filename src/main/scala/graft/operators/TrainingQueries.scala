@@ -213,5 +213,53 @@ object TrainingQueries {
              CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE) AS fp_sq_sum
       FROM dims GROUP BY cid ORDER BY cid"""))
 
-  val all: Seq[GraftQuery] = Seq(doc12, doc13, doc14, emb08, emb09)
+  // -------------------------------------------------------------- emb10
+  // Cluster-balanced sampling: nearest-centroid assignment (emb08's
+  // proven formulation) composed with the deterministic id-hash gate
+  // (doc14's) at per-cluster rates — down-sample dominant clusters,
+  // keep rare ones whole, stably under any re-run/repartition.
+  // Reported per cluster with the min/max selected bucket as the
+  // threshold audit.
+  private val emb10 = GraftQuery(
+    "emb10_cluster_sample",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.clusterSample(t(s, dir, "embeddings"),
+          rates256 = (0L until 8L).map(c =>
+            c -> Seq(64, 128, 192, 256)((c % 4).toInt)).toMap)
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_sampled"),
+          min($"bucket").as("min_bucket"),
+          max($"bucket").as("max_bucket"))
+        .orderBy($"cid")
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               ${LlmQueries.normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding,
+               ${LlmQueries.normSql("embedding", 64)} AS en
+        FROM embeddings),
+      assign AS (
+        SELECT b.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            (${LlmQueries.dotSql("b.embedding", "c.ce", 64)})
+              / (b.en * c.cn) DESC, c.cid) AS rn
+        FROM base b CROSS JOIN cent c),
+      g AS (
+        SELECT vec_id, cid,
+          CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 2))
+               AS BIGINT) AS bucket,
+          CASE cid % 4 WHEN 0 THEN 64 WHEN 1 THEN 128
+                       WHEN 2 THEN 192 ELSE 256 END AS rate256
+        FROM assign WHERE rn = 1)
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket
+      FROM g WHERE bucket < rate256
+      GROUP BY cid ORDER BY cid"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(doc12, doc13, doc14, emb08, emb09, emb10)
 }

@@ -43,7 +43,7 @@ class PlanQualitySpec extends SparkSpec {
     val allowed = Set("q20_scalar_subquery", "emb01_cosine_topk",
       "emb04_ivf_topk", "emb05_ivf_multiprobe", "doc09_top_terms",
       "doc10_chartrigram_neardup", "cdc15_gap_detect",
-      "emb08_cluster_assign", "emb09_kmeans_step")
+      "emb08_cluster_assign", "emb09_kmeans_step", "emb10_cluster_sample")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -84,6 +84,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(s1.size > 10 && s1.size < 45, s"selected ${s1.size}")
   }
 
+  test("clusterSample: per-cluster gates, missing clusters excluded") {
+    import spark.implicits._
+    val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
+    // cluster 0 kept whole, cluster 1 excluded, 2-7 unlisted (rate 0)
+    val got = CurationOps.clusterSample(embs, Map(0L -> 256, 1L -> 0))
+    val byCid = got.groupBy($"cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCid.keySet == Set(0L), s"unexpected clusters: $byCid")
+    // rate 256 = the whole cluster
+    val full = CurationOps.assignClusters(embs)
+      .filter($"cid" === 0L).count()
+    assert(byCid(0L) == full)
+    // stable under repartitioning (the mixtureSample contract)
+    val again = CurationOps.clusterSample(embs.repartition(7),
+      Map(0L -> 256, 1L -> 0))
+    assert(again.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      got.select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("kmeans: planted clusters converge; update is deterministic") {
     import spark.implicits._
     // two planted directions (x-axis and y-axis mass) in dim 4; seeds

@@ -78,17 +78,57 @@ class SchemaDriftSpec extends SparkSpec {
         .withColumn("_batch_id", lit(batchId))
     val b0 = Seq((1L, """{"k":1}""")).toDF("id", "content")
     val b1 = Seq((2L, """{"k":2,"surge":true}""")).toDF("id", "content")
-    SchemaDrift.writeReport(report(0L, b0), "drift_replay")
-    SchemaDrift.writeReport(report(1L, b1), "drift_replay")
+    SchemaDrift.writeBatchIdempotent(report(0L, b0), "drift_replay")
+    SchemaDrift.writeBatchIdempotent(report(1L, b1), "drift_replay")
     val before = spark.table("drift_replay").collect().toSet
     // crash-before-offset-commit: batch 1 is REPLAYED with identical
     // content — the write must overwrite its own partition, not append
     // duplicate rows that double per-key n_events
-    SchemaDrift.writeReport(report(1L, b1), "drift_replay")
+    SchemaDrift.writeBatchIdempotent(report(1L, b1), "drift_replay")
     assert(spark.table("drift_replay").collect().toSet == before)
     assert(spark.table("drift_replay")
       .groupBy("key", "_batch_id").count()
       .filter($"count" > 1).count() == 0)
+  }
+
+  test("quarantine stream: clean/dead-letter split, replay-idempotent") {
+    import spark.implicits._
+    Seq("dlq_clean", "dlq_bad").foreach(
+      graft.streaming.CdcMerge.dropStateTable(spark, _))
+    val src = tmpDir("dlq-src")
+    Seq((1L, """{"k":1}"""), (2L, """{"k":2}"""))
+      .toDF("id", "content").coalesce(1).write.parquet(s"$src/f1")
+    Seq((3L, """{"k":3,"surge":true}"""), (4L, """{"k":4}"""))
+      .toDF("id", "content").coalesce(1).write.parquet(s"$src/f2")
+    val stream = spark.readStream
+      .schema(rows.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+    val q = SchemaDrift.startQuarantineStream(stream, "content",
+      Seq("k"), "dlq_clean", "dlq_bad", tmpDir("dlq-ck"))
+    try q.awaitTermination() finally q.stop()
+    // clean rows flow through with the original schema (+_batch_id);
+    // the drifted row is held back with its evidence column
+    assert(spark.table("dlq_clean").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+    val bad = spark.table("dlq_bad").collect()
+    assert(bad.map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    assert(bad(0).getAs[scala.collection.Seq[String]]("undeclared_keys")
+      == Seq("surge"))
+    // replay of the drifted batch: both tables unchanged
+    val cleanBefore = spark.table("dlq_clean").collect().toSet
+    val badBefore = spark.table("dlq_bad").collect().toSet
+    val replay = Seq((3L, """{"k":3,"surge":true}"""), (4L, """{"k":4}"""))
+      .toDF("id", "content")
+    val (c2, b2) = SchemaDrift.quarantine(replay, "content", Seq("k"))
+    SchemaDrift.writeBatchIdempotent(
+      c2.withColumn("_batch_id", lit(1L)), "dlq_clean")
+    SchemaDrift.writeBatchIdempotent(
+      b2.drop("has_drift").withColumn("_batch_id", lit(1L)), "dlq_bad")
+    assert(spark.table("dlq_clean").collect().toSet == cleanBefore)
+    assert(spark.table("dlq_bad").collect().toSet == badBefore)
   }
 
   test("widenedView grows new keys as strings; old readers keep working") {
