@@ -102,4 +102,29 @@ object AnnTuner {
     }
     chosen.get
   }
+
+  final case class TunedK(k: Int, meanCos: Double)
+
+  /** Smallest k on the ladder whose k-means assignment quality (mean
+    * vector-to-centroid cosine after `iters` Lloyd passes on the
+    * sample) meets `targetMeanCos`; falls back to the largest rung.
+    * Same offline, sample-sized contract as [[tuneLsh]]/[[tuneIvf]]:
+    * assignment quality is a property of the vector distribution, so
+    * the chosen k transfers to the full-corpus
+    * [[CurationOps.kmeans]] run, whose cost grows with k — which is
+    * why the smallest passing k is the right pick. */
+  def chooseK(sample: DataFrame, targetMeanCos: Double, dim: Int = 64,
+      ladder: Seq[Int] = Seq(2, 4, 8, 16), iters: Int = 2): TunedK = {
+    require(ladder.nonEmpty && ladder == ladder.sorted,
+      "chooseK ladder must be ascending")
+    var chosen: Option[TunedK] = None
+    val it = ladder.iterator
+    while (it.hasNext && !chosen.exists(_.meanCos >= targetMeanCos)) {
+      val k = it.next()
+      val (assigned, _) = CurationOps.kmeans(sample, dim, k, iters)
+      val m = assigned.agg(avg(col("ccos"))).collect()(0).getDouble(0)
+      chosen = Some(TunedK(k, m))
+    }
+    chosen.get
+  }
 }

@@ -96,6 +96,28 @@ object CurationOps {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("ccos"))
 
+  /** Solve per-stratum inclusion rates (out of 256) that turn observed
+    * stratum counts into target PROPORTIONS by down-sampling only —
+    * the planning half of [[mixtureSample]]. The most under-
+    * represented stratum relative to its target (the binding one)
+    * keeps rate 256 (never up-sampled — that would need duplication);
+    * every other stratum scales down to match. Rates floor, so
+    * realized shares undershoot by < 1/256. Strata absent from
+    * `targetShare` get no rate (excluded by mixtureSample). */
+  def mixtureRates(counts: Map[String, Long],
+      targetShare: Map[String, Double]): Map[String, Int] = {
+    val t = targetShare.filter { case (s, share) =>
+      share > 0 && counts.getOrElse(s, 0L) > 0L }
+    require(t.nonEmpty, "no stratum has both a target share and data")
+    // largest total corpus size at which every stratum can still fill
+    // its share from existing rows
+    val total = t.map { case (s, share) => counts(s) / share }.min
+    t.map { case (s, share) =>
+      val keepFrac = (share * total) / counts(s)
+      s -> math.min(256, math.floor(keepFrac * 256).toInt)
+    }
+  }
+
   /** Cluster-balanced deterministic sampling: assign each vector to
     * its nearest centroid, then apply per-CLUSTER inclusion rates (out
     * of 256) with the same content-independent id-hash gate as

@@ -67,4 +67,22 @@ class AnnTunerSpec extends SparkSpec {
       s"stopped early below target: $tuned")
     assert(tuned.recall >= probe1.recall - 1e-9)
   }
+
+  test("chooseK stops at the smallest k meeting assignment quality") {
+    // trivial target -> the cheapest rung wins outright
+    val loose = AnnTuner.chooseK(embs, targetMeanCos = -1.0,
+      ladder = Seq(2, 4, 8))
+    assert(loose.k == 2, s"target -1 must not pay for extra centroids")
+    // skewed corpus: the near-dup pile + spread tail needs more
+    // centroids for tight assignments; the walk must end on a rung
+    // whose measured quality meets the target (or the last rung)
+    val tuned = AnnTuner.chooseK(skewed(40, 40), targetMeanCos = 0.6,
+      dim = 16, ladder = Seq(2, 4, 8))
+    assert(tuned.meanCos >= 0.6 || tuned.k == 8,
+      s"stopped early below target: $tuned")
+    assert(tuned.meanCos >= loose.meanCos - 1.0) // both are defined
+    intercept[IllegalArgumentException] {
+      AnnTuner.chooseK(embs, 0.5, ladder = Seq(8, 2))
+    }
+  }
 }

@@ -84,6 +84,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(s1.size > 10 && s1.size < 45, s"selected ${s1.size}")
   }
 
+  test("mixtureRates solves down-sampling rates for target shares") {
+    // en is 10x over-represented for a 50/50 target: de (binding)
+    // keeps everything, en scales to ~match de's kept volume
+    val rates = CurationOps.mixtureRates(
+      Map("en" -> 1000L, "de" -> 100L),
+      Map("en" -> 0.5, "de" -> 0.5))
+    assert(rates("de") == 256)
+    assert(rates("en") == 25) // floor(0.1 * 256)
+    // realized shares: en ~ 1000*25/256 = 97.6 vs de 100 — equal
+    // within the documented < 1/256 floor undershoot
+    val en = 1000.0 * rates("en") / 256
+    assert(math.abs(en - 100.0) / 100.0 < 0.05)
+    // strata without data or without a target are dropped
+    val r2 = CurationOps.mixtureRates(
+      Map("en" -> 10L, "fr" -> 0L),
+      Map("en" -> 1.0, "fr" -> 0.5, "zh" -> 0.2))
+    assert(r2 == Map("en" -> 256))
+    intercept[IllegalArgumentException] {
+      CurationOps.mixtureRates(Map("en" -> 10L), Map("zh" -> 1.0))
+    }
+  }
+
   test("clusterSample: per-cluster gates, missing clusters excluded") {
     import spark.implicits._
     val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
