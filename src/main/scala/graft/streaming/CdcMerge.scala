@@ -195,6 +195,56 @@ object CdcMerge {
     removed
   }
 
+  /** Re-bucket the state table to a new partition count — the table
+    * service that lifts "nBuckets is fixed for the table's lifetime":
+    * a table sized at 16 buckets that grew 100× needs finer partitions
+    * for the merge's pruning to keep paying off. One full rewrite
+    * (repartitioned on the NEW `_kb`, one file per partition), staged
+    * to a side table and swapped in with the same crash-recoverable
+    * rename chain as [[graft.streaming.LakehouseSink.compact]]:
+    * table→_old, tmp→table, drop _old, with the half-swapped state
+    * restored before any DROP on a recovery re-run. Run it offline
+    * like compaction — the merge stream must be paused (single-writer,
+    * as for any non-transactional table service). Subsequent
+    * [[applyBatch]] calls must pass the new `nBuckets`. */
+  def rebucket(spark: SparkSession, table: String, keyCol: String,
+      newBuckets: Int): Unit = {
+    val tmp = s"${table}_rebucketing"
+    val old = s"${table}_old"
+    // renaming a directory-partitioned managed table moves its data
+    // but drops the catalog's partition metadata (measured: count()
+    // reads 0 until repaired) — every rename is therefore followed by
+    // a partition recovery on the new name
+    def rename(from: String, to: String): Unit = {
+      spark.sql(s"ALTER TABLE $from RENAME TO $to")
+      spark.sql(s"MSCK REPAIR TABLE $to")
+    }
+    if (!spark.catalog.tableExists(table)) {
+      if (spark.catalog.tableExists(old)) rename(old, table)
+      else if (spark.catalog.tableExists(tmp)) rename(tmp, table)
+      else throw new IllegalStateException(
+        s"rebucket($table): table does not exist and no crash " +
+          s"leftovers ($old / $tmp) to recover from")
+    }
+    dropStateTable(spark, tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    val cols = spark.table(table).columns
+    spark.table(table)
+      .withColumn("_kb", pmod(xxhash64(col(keyCol)), lit(newBuckets)))
+      .select(cols.toSeq.map(col): _*)
+      .repartition(col("_kb"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("_kb").saveAsTable(tmp)
+    rename(table, old)
+    try rename(tmp, table)
+    catch {
+      case e: Throwable =>
+        rename(old, table)
+        throw e
+    }
+    spark.sql(s"DROP TABLE $old")
+  }
+
   /** Continuous apply: foreachBatch merge of a streaming envelope
     * DataFrame. At-least-once upstream (a crash between merge and
     * offset commit replays the batch) + idempotent merge = effectively

@@ -190,4 +190,39 @@ class CdcMergeSpec extends SparkSpec {
     try q.awaitTermination() finally q.stop()
     assert(state(t) == Map(1L -> 3L, 2L -> 2L))
   }
+
+  test("rebucket re-partitions the state; merges continue at new count") {
+    val t = "merge_rebucket"
+    Seq(t, s"${t}_stage", s"${t}_rebucketing", s"${t}_old")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    apply1(t, env(
+      (1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (2L, "2026-01-01 00:00:02", "Insert", 2L),
+      (3L, "2026-01-01 00:00:03", "Insert", 3L),
+      (4L, "2026-01-01 00:00:04", "Delete", 4L)))
+    val before = state(t)
+    CdcMerge.rebucket(spark, t, "k", newBuckets = 16)
+    // visible state unchanged, tombstone retained, partitions rehashed
+    assert(state(t) == before)
+    assert(spark.table(t).filter(col("k") === 4L).count() == 1)
+    val badKb = spark.table(t)
+      .filter(col("_kb") =!= pmod(xxhash64(col("k")), lit(16)))
+    assert(badKb.count() == 0, "a row sits in the wrong new bucket")
+    assert(!spark.catalog.tableExists(s"${t}_rebucketing"))
+    assert(!spark.catalog.tableExists(s"${t}_old"))
+    // merging continues against the new bucket count
+    CdcMerge.applyBatch(spark, t, env(
+      (3L, "2026-01-01 00:00:05", "Update", 5L),
+      (5L, "2026-01-01 00:00:06", "Insert", 6L)),
+      "k", Seq("ts", "event_id"), 16)
+    assert(state(t) == before + (3L -> 5L) + (5L -> 6L))
+    // half-swapped crash state: recovery re-run restores, then swaps
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}_old")
+    CdcMerge.rebucket(spark, t, "k", newBuckets = 16)
+    assert(state(t) == before + (3L -> 5L) + (5L -> 6L))
+    // nothing to recover from -> explicit failure
+    intercept[IllegalStateException] {
+      CdcMerge.rebucket(spark, "merge_rebucket_missing", "k", 8)
+    }
+  }
 }
