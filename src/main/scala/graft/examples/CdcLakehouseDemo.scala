@@ -129,6 +129,19 @@ object CdcLakehouseDemo {
           s"n_live=${r.getAs[Long]("n_live")} " +
           s"sum=${r.getAs[java.math.BigDecimal]("sum_value")}")
       }
+
+    // table service: the silver table has outgrown its 8 buckets —
+    // re-partition it to 32 between merge windows; state must read
+    // back identically
+    val liveBefore = live.count()
+    graft.streaming.CdcMerge.rebucket(spark, "demo_cdc_silver",
+      "row_id", newBuckets = 32)
+    val liveAfter = graft.streaming.CdcMerge
+      .readState(spark, "demo_cdc_silver").count()
+    println(s"[lakehouse] rebucket 8->32:   " +
+      spark.table("demo_cdc_silver").select("_kb").distinct().count() +
+      s" partitions, live rows $liveBefore -> $liveAfter" +
+      (if (liveBefore == liveAfter) " (preserved)" else " (LOST!)"))
     spark.stop()
   }
 }

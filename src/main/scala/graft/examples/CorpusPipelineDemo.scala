@@ -75,11 +75,15 @@ object CorpusPipelineDemo {
       .join(contaminated, Seq("doc_id"), "left_anti")
     val nDecon = decontaminated.count()
 
-    // 3c. training mixture: per-language inclusion rates
+    // 3c. training mixture: SOLVE the per-language rates from the
+    // measured composition (equal shares target, down-sampling only —
+    // the binding language keeps rate 256), then gate deterministically
+    val langCounts = decontaminated.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val solvedRates = graft.operators.CurationOps.mixtureRates(
+      langCounts, langCounts.keys.map(_ -> 0.2).toMap)
     val mixed = graft.operators.CurationOps.mixtureSample(
-      decontaminated, "lang",
-      Map("en" -> 192, "fr" -> 256, "es" -> 256, "zh" -> 256,
-        "de" -> 256))
+      decontaminated, "lang", solvedRates)
     val nMixed = mixed.count()
 
     // 3d. sequence packing: token-budget bins per shard
@@ -109,6 +113,9 @@ object CorpusPipelineDemo {
     println(s"[corpus] after bigram dedup:   $nBigram")
     println(s"[corpus] after trigram dedup:  $nCurated")
     println(s"[corpus] after decontam:       $nDecon")
+    println(s"[corpus] solved mixture rates: " +
+      solvedRates.toSeq.sortBy(_._1)
+        .map { case (l, r) => s"$l=$r" }.mkString(" "))
     println(s"[corpus] after mixture:        $nMixed")
     println(s"[corpus] packed bins (512tk):  $nBins")
     println(s"[corpus] total tokens:         ${budget.getAs[Long]("total_tokens")}")
