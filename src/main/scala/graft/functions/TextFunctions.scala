@@ -86,4 +86,27 @@ object TextFunctions {
     * Apply as an aggregate over exploded shingles. */
   def seededHash(seed: Int, shingle: Column): Column =
     md5(concat(lit(s"$seed|"), shingle).cast("binary"))
+
+  /** PII patterns, RE2-compatible by construction (no backreferences
+    * or lookaround) so Java regex (Spark codegen) and RE2 (the DuckDB
+    * oracle) match the SAME spans — the portability constraint any
+    * cross-engine scrubbing pass must hold. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9-]{6,}[0-9]"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long")
+
+  /** PII scrubbing: emails then phones replaced by typed placeholders
+    * (email first — a phone-shaped digit run inside a yet-unredacted
+    * address would otherwise be double-redacted). Pure scan-side
+    * codegen, no shuffle: the shape every compliance pass needs at
+    * 100 TB. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
 }

@@ -260,6 +260,68 @@ object TrainingQueries {
       FROM g WHERE bucket < rate256
       GROUP BY cid ORDER BY cid"""))
 
+  // -------------------------------------------------------------- doc15
+  // PII scrubbing: emails/phones planted deterministically (every 3rd
+  // doc gets an address, every 4th a phone), then detected and
+  // redacted with shared RE2-compatible patterns. The oracle replays
+  // detection counts, redacted lengths and per-doc redaction flags —
+  // Java regex (Spark) and RE2 (DuckDB) must pick the same spans.
+  private val doc15 = GraftQuery(
+    "doc15_pii_redact",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions
+      val withPii = t(s, dir, "documents").withColumn("ptext",
+        concat($"text",
+          when(pmod($"doc_id", lit(3)) === 0,
+            concat(lit(" contact user"), $"doc_id",
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when(pmod($"doc_id", lit(4)) === 0,
+            concat(lit(" call +1-555-"),
+              lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+      withPii
+        .withColumn("rtext", TextFunctions.redactPii($"ptext"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.emailCount($"ptext")).as("emails_found"),
+          sum(TextFunctions.phoneCount($"ptext")).as("phones_found"),
+          sum(length($"rtext")).as("redacted_len"),
+          sum(when($"rtext".contains("<EMAIL>") ||
+              $"rtext".contains("<PHONE>"), 1L).otherwise(0L))
+            .as("docs_redacted"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH pii AS (
+        SELECT doc_id, lang, text ||
+          CASE WHEN doc_id % 3 = 0
+               THEN ' contact user' || doc_id || '@mail.example.com'
+               ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0
+               THEN ' call +1-555-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS ptext
+        FROM documents),
+      red AS (
+        SELECT lang, ptext,
+          regexp_replace(
+            regexp_replace(ptext,
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS rtext
+        FROM pii)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(regexp_extract_all(ptext,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS BIGINT)
+          AS emails_found,
+        CAST(SUM(len(regexp_extract_all(ptext,
+          '\+?[0-9][0-9-]{6,}[0-9]'))) AS BIGINT) AS phones_found,
+        CAST(SUM(len(rtext)) AS BIGINT) AS redacted_len,
+        CAST(SUM(CASE WHEN contains(rtext, '<EMAIL>')
+                        OR contains(rtext, '<PHONE>')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted
+      FROM red GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[GraftQuery] =
-    Seq(doc12, doc13, doc14, emb08, emb09, emb10)
+    Seq(doc12, doc13, doc14, doc15, emb08, emb09, emb10)
 }

@@ -24,6 +24,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(q > 0 && q < 1)
   }
 
+  test("PII redaction: typed placeholders, email-first, no-op on clean") {
+    import spark.implicits._
+    val df = Seq(
+      "reach user42@mail.example.com or +1-555-0042 today",
+      "no pii here at all",
+      "double a1@b.co c2@d.org").toDF("text")
+    val got = df.select(
+      TextFunctions.redactPii($"text").as("r"),
+      TextFunctions.emailCount($"text").as("e"),
+      TextFunctions.phoneCount($"text").as("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) == ("reach <EMAIL> or <PHONE> today", 1L, 1L))
+    assert(got(1) == ("no pii here at all", 0L, 0L))
+    // both addresses replaced; the digits inside them never seen by
+    // the phone pass (email runs first)
+    assert(got(2) == ("double <EMAIL> <EMAIL>", 2L, 0L))
+  }
+
   test("bigram shingles: ordered pairs, distinct, safe under 2 tokens") {
     import spark.implicits._
     val df = Seq("a b c b c", "solo").toDF("text")
