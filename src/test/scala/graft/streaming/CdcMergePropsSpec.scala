@@ -31,22 +31,28 @@ class CdcMergePropsSpec extends SparkSpec {
     })
   } yield evs
 
-  private val caseGen: Gen[(List[Ev], List[Int], List[Int])] = for {
+  private val caseGen
+      : Gen[(List[Ev], List[Int], List[Int], Option[Int])] = for {
     evs <- evsGen
     nBatches <- Gen.chooseNum(1, 4)
     assign <- Gen.listOfN(evs.size, Gen.chooseNum(0, nBatches - 1))
     replays <- Gen.someOf(0 until nBatches)
-  } yield (evs, assign, replays.toList)
+    // sometimes re-bucket the state table between the live batches and
+    // the redeliveries — the table service must be invisible to both
+    rebucketTo <- Gen.option(Gen.oneOf(2, 8, 16))
+  } yield (evs, assign, replays.toList, rebucketTo)
 
   private var runId = 0
 
   test("random batches + replays: state and aggregate match reference") {
-    val prop = Prop.forAll(caseGen) { case (evs, assign, replays) =>
+    val prop = Prop.forAll(caseGen) {
+      case (evs, assign, replays, rebucketTo) =>
       runId += 1
       val st = s"prop_state_$runId"
       val ag = s"prop_agg_$runId"
-      Seq(st, s"${st}_stage", ag, s"${ag}_stage")
-        .foreach(CdcMerge.dropStateTable(spark, _))
+      val tables = Seq(st, s"${st}_stage", s"${st}_rebucketing",
+        s"${st}_old", ag, s"${ag}_stage")
+      tables.foreach(CdcMerge.dropStateTable(spark, _))
       import spark.implicits._
       def toDf(es: Seq[Ev]) = es
         .map(e => (e.key,
@@ -60,9 +66,20 @@ class CdcMergePropsSpec extends SparkSpec {
         b.toLong -> evs.zip(asg).collect { case (e, a) if a == b => e }
       }
       val valid = replays.filter(b => b >= 0 && b < nBatches)
-      (batches ++ valid.map(b => batches(b))).foreach { case (id, es) =>
+      batches.foreach { case (id, es) =>
         IncrementalAgg.applyBatch(spark, st, ag, toDf(es), "k",
           Seq("ts", "event_id"), 4, "grp", "value", id)
+      }
+      // service window: re-partition the state, then redeliver against
+      // the NEW bucket count — neither may change visible state
+      val buckets = rebucketTo match {
+        case Some(nb) if spark.catalog.tableExists(st) =>
+          CdcMerge.rebucket(spark, st, "k", nb); nb
+        case _ => 4
+      }
+      valid.map(b => batches(b)).foreach { case (id, es) =>
+        IncrementalAgg.applyBatch(spark, st, ag, toDf(es), "k",
+          Seq("ts", "event_id"), buckets, "grp", "value", id)
       }
 
       // reference: per key the max-(ts ~ i) event; deletes drop out
@@ -91,8 +108,7 @@ class CdcMergePropsSpec extends SparkSpec {
         else Map.empty[String, (Long, BigDecimal)]
       val aggOk = gotAgg == expectedAgg
 
-      Seq(st, s"${st}_stage", ag, s"${ag}_stage")
-        .foreach(CdcMerge.dropStateTable(spark, _))
+      tables.foreach(CdcMerge.dropStateTable(spark, _))
       stateOk && aggOk
     }
     val res = SCTest.check(
