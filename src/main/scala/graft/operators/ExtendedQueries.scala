@@ -477,6 +477,44 @@ object ExtendedQueries {
       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
       ORDER BY o_orderkey"""))
 
+  // -------------------------------------------------------------- q38
+  // Window NAVIGATION family: lag/lead, first/last_value and ntile —
+  // the offset/frame functions q36's ranks don't cover. The window
+  // orders by the unique o_orderkey (total order → deterministic
+  // offsets and tiles); last_value takes the explicit full frame (the
+  // default RANGE..CURRENT ROW frame would just echo the current row).
+  private val q38 = GraftQuery(
+    "q38_window_navigation",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderstatus").orderBy($"o_orderkey")
+      val wFull = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          first_value($"o_orderkey").over(w).as("first_key"),
+          last_value($"o_orderkey").over(wFull).as("last_key"),
+          ntile(7).over(w).cast("long").as("tile"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus,
+        LAG(o_totalprice) OVER w AS prev_price,
+        LEAD(o_totalprice) OVER w AS next_price,
+        FIRST_VALUE(o_orderkey) OVER w AS first_key,
+        LAST_VALUE(o_orderkey) OVER
+          (PARTITION BY o_orderstatus ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          AS last_key,
+        CAST(NTILE(7) OVER w AS BIGINT) AS tile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+      ORDER BY o_orderkey"""))
+
   // -------------------------------------------------------------- q37
   // Statistical aggregates (variance, stddev, covariance, Pearson
   // correlation) computed the DETERMINISTIC way: exact DECIMAL
@@ -571,5 +609,5 @@ object ExtendedQueries {
 
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
-      q33, q34, q35, q36, q37)
+      q33, q34, q35, q36, q37, q38)
 }
