@@ -71,6 +71,15 @@ object TextFunctions {
   def bigramShingles(text: Column): Column =
     bigramShinglesFromTokens(tokens(text))
 
+  /** ALL bigram occurrences (duplicates kept) — the unit for
+    * repetition metrics, where the dedup that [[bigramShingles]]
+    * applies would erase exactly the signal being measured. */
+  def bigramsAllFromTokens(ts: Column): Column =
+    when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   /** Distinct character trigrams — the char-n-gram dedup unit (robust
     * to word-boundary edits where word shingles are not). Empty when
     * the text is shorter than 3 chars. */

@@ -96,6 +96,26 @@ object CurationOps {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("ccos"))
 
+  /** Per-document n-gram repetition ratio — the repetitiveness signal
+    * quality filters cut on (boilerplate, keyword stuffing, generation
+    * loops score high; prose scores low): the most frequent bigram's
+    * share of all bigram OCCURRENCES. Shape: explode + two map-side-
+    * combined aggregates keyed by doc — work ∝ corpus tokens, state ∝
+    * per-task distinct (doc, bigram) pairs, no doc-level skew (a doc's
+    * bigrams co-locate only at the final doc-keyed aggregate, which
+    * carries one row per distinct bigram, already combined). Docs with
+    * fewer than two tokens have no bigrams and drop out. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        explode(TextFunctions.bigramsAllFromTokens(col("ts"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_count"))
+      .withColumn("rep_ratio",
+        col("max_count").cast("double") / col("n_bigrams").cast("double"))
+
   /** Solve per-stratum inclusion rates (out of 256) that turn observed
     * stratum counts into target PROPORTIONS by down-sampling only —
     * the planning half of [[mixtureSample]]. The most under-

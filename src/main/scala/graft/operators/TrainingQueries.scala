@@ -322,6 +322,34 @@ object TrainingQueries {
                       THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted
       FROM red GROUP BY lang ORDER BY lang"""))
 
+  // -------------------------------------------------------------- doc16
+  // N-gram repetition ratio (the Gopher-style repetitiveness quality
+  // signal): most-frequent-bigram share of all bigram occurrences per
+  // doc. Ratio is integer/integer in double — bit-exact both engines.
+  private val doc16 = GraftQuery(
+    "doc16_repetition",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.repetitionStats(t(s, dir, "documents"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      bg AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1])) AS bg
+        FROM toks WHERE len(ws) >= 2),
+      c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg
+            GROUP BY doc_id, bg)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS max_count,
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS rep_ratio
+      FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(doc12, doc13, doc14, doc15, emb08, emb09, emb10)
+    Seq(doc12, doc13, doc14, doc15, doc16, emb08, emb09, emb10)
 }

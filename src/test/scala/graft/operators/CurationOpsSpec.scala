@@ -84,6 +84,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(s1.size > 10 && s1.size < 45, s"selected ${s1.size}")
   }
 
+  test("repetitionStats: planted loop scores high, prose low") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "buy now buy now buy now buy now"),  // 7 bigrams, "buy now"×4
+      (1L, "the quick brown fox jumps over it"), // all distinct
+      (2L, "one")).toDF("doc_id", "text")       // <2 tokens: no row
+    val got = CurationOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == (7L, 4L, 4.0 / 7.0))
+    assert(got(1L)._2 == 1L && got(1L)._3 == 1.0 / 6.0)
+  }
+
   test("mixtureRates solves down-sampling rates for target shares") {
     // en is 10x over-represented for a 50/50 target: de (binding)
     // keeps everything, en scales to ~match de's kept volume
