@@ -74,6 +74,12 @@ object ScaleProbe {
     probe("exact_dedup") (
       DedupOps.exactDupGroups(docs1),
       DedupOps.exactDupGroups(docs4))
+    probe("kmeans_2iter") (
+      graft.operators.CurationOps.kmeans(embs1, 64, 8, 2)._1,
+      graft.operators.CurationOps.kmeans(embs4, 64, 8, 2)._1)
+    probe("repetition") (
+      graft.operators.CurationOps.repetitionStats(docs1),
+      graft.operators.CurationOps.repetitionStats(docs4))
 
     // CDC merge throughput: apply the events stream as 4 batches into
     // the partitioned state table; report events/s and that a second
