@@ -118,6 +118,36 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning fires on partition-key dim joins") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fact partitioned on the join key; dim carries a selective filter
+    // only known at runtime — the scan must plan a dynamicpruning
+    // subquery in its PartitionFilters, the mechanism that keeps a
+    // 100 TB fact scan from reading partitions the dim filter excludes
+    graft.streaming.CdcMerge.dropStateTable(spark, "dpp_fact")
+    // sf0.01: DPP's benefit heuristic skips sub-broadcast-sized facts
+    Tables.load(spark, sf("sf0.01"), "orders")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("o_orderstatus").saveAsTable("dpp_fact")
+    // the dim must be a SCANNED relation: an in-memory LocalRelation
+    // constant-folds its filter away and DPP (which keys off a Filter
+    // on the dim side) never inserts the pruning subquery
+    val dimPath = tmpDir("dpp-dim")
+    Seq(("F", "closed"), ("O", "open")).toDF("st", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = spark.table("dpp_fact")
+      .join(dim.filter(col("label") === "closed"),
+        col("o_orderstatus") === col("st"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n${plan.take(2000)}")
+    assert(joined.count() ==
+      Tables.load(spark, sf("sf0.01"), "orders")
+        .filter(col("o_orderstatus") === "F").count())
+  }
+
   test("bucketed co-located join needs no exchange") {
     import org.apache.spark.sql.functions._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
