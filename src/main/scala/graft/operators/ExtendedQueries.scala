@@ -515,6 +515,65 @@ object ExtendedQueries {
       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
       ORDER BY o_orderkey"""))
 
+  // -------------------------------------------------------------- q39
+  // Recursive CTE (Spark 4.1 native): the reporting date-spine
+  // pattern — a week spine generated by recursion, left-joined to
+  // weekly order aggregates so ZERO weeks stay visible (the rows a
+  // plain GROUP BY can never produce). Recursion is over small
+  // integers (depth 52, well under the level limit) with dialect-free
+  // arithmetic; week bucketing is integer day-diff div 7, avoiding
+  // cross-engine date_trunc('week') semantics.
+  private val q39 = GraftQuery(
+    "q39_recursive_spine",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("q39_orders")
+      s.sql(s"""
+        WITH RECURSIVE widx(i) AS (
+          SELECT 0 AS i
+          UNION ALL
+          SELECT i + 1 FROM widx WHERE i < 51
+        ),
+        wk AS (
+          SELECT CAST(datediff(CAST(o_orderdate AS DATE),
+                               DATE'1996-01-01') div 7 AS BIGINT) AS i,
+                 o_totalprice
+          FROM q39_orders
+          WHERE CAST(o_orderdate AS DATE) >= DATE'1996-01-01'
+            AND CAST(o_orderdate AS DATE) < DATE'1996-12-30'),
+        agg AS (SELECT i, COUNT(*) AS n,
+                       SUM(CAST(o_totalprice AS $D12)) AS tot
+                FROM wk GROUP BY i)
+        SELECT w.i AS week_idx,
+               date_format(date_add(DATE'1996-01-01', CAST(w.i*7 AS INT)),
+                           'yyyy-MM-dd') AS week_start,
+               CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(agg.tot, 0) AS DOUBLE) AS total_spend
+        FROM widx w LEFT JOIN agg ON w.i = agg.i ORDER BY w.i""")
+    },
+    Some(s"""
+      WITH RECURSIVE widx(i) AS (
+        SELECT 0 AS i
+        UNION ALL
+        SELECT i + 1 FROM widx WHERE i < 51
+      ),
+      wk AS (
+        SELECT CAST(date_diff('day', DATE '1996-01-01',
+                              CAST(o_orderdate AS DATE)) // 7 AS BIGINT)
+                 AS i,
+               o_totalprice
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1996-12-30'),
+      agg AS (SELECT i, COUNT(*) AS n,
+                     SUM(CAST(o_totalprice AS $D12)) AS tot
+              FROM wk GROUP BY i)
+      SELECT w.i AS week_idx,
+             strftime(DATE '1996-01-01' + CAST(w.i*7 AS INTEGER),
+                      '%Y-%m-%d') AS week_start,
+             CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_orders,
+             CAST(COALESCE(agg.tot, 0) AS DOUBLE) AS total_spend
+      FROM widx w LEFT JOIN agg ON w.i = agg.i ORDER BY w.i"""))
+
   // -------------------------------------------------------------- q37
   // Statistical aggregates (variance, stddev, covariance, Pearson
   // correlation) computed the DETERMINISTIC way: exact DECIMAL
@@ -609,5 +668,5 @@ object ExtendedQueries {
 
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
-      q33, q34, q35, q36, q37, q38)
+      q33, q34, q35, q36, q37, q38, q39)
 }
