@@ -148,6 +148,34 @@ class PlanQualitySpec extends SparkSpec {
         .filter(col("o_orderstatus") === "F").count())
   }
 
+  test("runtime bloom filter prunes the big side of selective joins") {
+    import org.apache.spark.sql.functions._
+    // fact-fact shuffle join with a selective filter on one side: the
+    // optimizer must inject a bloom filter from the filtered side into
+    // the big side's scan — at 100 TB this skips most of the fact read
+    // for row-level-selective (non-partition) predicates, the runtime
+    // complement of DPP. Thresholds are lowered because the test data
+    // is below the defaults (10 MB creation / 10 GB application),
+    // which are sized for exactly the cluster case.
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1MB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = overrides.map { case (k, _) => k -> spark.conf.get(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // sf0.1: plan-only (never executed), and the sf0.01 scan sits
+      // below even the lowered application-side threshold
+      val li = Tables.load(spark, sf("sf0.1"), "lineitem")
+      val sel = Tables.load(spark, sf("sf0.1"), "orders")
+        .filter(col("o_totalprice") > 500000.0)
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter in:\n${plan.take(2000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed co-located join needs no exchange") {
     import org.apache.spark.sql.functions._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
