@@ -30,8 +30,9 @@ import org.apache.spark.sql.types.DecimalType
   *    delta; crash between agg write and state commit → replay skips
   *    the agg (watermark) and commits the state; crash after both →
   *    replay no-ops both.
-  *  - The agg table is groups-sized (tiny); each batch rewrites it via
-  *    the same stage-then-overwrite pattern as the state table. The
+  *  - The agg table is groups-sized (tiny); each batch stages the full
+  *    next version and swaps it in via the [[TableSwap]] rename chain,
+  *    so a complete copy exists under some name at every instant. The
   *    expensive side — the delta — is one partial-aggregated pass over
   *    the touched partitions already materialized by the merge.
   */
@@ -40,8 +41,10 @@ object IncrementalAgg {
   /** Read the maintained aggregate (watermark column dropped, drained
     * groups filtered — rows with `n_live` 0 are retained physically
     * only to carry the idempotence watermark, see [[applyDeltas]]). */
-  def readAgg(spark: SparkSession, aggTable: String): DataFrame =
+  def readAgg(spark: SparkSession, aggTable: String): DataFrame = {
+    TableSwap.recover(spark, aggTable, s"${aggTable}_stage")
     spark.table(aggTable).filter(col("n_live") > 0).drop("_batch")
+  }
 
   /** Merge `batch` into `stateTable` AND maintain `aggTable`
     * incrementally, in the crash-safe order described above.
@@ -69,6 +72,7 @@ object IncrementalAgg {
       oldRows: DataFrame, newRows: DataFrame, groupCol: String,
       valueCol: String, batchId: Long, opCol: String,
       deleteOp: String): Unit = {
+    TableSwap.recover(spark, aggTable, s"${aggTable}_stage")
     val exists = spark.catalog.tableExists(aggTable)
     if (exists) {
       val last = spark.table(aggTable)
@@ -109,18 +113,15 @@ object IncrementalAgg {
       // replay instead of skipping it. readAgg filters them out; the
       // table stays groups-ever-seen-sized (still metadata-scale).
       .withColumn("_batch", lit(batchId))
-    // groups-sized table: stage-then-overwrite like the state table
+    // groups-sized table: stage the full next version, then a
+    // rename-chain swap (TableSwap) — a whole-table insertInto
+    // overwrite deletes the files BEFORE its job commits, so a crash
+    // mid-overwrite would destroy the table AND its watermark row,
+    // turning the replay-skip guarantee into a wrong re-apply
     val stage = s"${aggTable}_stage"
-    if (!spark.catalog.tableExists(stage))
-      CdcMerge.dropStateTable(spark, stage)
+    CdcMerge.dropStateTable(spark, stage)
     updated.coalesce(1)
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
-    if (exists)
-      spark.table(stage).write.mode("overwrite").format("parquet")
-        .insertInto(aggTable)
-    else
-      spark.table(stage).write.mode("overwrite").format("parquet")
-        .saveAsTable(aggTable)
-    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    TableSwap.swapIn(spark, stage, aggTable)
   }
 }

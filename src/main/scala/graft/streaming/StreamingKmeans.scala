@@ -40,11 +40,13 @@ object StreamingKmeans {
 
   /** Current centroids: (cid, n, ce: array&lt;float&gt;). */
   def readCentroids(spark: SparkSession, table: String,
-      scale: Long = 1000000L): DataFrame =
+      scale: Long = 1000000L): DataFrame = {
+    TableSwap.recover(spark, table, s"${table}_stage")
     spark.table(table).select(col("cid"), col("n"),
       transform(col("s"), x =>
         (x.cast("double") / col("n").cast("double")) / scale)
         .cast("array<float>").as("ce"))
+  }
 
   /** Merge one micro-batch of vectors (vec_id, embedding) into the
     * centroid table. */
@@ -53,6 +55,7 @@ object StreamingKmeans {
       decayNum: Long = 1L, decayDen: Long = 1L): Unit = {
     require(decayNum >= 1 && decayDen >= decayNum,
       "decay must be a rational in (0, 1]")
+    TableSwap.recover(spark, table, s"${table}_stage")
     val exists = spark.catalog.tableExists(table)
     if (exists) {
       val last = spark.table(table)
@@ -105,20 +108,14 @@ object StreamingKmeans {
         batchSums.select(col("cid"), col("bs").as("s"), col("bn").as("n"))
     val out = merged.withColumn("_batch", lit(batchId))
 
+    // k-row table: stage the full next version, then the rename-chain
+    // swap — same crash-window reasoning as IncrementalAgg (a
+    // whole-table overwrite deletes files before its job commits)
     val stage = s"${table}_stage"
-    if (!spark.catalog.tableExists(stage))
-      CdcMerge.dropStateTable(spark, stage)
+    CdcMerge.dropStateTable(spark, stage)
     out.coalesce(1)
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
-    if (exists)
-      spark.table(stage).write.mode("overwrite").format("parquet")
-        .insertInto(table)
-    else {
-      CdcMerge.dropStateTable(spark, table)
-      spark.table(stage).write.mode("overwrite").format("parquet")
-        .saveAsTable(table)
-    }
-    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    TableSwap.swapIn(spark, stage, table)
   }
 
   /** Continuous maintenance: foreachBatch mini-batch updates of the

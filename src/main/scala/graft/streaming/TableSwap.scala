@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Crash-recoverable whole-table swap for the small UNPARTITIONED
+  * managed tables the consumer layer maintains (incremental
+  * aggregates, streaming-k-means centroids — groups/k-sized).
+  *
+  * Why not `insertInto(overwrite)`: a static whole-table overwrite
+  * deletes the existing files BEFORE the write job commits, so a crash
+  * mid-overwrite destroys the table — including the `_batch` watermark
+  * row, which would make the subsequent replay RE-apply its delta
+  * against a truncated table instead of skipping it. The rename chain
+  * (table→_old, stage→table, drop _old) keeps a complete copy under
+  * some name at every instant; [[recover]] restores the name on entry
+  * after a crash between the renames.
+  *
+  * Unpartitioned tables only: a rename moves a managed table's
+  * directory wholesale, and (unlike directory-partitioned tables)
+  * there is no partition metadata for the catalog to drop.
+  */
+object TableSwap {
+
+  /** Restore `table` if a crashed [[swapIn]] left it half-swapped
+    * (name absent, data under `_old` or the stage). Call before
+    * reading state that a swap maintains. */
+  def recover(spark: SparkSession, table: String,
+      stage: String): Unit = {
+    val old = s"${table}_old"
+    if (!spark.catalog.tableExists(table)) {
+      if (spark.catalog.tableExists(old))
+        spark.sql(s"ALTER TABLE $old RENAME TO $table")
+      else if (spark.catalog.tableExists(stage))
+        // crash after the old table was renamed away and dropped: the
+        // staged content is the complete next version — promote it
+        spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    }
+  }
+
+  /** Swap the fully-written `stage` table in as `table`. */
+  def swapIn(spark: SparkSession, stage: String, table: String): Unit = {
+    val old = s"${table}_old"
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    else
+      // no catalog entry, but a crashed earlier create may have left a
+      // stale directory at the target location — the rename below
+      // moves the stage directory there and would trip over it
+      CdcMerge.dropStateTable(spark, table)
+    try spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    catch {
+      case e: Throwable =>
+        if (!spark.catalog.tableExists(table) &&
+            spark.catalog.tableExists(old))
+          spark.sql(s"ALTER TABLE $old RENAME TO $table")
+        throw e
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+  }
+}

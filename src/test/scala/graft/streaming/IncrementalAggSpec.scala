@@ -89,6 +89,26 @@ class IncrementalAggSpec extends SparkSpec {
       "replayed batch re-applied its delta after the view drained")
   }
 
+  test("half-swapped agg table recovers on read and on apply") {
+    val (st, ag) = fresh("ia_swap")
+    apply1(st, ag, env(
+      (1L, "2026-01-01 00:00:01", "Insert", 1L, "a", 10.0)), 0L)
+    val before = aggMap(ag)
+    // crash between TableSwap's two renames: the name is gone, the
+    // data lives only under _old
+    spark.sql(s"ALTER TABLE $ag RENAME TO ${ag}_old")
+    assert(aggMap(ag) == before, "readAgg did not recover the swap")
+    spark.sql(s"ALTER TABLE $ag RENAME TO ${ag}_old")
+    // an applied batchId must still be skipped after recovery (the
+    // watermark lives in the recovered table)
+    IncrementalAgg.applyDeltas(spark, ag,
+      oldRows = env().limit(0),
+      newRows = env((1L, "2026-01-01 00:00:02", "Insert", 2L, "a", 5.0)),
+      groupCol = "grp", valueCol = "value", batchId = 0L,
+      opCol = "event_type", deleteOp = "Delete")
+    assert(aggMap(ag) == before)
+  }
+
   test("replayed batch is a no-op twice over: zero delta AND watermark") {
     val (st, ag) = fresh("ia_replay")
     val b0 = env((1L, "2026-01-01 00:00:01", "Insert", 1L, "a", 10.0))

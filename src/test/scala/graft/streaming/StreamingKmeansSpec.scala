@@ -71,6 +71,21 @@ class StreamingKmeansSpec extends SparkSpec {
       1L -> (List(125000L, 1625000L, 0L, 0L), 2L)))
   }
 
+  test("half-swapped centroid table recovers; watermark intact") {
+    val t = "skm_swap"
+    fresh(t)
+    StreamingKmeans.applyBatch(spark, t, batch0, 4, 2, 0L)
+    val before = stateOf(t)
+    // crash between TableSwap's renames: name gone, data under _old
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}_old")
+    assert(StreamingKmeans.readCentroids(spark, t).count() == 2,
+      "readCentroids did not recover the swap")
+    assert(stateOf(t) == before)
+    // replayed batch after recovery: watermark still skips it
+    StreamingKmeans.applyBatch(spark, t, batch0, 4, 2, 0L)
+    assert(stateOf(t) == before)
+  }
+
   test("streaming path equals the batch path on the same batches") {
     val t = "skm_stream"
     fresh(t)
