@@ -227,7 +227,9 @@ object CdcMerge {
           s"leftovers ($old / $tmp) to recover from")
     }
     dropStateTable(spark, tmp)
-    spark.sql(s"DROP TABLE IF EXISTS $old")
+    // dropStateTable for _old too: a stale directory without a catalog
+    // entry would block the rename below from moving the table there
+    dropStateTable(spark, old)
     val cols = spark.table(table).columns
     spark.table(table)
       .withColumn("_kb", pmod(xxhash64(col(keyCol)), lit(newBuckets)))

@@ -84,8 +84,11 @@ object LakehouseSink {
         s"compact($table): table does not exist and no crash leftovers " +
           s"($old / $tmp) to recover from")
     }
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    spark.sql(s"DROP TABLE IF EXISTS $old")
+    // dropStateTable, not bare DROP: a crash mid-saveAsTable can leave
+    // a stage DIRECTORY with no catalog entry, which a plain DROP
+    // ignores and the next write trips over (LOCATION_ALREADY_EXISTS)
+    CdcMerge.dropStateTable(spark, tmp)
+    CdcMerge.dropStateTable(spark, old)
     writeBucketed(spark.table(table), tmp, bucketCol, buckets,
       partitionCols)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")

@@ -40,7 +40,9 @@ object TableSwap {
   /** Swap the fully-written `stage` table in as `table`. */
   def swapIn(spark: SparkSession, stage: String, table: String): Unit = {
     val old = s"${table}_old"
-    spark.sql(s"DROP TABLE IF EXISTS $old")
+    // clears a stale directory too (a bare DROP ignores orphan dirs,
+    // which would block the rename onto the _old location below)
+    CdcMerge.dropStateTable(spark, old)
     if (spark.catalog.tableExists(table))
       spark.sql(s"ALTER TABLE $table RENAME TO $old")
     else
