@@ -627,6 +627,101 @@ object CdcQueries {
       FROM live
       GROUP BY 1 ORDER BY vbucket"""))
 
+  // -------------------------------------------------------------- cdc19
+  // Change-data-feed over the merge (ChangeFeed): every commit records
+  // the row-level VISIBLE-STATE diff it caused — insert / delete /
+  // update pre+post pairs in a `_commit`-partitioned feed table — so
+  // downstream consumers read incremental diffs instead of re-diffing
+  // snapshots. Same replay schedule as cdc16 (three batches + batch 1
+  // REDELIVERED under its original id): the redelivery must leave the
+  // feed untouched (the merge no-ops → empty diff → the dynamic
+  // partition overwrite writes nothing). The oracle recomputes each
+  // commit's diff from scratch as visible-state-after-k minus
+  // visible-state-after-(k-1).
+  private val cdc19 = GraftQuery(
+    "cdc19_change_feed",
+    (s, dir) => {
+      import s.implicits._
+      val state = "cdc19_state"
+      val feed = "cdc19_feed"
+      Seq(state, s"${state}_stage", feed)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val env = CdcOps.dropSkipped(CdcOps.toEnvelope(events(s, dir)))
+      def part(i: Int) = env.filter(pmod($"event_id", lit(3)) === i)
+      Seq(0 -> part(0), 1 -> part(1), 2 -> part(2), 1 -> part(1))
+        .foreach { case (id, b) =>
+          graft.streaming.ChangeFeed.applyBatch(s, state, feed, b,
+            "user_id", Seq("ts", "event_id"), nBuckets = 8,
+            batchId = id)
+        }
+      s.table(feed)
+        .select($"_commit".cast("long").as("_commit"), $"_change_type",
+          $"user_id", $"event_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("seen"))
+        .orderBy($"_commit", $"user_id", $"_change_type")
+    },
+    Some("""
+      WITH env AS (
+        SELECT user_id, event_id, ts,
+          CASE event_type
+            WHEN 'signup' THEN 'Insert'
+            WHEN 'purchase' THEN 'Insert'
+            WHEN 'click' THEN 'Update'
+            WHEN 'error' THEN 'Delete'
+            ELSE 'Skip' END AS op
+        FROM events),
+      f AS (SELECT * FROM env WHERE op <> 'Skip'),
+      v0 AS (SELECT user_id, event_id, ts FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+          FROM f WHERE event_id % 3 <= 0)
+        WHERE rn = 1 AND op <> 'Delete'),
+      v1 AS (SELECT user_id, event_id, ts FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+          FROM f WHERE event_id % 3 <= 1)
+        WHERE rn = 1 AND op <> 'Delete'),
+      v2 AS (SELECT user_id, event_id, ts FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+          FROM f WHERE event_id % 3 <= 2)
+        WHERE rn = 1 AND op <> 'Delete'),
+      chg AS (
+        SELECT 0 AS c, 'insert' AS t, user_id, event_id, ts FROM v0
+        UNION ALL
+        SELECT 1, 'insert', n.user_id, n.event_id, n.ts
+        FROM v1 n LEFT JOIN v0 o USING (user_id) WHERE o.user_id IS NULL
+        UNION ALL
+        SELECT 1, 'delete', o.user_id, o.event_id, o.ts
+        FROM v0 o LEFT JOIN v1 n USING (user_id) WHERE n.user_id IS NULL
+        UNION ALL
+        SELECT 1, 'update_preimage', o.user_id, o.event_id, o.ts
+        FROM v0 o JOIN v1 n USING (user_id)
+        WHERE o.event_id <> n.event_id OR o.ts <> n.ts
+        UNION ALL
+        SELECT 1, 'update_postimage', n.user_id, n.event_id, n.ts
+        FROM v0 o JOIN v1 n USING (user_id)
+        WHERE o.event_id <> n.event_id OR o.ts <> n.ts
+        UNION ALL
+        SELECT 2, 'insert', n.user_id, n.event_id, n.ts
+        FROM v2 n LEFT JOIN v1 o USING (user_id) WHERE o.user_id IS NULL
+        UNION ALL
+        SELECT 2, 'delete', o.user_id, o.event_id, o.ts
+        FROM v1 o LEFT JOIN v2 n USING (user_id) WHERE n.user_id IS NULL
+        UNION ALL
+        SELECT 2, 'update_preimage', o.user_id, o.event_id, o.ts
+        FROM v1 o JOIN v2 n USING (user_id)
+        WHERE o.event_id <> n.event_id OR o.ts <> n.ts
+        UNION ALL
+        SELECT 2, 'update_postimage', n.user_id, n.event_id, n.ts
+        FROM v1 o JOIN v2 n USING (user_id)
+        WHERE o.event_id <> n.event_id OR o.ts <> n.ts)
+      SELECT CAST(c AS BIGINT) AS _commit, t AS _change_type,
+             user_id, event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS seen
+      FROM chg
+      ORDER BY _commit, user_id, _change_type"""))
+
   // -------------------------------------------------------------- cdc15
   // Sequence-gap audit (lost-event detection) over the purchase
   // subset's event_ids — deliberately sparse so every bucket reports.
@@ -659,5 +754,5 @@ object CdcQueries {
 
   val all: Seq[GraftQuery] =
     Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
-      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18)
+      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19)
 }

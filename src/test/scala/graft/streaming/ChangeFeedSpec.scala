@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Change-data-feed over the merge: per-commit visible-state diffs,
+  * replay idempotence, partition-pruned reads, metadata-only
+  * retention. */
+class ChangeFeedSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def env(rows: (Long, String, String, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq
+      .map { case (k, t, op, id) => (k, ts(t), op, id, s"payload-$id") }
+      .toDF("k", "ts", "event_type", "event_id", "content")
+  }
+
+  private def apply1(state: String, feed: String, id: Long,
+      b: DataFrame): Unit =
+    ChangeFeed.applyBatch(spark, state, feed, b, "k",
+      Seq("ts", "event_id"), nBuckets = 4, batchId = id)
+
+  private def feedRows(feed: String): Seq[(Long, String, Long, Long)] =
+    spark.table(feed)
+      .select("_commit", "_change_type", "k", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+
+  test("feed records insert/update pre+post/delete per commit") {
+    val (t, f) = ("cf_state", "cf_feed")
+    Seq(t, s"${t}_stage", f).foreach(CdcMerge.dropStateTable(spark, _))
+    apply1(t, f, 0, env(
+      (1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (2L, "2026-01-01 00:00:02", "Insert", 2L)))
+    apply1(t, f, 1, env(
+      (1L, "2026-01-01 00:00:03", "Update", 3L),   // update
+      (2L, "2026-01-01 00:00:04", "Delete", 4L),   // delete
+      (3L, "2026-01-01 00:00:05", "Insert", 5L)))  // insert
+    assert(feedRows(f) == Seq(
+      (0L, "insert", 1L, 1L),
+      (0L, "insert", 2L, 2L),
+      (1L, "delete", 2L, 2L),            // pre-image of the delete
+      (1L, "insert", 3L, 5L),
+      (1L, "update_postimage", 1L, 3L),
+      (1L, "update_preimage", 1L, 1L)))
+    // the delete change carries the pre-image payload, not the
+    // tombstone's
+    val del = spark.table(f)
+      .filter(col("_change_type") === "delete").collect()(0)
+    assert(del.getAs[String]("content") == "payload-2")
+  }
+
+  test("tombstone-only transitions emit nothing visible") {
+    val (t, f) = ("cf_tomb", "cf_tomb_feed")
+    Seq(t, s"${t}_stage", f).foreach(CdcMerge.dropStateTable(spark, _))
+    // delete of a key that never existed: no visible change
+    apply1(t, f, 0, env((9L, "2026-01-01 00:00:01", "Delete", 1L)))
+    assert(spark.table(f).count() == 0)
+    // a newer delete of the same (still deleted) key: still nothing
+    apply1(t, f, 1, env((9L, "2026-01-01 00:00:02", "Delete", 2L)))
+    assert(spark.table(f).count() == 0)
+    // insert OVER the tombstone surfaces as a plain insert
+    apply1(t, f, 2, env((9L, "2026-01-01 00:00:03", "Insert", 3L)))
+    assert(feedRows(f) == Seq((2L, "insert", 9L, 3L)))
+  }
+
+  test("redelivered batch adds nothing; crash window replays identically") {
+    val (t, f) = ("cf_replay", "cf_replay_feed")
+    Seq(t, s"${t}_stage", f).foreach(CdcMerge.dropStateTable(spark, _))
+    val b0 = env(
+      (1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (2L, "2026-01-01 00:00:02", "Insert", 2L))
+    val b1 = env((1L, "2026-01-01 00:00:03", "Update", 3L))
+    apply1(t, f, 0, b0); apply1(t, f, 1, b1)
+    val before = feedRows(f)
+    // at-least-once redelivery AFTER the state committed: the merge
+    // no-ops, the diff is empty, the feed keeps its original rows
+    apply1(t, f, 1, b1)
+    assert(feedRows(f) == before)
+    // crash BETWEEN feed write and state commit: simulate by writing
+    // batch 2's diff without committing the merge, then replaying the
+    // full applyBatch — the partition is overwritten with the same
+    // content, not appended to
+    val b2 = env((2L, "2026-01-01 00:00:09", "Update", 9L))
+    val oldTouched = spark.table(t)
+    ChangeFeed.writeChanges(spark, f,
+      ChangeFeed.diff(
+        oldTouched,
+        oldTouched.filter(col("k") =!= 2L).unionByName(
+          b2.withColumn("_kb", pmod(xxhash64(col("k")), lit(4)))),
+        "k", Seq("ts", "event_id"), "event_type", "Delete"), 2L)
+    val afterCrash = feedRows(f)
+    apply1(t, f, 2, b2) // the replay
+    assert(feedRows(f) == afterCrash)
+    assert(feedRows(f).count(_._1 == 2L) == 2) // one pre + one post
+  }
+
+  test("readChanges prunes to the requested commits; vacuum is metadata-only") {
+    val (t, f) = ("cf_read", "cf_read_feed")
+    Seq(t, s"${t}_stage", f).foreach(CdcMerge.dropStateTable(spark, _))
+    (0 to 3).foreach { i =>
+      apply1(t, f, i.toLong, env(
+        (100L + i, s"2026-01-0${i + 1} 00:00:01", "Insert", i.toLong)))
+    }
+    val changes = ChangeFeed.readChanges(spark, f, 2, 3)
+    assert(changes.select("k").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(102L, 103L))
+    // partition pruning, not a full scan + row filter
+    val plan = changes.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_commit"),
+      s"no partition pruning on _commit:\n$plan")
+    // retention: drop commits < 2, data files for 0/1 disappear
+    assert(ChangeFeed.vacuum(spark, f, keepFrom = 2) == 2)
+    assert(spark.table(f).select("_commit").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(!spark.table(f).inputFiles.exists(_.contains("_commit=0")))
+    // feed keeps accepting commits afterwards
+    apply1(t, f, 4, env((200L, "2026-02-01 00:00:01", "Insert", 40L)))
+    assert(feedRows(f).map(_._1).max == 4L)
+  }
+
+  test("streaming merge with feed: commits keyed by micro-batch id") {
+    import spark.implicits._
+    val (t, f) = ("cf_stream", "cf_stream_feed")
+    Seq(t, s"${t}_stage", f).foreach(CdcMerge.dropStateTable(spark, _))
+    val src = tmpDir("cf-src")
+    // one part-file per logical batch so maxFilesPerTrigger=1 maps
+    // files to micro-batches 1:1
+    env((1L, "2026-01-01 00:00:01", "Insert", 1L))
+      .coalesce(1).write.parquet(s"$src/f1")
+    env((1L, "2026-01-01 00:00:02", "Update", 2L),
+      (2L, "2026-01-01 00:00:03", "Insert", 3L))
+      .coalesce(1).write.parquet(s"$src/f2")
+    val schema = env((0L, "2026-01-01 00:00:00", "Insert", 0L)).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val q = ChangeFeed.startMergeStream(stream, t, f, "k",
+      Seq("ts", "event_id"), 4, tmpDir("cf-ck"))
+    try q.awaitTermination() finally q.stop()
+    assert(CdcMerge.readState(spark, t).count() == 2)
+    val commits = feedRows(f).map(_._1).distinct.sorted
+    assert(commits == Seq(0L, 1L))
+    assert(feedRows(f).filter(_._1 == 1L).map(_._2).sorted ==
+      Seq("insert", "update_postimage", "update_preimage"))
+  }
+}
