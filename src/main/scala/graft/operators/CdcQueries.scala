@@ -722,6 +722,84 @@ object CdcQueries {
       FROM chg
       ORDER BY _commit, user_id, _change_type"""))
 
+  // -------------------------------------------------------------- cdc20
+  // Incremental statistics maintenance (IncrementalStats): per-group
+  // count/sum/min/max/avg/var_pop/stddev_pop maintained from each
+  // batch's state transition. count/sum/sum² are group aggregates
+  // (deletion = negated contribution); MIN/MAX take the monoid fast
+  // path on inserts and a dirty-group rescan only when a removal
+  // touches the stored boundary. Same replay schedule as cdc16/cdc18
+  // (three batches + a redelivered one). The oracle recomputes the
+  // statistics from scratch over the final live state with the q37
+  // determinism recipe (×100 exact longs, closed-form doubles).
+  private val cdc20 = GraftQuery(
+    "cdc20_incremental_stats",
+    (s, dir) => {
+      import s.implicits._
+      val state = "cdc20_state"
+      val agg = "cdc20_agg"
+      Seq(state, s"${state}_stage", agg, s"${agg}_stage",
+        s"${agg}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val env = CdcOps.dropSkipped(CdcOps.toEnvelope(events(s, dir)))
+        .withColumn("vbucket",
+          when($"value" >= 100, "high")
+            .when($"value" >= 10, "mid").otherwise("low"))
+      def part(i: Int) = env.filter(pmod($"event_id", lit(3)) === i)
+      Seq(0 -> part(0), 1 -> part(1), 2 -> part(2), 1 -> part(1))
+        .foreach { case (id, b) =>
+          graft.streaming.IncrementalStats.applyBatch(s, state, agg, b,
+            "user_id", Seq("ts", "event_id"), nBuckets = 8,
+            groupCol = "vbucket", valueCol = "value", batchId = id)
+        }
+      graft.streaming.IncrementalStats.readStats(s, agg)
+        .withColumnRenamed("g", "vbucket")
+        .orderBy($"vbucket")
+    },
+    Some("""
+      WITH env AS (
+        SELECT user_id, event_id, ts, value,
+          CASE event_type
+            WHEN 'signup' THEN 'Insert'
+            WHEN 'purchase' THEN 'Insert'
+            WHEN 'click' THEN 'Update'
+            WHEN 'error' THEN 'Delete'
+            ELSE 'Skip' END AS op
+        FROM events),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM env WHERE op <> 'Skip'),
+      live AS (
+        SELECT CASE WHEN value >= 100 THEN 'high'
+                    WHEN value >= 10 THEN 'mid'
+                    ELSE 'low' END AS vbucket,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM r WHERE rn = 1 AND op <> 'Delete'),
+      s AS (
+        SELECT vbucket, COUNT(*) AS n_live,
+               CAST(SUM(x) AS BIGINT) AS sv,
+               SUM(CAST(x AS HUGEINT) * x) AS sq,
+               MIN(x) AS mn, MAX(x) AS mx
+        FROM live GROUP BY vbucket),
+      d AS (
+        SELECT vbucket, n_live,
+               CAST(n_live AS DOUBLE) AS nd,
+               CAST(sv AS DOUBLE) AS svd,
+               CAST(sq AS DOUBLE) AS sqd,
+               CAST(mn AS DOUBLE) AS mnd,
+               CAST(mx AS DOUBLE) AS mxd
+        FROM s)
+      SELECT vbucket, n_live,
+             svd / 100.0 AS sum_value,
+             mnd / 100.0 AS min_value,
+             mxd / 100.0 AS max_value,
+             svd / nd / 100.0 AS avg_value,
+             (sqd - svd * svd / nd) / nd / 1.0e4 AS var_pop,
+             sqrt((sqd - svd * svd / nd) / nd / 1.0e4) AS stddev_pop
+      FROM d
+      ORDER BY vbucket"""))
+
   // -------------------------------------------------------------- cdc15
   // Sequence-gap audit (lost-event detection) over the purchase
   // subset's event_ids — deliberately sparse so every bucket reports.
@@ -754,5 +832,5 @@ object CdcQueries {
 
   val all: Seq[GraftQuery] =
     Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
-      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19)
+      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20)
 }
