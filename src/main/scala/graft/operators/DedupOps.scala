@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions._
 
@@ -246,5 +247,55 @@ object DedupOps {
     words.groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         concat(bitAggs: _*).as("simhash"))
+  }
+
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS ([[verifiedNearDups]]) into canonical dup
+    * CLUSTERS, so "keep one representative per cluster" becomes a
+    * single groupBy. Returns (doc_id, component) where component is
+    * the cluster's minimum doc_id.
+    *
+    * Algorithm: distributed min-label propagation — each round every
+    * node takes the min of its own label and its neighbors' labels,
+    * one shuffle join + one partial-aggregated groupBy per round,
+    * converging in O(cluster diameter) rounds. Dedup clusters are
+    * near-cliques (every member pairs with most others), so diameter
+    * is small and 2–3 rounds settle real corpora; `maxIter` bounds the
+    * pathological chain. Each round localCheckpoints the label table:
+    * without it the loop's lineage doubles per round and the job DAG —
+    * not the data — becomes the scale limit.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighbor labels flow along edges; min over (self ∪ neighbors)
+      val next = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("comp", "ncomp"), "dst")
+        .select(col("src").as("node"), col("ncomp").as("comp"))
+        .unionByName(labels)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      // convergence = no label changed this round (anti-join instead
+      // of a full equality diff: one broadcast-able probe per round)
+      val changed = next.join(labels,
+        next("node") === labels("node") && next("comp") === labels("comp"),
+        "left_anti").isEmpty
+      labels = next
+      converged = changed
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("node").as("doc_id"), col("comp").as("component"))
   }
 }

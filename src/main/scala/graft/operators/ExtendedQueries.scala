@@ -666,7 +666,138 @@ object ExtendedQueries {
       FROM d
       ORDER BY l_returnflag"""))
 
+  // -------------------------------------------------------------- q40
+  // Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 nations
+  // per region by customer count — the "top-n per outer row" idiom in
+  // its declarative SQL form. Catalyst DECORRELATES the lateral into a
+  // ranked join (no per-row re-execution), which is the whole point at
+  // scale: the naive reading is O(outer × inner), the decorrelated
+  // plan is one join + one window over the aggregated inner side.
+  private val q40 = GraftQuery(
+    "q40_lateral_topk",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT r.r_name, t.n_name, t.n_cust
+        FROM region r, LATERAL (
+          SELECT n.n_name, COUNT(c.c_custkey) AS n_cust
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_cust DESC, n_name LIMIT 2) t
+        ORDER BY r_name, n_cust DESC, n_name""")
+    },
+    Some("""
+      SELECT r.r_name, t.n_name, t.n_cust
+      FROM region r, LATERAL (
+        SELECT n.n_name, COUNT(c.c_custkey) AS n_cust
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_cust DESC, n_name LIMIT 2) t
+      ORDER BY r_name, n_cust DESC, n_name"""))
+
+  // -------------------------------------------------------------- q41
+  // Regexp function family: extract-all (list-valued), global replace,
+  // and match predicates — all codegen'd scalar functions over the
+  // part names; purely narrow (no shuffle before the final agg).
+  private val q41 = GraftQuery(
+    "q41_regexp_fns",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .groupBy($"p_brand")
+        .agg(
+          sum(size(regexp_extract_all($"p_name", lit("[aeiou]+"), lit(0)))
+            .cast("long")).as("vowel_runs"),
+          min(regexp_replace($"p_name", "[aeiou]", "_"))
+            .as("sample_scrub"),
+          sum(when($"p_name".rlike("(a|e).*(a|e)"), 1L).otherwise(0L))
+            .as("n_two"))
+        .orderBy($"p_brand")
+    },
+    Some("""
+      SELECT p_brand,
+        CAST(SUM(len(regexp_extract_all(p_name, '[aeiou]+'))) AS BIGINT)
+          AS vowel_runs,
+        MIN(regexp_replace(p_name, '[aeiou]', '_', 'g')) AS sample_scrub,
+        CAST(SUM(CASE WHEN regexp_matches(p_name, '(a|e).*(a|e)')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_two
+      FROM part GROUP BY p_brand
+      ORDER BY p_brand"""))
+
+  // -------------------------------------------------------------- q42
+  // Bitwise aggregates (bit_and / bit_or / bit_xor): associative and
+  // commutative, so they partial-aggregate map-side like any sum —
+  // the flag-mask rollup pattern.
+  private val q42 = GraftQuery(
+    "q42_bitwise_agg",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(expr("bit_and(o_orderkey)").as("ba"),
+          expr("bit_or(o_orderkey)").as("bo"),
+          expr("bit_xor(o_orderkey)").as("bx"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, bit_and(o_orderkey) AS ba,
+             bit_or(o_orderkey) AS bo, bit_xor(o_orderkey) AS bx
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  // -------------------------------------------------------------- q43
+  // UNPIVOT (melt): wide per-status counts back to long form — the
+  // inverse of q24's pivot. Spark's Dataset.unpivot is a zero-shuffle
+  // Expand over the aggregated (tiny) wide table.
+  private val q43 = GraftQuery(
+    "q43_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      val wide = t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"l_linestatus" === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when($"l_linestatus" === "O", 1L).otherwise(0L)).as("n_o"))
+      wide.unpivot(Array($"l_returnflag"), Array($"n_f", $"n_o"),
+          "status", "n")
+        .orderBy($"l_returnflag", $"status")
+    },
+    Some("""
+      WITH w AS (
+        SELECT l_returnflag,
+          CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_f,
+          CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_o
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, status, n
+      FROM w UNPIVOT (n FOR status IN (n_f, n_o))
+      ORDER BY l_returnflag, status"""))
+
+  // -------------------------------------------------------------- q44
+  // Ordered string aggregation (LISTAGG ... WITHIN GROUP): the
+  // deterministic concatenation contract — the per-group sort happens
+  // inside the aggregate, so the result is stable at any parallelism.
+  private val q44 = GraftQuery(
+    "q44_listagg",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_regionkey AS regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                 AS nations
+        FROM nation GROUP BY n_regionkey
+        ORDER BY regionkey""")
+    },
+    Some("""
+      SELECT n_regionkey AS regionkey,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations
+      FROM nation GROUP BY n_regionkey
+      ORDER BY regionkey"""))
+
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
-      q33, q34, q35, q36, q37, q38, q39)
+      q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

@@ -136,7 +136,18 @@ object LlmQueries {
     * because list_reduce is expensive in SQL; the Spark side hashes
     * inline because the native expression is one multiply-add per
     * byte. */
-  private def minhashLshOracle(shCtes: String, minJ: Double): String = {
+  private def minhashLshOracle(shCtes: String, minJ: Double): String =
+    minhashLshPairsCtes(shCtes, minJ) + """
+      SELECT doc_a, doc_b, n_inter, jaccard FROM pairs
+      ORDER BY doc_a, doc_b"""
+
+  /** The MinHash→LSH→verify replay as a CTE chain ending in
+    * `pairs(doc_a, doc_b, n_inter, jaccard)`, so oracles can build on
+    * the verified pair set (doc04/doc10 select it directly; doc17
+    * closes it transitively). `recursive` prefixes WITH RECURSIVE for
+    * consumers that append a recursive CTE. */
+  private def minhashLshPairsCtes(shCtes: String, minJ: Double,
+      recursive: Boolean = false): String = {
     val U32 = "CAST('4294967296' AS HUGEINT)"
     def mulmod(a: String, c: java.math.BigInteger): String = {
       val hi = c.shiftRight(32)
@@ -171,7 +182,7 @@ object LlmQueries {
          FROM sig""")
       .mkString("\n          UNION ALL ")
     s"""
-      WITH $shCtes,
+      WITH ${if (recursive) "RECURSIVE " else ""}$shCtes,
       vocab AS (SELECT DISTINCT shingle FROM sh),
       v0 AS (SELECT shingle, $v0 FROM vocab),
       vx1 AS (SELECT shingle, $x1 FROM v0),
@@ -195,16 +206,16 @@ object LlmQueries {
         FROM sh sa
         JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
         JOIN cands c ON c.doc_a = sa.doc_id AND c.doc_b = sb.doc_id
-        GROUP BY 1, 2)
-      SELECT i.doc_a, i.doc_b, i.n_inter,
-        CAST(i.n_inter AS DOUBLE)
-          / CAST(na.n + nb.n - i.n_inter AS DOUBLE) AS jaccard
-      FROM inter i
-      JOIN sizes na ON na.doc_id = i.doc_a
-      JOIN sizes nb ON nb.doc_id = i.doc_b
-      WHERE CAST(i.n_inter AS DOUBLE)
-          / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= $minJ
-      ORDER BY doc_a, doc_b"""
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.doc_a, i.doc_b, i.n_inter,
+          CAST(i.n_inter AS DOUBLE)
+            / CAST(na.n + nb.n - i.n_inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.doc_a
+        JOIN sizes nb ON nb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE)
+            / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= $minJ)"""
   }
 
   // -------------------------------------------------------------- doc04
@@ -212,6 +223,15 @@ object LlmQueries {
   // bigram shingles → 8 seeded min-hashes (native poly31+fmix64 longs,
   // see VectorExpressions.SeededMixHash) → 4 bands of 2 → bucket-join
   // candidates → exact Jaccard ≥ 0.2. The oracle replays every stage.
+  private val bigramShCtes =
+    """toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        FROM toks WHERE len(ws) >= 2)"""
+
   private val doc04 = GraftQuery(
     "doc04_minhash_lsh",
     (s, dir) => {
@@ -219,14 +239,39 @@ object LlmQueries {
       DedupOps.verifiedNearDups(t(s, dir, "documents"))
         .orderBy($"doc_a", $"doc_b")
     },
-    Some(minhashLshOracle(
-      """toks AS (
-        SELECT doc_id, string_split(TRIM(text), ' ') AS ws FROM documents),
-      sh AS (
-        SELECT DISTINCT doc_id,
-          unnest(list_transform(range(1, len(ws)),
-                 i -> ws[i] || ' ' || ws[i+1])) AS shingle
-        FROM toks WHERE len(ws) >= 2)""", minJ = 0.2)))
+    Some(minhashLshOracle(bigramShCtes, minJ = 0.2)))
+
+  // -------------------------------------------------------------- doc17
+  // Near-dup CLUSTERS: connected components over the doc04 verified
+  // pair list (distributed min-label propagation, one shuffle join per
+  // round, O(cluster diameter) rounds) — the step that turns pairwise
+  // matches into canonical dup groups so "keep one representative per
+  // cluster" is a single groupBy. The oracle closes the same pair set
+  // transitively with a recursive CTE and takes the min reachable id.
+  private val doc17 = GraftQuery(
+    "doc17_dup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = DedupOps.verifiedNearDups(t(s, dir, "documents"))
+        .select($"doc_a", $"doc_b")
+      DedupOps.connectedComponents(pairs).orderBy($"doc_id")
+    },
+    Some(minhashLshPairsCtes(bigramShCtes, minJ = 0.2,
+      recursive = true) + """,
+      nodes AS (
+        SELECT doc_a AS node FROM pairs
+        UNION SELECT doc_b FROM pairs),
+      uedges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT e.b AS node, reach.r AS r
+        FROM reach JOIN uedges e ON reach.node = e.a)
+      SELECT node AS doc_id, MIN(r) AS component
+      FROM reach GROUP BY node
+      ORDER BY doc_id"""))
 
   // -------------------------------------------------------------- doc10
   // Character-n-gram (trigram) Jaccard near-dup — the dedup unit that
@@ -839,6 +884,6 @@ object LlmQueries {
 
   val all: Seq[GraftQuery] =
     Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08, doc09,
-      doc10, doc11, emb01, emb02, emb03, emb04, emb05, emb06, emb07,
-      mm01, mm02, mm03)
+      doc10, doc11, doc17, emb01, emb02, emb03, emb04, emb05, emb06,
+      emb07, mm01, mm02, mm03)
 }

@@ -224,4 +224,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"residual cached RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
+
+  test("connected components: chains, separate clusters, min labels") {
+    import spark.implicits._
+    // cluster {1,2,3} as a CHAIN (diameter 2, forces propagation),
+    // cluster {10,11}, and a self-contained pair {20,21}
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a long chain still converges (diameter = n-1 propagation rounds)
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = DedupOps.connectedComponents(chain)
+      .select("component").distinct().collect().map(_.getLong(0))
+    assert(comps.toSeq == Seq(1L))
+  }
 }
