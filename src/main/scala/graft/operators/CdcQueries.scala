@@ -722,6 +722,54 @@ object CdcQueries {
       FROM chg
       ORDER BY _commit, user_id, _change_type"""))
 
+  // -------------------------------------------------------------- cdc21
+  // Point-in-time state from the change feed (ChangeFeed.stateAsOf):
+  // reconstruct the visible state AS OF commit 1 — i.e. after batches
+  // 0 and 1 but before batch 2 — from the feed's journal alone, no
+  // table snapshot. Per key the newest change at _commit <= 1 decides;
+  // deletes erase. Must equal the one-shot SQL latest-state answer
+  // restricted to the first two batches' events.
+  private val cdc21 = GraftQuery(
+    "cdc21_state_asof",
+    (s, dir) => {
+      import s.implicits._
+      val state = "cdc21_state"
+      val feed = "cdc21_feed"
+      Seq(state, s"${state}_stage", feed)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val env = CdcOps.dropSkipped(CdcOps.toEnvelope(events(s, dir)))
+      def part(i: Int) = env.filter(pmod($"event_id", lit(3)) === i)
+      Seq(0 -> part(0), 1 -> part(1), 2 -> part(2)).foreach {
+        case (id, b) =>
+          graft.streaming.ChangeFeed.applyBatch(s, state, feed, b,
+            "user_id", Seq("ts", "event_id"), nBuckets = 8,
+            batchId = id)
+      }
+      graft.streaming.ChangeFeed.stateAsOf(s, feed, "user_id", 1)
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"event_type".as("last_op"),
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH env AS (
+        SELECT user_id, event_id, ts,
+          CASE event_type
+            WHEN 'signup' THEN 'Insert'
+            WHEN 'purchase' THEN 'Insert'
+            WHEN 'click' THEN 'Update'
+            WHEN 'error' THEN 'Delete'
+            ELSE 'Skip' END AS op
+        FROM events),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM env WHERE op <> 'Skip' AND event_id % 3 <= 1)
+      SELECT user_id, event_id AS last_event_id, op AS last_op,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen
+      FROM r WHERE rn = 1 AND op <> 'Delete'
+      ORDER BY user_id"""))
+
   // -------------------------------------------------------------- cdc20
   // Incremental statistics maintenance (IncrementalStats): per-group
   // count/sum/min/max/avg/var_pop/stddev_pop maintained from each
@@ -832,5 +880,5 @@ object CdcQueries {
 
   val all: Seq[GraftQuery] =
     Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
-      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20)
+      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21)
 }

@@ -298,4 +298,26 @@ object DedupOps {
       s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
   }
+
+  /** End-to-end dedup: keep ONE representative per near-dup cluster
+    * (plus every unpaired document untouched). `prefer` orders each
+    * cluster's members best-first (e.g. longest text, then lowest id
+    * as the deterministic tiebreak); rank 1 survives. The join with
+    * the cluster labels is broadcast-able in practice — the label
+    * table is paired-docs-sized, a small fraction of the corpus —
+    * while the corpus side stays a single pass — left to AQE rather
+    * than hinted, so a billion-pair corpus degrades to a shuffle join
+    * instead of an executor OOM. */
+  def dedupKeepRepresentative(docs: DataFrame, pairs: DataFrame,
+      prefer: Seq[Column]): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(prefer: _*)
+    docs
+      .join(comps, Seq("doc_id"), "left_outer")
+      .withColumn("component",
+        coalesce(col("component"), col("doc_id")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
 }

@@ -305,6 +305,52 @@ object LlmQueries {
         FROM sh0 JOIN dfreq ON sh0.shingle = dfreq.shingle
         WHERE dfreq.df <= 0.2 * (SELECT n FROM nd))""", minJ = 0.35)))
 
+  // -------------------------------------------------------------- doc18
+  // End-to-end dedup: pairs → clusters → ONE representative per
+  // cluster (longest text, doc_id tiebreak), singletons untouched —
+  // the operator that actually shrinks the corpus. Output is the kept
+  // documents with their cluster label; the oracle replays closure +
+  // ranking in SQL.
+  private val doc18 = GraftQuery(
+    "doc18_dedup_corpus",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.verifiedNearDups(docs)
+        .select($"doc_a", $"doc_b")
+      DedupOps.dedupKeepRepresentative(docs, pairs,
+        Seq($"n_chars".desc, $"doc_id".asc))
+        .select($"doc_id", $"component", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    Some(minhashLshPairsCtes(bigramShCtes, minJ = 0.2,
+      recursive = true) + """,
+      nodes AS (
+        SELECT doc_a AS node FROM pairs
+        UNION SELECT doc_b FROM pairs),
+      uedges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT e.b AS node, reach.r AS r
+        FROM reach JOIN uedges e ON reach.node = e.a),
+      comp AS (
+        SELECT node AS doc_id, MIN(r) AS component
+        FROM reach GROUP BY node),
+      lab AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, doc_id) AS rn
+        FROM lab)
+      SELECT doc_id, component, n_chars
+      FROM ranked WHERE rn = 1
+      ORDER BY doc_id"""))
+
   // -------------------------------------------------------------- doc05
   // SimHash fingerprints (16-bit, per-nibble majority vote).
   private val doc05 = GraftQuery(
@@ -884,6 +930,6 @@ object LlmQueries {
 
   val all: Seq[GraftQuery] =
     Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08, doc09,
-      doc10, doc11, doc17, emb01, emb02, emb03, emb04, emb05, emb06,
-      emb07, mm01, mm02, mm03)
+      doc10, doc11, doc17, doc18, emb01, emb02, emb03, emb04, emb05,
+      emb06, emb07, mm01, mm02, mm03)
 }

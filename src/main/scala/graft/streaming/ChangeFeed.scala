@@ -144,6 +144,30 @@ object ChangeFeed {
     stale.length
   }
 
+  /** Reconstruct the visible state AS OF `asOfBatch` from the feed
+    * alone — time travel without table snapshots. Per key, the newest
+    * change at `_commit <= asOfBatch` decides: post-images and inserts
+    * are the row, deletes erase it (pre-images are documentation, not
+    * state). One keyed window over the partition-pruned commit range;
+    * cost scales with the changes up to the as-of point, and the
+    * common "state right before the bad deploy" query prunes to a
+    * short commit range on top of the retained feed.
+    *
+    * Completeness contract (spec-pinned): `stateAsOf(latest)` equals
+    * [[CdcMerge.readState]] — the feed is a lossless journal of the
+    * state table. */
+  def stateAsOf(spark: SparkSession, feedTable: String, keyCol: String,
+      asOfBatch: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_commit").desc)
+    spark.table(feedTable)
+      .filter(col("_commit") <= asOfBatch &&
+        col("_change_type") =!= "update_preimage")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("_change_type") =!= "delete")
+      .drop("_rn", "_change_type", "_commit")
+  }
+
   /** Continuous apply with feed: [[CdcMerge.startMergeStream]] plus
     * per-batch CDF capture keyed by foreachBatch's batch id. */
   def startMergeStream(df: DataFrame, stateTable: String,

@@ -125,6 +125,32 @@ class ChangeFeedSpec extends SparkSpec {
     assert(feedRows(f).map(_._1).max == 4L)
   }
 
+  test("stateAsOf reconstructs any commit; latest equals readState") {
+    val (t, f) = ("cf_asof", "cf_asof_feed")
+    Seq(t, s"${t}_stage", f).foreach(CdcMerge.dropStateTable(spark, _))
+    apply1(t, f, 0, env(
+      (1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (2L, "2026-01-01 00:00:02", "Insert", 2L)))
+    apply1(t, f, 1, env(
+      (1L, "2026-01-01 00:00:03", "Update", 3L),
+      (2L, "2026-01-01 00:00:04", "Delete", 4L)))
+    apply1(t, f, 2, env(
+      (2L, "2026-01-01 00:00:05", "Insert", 5L),
+      (3L, "2026-01-01 00:00:06", "Insert", 6L)))
+    def asOf(c: Long): Map[Long, Long] =
+      ChangeFeed.stateAsOf(spark, f, "k", c)
+        .select("k", "event_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asOf(0) == Map(1L -> 1L, 2L -> 2L))
+    assert(asOf(1) == Map(1L -> 3L)) // key 2 deleted at commit 1
+    assert(asOf(2) == Map(1L -> 3L, 2L -> 5L, 3L -> 6L))
+    // completeness: the feed journal reproduces the live state exactly
+    val fromState = CdcMerge.readState(spark, t)
+      .select("k", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asOf(Long.MaxValue) == fromState)
+  }
+
   test("streaming merge with feed: commits keyed by micro-batch id") {
     import spark.implicits._
     val (t, f) = ("cf_stream", "cf_stream_feed")
