@@ -69,19 +69,53 @@ object LakehouseSink {
     * non-transactional lakehouse table service.)
     */
   def compact(spark: SparkSession, table: String, bucketCol: String,
-      buckets: Int, partitionCols: Seq[String] = Nil): Unit = {
-    val tmp = s"${table}_compacting"
+      buckets: Int, partitionCols: Seq[String] = Nil): Unit =
+    stagedRewrite(spark, table, s"${table}_compacting") { tmp =>
+      writeBucketed(spark.table(table), tmp, bucketCol, buckets,
+        partitionCols)
+    }
+
+  /** Range-cluster the table on `clusterCols` — the data-layout
+    * service for SCAN pruning, complementing `compact`'s file-count
+    * hygiene. `repartitionByRange` + `sortWithinPartitions` gives each
+    * output file a narrow, pairwise-disjoint range of the cluster
+    * column(s) (lexicographic for multi-column — effective for
+    * prefix predicates; a space-filling-curve interleave would trade
+    * per-column locality for multi-column balance). Parquet then
+    * stores tight per-file/row-group min-max stats, so a range or
+    * point predicate on the cluster column skips all but the matching
+    * row groups at read time — the same reason the ReplaySource can
+    * prune replay scans by event_id. Same staged-rename crash contract
+    * as `compact`; single-writer, run off the ingest path.
+    *
+    * `nFiles` sizes the rewrite (use `repartitionForTarget`'s estimate
+    * arithmetic for a byte-targeted count at scale). */
+  def clusterBy(spark: SparkSession, table: String,
+      clusterCols: Seq[String], nFiles: Int): Unit =
+    stagedRewrite(spark, table, s"${table}_clustering") { tmp =>
+      spark.table(table)
+        .repartitionByRange(nFiles, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+        .write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    }
+
+  /** The staged-rename rewrite skeleton shared by the table services:
+    * recover a half-swapped crash state, clear stage leftovers, write
+    * the stage via `writeStage`, then swap table→_old, tmp→table,
+    * drop _old — recoverable at every step (see `compact`'s note). */
+  private def stagedRewrite(spark: SparkSession, table: String,
+      tmp: String)(writeStage: String => Unit): Unit = {
     val old = s"${table}_old"
     if (!spark.catalog.tableExists(table)) {
       // half-swapped crash state: restore the name before any DROP.
-      // Prefer _old (the pre-compaction original); _compacting holds
-      // the same rows post-compaction if _old is somehow gone too.
+      // Prefer _old (the pre-rewrite original); the stage holds the
+      // same rows post-rewrite if _old is somehow gone too.
       if (spark.catalog.tableExists(old))
         spark.sql(s"ALTER TABLE $old RENAME TO $table")
       else if (spark.catalog.tableExists(tmp))
         spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
       else throw new IllegalStateException(
-        s"compact($table): table does not exist and no crash leftovers " +
+        s"rewrite($table): table does not exist and no crash leftovers " +
           s"($old / $tmp) to recover from")
     }
     // dropStateTable, not bare DROP: a crash mid-saveAsTable can leave
@@ -89,8 +123,7 @@ object LakehouseSink {
     // ignores and the next write trips over (LOCATION_ALREADY_EXISTS)
     CdcMerge.dropStateTable(spark, tmp)
     CdcMerge.dropStateTable(spark, old)
-    writeBucketed(spark.table(table), tmp, bucketCol, buckets,
-      partitionCols)
+    writeStage(tmp)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     try spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     catch {

@@ -175,4 +175,70 @@ class LakehouseSinkSpec extends SparkSpec {
       LakehouseSink.compact(spark, "lh_half_missing", "k", 2)
     }
   }
+
+  /** Per-file (min, max) of long column `c` from the parquet footers. */
+  private def fileRanges(table: String, c: String): Seq[(Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    spark.table(table).inputFiles.toSeq.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val ranges = reader.getFooter.getBlocks.toArray.toSeq.map { b =>
+          val cc = b.asInstanceOf[org.apache.parquet.hadoop.metadata
+            .BlockMetaData].getColumns.toArray.toSeq
+            .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata
+              .ColumnChunkMetaData])
+            .find(_.getPath.toDotString == c).get
+          val st = cc.getStatistics
+          (st.genericGetMin.asInstanceOf[Long],
+            st.genericGetMax.asInstanceOf[Long])
+        }
+        (ranges.map(_._1).min, ranges.map(_._2).max)
+      } finally reader.close()
+    }
+  }
+
+  test("clusterBy rewrites files into disjoint ranges that prune scans") {
+    import spark.implicits._
+    val t = "lh_cluster"
+    Seq(t, s"${t}_clustering", s"${t}_old")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    // round-robin layout: every file spans ~the full key range
+    val rnd = new scala.util.Random(7)
+    rnd.shuffle((0L until 1000L).toList).toDF("k")
+      .withColumn("payload", col("k") * 17)
+      .repartition(4)
+      .write.format("parquet").saveAsTable(t)
+    def scannedRows(): Long = {
+      val df = spark.table(t).filter(col("k") >= 100 && col("k") < 150)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val before = fileRanges(t, "k")
+    assert(before.forall { case (mn, mx) => mn < 100 && mx >= 900 },
+      s"expected overlapping pre-cluster files, got $before")
+    val scannedBefore = scannedRows()
+
+    LakehouseSink.clusterBy(spark, t, Seq("k"), nFiles = 4)
+    assert(spark.table(t).count() == 1000)
+    assert(!spark.catalog.tableExists(s"${t}_clustering"))
+    assert(!spark.catalog.tableExists(s"${t}_old"))
+    val after = fileRanges(t, "k").sorted
+    after.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file ranges overlap after clusterBy: $after")
+      case _ =>
+    }
+    // row-group stats now exclude the predicate in all but one file
+    val scannedAfter = scannedRows()
+    assert(scannedAfter < scannedBefore,
+      s"clustering did not prune the scan: $scannedBefore -> $scannedAfter")
+
+    // half-swapped crash state recovers through the shared skeleton
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}_old")
+    LakehouseSink.clusterBy(spark, t, Seq("k"), nFiles = 4)
+    assert(spark.table(t).count() == 1000)
+  }
 }
