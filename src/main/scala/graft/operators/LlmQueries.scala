@@ -734,6 +734,100 @@ object LlmQueries {
       FROM documents
       ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- doc19
+  // BM25 ranked retrieval for a fixed query term set — the relevance
+  // scorer a training-data search/inspection surface needs. Uses the
+  // RATIONAL idf (N − df + 0.5)/(df + 0.5) instead of its log: same
+  // ranking monotonicity, but IEEE-exact and engine-portable (libm
+  // log differs across platforms — the doc09 determinism contract).
+  // Scale shape: tf over an exploded token stream filtered to the
+  // query terms BEFORE the shuffle (the term filter is a pushed-down
+  // isin over the explode — work ∝ query-term hits, not corpus
+  // vocabulary), df/avgdl as 1-row/terms-sized broadcasts, one keyed
+  // top-k window.
+  private val doc19 = GraftQuery(
+    "doc19_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val terms = Seq("spark", "merge", "window")
+      val (k1, b) = (1.2, 0.75)
+      val docs = t(s, dir, "documents")
+      val toks = docs.select($"doc_id",
+        explode(TextFunctions.tokens($"text")).as("term"))
+        .filter($"term" =!= "")
+      val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum($"dl").as("sum_dl"))
+      val tf = toks.filter($"term".isin(terms: _*))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          ($"n_docs".cast("double") - $"df".cast("double") + 0.5) /
+            ($"df".cast("double") + 0.5))
+        .withColumn("avgdl",
+          $"sum_dl".cast("double") / $"n_docs".cast("double"))
+        .withColumn("score",
+          $"idf" * ($"tf".cast("double") * (k1 + 1.0)) /
+            ($"tf".cast("double") +
+              lit(k1) * (lit(1.0 - b) +
+                lit(b) * $"dl".cast("double") / $"avgdl")))
+      // per-doc total in FIXED term order (conditional max per term,
+      // added textually) — a float sum() accumulates in partition
+      // order, whose low bits could never hash-match the oracle
+      def termScore(term: String) = coalesce(
+        max(when($"term" === term, $"score")), lit(0.0))
+      val bm25 = scored.groupBy($"doc_id")
+        .agg((termScore("merge") + termScore("spark") +
+          termScore("window")).as("bm25"),
+          count(lit(1)).as("n_terms_hit"))
+      // global top-20 via orderBy+limit → TakeOrderedAndProject, not a
+      // partition-less rank window (the PlanQualitySpec contract)
+      bm25.select($"doc_id", $"n_terms_hit", $"bm25")
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS term
+        FROM documents),
+      toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+      stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+        WHERE term IN ('spark', 'merge', 'window')
+        GROUP BY doc_id, term),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+          ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+             / (CAST(d.df AS DOUBLE) + 0.5))
+          * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+          / (CAST(tf.tf AS DOUBLE)
+             + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+               / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+            AS score
+        FROM tf JOIN dfreq d USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id,
+          COALESCE(MAX(CASE WHEN term = 'merge' THEN score END), 0.0)
+            + COALESCE(MAX(CASE WHEN term = 'spark' THEN score END), 0.0)
+            + COALESCE(MAX(CASE WHEN term = 'window' THEN score END), 0.0)
+            AS bm25,
+          COUNT(*) AS n_terms_hit
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id, n_terms_hit, bm25
+      FROM agg
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20"""))
+
   // -------------------------------------------------------------- doc09
   // Top distinctive terms per document (TF-IDF shape). The inverse-
   // document-frequency weight is N/df in exact double division rather
@@ -930,6 +1024,6 @@ object LlmQueries {
 
   val all: Seq[GraftQuery] =
     Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08, doc09,
-      doc10, doc11, doc17, doc18, emb01, emb02, emb03, emb04, emb05,
-      emb06, emb07, mm01, mm02, mm03)
+      doc10, doc11, doc17, doc18, doc19, emb01, emb02, emb03, emb04,
+      emb05, emb06, emb07, mm01, mm02, mm03)
 }

@@ -35,6 +35,7 @@ class PlanQualitySpec extends SparkSpec {
     // query set against the corpus scan (the exact-baseline ANN path);
     // emb04's IVF assignment broadcasts the 8-row centroid set;
     // doc09 broadcasts the 1-row corpus count for the IDF weight;
+    // doc19 broadcasts the 1-row (n_docs, sum_dl) stats for BM25;
     // doc10 broadcasts the 1-row doc count for the stop-shingle filter;
     // cdc15's superbucket carry theta-joins the idRange/(bucket·super)-
     // row superbucket aggregate against itself (broadcast, tiny);
@@ -43,7 +44,8 @@ class PlanQualitySpec extends SparkSpec {
     val allowed = Set("q20_scalar_subquery", "emb01_cosine_topk",
       "emb04_ivf_topk", "emb05_ivf_multiprobe", "doc09_top_terms",
       "doc10_chartrigram_neardup", "cdc15_gap_detect",
-      "emb08_cluster_assign", "emb09_kmeans_step", "emb10_cluster_sample")
+      "emb08_cluster_assign", "emb09_kmeans_step", "emb10_cluster_sample",
+      "doc19_bm25")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
