@@ -828,6 +828,66 @@ object LlmQueries {
       ORDER BY bm25 DESC, doc_id
       LIMIT 20"""))
 
+  // -------------------------------------------------------------- emb11
+  // Product quantization + asymmetric-distance search: each 64-float
+  // vector compresses to 8 sub-codes (nearest of 4 sub-centroids per
+  // 8-dim subspace, squared L2, deterministic first-k codebook); a
+  // query ranks the corpus by summed distance-table lookups at those
+  // codes, never touching raw corpus floats — the memory-bound ANN
+  // tier under IVF/LSH. ADC totals add the 8 subspace partials in
+  // fixed order (conditional aggregates — the doc19 float-sum rule).
+  // The oracle replays slicing, codebooks, encode argmin, and ADC.
+  private val emb11 = GraftQuery(
+    "emb11_pq_adc",
+    (s, dir) =>
+      SimilarityOps.pqTopK(t(s, dir, "embeddings"))
+        .orderBy(col("query_id"), col("rnk")),
+    Some {
+      val adcSum = (0 until 8).map(i =>
+        s"COALESCE(MAX(CASE WHEN sm = $i THEN d END), 0.0)")
+        .reduceLeft((acc, t) => s"($acc + $t)")
+      s"""
+      WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+      sub AS (
+        SELECT b.vec_id, ms.m,
+               list_slice(b.embedding, ms.m*8 + 1, ms.m*8 + 8) AS sv
+        FROM embeddings b CROSS JOIN ms),
+      cb AS (SELECT vec_id AS cid, m, sv AS ce FROM sub WHERE vec_id < 4),
+      pairs0 AS (
+        SELECT s.vec_id, s.m, cb.cid, s.sv AS sv, cb.ce AS ce
+        FROM sub s JOIN cb ON cb.m = s.m),
+      dist AS (
+        SELECT vec_id, m, cid,
+          ((${dotSql("sv", "sv", 8)})
+            - 2.0*(${dotSql("sv", "ce", 8)})
+            + (${dotSql("ce", "ce", 8)})) AS d
+        FROM pairs0),
+      codes AS (
+        SELECT vec_id, m, cid AS code FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                      ORDER BY d, cid) AS rn
+          FROM dist)
+        WHERE rn = 1),
+      qdt AS (
+        SELECT vec_id AS query_id, m, cid, d FROM dist
+        WHERE vec_id >= 8 AND vec_id < 12),
+      partials AS (
+        SELECT q.query_id, c.vec_id, c.m AS sm, q.d
+        FROM codes c JOIN qdt q ON q.m = c.m AND q.cid = c.code
+        WHERE c.vec_id <> q.query_id),
+      adc AS (
+        SELECT query_id, vec_id, $adcSum AS adc
+        FROM partials GROUP BY query_id, vec_id),
+      ranked AS (
+        SELECT query_id, vec_id, adc,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc, vec_id) AS BIGINT) AS rnk
+        FROM adc)
+      SELECT query_id, vec_id AS neighbor_id, rnk, adc
+      FROM ranked WHERE rnk <= 5
+      ORDER BY query_id, rnk"""
+    })
+
   // -------------------------------------------------------------- doc09
   // Top distinctive terms per document (TF-IDF shape). The inverse-
   // document-frequency weight is N/df in exact double division rather
@@ -1025,5 +1085,5 @@ object LlmQueries {
   val all: Seq[GraftQuery] =
     Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08, doc09,
       doc10, doc11, doc17, doc18, doc19, emb01, emb02, emb03, emb04,
-      emb05, emb06, emb07, mm01, mm02, mm03)
+      emb05, emb06, emb07, emb11, mm01, mm02, mm03)
 }

@@ -219,6 +219,85 @@ object SimilarityOps {
         col("rnk"), col("cos"))
   }
 
+  /** Product-quantization codes: split each `dim`-vector into `m`
+    * subvectors and assign each to its nearest sub-centroid by squared
+    * L2 (ties → lowest cid). The sub-codebooks are the first `k`
+    * corpus vectors' subvectors — the deterministic one-pass stand-in
+    * for a trained codebook, like [[rankedCellAssignments]]'s
+    * centroids. Returns (vec_id, m, code): a `dim`-float vector
+    * compresses to m small codes — at 100 TB the difference between an
+    * index that fits executor memory and one that doesn't.
+    *
+    * Shape: the m-subspace explosion is a generator (no join); the
+    * codebook is m·k rows, broadcast into an equi-join on the subspace
+    * id; the argmin is a window partitioned by (vec_id, m). One corpus
+    * scan, one m×-sized shuffle of 8-float slices, no pairwise work.
+    */
+  def pqEncode(embs: DataFrame, dim: Int = 64, m: Int = 8,
+      k: Int = 4): DataFrame =
+    pqDistances(embs, dim, m, k)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("d"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+
+  /** Squared-L2 distance of every vector's subvector `m` to every
+    * sub-centroid: (vec_id, m, cid, d). Shared by [[pqEncode]] (argmin
+    * per subspace) and [[pqTopK]] (the query distance table). */
+  def pqDistances(embs: DataFrame, dim: Int, m: Int, k: Int): DataFrame = {
+    val sub = dim / m
+    val ms = explode(array((0 until m).map(lit): _*)).as("m")
+    val subvecs = embs
+      .select(col("vec_id"), col("embedding"), ms)
+      .withColumn("sv", slice(col("embedding"), col("m") * sub + 1,
+        lit(sub)))
+      .select(col("vec_id"), col("m"), col("sv"))
+    val codebook = subvecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("m"), col("sv").as("ce"))
+    subvecs.join(broadcast(codebook), Seq("m"))
+      // ‖x−c‖² = x·x − 2·x·c + c·c, fixed association — bit-identical
+      // to the oracle's unrolled chain
+      .withColumn("d", vec_dot(col("sv"), col("sv"))
+        - lit(2.0) * vec_dot(col("sv"), col("ce"))
+        + vec_dot(col("ce"), col("ce")))
+      .select(col("vec_id"), col("m"), col("cid"), col("d"))
+  }
+
+  /** PQ approximate top-`topK` by asymmetric distance computation
+    * (ADC): each query keeps its exact per-(subspace, centroid)
+    * distance table (m·k doubles, broadcast); a corpus vector's
+    * approximate distance is the sum of table lookups at its codes.
+    * The scan never touches raw corpus floats — only the m-byte codes
+    * — which is the PQ trade: ~dim·4/m× less data read per candidate
+    * at the cost of quantization error. Per-(query, vector) totals add
+    * the m partial distances in FIXED subspace order (conditional
+    * aggregates, not a float sum in partition order). */
+  def pqTopK(embs: DataFrame, dim: Int = 64, m: Int = 8, k: Int = 4,
+      queryLo: Int = 8, queryHi: Int = 12, topK: Int = 5): DataFrame = {
+    val dists = pqDistances(embs, dim, m, k)
+    val codes = pqEncode(embs, dim, m, k)
+    val qdt = dists
+      .filter(col("vec_id") >= queryLo && col("vec_id") < queryHi)
+      .select(col("vec_id").as("query_id"), col("m"), col("cid"),
+        col("d"))
+    val partials = codes.join(broadcast(qdt),
+      codes("m") === qdt("m") && codes("code") === qdt("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), codes("m").as("sm"),
+        col("d"))
+    val adcTerms = (0 until m).map(i =>
+      coalesce(max(when(col("sm") === i, col("d"))), lit(0.0)))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    partials.groupBy(col("query_id"), col("vec_id"))
+      .agg(adcTerms.reduceLeft(_ + _).as("adc"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("adc"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def embeddingNearDups(embs: DataFrame, dim: Int = 64, planes: Int = 6,
       minCos: Double = 0.9): DataFrame = {
