@@ -770,6 +770,68 @@ object CdcQueries {
       FROM r WHERE rn = 1 AND op <> 'Delete'
       ORDER BY user_id"""))
 
+  // -------------------------------------------------------------- cdc22
+  // Decoupled CDF consumer (ChangeFeed.applyFeedToAggregate): a
+  // derived per-group view maintained by TAILING THE FEED, never
+  // reading the state table — feed rows are signed contributions
+  // (insert/update_post +1, delete/update_pre −1). The query consumes
+  // in two overlapping polls (commits ≤1, then "everything", twice) —
+  // the commit watermark and the clamp to the feed's max commit make
+  // sloppy at-least-once polling exact. Must equal the one-shot SQL
+  // aggregate over the final live state.
+  private val cdc22 = GraftQuery(
+    "cdc22_feed_consumer",
+    (s, dir) => {
+      import s.implicits._
+      val state = "cdc22_state"
+      val feed = "cdc22_feed"
+      val agg = "cdc22_view"
+      Seq(state, s"${state}_stage", feed, agg, s"${agg}_stage",
+        s"${agg}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val env = CdcOps.dropSkipped(CdcOps.toEnvelope(events(s, dir)))
+      def part(i: Int) = env.filter(pmod($"event_id", lit(3)) === i)
+      Seq(0 -> part(0), 1 -> part(1), 2 -> part(2)).foreach {
+        case (id, b) =>
+          graft.streaming.ChangeFeed.applyBatch(s, state, feed, b,
+            "user_id", Seq("ts", "event_id"), nBuckets = 8,
+            batchId = id)
+      }
+      val vbucket = when($"value" >= 100, "high")
+        .when($"value" >= 10, "mid").otherwise("low")
+      def poll(upTo: Long): Unit =
+        graft.streaming.ChangeFeed.applyFeedToAggregate(s, feed, agg,
+          vbucket, "value", upTo)
+      poll(1); poll(Long.MaxValue); poll(Long.MaxValue) // overlap poll
+      graft.streaming.ChangeFeed.readAggregate(s, agg)
+        .select($"g".as("vbucket"), $"n_live",
+          $"sum_value".cast("double").as("sum_value"))
+        .orderBy($"vbucket")
+    },
+    Some("""
+      WITH env AS (
+        SELECT user_id, event_id, ts, value,
+          CASE event_type
+            WHEN 'signup' THEN 'Insert'
+            WHEN 'purchase' THEN 'Insert'
+            WHEN 'click' THEN 'Update'
+            WHEN 'error' THEN 'Delete'
+            ELSE 'Skip' END AS op
+        FROM events),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM env WHERE op <> 'Skip'),
+      live AS (SELECT * FROM r WHERE rn = 1 AND op <> 'Delete')
+      SELECT CASE WHEN value >= 100 THEN 'high'
+                  WHEN value >= 10 THEN 'mid'
+                  ELSE 'low' END AS vbucket,
+             CAST(COUNT(*) AS BIGINT) AS n_live,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_value
+      FROM live
+      GROUP BY 1 ORDER BY vbucket"""))
+
   // -------------------------------------------------------------- cdc20
   // Incremental statistics maintenance (IncrementalStats): per-group
   // count/sum/min/max/avg/var_pop/stddev_pop maintained from each
@@ -880,5 +942,5 @@ object CdcQueries {
 
   val all: Seq[GraftQuery] =
     Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
-      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21)
+      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21, cdc22)
 }

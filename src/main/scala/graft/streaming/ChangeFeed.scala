@@ -168,6 +168,82 @@ object ChangeFeed {
       .drop("_rn", "_change_type", "_commit")
   }
 
+  /** Maintain a per-group (n_live, sum_value) aggregate by TAILING
+    * THE FEED — the decoupled CDF-consumer pattern: the merge pipeline
+    * owns the state table; any number of derived views update later
+    * from the journal without ever reading (or contending on) state.
+    *
+    * A feed row IS a signed contribution: insert/update_postimage
+    * add a visible row (+1), delete/update_preimage remove one (−1) —
+    * so the delta for a commit range is one partial-aggregated pass
+    * over the partition-pruned feed slice. The aggregate table carries
+    * the last-applied commit in `_batch`; calls re-applying an
+    * already-covered range no-op, so consumers can poll with overlap
+    * (at-least-once tailing) and stay exact. Sums accumulate in
+    * DECIMAL (exact, order-independent — the IncrementalAgg
+    * contract).
+    *
+    * @param groupOf  grouping expression over the feed's row columns
+    *                 (e.g. a value bucket); evaluated per change row
+    * @param upTo     apply commits `(last applied, upTo]`
+    */
+  def applyFeedToAggregate(spark: SparkSession, feedTable: String,
+      aggTable: String, groupOf: Column, valueCol: String,
+      upTo: Long): Unit = {
+    import org.apache.spark.sql.types.DecimalType
+    TableSwap.recover(spark, aggTable, s"${aggTable}_stage")
+    val exists = spark.catalog.tableExists(aggTable)
+    val last = if (exists)
+      spark.table(aggTable)
+        .agg(coalesce(max("_batch"), lit(-1L))).collect()(0).getLong(0)
+    else -1L
+    // clamp to what the feed has actually committed: advancing the
+    // watermark past unwritten commits would silently skip them when
+    // they later arrive (the sloppy-poller hazard). Partition-column
+    // read — metadata-sized.
+    val maxCommit = spark.table(feedTable)
+      .agg(coalesce(max("_commit"), lit(-1L))).collect()(0).getLong(0)
+    val effUpTo = math.min(upTo, maxCommit)
+    if (effUpTo <= last) return
+    val d20 = DecimalType(20, 2)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(d20)
+    val deltas = readChanges(spark, feedTable, last + 1, effUpTo)
+      .select(groupOf.as("g"),
+        when(col("_change_type").isin("insert", "update_postimage"),
+          lit(1L)).otherwise(lit(-1L)).as("sign"),
+        col(valueCol).cast(DecimalType(12, 2)).cast(d20).as("v"))
+      .groupBy("g")
+      .agg(sum(col("sign")).as("dn"),
+        sum((col("v") * col("sign")).cast(d20)).cast(d20).as("dv"))
+    val updated = (if (exists)
+        spark.table(aggTable).drop("_batch")
+          .withColumnRenamed("g", "sg")
+          .join(deltas, col("sg") === col("g"), "full_outer")
+          .select(coalesce(col("g"), col("sg")).as("g"),
+            (coalesce(col("n_live"), lit(0L)) +
+              coalesce(col("dn"), lit(0L))).as("n_live"),
+            (coalesce(col("sum_value"), zero) +
+              coalesce(col("dv"), zero)).cast(d20).as("sum_value"))
+      else
+        deltas.select(col("g"), col("dn").as("n_live"),
+          col("dv").as("sum_value")))
+      // drained groups stay as watermark carriers (readAggregate
+      // filters), the IncrementalAgg invariant
+      .withColumn("_batch", lit(effUpTo))
+    val stage = s"${aggTable}_stage"
+    CdcMerge.dropStateTable(spark, stage)
+    updated.coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(stage)
+    TableSwap.swapIn(spark, stage, aggTable)
+  }
+
+  /** Read the feed-maintained aggregate (watermark dropped, drained
+    * groups filtered). */
+  def readAggregate(spark: SparkSession, aggTable: String): DataFrame = {
+    TableSwap.recover(spark, aggTable, s"${aggTable}_stage")
+    spark.table(aggTable).filter(col("n_live") > 0).drop("_batch")
+  }
+
   /** Continuous apply with feed: [[CdcMerge.startMergeStream]] plus
     * per-batch CDF capture keyed by foreachBatch's batch id. */
   def startMergeStream(df: DataFrame, stateTable: String,

@@ -151,6 +151,49 @@ class ChangeFeedSpec extends SparkSpec {
     assert(asOf(Long.MaxValue) == fromState)
   }
 
+  test("feed-tailing consumer maintains a derived aggregate exactly") {
+    val (t, f, a) = ("cf_agg", "cf_agg_feed", "cf_agg_view")
+    Seq(t, s"${t}_stage", f, a, s"${a}_stage", s"${a}_old")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    apply1(t, f, 0, env(
+      (1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (2L, "2026-01-01 00:00:02", "Insert", 2L),
+      (3L, "2026-01-01 00:00:03", "Insert", 3L)))
+    apply1(t, f, 1, env(
+      (1L, "2026-01-01 00:00:04", "Update", 4L),
+      (2L, "2026-01-01 00:00:05", "Delete", 5L)))
+    apply1(t, f, 2, env((4L, "2026-01-01 00:00:06", "Insert", 6L)))
+    // group: parity of the key; value: event_id
+    def applyTo(upTo: Long): Unit =
+      ChangeFeed.applyFeedToAggregate(spark, f, a,
+        pmod(col("k"), lit(2)).cast("string"), "event_id", upTo)
+    def agg(): Map[String, (Long, java.math.BigDecimal)] =
+      ChangeFeed.readAggregate(spark, a).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDecimal(2)))).toMap
+    // consume in two slices with an overlapping (idempotent) re-poll.
+    // After commits 0..1 the live state is keys 1 (ev4) and 3 (ev3) —
+    // both parity 1; parity 0's only key (2) was deleted, so its
+    // drained group is filtered from reads (watermark row remains)
+    applyTo(1)
+    val mid = agg()
+    assert(mid.keySet == Set("1") && mid("1")._1 == 2L &&
+      mid("1")._2.doubleValue == 7.0)
+    applyTo(1) // re-poll of a covered range: no-op
+    assert(agg() == mid)
+    applyTo(10) // clamped to the feed's max commit (2)
+    val fin = agg()
+    // expected from live state: keys 1(ev4),3(ev3),4(ev6) →
+    // parity 1: keys 1,3 → n=2, sum=4+3; parity 0: key 4 → n=1, sum=6
+    assert(fin.view.mapValues(_._1).toMap == Map("0" -> 1L, "1" -> 2L))
+    assert(fin("1")._2.doubleValue == 7.0)
+    assert(fin("0")._2.doubleValue == 6.0)
+    // the clamp kept the watermark at 2: a late commit still applies
+    apply1(t, f, 3, env((5L, "2026-01-01 00:00:07", "Insert", 7L)))
+    applyTo(10)
+    assert(agg().view.mapValues(_._1).toMap == Map("0" -> 1L, "1" -> 3L))
+  }
+
   test("streaming merge with feed: commits keyed by micro-batch id") {
     import spark.implicits._
     val (t, f) = ("cf_stream", "cf_stream_feed")
