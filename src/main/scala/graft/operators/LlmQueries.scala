@@ -837,30 +837,31 @@ object LlmQueries {
   // tier under IVF/LSH. ADC totals add the 8 subspace partials in
   // fixed order (conditional aggregates — the doc19 float-sum rule).
   // The oracle replays slicing, codebooks, encode argmin, and ADC.
-  private val emb11 = GraftQuery(
-    "emb11_pq_adc",
-    (s, dir) =>
-      SimilarityOps.pqTopK(t(s, dir, "embeddings"))
-        .orderBy(col("query_id"), col("rnk")),
-    Some {
-      val adcSum = (0 until 8).map(i =>
-        s"COALESCE(MAX(CASE WHEN sm = $i THEN d END), 0.0)")
-        .reduceLeft((acc, t) => s"($acc + $t)")
-      s"""
-      WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+  /** The PQ encode + ADC replay as a CTE chain ending in
+    * `pqranked(query_id, vec_id, adc, rnk)` — shared by emb11 (direct
+    * ADC top-k) and emb12 (wide ADC pool + exact rerank). */
+  private def pqAdcCtes(subCount: Int, k: Int): String = {
+    val sub = 64 / subCount
+    val adcSum = (0 until subCount).map(i =>
+      s"COALESCE(MAX(CASE WHEN sm = $i THEN d END), 0.0)")
+      .reduceLeft((acc, t) => s"($acc + $t)")
+    s"""
+      WITH ms AS (SELECT unnest(range(0, $subCount)) AS m),
       sub AS (
         SELECT b.vec_id, ms.m,
-               list_slice(b.embedding, ms.m*8 + 1, ms.m*8 + 8) AS sv
+               list_slice(b.embedding, ms.m*$sub + 1,
+                          ms.m*$sub + $sub) AS sv
         FROM embeddings b CROSS JOIN ms),
-      cb AS (SELECT vec_id AS cid, m, sv AS ce FROM sub WHERE vec_id < 4),
+      cb AS (SELECT vec_id AS cid, m, sv AS ce FROM sub
+             WHERE vec_id < $k),
       pairs0 AS (
         SELECT s.vec_id, s.m, cb.cid, s.sv AS sv, cb.ce AS ce
         FROM sub s JOIN cb ON cb.m = s.m),
       dist AS (
         SELECT vec_id, m, cid,
-          ((${dotSql("sv", "sv", 8)})
-            - 2.0*(${dotSql("sv", "ce", 8)})
-            + (${dotSql("ce", "ce", 8)})) AS d
+          ((${dotSql("sv", "sv", sub)})
+            - 2.0*(${dotSql("sv", "ce", sub)})
+            + (${dotSql("ce", "ce", sub)})) AS d
         FROM pairs0),
       codes AS (
         SELECT vec_id, m, cid AS code FROM (
@@ -878,15 +879,59 @@ object LlmQueries {
       adc AS (
         SELECT query_id, vec_id, $adcSum AS adc
         FROM partials GROUP BY query_id, vec_id),
-      ranked AS (
+      pqranked AS (
         SELECT query_id, vec_id, adc,
           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY adc, vec_id) AS BIGINT) AS rnk
-        FROM adc)
+        FROM adc)"""
+  }
+
+  private val emb11 = GraftQuery(
+    "emb11_pq_adc",
+    (s, dir) =>
+      SimilarityOps.pqTopK(t(s, dir, "embeddings"))
+        .orderBy(col("query_id"), col("rnk")),
+    Some(pqAdcCtes(8, 4) + """
       SELECT query_id, vec_id AS neighbor_id, rnk, adc
-      FROM ranked WHERE rnk <= 5
-      ORDER BY query_id, rnk"""
-    })
+      FROM pqranked WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+
+  // -------------------------------------------------------------- emb12
+  // PQ with exact re-ranking — how PQ deploys in practice: the ADC
+  // pass nominates a 50-wide candidate pool from the codes alone, then
+  // ONLY those rows are re-scored with exact cosine on raw floats and
+  // cut to 5. Exact math touches `candidates` rows per query instead
+  // of the corpus; recall is governed by pool width (measured ladder
+  // in SCALE.md: 0.10 direct → 0.95 at m16/c800). The oracle replays
+  // ADC pool + rerank.
+  private val emb12 = GraftQuery(
+    "emb12_pq_rerank",
+    (s, dir) =>
+      SimilarityOps.pqTopKReranked(t(s, dir, "embeddings"))
+        .orderBy(col("query_id"), col("rnk")),
+    Some(pqAdcCtes(8, 4) + s""",
+      pool AS (
+        SELECT query_id, vec_id FROM pqranked WHERE rnk <= 50),
+      base AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, en AS qn
+        FROM base WHERE vec_id >= 8 AND vec_id < 12),
+      rescored AS (
+        SELECT p.query_id, p.vec_id,
+          (${dotSql("q_emb", "embedding", 64)}) / (q.qn * b.en) AS cos
+        FROM pool p
+        JOIN base b ON b.vec_id = p.vec_id
+        JOIN q ON q.query_id = p.query_id),
+      rr AS (
+        SELECT query_id, vec_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        FROM rescored)
+      SELECT query_id, vec_id AS neighbor_id, rnk, cos
+      FROM rr WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
 
   // -------------------------------------------------------------- doc09
   // Top distinctive terms per document (TF-IDF shape). The inverse-
@@ -1085,5 +1130,5 @@ object LlmQueries {
   val all: Seq[GraftQuery] =
     Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08, doc09,
       doc10, doc11, doc17, doc18, doc19, emb01, emb02, emb03, emb04,
-      emb05, emb06, emb07, emb11, mm01, mm02, mm03)
+      emb05, emb06, emb07, emb11, emb12, mm01, mm02, mm03)
 }

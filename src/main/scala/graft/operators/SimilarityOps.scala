@@ -298,6 +298,37 @@ object SimilarityOps {
         col("rnk"), col("adc"))
   }
 
+  /** PQ with exact re-ranking — how product quantization is actually
+    * deployed: ADC over the compressed codes nominates a WIDE
+    * candidate pool (`candidates` per query, cheap — code lookups
+    * only), then just those rows are re-scored with exact cosine on
+    * raw floats and cut to `topK`. The expensive exact math touches
+    * `candidates` rows per query instead of the corpus; recall is
+    * governed by the pool width, cost stays ∝ candidates. */
+  def pqTopKReranked(embs: DataFrame, dim: Int = 64, m: Int = 8,
+      k: Int = 4, queryLo: Int = 8, queryHi: Int = 12,
+      candidates: Int = 50, topK: Int = 5): DataFrame = {
+    val pool = pqTopK(embs, dim, m, k, queryLo, queryHi, candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val base = embs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding"), dim).as("en"))
+    val queries = base
+      .filter(col("vec_id") >= queryLo && col("vec_id") < queryHi)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("en").as("qn"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pool
+      .join(base, pool("neighbor_id") === base("vec_id"))
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos", dot(col("q_emb"), col("embedding"), dim) /
+        (col("qn") * col("en")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def embeddingNearDups(embs: DataFrame, dim: Int = 64, planes: Int = 6,
       minCos: Double = 0.9): DataFrame = {

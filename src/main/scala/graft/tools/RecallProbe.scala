@@ -53,6 +53,14 @@ object RecallProbe {
     val ivf1 = neighborSets(SimilarityOps.ivfTopK(embs))
     val ivf2 = neighborSets(SimilarityOps.ivfTopKProbed(embs, nProbe = 2))
     val ivf3 = neighborSets(SimilarityOps.ivfTopKProbed(embs, nProbe = 3))
+    val pqK4 = neighborSets(SimilarityOps.pqTopK(embs, k = 4))
+    val pqK8 = neighborSets(SimilarityOps.pqTopK(embs, k = 8))
+    val pqM16 = neighborSets(SimilarityOps.pqTopK(embs, m = 16, k = 8))
+    val pqRr50 = neighborSets(SimilarityOps.pqTopKReranked(embs, k = 8))
+    val pqRr200 = neighborSets(
+      SimilarityOps.pqTopKReranked(embs, k = 8, candidates = 200))
+    val pqRr800 = neighborSets(SimilarityOps.pqTopKReranked(
+      embs, m = 16, k = 8, candidates = 800))
 
     println(f"RECALL lsh_6planes     ${recall(lsh, truthLo)}%.2f  (queries 0-7)")
     println(f"RECALL lsh_4tables     ${recall(lshM4, truthLo)}%.2f")
@@ -61,6 +69,15 @@ object RecallProbe {
     println(f"RECALL ivf_probe1      ${recall(ivf1, truthHi)}%.2f  (queries 8-11)")
     println(f"RECALL ivf_probe2      ${recall(ivf2, truthHi)}%.2f")
     println(f"RECALL ivf_probe3      ${recall(ivf3, truthHi)}%.2f")
+    // PQ/ADC vs the cosine ground truth: quantization error + the
+    // L2-vs-cosine metric gap both land on this one number — the
+    // honest "is the compressed index good enough" readout
+    println(f"RECALL pq_m8_k4        ${recall(pqK4, truthHi)}%.2f")
+    println(f"RECALL pq_m8_k8        ${recall(pqK8, truthHi)}%.2f")
+    println(f"RECALL pq_m16_k8       ${recall(pqM16, truthHi)}%.2f")
+    println(f"RECALL pq_rerank_c50   ${recall(pqRr50, truthHi)}%.2f")
+    println(f"RECALL pq_rerank_c200  ${recall(pqRr200, truthHi)}%.2f")
+    println(f"RECALL pq_m16_rr_c800  ${recall(pqRr800, truthHi)}%.2f")
     spark.stop()
   }
 }

@@ -225,6 +225,23 @@ class LlmOpsSpec extends SparkSpec {
       s"residual cached RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
+  test("PQ rerank with a full-width pool equals brute-force top-k") {
+    // when the ADC pool spans the whole corpus, re-ranking IS the
+    // exact search — pins that the rerank tier loses nothing beyond
+    // pool membership
+    val exact = SimilarityOps.bruteForceTopK(embs, nQueries = 12, k = 5)
+      .filter(col("query_id") >= 8)
+      .select("query_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val rr = SimilarityOps.pqTopKReranked(embs,
+      candidates = 1000000, topK = 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(rr == exact)
+  }
+
   test("connected components: chains, separate clusters, min labels") {
     import spark.implicits._
     // cluster {1,2,3} as a CHAIN (diameter 2, forces propagation),
