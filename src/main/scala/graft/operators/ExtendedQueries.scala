@@ -797,7 +797,43 @@ object ExtendedQueries {
       FROM nation GROUP BY n_regionkey
       ORDER BY regionkey"""))
 
+  // -------------------------------------------------------------- q45
+  // Aggregate FILTER clause: per-aggregate predicates in one pass over
+  // the fact table — the idiomatic replacement for N self-joins or
+  // CASE-wrapped aggregates. One shuffle, map-side combined like any
+  // hash aggregate; each filter is evaluated per-row inside the
+  // aggregate, so adding a filtered metric costs no extra scan.
+  private val q45 = GraftQuery(
+    "q45_filter_agg",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT l_returnflag,
+          COUNT(*) AS n_all,
+          COUNT(*) FILTER (WHERE l_quantity > 25.0) AS n_bulk,
+          CAST(SUM(CAST(l_extendedprice AS $D12))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+            AS discounted_revenue,
+          CAST(MAX(l_extendedprice)
+            FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS max_open
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    },
+    Some(s"""
+      SELECT l_returnflag,
+        COUNT(*) AS n_all,
+        COUNT(*) FILTER (WHERE l_quantity > 25.0) AS n_bulk,
+        CAST(SUM(CAST(l_extendedprice AS $D12))
+          FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+          AS discounted_revenue,
+        CAST(MAX(l_extendedprice)
+          FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS max_open
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
-      q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+      q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }

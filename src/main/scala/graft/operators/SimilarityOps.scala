@@ -242,19 +242,35 @@ object SimilarityOps {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("cid").as("code"))
 
-  /** Squared-L2 distance of every vector's subvector `m` to every
-    * sub-centroid: (vec_id, m, cid, d). Shared by [[pqEncode]] (argmin
-    * per subspace) and [[pqTopK]] (the query distance table). */
-  def pqDistances(embs: DataFrame, dim: Int, m: Int, k: Int): DataFrame = {
+  /** Every vector's `m` subvectors: (vec_id, m, sv). */
+  def pqSubvectors(embs: DataFrame, dim: Int, m: Int): DataFrame = {
     val sub = dim / m
-    val ms = explode(array((0 until m).map(lit): _*)).as("m")
-    val subvecs = embs
-      .select(col("vec_id"), col("embedding"), ms)
+    embs
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until m).map(lit): _*)).as("m"))
       .withColumn("sv", slice(col("embedding"), col("m") * sub + 1,
         lit(sub)))
       .select(col("vec_id"), col("m"), col("sv"))
-    val codebook = subvecs.filter(col("vec_id") < k)
+  }
+
+  /** The deterministic first-`k` sub-codebook: (m, cid, ce). */
+  def pqFirstKCodebook(embs: DataFrame, dim: Int, m: Int,
+      k: Int): DataFrame =
+    pqSubvectors(embs, dim, m).filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("m"), col("sv").as("ce"))
+
+  /** Squared-L2 distance of every vector's subvector `m` to every
+    * sub-centroid: (vec_id, m, cid, d). Shared by [[pqEncode]] (argmin
+    * per subspace) and [[pqTopK]] (the query distance table). */
+  def pqDistances(embs: DataFrame, dim: Int, m: Int, k: Int): DataFrame =
+    pqDistancesWith(pqSubvectors(embs, dim, m),
+      pqFirstKCodebook(embs, dim, m, k))
+
+  /** [[pqDistances]] against an ARBITRARY sub-codebook (m, cid, ce) —
+    * the general form that [[pqTrainCodebook]]'s Lloyd loop and the
+    * trained encode path share. */
+  def pqDistancesWith(subvecs: DataFrame,
+      codebook: DataFrame): DataFrame =
     subvecs.join(broadcast(codebook), Seq("m"))
       // ‖x−c‖² = x·x − 2·x·c + c·c, fixed association — bit-identical
       // to the oracle's unrolled chain
@@ -262,7 +278,73 @@ object SimilarityOps {
         - lit(2.0) * vec_dot(col("sv"), col("ce"))
         + vec_dot(col("ce"), col("ce")))
       .select(col("vec_id"), col("m"), col("cid"), col("d"))
+
+  /** Lloyd-train the PQ sub-codebooks: `iters` rounds of
+    * assign-to-nearest (squared L2) + per-dimension mean, ALL `m`
+    * subspaces in the same DataFrame pass (the subspace id is just
+    * another grouping key — no per-subspace driver loop). Means run on
+    * the [[CurationOps.centroidSums]] fixed-point grid (×1e6 longs):
+    * associative integer sums make every iteration bit-identical
+    * under any partitioning. Empty cells keep their previous centroid
+    * (left join + coalesce). Per iteration: one broadcast-join scan of
+    * the subvector set + one m·k·sub-sized aggregate — metadata-scale
+    * state, corpus-scale scans, no corpus shuffle. */
+  def pqTrainCodebook(embs: DataFrame, dim: Int = 64, m: Int = 8,
+      k: Int = 4, iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    val subvecs = pqSubvectors(embs, dim, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      var cb = pqFirstKCodebook(embs, dim, m, k)
+      val wMin = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d"), col("cid"))
+      for (_ <- 0 until iters) {
+        val assigned = pqDistancesWith(subvecs, cb)
+          .withColumn("rn", row_number().over(wMin))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("cid"))
+          .join(subvecs, Seq("vec_id", "m"))
+        val means = assigned
+          .select(col("m"), col("cid"),
+            posexplode(col("sv")).as(Seq("pos", "v")))
+          .select(col("m"), col("cid"), col("pos"),
+            floor(col("v").cast("double") * scale).cast("long").as("q"))
+          .groupBy("m", "cid", "pos")
+          .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+          .withColumn("comp",
+            (col("s").cast("double") / col("n").cast("double")) / scale)
+          .groupBy("m", "cid")
+          .agg(array_sort(collect_list(struct(col("pos"), col("comp"))))
+            .as("comps"))
+          .select(col("m"), col("cid"),
+            transform(col("comps"), c => c.getField("comp"))
+              .cast("array<float>").as("ce_new"))
+        cb = cb.join(means, Seq("m", "cid"), "left_outer")
+          .select(col("m"), col("cid"),
+            coalesce(col("ce_new"), col("ce")).as("ce"))
+          .localCheckpoint() // k·m rows; truncates the loop's lineage
+      }
+      cb
+    } finally subvecs.unpersist()
   }
+
+  /** [[pqEncode]] with an arbitrary (trained) codebook. */
+  def pqEncodeWith(embs: DataFrame, codebook: DataFrame, dim: Int = 64,
+      m: Int = 8): DataFrame =
+    pqDistancesWith(pqSubvectors(embs, dim, m), codebook)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("d"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+
+  /** Mean squared quantization error of a codebook over the corpus —
+    * the training objective, for measuring codebook quality. */
+  def pqQuantizationMse(embs: DataFrame, codebook: DataFrame,
+      dim: Int = 64, m: Int = 8): Double =
+    pqDistancesWith(pqSubvectors(embs, dim, m), codebook)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("d")).as("d"))
+      .agg(avg(col("d"))).collect()(0).getDouble(0)
 
   /** PQ approximate top-`topK` by asymmetric distance computation
     * (ADC): each query keeps its exact per-(subspace, centroid)
@@ -274,9 +356,18 @@ object SimilarityOps {
     * the m partial distances in FIXED subspace order (conditional
     * aggregates, not a float sum in partition order). */
   def pqTopK(embs: DataFrame, dim: Int = 64, m: Int = 8, k: Int = 4,
-      queryLo: Int = 8, queryHi: Int = 12, topK: Int = 5): DataFrame = {
-    val dists = pqDistances(embs, dim, m, k)
-    val codes = pqEncode(embs, dim, m, k)
+      queryLo: Int = 8, queryHi: Int = 12, topK: Int = 5): DataFrame =
+    pqTopKWith(embs, pqFirstKCodebook(embs, dim, m, k), dim, m,
+      queryLo, queryHi, topK)
+
+  /** [[pqTopK]] against an arbitrary (e.g. [[pqTrainCodebook]]-trained)
+    * sub-codebook. */
+  def pqTopKWith(embs: DataFrame, codebook: DataFrame, dim: Int = 64,
+      m: Int = 8, queryLo: Int = 8, queryHi: Int = 12,
+      topK: Int = 5): DataFrame = {
+    val subvecs = pqSubvectors(embs, dim, m)
+    val dists = pqDistancesWith(subvecs, codebook)
+    val codes = pqEncodeWith(embs, codebook, dim, m)
     val qdt = dists
       .filter(col("vec_id") >= queryLo && col("vec_id") < queryHi)
       .select(col("vec_id").as("query_id"), col("m"), col("cid"),

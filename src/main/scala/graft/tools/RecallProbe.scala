@@ -61,6 +61,11 @@ object RecallProbe {
       SimilarityOps.pqTopKReranked(embs, k = 8, candidates = 200))
     val pqRr800 = neighborSets(SimilarityOps.pqTopKReranked(
       embs, m = 16, k = 8, candidates = 800))
+    val cbTrained = SimilarityOps.pqTrainCodebook(embs, k = 8, iters = 3)
+    val pqTr = neighborSets(SimilarityOps.pqTopKWith(embs, cbTrained))
+    val mseFirstK = SimilarityOps.pqQuantizationMse(embs,
+      SimilarityOps.pqFirstKCodebook(embs, 64, 8, 8))
+    val mseTrained = SimilarityOps.pqQuantizationMse(embs, cbTrained)
 
     println(f"RECALL lsh_6planes     ${recall(lsh, truthLo)}%.2f  (queries 0-7)")
     println(f"RECALL lsh_4tables     ${recall(lshM4, truthLo)}%.2f")
@@ -78,6 +83,8 @@ object RecallProbe {
     println(f"RECALL pq_rerank_c50   ${recall(pqRr50, truthHi)}%.2f")
     println(f"RECALL pq_rerank_c200  ${recall(pqRr200, truthHi)}%.2f")
     println(f"RECALL pq_m16_rr_c800  ${recall(pqRr800, truthHi)}%.2f")
+    println(f"RECALL pq_trained_k8   ${recall(pqTr, truthHi)}%.2f")
+    println(f"PQ MSE firstk ${mseFirstK}%.4f trained ${mseTrained}%.4f")
     spark.stop()
   }
 }

@@ -242,6 +242,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(rr == exact)
   }
 
+  test("PQ Lloyd training lowers quantization error; encode stays total") {
+    val firstK = SimilarityOps.pqFirstKCodebook(embs, 64, 8, 4)
+    val trained = SimilarityOps.pqTrainCodebook(embs, k = 4, iters = 2)
+    val mse0 = SimilarityOps.pqQuantizationMse(embs, firstK)
+    val mse1 = SimilarityOps.pqQuantizationMse(embs, trained)
+    assert(mse1 < mse0,
+      s"training did not reduce quantization MSE: $mse0 -> $mse1")
+    // every vector gets exactly one code per subspace
+    val n = embs.count()
+    val codes = SimilarityOps.pqEncodeWith(embs, trained)
+    assert(codes.count() == n * 8)
+    assert(codes.groupBy("vec_id", "m").count()
+      .filter(col("count") =!= 1).isEmpty)
+  }
+
   test("connected components: chains, separate clusters, min labels") {
     import spark.implicits._
     // cluster {1,2,3} as a CHAIN (diameter 2, forces propagation),
