@@ -833,7 +833,77 @@ object ExtendedQueries {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  // -------------------------------------------------------------- q46
+  // Time-series gap fill: a complete weekly spine per group (recursive
+  // index × the group domain — a bounded 52×5 build), left-joined
+  // observations, then LAST_VALUE ... IGNORE NULLS carries the last
+  // observation forward across empty weeks — the standard reporting
+  // densification. The forward-fill window is partitioned per group
+  // (no global window) and the spine sides are metadata-sized; the
+  // only corpus-scale work is the weekly aggregate.
+  private val q46 = GraftQuery(
+    "q46_gap_fill",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("q46_orders")
+      s.sql("""
+        WITH RECURSIVE widx(i) AS (
+          SELECT 0 AS i
+          UNION ALL
+          SELECT i + 1 FROM widx WHERE i < 51
+        ),
+        pr AS (SELECT DISTINCT o_orderpriority AS pri FROM q46_orders),
+        spine AS (SELECT pri, i FROM pr CROSS JOIN widx),
+        wk AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(datediff(CAST(o_orderdate AS DATE),
+                               DATE'1996-01-01') div 7 AS BIGINT) AS i,
+                 o_totalprice
+          FROM q46_orders
+          WHERE CAST(o_orderdate AS DATE) >= DATE'1996-01-01'
+            AND CAST(o_orderdate AS DATE) < DATE'1996-12-30'),
+        agg AS (SELECT pri, i, MAX(o_totalprice) AS mx
+                FROM wk GROUP BY pri, i)
+        SELECT s.pri, s.i AS week_idx,
+               CAST(CASE WHEN agg.mx IS NULL THEN 0 ELSE 1 END
+                 AS BIGINT) AS observed,
+               LAST_VALUE(agg.mx) IGNORE NULLS OVER (
+                 PARTITION BY s.pri ORDER BY s.i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS filled_max
+        FROM spine s LEFT JOIN agg ON s.pri = agg.pri AND s.i = agg.i
+        ORDER BY s.pri, s.i""")
+    },
+    Some("""
+      WITH RECURSIVE widx(i) AS (
+        SELECT 0 AS i
+        UNION ALL
+        SELECT i + 1 FROM widx WHERE i < 51
+      ),
+      pr AS (SELECT DISTINCT o_orderpriority AS pri FROM orders),
+      spine AS (SELECT pri, i FROM pr CROSS JOIN widx),
+      wk AS (
+        SELECT o_orderpriority AS pri,
+               CAST(date_diff('day', DATE '1996-01-01',
+                              CAST(o_orderdate AS DATE)) // 7 AS BIGINT)
+                 AS i,
+               o_totalprice
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1996-12-30'),
+      agg AS (SELECT pri, i, MAX(o_totalprice) AS mx
+              FROM wk GROUP BY pri, i)
+      SELECT s.pri, s.i AS week_idx,
+             CAST(CASE WHEN agg.mx IS NULL THEN 0 ELSE 1 END
+               AS BIGINT) AS observed,
+             LAST_VALUE(agg.mx IGNORE NULLS) OVER (
+               PARTITION BY s.pri ORDER BY s.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_max
+      FROM spine s LEFT JOIN agg ON s.pri = agg.pri AND s.i = agg.i
+      ORDER BY s.pri, s.i"""))
+
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
-      q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
+      q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
+      q46)
 }

@@ -45,7 +45,8 @@ class PlanQualitySpec extends SparkSpec {
       "emb04_ivf_topk", "emb05_ivf_multiprobe", "doc09_top_terms",
       "doc10_chartrigram_neardup", "cdc15_gap_detect",
       "emb08_cluster_assign", "emb09_kmeans_step", "emb10_cluster_sample",
-      "doc19_bm25")
+      // doc19: 1-row stats broadcast; q46: bounded 5×52 spine build
+      "doc19_bm25", "q46_gap_fill")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
