@@ -130,6 +130,49 @@ object CdcLakehouseDemo {
           s"sum=${r.getAs[java.math.BigDecimal]("sum_value")}")
       }
 
+    // gold: the SAME stream merged WITH a change-data-feed — every
+    // commit's row-level diff lands in a _commit-partitioned journal;
+    // downstream views tail the feed (never the state table), and any
+    // commit's state is reconstructable after the fact
+    val q3 = graft.streaming.ChangeFeed.startMergeStream(
+      typed.withColumn("value",
+        coalesce($"after_qty", lit(0L)).cast("double")),
+      "demo_cdc_gold", "demo_cdc_feed", "row_id", Seq("ts_ms", "gtid"),
+      nBuckets = 8, checkpointDir = s"$work/ckpt-gold")
+    q3.awaitTermination()
+    val feed = spark.table("demo_cdc_feed")
+    val lastCommit = feed.agg(max($"_commit")).collect()(0).getLong(0)
+    println(s"[lakehouse] feed commits:     ${lastCommit + 1}, " +
+      s"changes by type: " +
+      feed.groupBy($"_change_type").count().orderBy($"_change_type")
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        .mkString(", "))
+    // point-in-time: state as of the mid-stream commit vs now
+    val midCommit = lastCommit / 2
+    val asOfMid = graft.streaming.ChangeFeed.stateAsOf(spark,
+      "demo_cdc_feed", "row_id", midCommit).count()
+    val asOfNow = graft.streaming.ChangeFeed.stateAsOf(spark,
+      "demo_cdc_feed", "row_id", lastCommit).count()
+    val goldLive = graft.streaming.CdcMerge
+      .readState(spark, "demo_cdc_gold").count()
+    println(s"[lakehouse] stateAsOf($midCommit): $asOfMid rows; " +
+      s"stateAsOf($lastCommit): $asOfNow vs live $goldLive" +
+      (if (asOfNow == goldLive) " (journal complete)" else " (MISMATCH!)"))
+    // a decoupled consumer materializes its own view by polling the
+    // feed — here in two overlapping polls to show watermark exactness
+    def poll(upTo: Long): Unit =
+      graft.streaming.ChangeFeed.applyFeedToAggregate(spark,
+        "demo_cdc_feed", "demo_cdc_feed_view",
+        when($"value" >= 2750.0, "big").otherwise("small"), "value",
+        upTo)
+    poll(midCommit); poll(Long.MaxValue); poll(Long.MaxValue)
+    graft.streaming.ChangeFeed.readAggregate(spark, "demo_cdc_feed_view")
+      .orderBy($"g").collect().foreach { r =>
+        println(s"[lakehouse] feed view ${r.getString(0)}: " +
+          s"n_live=${r.getAs[Long]("n_live")} " +
+          s"sum=${r.getAs[java.math.BigDecimal]("sum_value")}")
+      }
+
     // table service: the silver table has outgrown its 8 buckets —
     // re-partition it to 32 between merge windows; state must read
     // back identically

@@ -47,11 +47,15 @@ object CorpusPipelineDemo {
     val nExact = exactDeduped.count()
 
     // 3. near-dup removal, two complementary units: word-bigram MinHash
-    // then char-trigram MinHash (with the stop-shingle df filter) —
-    // drop the higher doc_id of each verified pair
-    val bigramLosers = DedupOps.verifiedNearDups(exactDeduped)
-      .select($"doc_b".as("doc_id")).distinct()
-    val afterBigram = exactDeduped.join(bigramLosers, Seq("doc_id"), "left_anti")
+    // resolved into CLUSTERS (connected components) keeping the best
+    // representative of each — longest text, id tiebreak — then
+    // char-trigram MinHash (with the stop-shingle df filter) dropping
+    // the higher doc_id of each verified pair
+    val bigramPairs = DedupOps.verifiedNearDups(exactDeduped)
+      .select($"doc_a", $"doc_b")
+    val afterBigram = DedupOps.dedupKeepRepresentative(
+      exactDeduped, bigramPairs, Seq($"n_chars".desc, $"doc_id".asc))
+      .drop("component")
     val trigramLosers = DedupOps.verifiedNearDupsFrom(
       DedupOps.docCharTrigrams(afterBigram), minJ = 0.35, maxDocFrac = 0.2)
       .select($"doc_b".as("doc_id")).distinct()
