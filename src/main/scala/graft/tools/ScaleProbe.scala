@@ -80,6 +80,14 @@ object ScaleProbe {
     probe("repetition") (
       graft.operators.CurationOps.repetitionStats(docs1),
       graft.operators.CurationOps.repetitionStats(docs4))
+    // the 4x twin corpus turns every doc into a 4-clique — CC input
+    // pairs grow ~quadratically while output clusters grow ~linearly;
+    // wall should track pairs (the join work), not explode
+    probe("dup_clusters") (
+      DedupOps.connectedComponents(
+        DedupOps.verifiedNearDups(docs1).select("doc_a", "doc_b")),
+      DedupOps.connectedComponents(
+        DedupOps.verifiedNearDups(docs4).select("doc_a", "doc_b")))
 
     // CDC merge throughput: apply the events stream as 4 batches into
     // the partitioned state table; report events/s and that a second
@@ -104,9 +112,33 @@ object ScaleProbe {
       }
       val tFirst = applyAll()
       val tReplay = applyAll()
+      // warmed from-scratch rebuild: the fair baseline for the feed
+      // overhead below (tFirst absorbs session/codegen warmup)
+      Seq(st, s"${st}_stage").foreach(CdcMerge.dropStateTable(spark, _))
+      val tWarm = applyAll()
       println(f"PROBE cdc_merge               4 batches/$nEvents%d events: " +
         f"$tFirst%6.2f s (${nEvents / tFirst}%.0f ev/s)   " +
-        f"replay: $tReplay%6.2f s (idempotent, no growth)")
+        f"replay: $tReplay%6.2f s (idempotent, no growth)   " +
+        f"warm rebuild: $tWarm%6.2f s")
+
+      // merge WITH change-data-feed: what the journal costs on top
+      val stF = "scaleprobe_feed_state"
+      val fd = "scaleprobe_feed"
+      Seq(stF, s"${stF}_stage", fd)
+        .foreach(CdcMerge.dropStateTable(spark, _))
+      val t0 = System.nanoTime()
+      (0 until 4).foreach { i =>
+        graft.streaming.ChangeFeed.applyBatch(spark, stF, fd,
+          env.filter(pmod(col("event_id"), lit(4)) === i),
+          "user_id", Seq("ts", "event_id"), nBuckets = 16,
+          batchId = i.toLong)
+      }
+      val tFeed = (System.nanoTime() - t0) / 1e9
+      val feedRows = spark.table(fd).count()
+      println(f"PROBE cdc_merge_feed          4 batches/$nEvents%d events: " +
+        f"$tFeed%6.2f s (${nEvents / tFeed}%.0f ev/s)   " +
+        f"feed rows: $feedRows%d (journal overhead vs warm rebuild " +
+        f"${(tFeed / tWarm - 1) * 100}%.0f%%)")
     }
     spark.stop()
   }
