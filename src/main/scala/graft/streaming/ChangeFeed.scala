@@ -124,7 +124,15 @@ object ChangeFeed {
 
   /** Drop feed partitions with `_commit < keepFrom` — retention as a
     * metadata-only operation (no data rewrite), like any partitioned
-    * fact table's TTL. Returns the number of commits dropped. */
+    * fact table's TTL. Returns the number of commits dropped.
+    *
+    * RETENTION CONTRACT (the same one Kafka retention imposes): a
+    * consumer whose replay start — [[stateAsOf]]'s as-of point, or a
+    * NEW [[applyFeedToAggregate]] view — precedes the retention floor
+    * must bootstrap from a state-table snapshot instead of the feed;
+    * the journal below `keepFrom` no longer exists, and reading
+    * through the gap silently under-counts. Existing consumers whose
+    * watermark is already ≥ `keepFrom − 1` are unaffected. */
   def vacuum(spark: SparkSession, feedTable: String,
       keepFrom: Long): Int = {
     if (!spark.catalog.tableExists(feedTable)) return 0
@@ -191,6 +199,8 @@ object ChangeFeed {
       aggTable: String, groupOf: Column, valueCol: String,
       upTo: Long): Unit = {
     import org.apache.spark.sql.types.DecimalType
+    // polling before the first merge commit is a no-op, not an error
+    if (!spark.catalog.tableExists(feedTable)) return
     TableSwap.recover(spark, aggTable, s"${aggTable}_stage")
     val exists = spark.catalog.tableExists(aggTable)
     val last = if (exists)
