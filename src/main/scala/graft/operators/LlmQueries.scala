@@ -232,6 +232,26 @@ object LlmQueries {
                  i -> ws[i] || ' ' || ws[i+1])) AS shingle
         FROM toks WHERE len(ws) >= 2)"""
 
+  /** Recursive transitive closure over `pairs` ending in
+    * `comp(doc_id, component)` — the connected-components replay
+    * shared by doc17 (labels) and doc18 (representative selection). */
+  private val ccClosureCtes =
+    """,
+      nodes AS (
+        SELECT doc_a AS node FROM pairs
+        UNION SELECT doc_b FROM pairs),
+      uedges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT e.b AS node, reach.r AS r
+        FROM reach JOIN uedges e ON reach.node = e.a),
+      comp AS (
+        SELECT node AS doc_id, MIN(r) AS component
+        FROM reach GROUP BY node)"""
+
   private val doc04 = GraftQuery(
     "doc04_minhash_lsh",
     (s, dir) => {
@@ -257,20 +277,8 @@ object LlmQueries {
       DedupOps.connectedComponents(pairs).orderBy($"doc_id")
     },
     Some(minhashLshPairsCtes(bigramShCtes, minJ = 0.2,
-      recursive = true) + """,
-      nodes AS (
-        SELECT doc_a AS node FROM pairs
-        UNION SELECT doc_b FROM pairs),
-      uedges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs),
-      reach AS (
-        SELECT node, node AS r FROM nodes
-        UNION
-        SELECT e.b AS node, reach.r AS r
-        FROM reach JOIN uedges e ON reach.node = e.a)
-      SELECT node AS doc_id, MIN(r) AS component
-      FROM reach GROUP BY node
+      recursive = true) + ccClosureCtes + """
+      SELECT doc_id, component FROM comp
       ORDER BY doc_id"""))
 
   // -------------------------------------------------------------- doc10
@@ -324,21 +332,7 @@ object LlmQueries {
         .orderBy($"doc_id")
     },
     Some(minhashLshPairsCtes(bigramShCtes, minJ = 0.2,
-      recursive = true) + """,
-      nodes AS (
-        SELECT doc_a AS node FROM pairs
-        UNION SELECT doc_b FROM pairs),
-      uedges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs),
-      reach AS (
-        SELECT node, node AS r FROM nodes
-        UNION
-        SELECT e.b AS node, reach.r AS r
-        FROM reach JOIN uedges e ON reach.node = e.a),
-      comp AS (
-        SELECT node AS doc_id, MIN(r) AS component
-        FROM reach GROUP BY node),
+      recursive = true) + ccClosureCtes + """,
       lab AS (
         SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
                d.n_chars

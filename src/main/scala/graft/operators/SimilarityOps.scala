@@ -235,12 +235,7 @@ object SimilarityOps {
     */
   def pqEncode(embs: DataFrame, dim: Int = 64, m: Int = 8,
       k: Int = 4): DataFrame =
-    pqDistances(embs, dim, m, k)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("d"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    pqEncodeWith(embs, pqFirstKCodebook(embs, dim, m, k), dim, m)
 
   /** Every vector's `m` subvectors: (vec_id, m, sv). */
   def pqSubvectors(embs: DataFrame, dim: Int, m: Int): DataFrame = {

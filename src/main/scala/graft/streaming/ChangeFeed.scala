@@ -240,19 +240,13 @@ object ChangeFeed {
       // drained groups stay as watermark carriers (readAggregate
       // filters), the IncrementalAgg invariant
       .withColumn("_batch", lit(effUpTo))
-    val stage = s"${aggTable}_stage"
-    CdcMerge.dropStateTable(spark, stage)
-    updated.coalesce(1)
-      .write.mode("overwrite").format("parquet").saveAsTable(stage)
-    TableSwap.swapIn(spark, stage, aggTable)
+    TableSwap.writeStaged(spark, updated, aggTable)
   }
 
   /** Read the feed-maintained aggregate (watermark dropped, drained
-    * groups filtered). */
-  def readAggregate(spark: SparkSession, aggTable: String): DataFrame = {
-    TableSwap.recover(spark, aggTable, s"${aggTable}_stage")
-    spark.table(aggTable).filter(col("n_live") > 0).drop("_batch")
-  }
+    * groups filtered) — the same contract as the hook-coupled view. */
+  def readAggregate(spark: SparkSession, aggTable: String): DataFrame =
+    IncrementalAgg.readAgg(spark, aggTable)
 
   /** Continuous apply with feed: [[CdcMerge.startMergeStream]] plus
     * per-batch CDF capture keyed by foreachBatch's batch id. */

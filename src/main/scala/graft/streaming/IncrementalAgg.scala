@@ -118,10 +118,6 @@ object IncrementalAgg {
     // overwrite deletes the files BEFORE its job commits, so a crash
     // mid-overwrite would destroy the table AND its watermark row,
     // turning the replay-skip guarantee into a wrong re-apply
-    val stage = s"${aggTable}_stage"
-    CdcMerge.dropStateTable(spark, stage)
-    updated.coalesce(1)
-      .write.mode("overwrite").format("parquet").saveAsTable(stage)
-    TableSwap.swapIn(spark, stage, aggTable)
+    TableSwap.writeStaged(spark, updated, aggTable)
   }
 }

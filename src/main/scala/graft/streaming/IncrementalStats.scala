@@ -110,10 +110,13 @@ object IncrementalStats {
     val deltas = changes.groupBy("g").agg(
       sum(col("sign")).as("dn"),
       sum((col("x") * col("sign")).cast(d38)).as("dv"),
-      // x² ≤ 1e28 for DECIMAL(12,2) inputs; the DECIMAL(38,0) sum is
-      // exact to 1e38 (the q37 recipe — multiply in long, accumulate
-      // in decimal)
-      sum((col("x") * col("x") * col("sign")).cast(d38)).as("dq"),
+      // x² must multiply in DECIMAL, not long: x ≤ 1e14 inside the
+      // DECIMAL(12,2) envelope, so a long x*x overflows 2^63 at
+      // values ≥ ~9.2e18 (ANSI abort or silent wrap). The decimal
+      // product (≤1e28) is exact in DECIMAL(38,0) — and matches the
+      // cdc20 oracle's HUGEINT multiply.
+      sum((col("x").cast(d38) * col("x") * col("sign")).cast(d38))
+        .as("dq"),
       min(when(col("sign") > 0, col("x"))).as("add_mn"),
       max(when(col("sign") > 0, col("x"))).as("add_mx"),
       min(when(col("sign") < 0, col("x"))).as("rm_mn"),
@@ -174,10 +177,6 @@ object IncrementalStats {
       // IncrementalAgg invariant); readStats filters them
       .withColumn("_batch", lit(batchId))
 
-    val stage = s"${aggTable}_stage"
-    CdcMerge.dropStateTable(spark, stage)
-    updated.coalesce(1)
-      .write.mode("overwrite").format("parquet").saveAsTable(stage)
-    TableSwap.swapIn(spark, stage, aggTable)
+    TableSwap.writeStaged(spark, updated, aggTable)
   }
 }

@@ -93,35 +93,63 @@ object LakehouseSink {
   def clusterBy(spark: SparkSession, table: String,
       clusterCols: Seq[String], nFiles: Int): Unit =
     stagedRewrite(spark, table, s"${table}_clustering") { tmp =>
+      // plain-layout tables only: the rewrite emits unpartitioned,
+      // unbucketed parquet, which would silently DESTROY a directory
+      // partitioning (turning CdcMerge's dynamic partition overwrite
+      // into a whole-table overwrite) or a bucketBy layout (breaking
+      // the no-Exchange read-back contract). Partitioned state tables
+      // re-layout via rebucket; bucketed tables via compact. Checked
+      // here — after the skeleton's crash recovery (the table is
+      // guaranteed to exist) and before any rename (a throw leaves
+      // the table untouched).
+      val special = spark.catalog.listColumns(table).collect()
+        .filter(c => c.isPartition || c.isBucket)
+      require(special.isEmpty,
+        s"clusterBy($table): table has partition/bucket columns " +
+          s"${special.map(_.name).mkString(", ")} — a range-cluster " +
+          "rewrite would discard that layout; use compact (bucketed) " +
+          "or rebucket (partitioned state) instead")
       spark.table(table)
         .repartitionByRange(nFiles, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
         .write.mode("overwrite").format("parquet").saveAsTable(tmp)
     }
 
+  /** The stage-table suffixes every rewrite service may leave behind
+    * on a crash — recovery and cleanup consider ALL of them, because
+    * a clusterBy may be the first service to run after a crashed
+    * compact (and vice versa). */
+  private val stageSuffixes = Seq("_compacting", "_clustering")
+
   /** The staged-rename rewrite skeleton shared by the table services:
-    * recover a half-swapped crash state, clear stage leftovers, write
-    * the stage via `writeStage`, then swap table→_old, tmp→table,
-    * drop _old — recoverable at every step (see `compact`'s note). */
+    * recover a half-swapped crash state, clear stage leftovers (from
+    * ANY service, not just the calling one), write the stage via
+    * `writeStage`, then swap table→_old, tmp→table, drop _old —
+    * recoverable at every step (see `compact`'s note). */
   private def stagedRewrite(spark: SparkSession, table: String,
       tmp: String)(writeStage: String => Unit): Unit = {
     val old = s"${table}_old"
+    val allStages = stageSuffixes.map(table + _) :+ tmp
     if (!spark.catalog.tableExists(table)) {
       // half-swapped crash state: restore the name before any DROP.
-      // Prefer _old (the pre-rewrite original); the stage holds the
-      // same rows post-rewrite if _old is somehow gone too.
+      // Prefer _old (the pre-rewrite original); any surviving stage
+      // holds the same rows post-rewrite if _old is somehow gone too
+      // — including the OTHER service's stage from an earlier crash.
+      val stage = allStages.find(spark.catalog.tableExists)
       if (spark.catalog.tableExists(old))
         spark.sql(s"ALTER TABLE $old RENAME TO $table")
-      else if (spark.catalog.tableExists(tmp))
-        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      else if (stage.isDefined)
+        spark.sql(s"ALTER TABLE ${stage.get} RENAME TO $table")
       else throw new IllegalStateException(
         s"rewrite($table): table does not exist and no crash leftovers " +
-          s"($old / $tmp) to recover from")
+          s"($old / ${allStages.mkString(" / ")}) to recover from")
     }
     // dropStateTable, not bare DROP: a crash mid-saveAsTable can leave
     // a stage DIRECTORY with no catalog entry, which a plain DROP
-    // ignores and the next write trips over (LOCATION_ALREADY_EXISTS)
-    CdcMerge.dropStateTable(spark, tmp)
+    // ignores and the next write trips over (LOCATION_ALREADY_EXISTS).
+    // Clear every service's stage name — a crashed compact must not
+    // leave an orphan copy behind a later clusterBy, and vice versa.
+    allStages.distinct.foreach(CdcMerge.dropStateTable(spark, _))
     CdcMerge.dropStateTable(spark, old)
     writeStage(tmp)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")

@@ -111,11 +111,7 @@ object StreamingKmeans {
     // k-row table: stage the full next version, then the rename-chain
     // swap — same crash-window reasoning as IncrementalAgg (a
     // whole-table overwrite deletes files before its job commits)
-    val stage = s"${table}_stage"
-    CdcMerge.dropStateTable(spark, stage)
-    out.coalesce(1)
-      .write.mode("overwrite").format("parquet").saveAsTable(stage)
-    TableSwap.swapIn(spark, stage, table)
+    TableSwap.writeStaged(spark, out, table)
   }
 
   /** Continuous maintenance: foreachBatch mini-batch updates of the

@@ -37,6 +37,19 @@ object TableSwap {
     }
   }
 
+  /** Stage `df` as `${table}_stage` and swap it in — the one write
+    * path for the small maintained tables, so the crash-safety
+    * invariant (a complete copy under SOME name at every instant,
+    * never a whole-table overwrite) lives in exactly one place. */
+  def writeStaged(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+    val stage = s"${table}_stage"
+    CdcMerge.dropStateTable(spark, stage)
+    df.coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(stage)
+    swapIn(spark, stage, table)
+  }
+
   /** Swap the fully-written `stage` table in as `table`. */
   def swapIn(spark: SparkSession, stage: String, table: String): Unit = {
     val old = s"${table}_old"

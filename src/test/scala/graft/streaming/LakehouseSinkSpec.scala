@@ -241,4 +241,50 @@ class LakehouseSinkSpec extends SparkSpec {
     LakehouseSink.clusterBy(spark, t, Seq("k"), nFiles = 4)
     assert(spark.table(t).count() == 1000)
   }
+
+  test("clusterBy refuses partitioned/bucketed layouts it would destroy") {
+    import spark.implicits._
+    // a _kb-partitioned merge state table: rewriting it plain would
+    // turn the merge's dynamic partition overwrite into a whole-table
+    // overwrite (silent data loss on the next applyBatch)
+    val t = "lh_cluster_guard"
+    Seq(t, s"${t}_stage").foreach(CdcMerge.dropStateTable(spark, _))
+    (1L to 10L).toDF("k").withColumn("_kb", pmod(col("k"), lit(4)))
+      .write.format("parquet").partitionBy("_kb").saveAsTable(t)
+    val e = intercept[IllegalArgumentException] {
+      LakehouseSink.clusterBy(spark, t, Seq("k"), nFiles = 2)
+    }
+    assert(e.getMessage.contains("_kb"))
+    assert(spark.table(t).count() == 10) // untouched
+    // bucketed layout refused too
+    val tb = "lh_cluster_guard_b"
+    CdcMerge.dropStateTable(spark, tb)
+    (1L to 10L).toDF("k")
+      .write.bucketBy(2, "k").sortBy("k").saveAsTable(tb)
+    intercept[IllegalArgumentException] {
+      LakehouseSink.clusterBy(spark, tb, Seq("k"), nFiles = 2)
+    }
+  }
+
+  test("crashed compact leftovers recover and clear through clusterBy") {
+    import spark.implicits._
+    val t = "lh_cross_service"
+    Seq(t, s"${t}_old", s"${t}_compacting", s"${t}_clustering")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    (1L to 20L).toDF("k").write.format("parquet").saveAsTable(t)
+    // a crashed compact left its stage behind; a later clusterBy must
+    // clear it (no orphan copy) while rewriting correctly
+    (1L to 20L).toDF("k").write.format("parquet")
+      .saveAsTable(s"${t}_compacting")
+    LakehouseSink.clusterBy(spark, t, Seq("k"), nFiles = 2)
+    assert(spark.table(t).count() == 20)
+    assert(!spark.catalog.tableExists(s"${t}_compacting"),
+      "other service's crashed stage left orphaned")
+    assert(!spark.catalog.tableExists(s"${t}_clustering"))
+    // degenerate crash: only the OTHER service's stage survives —
+    // recovery must still find it rather than failing
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}_compacting")
+    LakehouseSink.clusterBy(spark, t, Seq("k"), nFiles = 2)
+    assert(spark.table(t).count() == 20)
+  }
 }
