@@ -902,8 +902,42 @@ object ExtendedQueries {
       FROM spine s LEFT JOIN agg ON s.pri = agg.pri AND s.i = agg.i
       ORDER BY s.pri, s.i"""))
 
+  // -------------------------------------------------------------- q47
+  // Higher-order array lambdas (transform / filter / aggregate):
+  // per-row functional pipelines over the embedding arrays with NO
+  // explode — the expression evaluates inside whole-stage codegen,
+  // one scan, zero shuffle. aggregate's left fold is a fixed
+  // evaluation order, so the double sum is bit-identical to DuckDB's
+  // list_reduce fold.
+  private val q47 = GraftQuery(
+    "q47_higher_order",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select(
+          $"vec_id",
+          size(filter($"embedding",
+            x => x > 0.0f)).cast("long").as("n_pos"),
+          aggregate($"embedding", lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("sum_all"),
+          element_at(transform($"embedding", x => x * 2.0f), 3)
+            .cast("double").as("doubled_e3"))
+        .orderBy($"vec_id")
+    },
+    Some("""
+      SELECT vec_id,
+        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+          AS n_pos,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(embedding, x -> CAST(x AS DOUBLE))),
+          (acc, x) -> acc + x) AS sum_all,
+        CAST(list_transform(embedding, x -> x * 2)[3] AS DOUBLE)
+          AS doubled_e3
+      FROM embeddings
+      ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
       q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-      q46)
+      q46, q47)
 }

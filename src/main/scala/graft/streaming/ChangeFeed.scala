@@ -176,6 +176,48 @@ object ChangeFeed {
       .drop("_rn", "_change_type", "_commit")
   }
 
+  /** Squash the commit range `[fromBatch, toBatch]` into ONE net-diff
+    * partition at `_commit = toBatch` — log compaction for the feed:
+    * long-retention journals grow with commit count, and history far
+    * behind every consumer only needs its NET effect. The squashed
+    * partition is `diff(stateAsOf(fromBatch−1), stateAsOf(toBatch))`,
+    * so keys whose changes cancelled inside the range (insert→delete)
+    * vanish entirely and ping-ponging keys keep one update pair.
+    * Returns the number of commit partitions dropped.
+    *
+    * Contracts (both the vacuum retention contract, tightened):
+    *  - point-in-time reads INSIDE the squashed range are gone —
+    *    `stateAsOf(c)` for `fromBatch ≤ c < toBatch` now answers as of
+    *    `fromBatch−1`; reads at ≥ toBatch or < fromBatch are
+    *    unchanged (spec-pinned).
+    *  - consumers must be at watermark < fromBatch or ≥ toBatch.
+    *  - single-writer maintenance window; a crash between the net-diff
+    *    write and the partition drops leaves stateAsOf correct (the
+    *    newest-change-wins read makes leftovers harmless) but a
+    *    consumer polling that in-between state would double-count —
+    *    re-run the squash to completion before resuming consumers. */
+  def squash(spark: SparkSession, feedTable: String, keyCol: String,
+      versionCols: Seq[String], fromBatch: Long, toBatch: Long,
+      opCol: String = "event_type", deleteOp: String = "Delete"): Int = {
+    require(fromBatch <= toBatch, s"squash: $fromBatch > $toBatch")
+    val before = stateAsOf(spark, feedTable, keyCol, fromBatch - 1)
+    val after = stateAsOf(spark, feedTable, keyCol, toBatch)
+    val net = diff(before, after, keyCol, versionCols, opCol, deleteOp)
+    writeChanges(spark, feedTable, net, toBatch)
+    val stale = spark.sql(s"SHOW PARTITIONS $feedTable")
+      .collect().map(_.getString(0))
+      .flatMap(_.split("=") match {
+        case Array("_commit", v) => Some(v.toLong)
+        case _ => None
+      })
+      .filter(c => c >= fromBatch && c < toBatch)
+    stale.foreach { c =>
+      spark.sql(
+        s"ALTER TABLE $feedTable DROP IF EXISTS PARTITION (_commit=$c)")
+    }
+    stale.length
+  }
+
   /** Maintain a per-group (n_live, sum_value) aggregate by TAILING
     * THE FEED — the decoupled CDF-consumer pattern: the merge pipeline
     * owns the state table; any number of derived views update later

@@ -194,6 +194,52 @@ class ChangeFeedSpec extends SparkSpec {
     assert(agg().view.mapValues(_._1).toMap == Map("0" -> 1L, "1" -> 3L))
   }
 
+  test("squash compacts a commit range to its net diff") {
+    val (t, f) = ("cf_squash", "cf_squash_feed")
+    Seq(t, s"${t}_stage", f).foreach(CdcMerge.dropStateTable(spark, _))
+    apply1(t, f, 0, env(
+      (1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (2L, "2026-01-01 00:00:02", "Insert", 2L)))
+    apply1(t, f, 1, env(
+      (3L, "2026-01-01 00:00:03", "Insert", 3L),   // lives on
+      (1L, "2026-01-01 00:00:04", "Update", 4L)))  // ping 1
+    apply1(t, f, 2, env(
+      (1L, "2026-01-01 00:00:05", "Update", 5L),   // pong 1
+      (3L, "2026-01-01 00:00:06", "Delete", 6L),   // cancels commit 1
+      (2L, "2026-01-01 00:00:07", "Delete", 7L)))  // deletes pre-range
+    apply1(t, f, 3, env((4L, "2026-01-01 00:00:08", "Insert", 8L)))
+    def asOf(c: Long) = ChangeFeed.stateAsOf(spark, f, "k", c)
+      .select("k", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val asOf2 = asOf(2); val asOf3 = asOf(3)
+    val dropped = ChangeFeed.squash(spark, f, "k",
+      Seq("ts", "event_id"), fromBatch = 1, toBatch = 2)
+    assert(dropped == 1) // partition _commit=1
+    // reads outside the squashed range are unchanged
+    assert(asOf(0) == Map(1L -> 1L, 2L -> 2L))
+    assert(asOf(2) == asOf2 && asOf(3) == asOf3)
+    // the net diff cancelled key 3 entirely (insert→delete inside the
+    // range) and collapsed key 1's two updates to one pair
+    val netRows = spark.table(f).filter(col("_commit") === 2)
+      .select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(netRows == Set(
+      ("update_preimage", 1L), ("update_postimage", 1L),
+      ("delete", 2L)))
+    // a consumer from watermark < fromBatch still lands exactly
+    val a = "cf_squash_view"
+    Seq(a, s"${a}_stage", s"${a}_old")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    ChangeFeed.applyFeedToAggregate(spark, f, a,
+      lit("all"), "event_id", Long.MaxValue)
+    val view = ChangeFeed.readAggregate(spark, a).collect()(0)
+    assert(view.getLong(1) == 2L) // keys 1 and 4 live
+    assert(asOf(Long.MaxValue) ==
+      CdcMerge.readState(spark, t)
+        .select("k", "event_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("streaming merge with feed: commits keyed by micro-batch id") {
     import spark.implicits._
     val (t, f) = ("cf_stream", "cf_stream_feed")
