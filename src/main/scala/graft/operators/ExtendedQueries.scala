@@ -936,8 +936,36 @@ object ExtendedQueries {
       FROM embeddings
       ORDER BY vec_id"""))
 
+  // -------------------------------------------------------------- q48
+  // GROUPING() disambiguation over ROLLUP: the SQL-standard way to
+  // tell a real NULL group value from a rollup super-aggregate row
+  // (the q10/q11 family used COALESCE placeholders, which conflate
+  // the two; GROUPING() does not). Same single-pass Expand plan.
+  private val q48 = GraftQuery(
+    "q48_grouping_fn",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+          COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_pri, o_orderstatus, o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        COUNT(*) AS n
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY g_status, g_pri,
+        o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
       q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-      q46, q47)
+      q46, q47, q48)
 }

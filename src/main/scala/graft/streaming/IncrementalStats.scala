@@ -84,6 +84,28 @@ object IncrementalStats {
           deleteOp)
       })
 
+  /** Continuous maintenance: foreachBatch [[applyBatch]] keyed by the
+    * micro-batch id — the streaming twin of
+    * [[CdcMerge.startMergeStream]], with the statistics view kept
+    * transactionally consistent with the state table batch by batch. */
+  def startStatsStream(df: DataFrame, stateTable: String,
+      aggTable: String, keyCol: String, versionCols: Seq[String],
+      nBuckets: Int, groupCol: String, valueCol: String,
+      checkpointDir: String, availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch.sparkSession, stateTable, aggTable, batch,
+          keyCol, versionCols, nBuckets, groupCol, valueCol, batchId)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
+
   /** Apply one batch's transition to the statistics table. Exposed for
     * the conformance spec; use [[applyBatch]] in pipelines. */
   def applyStats(spark: SparkSession, aggTable: String,

@@ -127,6 +127,27 @@ class IncrementalStatsSpec extends SparkSpec {
       math.sqrt(8.0 / 3.0)) < 1e-12)
   }
 
+  test("streaming stats maintenance converges like the batch path") {
+    val (t, a) = ("ist_s", "ist_s_agg")
+    drop(t, a)
+    val src = tmpDir("ist-src")
+    env((1L, 1L, "Insert", "g1", 2.00), (2L, 2L, "Insert", "g1", 9.00))
+      .coalesce(1).write.parquet(s"$src/f1")
+    env((1L, 3L, "Update", "g1", 4.00), (2L, 4L, "Delete", "g1", 9.00))
+      .coalesce(1).write.parquet(s"$src/f2")
+    val schema = env((0L, 0L, "Insert", "g", 0.0)).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val q = IncrementalStats.startStatsStream(stream, t, a, "k",
+      Seq("ts", "event_id"), 4, "grp", "value", tmpDir("ist-ck"))
+    try q.awaitTermination() finally q.stop()
+    // key 2's delete removed the MAX (dirty rescan); key 1 updated
+    assert(stats(a) == Map("g1" -> ((1L, 4.00, 4.00, 4.00))))
+  }
+
   test("randomized conformance: incremental equals full recompute") {
     val (t, a) = ("ist_x", "ist_x_agg")
     drop(t, a)
