@@ -127,4 +127,36 @@ object AnnTuner {
     }
     chosen.get
   }
+
+  final case class TunedPq(candidates: Int, recall: Double)
+
+  /** Cheapest ADC re-rank pool width on the ladder whose measured
+    * sample recall meets `targetRecall`; falls back to the widest
+    * rung. Pool width is THE recall lever for PQ (measured in
+    * SCALE.md: codebook polish moves quantization MSE but not recall
+    * on structureless corpora, pool width moves recall 0.35→0.95) and
+    * also the cost axis — exact re-scoring touches `candidates` rows
+    * per query — so the cheapest passing rung is the right pick, the
+    * same economics as [[tuneLsh]]. The codebook (first-k or
+    * [[SimilarityOps.pqTrainCodebook]]-trained) is the caller's
+    * choice; recall is measured against whatever is passed. */
+  def tunePq(sample: DataFrame, targetRecall: Double,
+      codebook: DataFrame, dim: Int = 64, m: Int = 8,
+      queryLo: Int = 8, queryHi: Int = 12, k: Int = 5,
+      ladder: Seq[Int] = Seq(25, 50, 100, 200, 400, 800)): TunedPq = {
+    require(ladder.nonEmpty && ladder == ladder.sorted,
+      "tunePq ladder must be ascending")
+    val truth = neighborSets(
+      SimilarityOps.bruteForceTopK(sample, dim, queryHi, k)
+        .filter(col("query_id") >= queryLo))
+    var chosen: Option[TunedPq] = None
+    val it = ladder.iterator
+    while (it.hasNext && !chosen.exists(_.recall >= targetRecall)) {
+      val c = it.next()
+      val reranked = SimilarityOps.pqTopKRerankedWith(sample, codebook,
+        dim, m, queryLo, queryHi, candidates = c, topK = k)
+      chosen = Some(TunedPq(c, recallOf(neighborSets(reranked), truth)))
+    }
+    chosen.get
+  }
 }

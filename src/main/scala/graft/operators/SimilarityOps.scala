@@ -393,8 +393,16 @@ object SimilarityOps {
     * governed by the pool width, cost stays ∝ candidates. */
   def pqTopKReranked(embs: DataFrame, dim: Int = 64, m: Int = 8,
       k: Int = 4, queryLo: Int = 8, queryHi: Int = 12,
+      candidates: Int = 50, topK: Int = 5): DataFrame =
+    pqTopKRerankedWith(embs, pqFirstKCodebook(embs, dim, m, k), dim, m,
+      queryLo, queryHi, candidates, topK)
+
+  /** [[pqTopKReranked]] against an arbitrary (trained) sub-codebook. */
+  def pqTopKRerankedWith(embs: DataFrame, codebook: DataFrame,
+      dim: Int = 64, m: Int = 8, queryLo: Int = 8, queryHi: Int = 12,
       candidates: Int = 50, topK: Int = 5): DataFrame = {
-    val pool = pqTopK(embs, dim, m, k, queryLo, queryHi, candidates)
+    val pool = pqTopKWith(embs, codebook, dim, m, queryLo, queryHi,
+      candidates)
       .select(col("query_id"), col("neighbor_id"))
     val base = embs.select(col("vec_id"), col("embedding"),
       norm(col("embedding"), dim).as("en"))

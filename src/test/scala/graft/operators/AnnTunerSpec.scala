@@ -85,4 +85,29 @@ class AnnTunerSpec extends SparkSpec {
       AnnTuner.chooseK(embs, 0.5, ladder = Seq(8, 2))
     }
   }
+
+  test("tunePq widens the ADC pool until recall passes, never overpays") {
+    import graft.operators.SimilarityOps
+    val cb = SimilarityOps.pqFirstKCodebook(embs, 64, 8, 4)
+    // a full-width pool reproduces brute force exactly (the spec'd
+    // limit case), so recall 1.0 is reachable and the walk must stop
+    // at the FIRST rung that passes the target
+    val n = embs.count().toInt
+    val tuned = AnnTuner.tunePq(embs, targetRecall = 1.0, cb,
+      ladder = Seq(10, n))
+    assert(tuned.recall == 1.0 && tuned.candidates == n)
+    // trivial target -> cheapest rung wins outright
+    val loose = AnnTuner.tunePq(embs, targetRecall = 0.0, cb,
+      ladder = Seq(10, n))
+    assert(loose.candidates == 10,
+      s"target 0 must not pay for a wider pool: $loose")
+    // unreachable target -> falls back to the widest rung, reporting
+    // the measured recall so the caller sees the saturation
+    val capped = AnnTuner.tunePq(embs, targetRecall = 2.0, cb,
+      ladder = Seq(10, 20))
+    assert(capped.candidates == 20 && capped.recall <= 1.0)
+    intercept[IllegalArgumentException] {
+      AnnTuner.tunePq(embs, 0.5, cb, ladder = Seq(50, 25))
+    }
+  }
 }
