@@ -80,6 +80,18 @@ object TextFunctions {
         i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct `w`-word spans over a materialized token array — the
+    * unit of span-level (exact-substring-style) dedup detection, where
+    * a duplicated PASSAGE inside otherwise-distinct documents is the
+    * target (bigram shingles are too short to localize it; whole-doc
+    * fingerprints miss it entirely). Empty when the doc has fewer than
+    * `w` tokens. */
+  def wordGramsFromTokens(ts: Column, w: Int): Column =
+    when(size(ts) >= w,
+      array_distinct(transform(sequence(lit(1), size(ts) - (w - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+
   /** Distinct character trigrams — the char-n-gram dedup unit (robust
     * to word-boundary edits where word shingles are not). Empty when
     * the text is shorter than 3 chars. */

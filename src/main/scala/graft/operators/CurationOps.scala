@@ -116,6 +116,66 @@ object CurationOps {
       .withColumn("rep_ratio",
         col("max_count").cast("double") / col("n_bigrams").cast("double"))
 
+  /** Span-level duplicate detection (the exact-substring-dedup signal
+    * of Lee et al.'s "Deduplicating Training Data" — approximated at
+    * `w`-word granularity): per document, how many of its distinct
+    * `w`-word spans also occur in at least one OTHER document. Whole-
+    * doc fingerprints miss a duplicated passage pasted into otherwise-
+    * distinct documents; this localizes it and yields the
+    * cut-or-keep ratio quality filters act on.
+    *
+    * Shape: span explosion (corpus-token-proportional, no shuffle) →
+    * one map-side-combined df count keyed by span → an equi-join of
+    * the spans against their df (span-keyed shuffle join at scale;
+    * never all-pairs) → one doc-keyed aggregate. The same class as
+    * the decontamination probe, with the corpus itself as the index. */
+  def dupSpanStats(docs: DataFrame, w: Int = 8): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        explode(TextFunctions.wordGramsFromTokens(col("ts"), w))
+          .as("span"))
+    // rows are distinct (doc_id, span) by construction, so the span
+    // count IS its distinct-document frequency
+    val df = spans.groupBy("span").agg(count(lit(1)).as("span_df"))
+    spans.join(df, Seq("span"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_df") >= 2, 1L).otherwise(0L))
+          .as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
+  /** Per-document lexical-diversity profile — the vocabulary-richness
+    * quality signals (template/boilerplate text scores low on all
+    * three): type-token ratio, hapax ratio (share of once-occurring
+    * types), and Simpson repeat concentration Σc(c−1)/(N(N−1)) — the
+    * probability two sampled tokens are the same type. All three are
+    * single integer-ratio divisions (no libm, no order-dependent float
+    * sums), so results are bit-identical on every engine and under any
+    * partitioning. Shape: token explosion → two map-side-combined
+    * aggregates (doc,word) then (doc) — work ∝ corpus tokens. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c") * (col("c") - lit(1))).as("rep_pairs"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("hapax_ratio",
+        col("n_hapax").cast("double") / col("n_types").cast("double"))
+      .withColumn("simpson",
+        when(col("n_tokens") > 1,
+          col("rep_pairs").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - lit(1))).cast("double"))
+          .otherwise(lit(0.0)))
+
   /** Solve per-stratum inclusion rates (out of 256) that turn observed
     * stratum counts into target PROPORTIONS by down-sampling only —
     * the planning half of [[mixtureSample]]. The most under-

@@ -964,8 +964,119 @@ object ExtendedQueries {
       ORDER BY g_status, g_pri,
         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
+  // -------------------------------------------------------------- q49
+  // MEDIAN + deterministic MODE aggregates. median == exact
+  // percentile(0.5) (linear interpolation; DuckDB median/quantile_cont
+  // parity proven by q28). Native mode() is tie-arbitrary in BOTH
+  // engines, so the mode is computed as the deterministic
+  // count-desc/value-asc window argmax — same per-group state as any
+  // top-1, no hidden full-sort. Scale: value domains are small
+  // (post-groupBy), so both aggregates are group-count-sized.
+  private val q49 = GraftQuery(
+    "q49_mode_median",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val counts = li.groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_returnflag").orderBy($"c".desc, $"l_quantity")
+      val modes = counts
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"l_returnflag", $"l_quantity".as("mode_qty"),
+          $"c".as("mode_count"))
+      li.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), median($"l_quantity").as("median_qty"))
+        .join(modes, "l_returnflag")
+        .select($"l_returnflag", $"n", $"median_qty", $"mode_qty",
+          $"mode_count")
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH c AS (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+      m AS (
+        SELECT l_returnflag, l_quantity AS mode_qty,
+               CAST(c AS BIGINT) AS mode_count,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY c DESC, l_quantity) AS rn
+        FROM c),
+      med AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               median(l_quantity) AS median_qty
+        FROM lineitem GROUP BY 1)
+      SELECT med.l_returnflag, n, median_qty, mode_qty, mode_count
+      FROM med JOIN m USING (l_returnflag)
+      WHERE rn = 1 ORDER BY l_returnflag"""))
+
+  // -------------------------------------------------------------- q50
+  // Inline VALUES relation as a join dimension: a literal lookup table
+  // defined in the query text (no parquet source), broadcast into the
+  // fact join — the idiom for small code→label maps that don't merit
+  // a table. The tier map collapses 5 priorities into 3 tiers.
+  private val q50 = GraftQuery(
+    "q50_inline_values",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT t.tier, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o.o_totalprice AS $D12)) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                     ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+                     ('5-LOW', 'cold')) AS t(o_orderpriority, tier)
+          ON o.o_orderpriority = t.o_orderpriority
+        GROUP BY t.tier
+        ORDER BY t.tier""")
+    },
+    Some("""
+      SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS revenue
+      FROM orders o
+      JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                   ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+                   ('5-LOW', 'cold')) AS t(o_orderpriority, tier)
+        ON o.o_orderpriority = t.o_orderpriority
+      GROUP BY t.tier
+      ORDER BY t.tier"""))
+
+  // -------------------------------------------------------------- q51
+  // Fixed-bucket histogram: equi-width binning of o_totalprice into 12
+  // buckets over [0, 500000). The bucket expression is the SAME
+  // explicit floor(x*n/hi) chain on both engines (width_bucket's
+  // internal rounding is implementation-defined at bucket edges; the
+  // explicit form is IEEE-exact and portable). One map-side-combined
+  // groupBy — the scale shape of any histogram.
+  private val q51 = GraftQuery(
+    "q51_histogram",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          least(floor($"o_totalprice" * 12.0 / 500000.0), lit(11.0))
+            .cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"o_totalprice").as("lo_price"),
+          max($"o_totalprice").as("hi_price"),
+          sum(dec12($"o_totalprice")).cast("double").as("revenue"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      SELECT CAST(LEAST(FLOOR(o_totalprice * 12.0 / 500000.0), 11.0)
+               AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(o_totalprice) AS lo_price,
+             MAX(o_totalprice) AS hi_price,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      GROUP BY 1 ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
       q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-      q46, q47, q48)
+      q46, q47, q48, q49, q50, q51)
 }

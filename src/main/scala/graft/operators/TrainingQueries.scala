@@ -350,6 +350,75 @@ object TrainingQueries {
                AS rep_ratio
       FROM c GROUP BY doc_id ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- doc20
+  // Span-level duplicate detection: per doc, the share of its distinct
+  // 8-word spans that occur in at least one other document — the
+  // exact-substring-dedup signal at span granularity (whole-doc
+  // fingerprints miss a duplicated passage inside otherwise-distinct
+  // docs). The oracle rebuilds spans with list_slice and recounts df.
+  private val doc20 = GraftQuery(
+    "doc20_span_dedup",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.dupSpanStats(t(s, dir, "documents"), w = 8)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      sp AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(ws) - 6),
+            i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS span
+        FROM toks WHERE len(ws) >= 8),
+      df AS (SELECT span, COUNT(*) AS span_df FROM sp GROUP BY span)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        CAST(SUM(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_spans,
+        CAST(SUM(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+      FROM sp JOIN df USING (span)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // -------------------------------------------------------------- doc21
+  // Lexical-diversity profile: type-token ratio, hapax ratio, Simpson
+  // repeat concentration Σc(c−1)/(N(N−1)) — vocabulary-richness
+  // quality signals, all exact integer ratios (no libm entropy — logs
+  // differ across platforms; see doc09's idf note), so bit-identical
+  // on both engines.
+  private val doc21 = GraftQuery(
+    "doc21_lexical_diversity",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.lexicalDiversity(t(s, dir, "documents"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS word
+        FROM documents),
+      c AS (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM toks WHERE word <> '' GROUP BY doc_id, word),
+      agg AS (
+        SELECT doc_id,
+          CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hapax,
+          CAST(SUM(c * (c - 1)) AS BIGINT) AS rep_pairs
+        FROM c GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_types, n_hapax, rep_pairs,
+        CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_ratio,
+        CASE WHEN n_tokens > 1
+          THEN CAST(rep_pairs AS DOUBLE)
+                 / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+          ELSE 0.0 END AS simpson
+      FROM agg ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(doc12, doc13, doc14, doc15, doc16, emb08, emb09, emb10)
+    Seq(doc12, doc13, doc14, doc15, doc16, doc20, doc21, emb08, emb09,
+      emb10)
 }

@@ -98,6 +98,46 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(1L)._2 == 1L && got(1L)._3 == 1.0 / 6.0)
   }
 
+  test("dupSpanStats: planted shared passage is localized; w respected") {
+    import spark.implicits._
+    // docs 0 and 1 share an 8-word passage inside otherwise-distinct
+    // text; doc 2 is clean; doc 3 is too short for any 8-gram
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val docs = Seq(
+      (0L, s"a0 b0 $passage c0 d0"),
+      (1L, s"a1 $passage b1 c1 d1 e1"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+      (3L, "s1 s2 s3")).toDF("doc_id", "text")
+    val got = CurationOps.dupSpanStats(docs, w = 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 0: 12 words → 5 spans, exactly one (the passage) duplicated
+    assert(got(0L) == (5L, 1L, 0.2))
+    // doc 1: 13 words → 6 spans, one duplicated
+    assert(got(1L) == (6L, 1L, 1.0 / 6.0))
+    // doc 2: 10 words → 3 spans, none duplicated
+    assert(got(2L) == (3L, 0L, 0.0))
+    // doc 3: shorter than w → no spans, no row
+    assert(!got.contains(3L))
+  }
+
+  test("lexicalDiversity: exact ratios on a constructed vocabulary") {
+    import spark.implicits._
+    // 6 tokens, 3 types (a×3, b×2, c×1): ttr 0.5, hapax 1/3,
+    // simpson = (3·2 + 2·1 + 0) / (6·5) = 8/30
+    val docs = Seq(
+      (0L, "a a a b b c"),
+      (1L, "w x y z")).toDF("doc_id", "text") // all hapax: simpson 0
+    val got = CurationOps.lexicalDiversity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_hapax"), r.getAs[Double]("ttr"),
+          r.getAs[Double]("hapax_ratio"), r.getAs[Double]("simpson")))
+      .toMap
+    assert(got(0L) == (6L, 3L, 1L, 0.5, 1.0 / 3.0, 8.0 / 30.0))
+    assert(got(1L) == (4L, 4L, 4L, 1.0, 1.0, 0.0))
+  }
+
   test("mixtureRates solves down-sampling rates for target shares") {
     // en is 10x over-represented for a 50/50 target: de (binding)
     // keeps everything, en scales to ~match de's kept volume
