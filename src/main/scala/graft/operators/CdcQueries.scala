@@ -940,7 +940,64 @@ object CdcQueries {
       WHERE missing_inside > 0 OR gap_before > 0
       ORDER BY bucket"""))
 
+  // -------------------------------------------------------------- cdc23
+  // Snapshot-then-tail bootstrap: how a NEW consumer actually starts —
+  // an initial full load (the latest state of everything up to a
+  // cutoff position, no deleted rows, like any source snapshot) seeds
+  // the state table, then only the tail of the change stream is
+  // replayed (two batches plus a REDELIVERED one). Because every seed
+  // version ≤ the cutoff < every tail version, the seeded merge
+  // converges to exactly the full-history answer without replaying
+  // pre-cutoff history — the contract snapshotSeed documents. The
+  // oracle is the one-shot full-history latest state (cdc16's).
+  private val cdc23 = GraftQuery(
+    "cdc23_snapshot_bootstrap",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc23_state"
+      Seq(table, s"${table}_stage")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val env = CdcOps.dropSkipped(CdcOps.toEnvelope(events(s, dir)))
+      val cut = env.agg(expr("max(event_id) div 2").as("cut"))
+      val withCut = env.crossJoin(broadcast(cut))
+      val seed = graft.streaming.CdcMerge.snapshotSeed(
+        withCut.filter($"event_id" <= $"cut").drop("cut"),
+        "user_id", Seq("ts", "event_id"))
+      graft.streaming.CdcMerge.applyBatch(
+        s, table, seed, "user_id", Seq("ts", "event_id"), nBuckets = 8)
+      val tail = withCut.filter($"event_id" > $"cut").drop("cut")
+      def part(i: Int) = tail.filter(pmod($"event_id", lit(2)) === i)
+      Seq(part(0), part(1), part(0)).foreach { b =>
+        graft.streaming.CdcMerge.applyBatch(
+          s, table, b, "user_id", Seq("ts", "event_id"), nBuckets = 8)
+      }
+      graft.streaming.CdcMerge.readState(s, table)
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"event_type".as("last_op"),
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH env AS (
+        SELECT user_id, event_id, ts,
+          CASE event_type
+            WHEN 'signup' THEN 'Insert'
+            WHEN 'purchase' THEN 'Insert'
+            WHEN 'click' THEN 'Update'
+            WHEN 'error' THEN 'Delete'
+            ELSE 'Skip' END AS op
+        FROM events),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM env WHERE op <> 'Skip')
+      SELECT user_id, event_id AS last_event_id, op AS last_op,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen
+      FROM r WHERE rn = 1 AND op <> 'Delete'
+      ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
-      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21, cdc22)
+      cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
+      cdc21, cdc22, cdc23)
 }

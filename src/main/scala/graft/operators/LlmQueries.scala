@@ -1121,8 +1121,101 @@ object LlmQueries {
       FROM s
       ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- emb13
+  // IVF-PQ: coarse inverted-file cells (8 centroids, cosine) + product
+  // quantization of RESIDUALS (vector − cell centroid) — the composed
+  // two-level index of the FAISS IVFx,PQy family. Queries 12-15 probe
+  // their 2 nearest cells; in-cell candidates rank by residual ADC
+  // (code lookups only — raw floats never read in the scan). The
+  // oracle replays coarse assignment, float32 residuals, the shared
+  // sub-codebook (residuals of vecs 8-11; centroid rows have zero
+  // residuals), encode argmin, and the per-cell distance tables.
+  private val emb13: GraftQuery = {
+    val adcSum = (0 until 8).map(i =>
+      s"COALESCE(MAX(CASE WHEN sm = $i THEN d END), 0.0)")
+      .reduceLeft((acc, t) => s"($acc + $t)")
+    GraftQuery(
+      "emb13_ivfpq",
+      (s, dir) =>
+        SimilarityOps.ivfPqTopK(t(s, dir, "embeddings"))
+          .orderBy(col("query_id"), col("rnk")),
+      Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS cell, embedding AS ce,
+               ${normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      ranked AS (
+        SELECT b.vec_id, b.embedding, c.cell, c.ce,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            (${dotSql("b.embedding", "c.ce", 64)})
+              / (b.en * c.cn) DESC, c.cell) AS rn
+        FROM base b CROSS JOIN cent c),
+      resid AS (
+        SELECT vec_id, cell,
+          list_transform(range(1, 65), i -> embedding[i] - ce[i])
+            AS resid
+        FROM ranked WHERE rn = 1),
+      ms AS (SELECT unnest(range(0, 8)) AS m),
+      cb AS (
+        SELECT r.vec_id - 8 AS cid, ms.m,
+          list_slice(r.resid, ms.m*8 + 1, ms.m*8 + 8) AS ce
+        FROM resid r CROSS JOIN ms
+        WHERE r.vec_id >= 8 AND r.vec_id < 12),
+      rsub AS (
+        SELECT r.vec_id, r.cell, ms.m,
+          list_slice(r.resid, ms.m*8 + 1, ms.m*8 + 8) AS sv
+        FROM resid r CROSS JOIN ms),
+      dist AS (
+        SELECT s.vec_id, s.cell, s.m, cb.cid,
+          ((${dotSql("sv", "sv", 8)})
+            - 2.0*(${dotSql("sv", "ce", 8)})
+            + (${dotSql("ce", "ce", 8)})) AS d
+        FROM rsub s JOIN cb ON cb.m = s.m),
+      codes AS (
+        SELECT vec_id, cell, m, cid AS code FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                      ORDER BY d, cid) AS rn
+          FROM dist)
+        WHERE rn = 1),
+      qres AS (
+        SELECT vec_id AS query_id, cell,
+          list_transform(range(1, 65), i -> embedding[i] - ce[i])
+            AS qres
+        FROM ranked
+        WHERE vec_id >= 12 AND vec_id < 16 AND rn <= 2),
+      qsub AS (
+        SELECT query_id, cell, ms.m,
+          list_slice(qres, ms.m*8 + 1, ms.m*8 + 8) AS sv
+        FROM qres CROSS JOIN ms),
+      qdt AS (
+        SELECT q.query_id, q.cell, q.m, cb.cid,
+          ((${dotSql("sv", "sv", 8)})
+            - 2.0*(${dotSql("sv", "ce", 8)})
+            + (${dotSql("ce", "ce", 8)})) AS d
+        FROM qsub q JOIN cb ON cb.m = q.m),
+      partials AS (
+        SELECT q.query_id, c.vec_id, c.m AS sm, q.d
+        FROM codes c
+        JOIN qdt q ON q.cell = c.cell AND q.m = c.m AND q.cid = c.code
+        WHERE c.vec_id <> q.query_id),
+      adc AS (
+        SELECT query_id, vec_id, $adcSum AS adc
+        FROM partials GROUP BY query_id, vec_id),
+      pqranked AS (
+        SELECT query_id, vec_id, adc,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc, vec_id) AS BIGINT) AS rnk
+        FROM adc)
+      SELECT query_id, vec_id AS neighbor_id, rnk, adc
+      FROM pqranked WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08, doc09,
       doc10, doc11, doc17, doc18, doc19, emb01, emb02, emb03, emb04,
-      emb05, emb06, emb07, emb11, emb12, mm01, mm02, mm03)
+      emb05, emb06, emb07, emb11, emb12, emb13, mm01, mm02, mm03)
 }

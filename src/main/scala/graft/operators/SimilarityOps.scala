@@ -423,6 +423,89 @@ object SimilarityOps {
         col("cos"))
   }
 
+  /** IVF-PQ: the composed two-level ANN index deployed at the largest
+    * scales (the FAISS `IVFx,PQy` family) — an inverted-file coarse
+    * quantizer narrows the search to `nProbe` cells, and product-
+    * quantized RESIDUALS (vector minus its cell centroid, the part PQ
+    * alone wastes its codes re-encoding) give the in-cell ADC scan.
+    * Residuals are float32 subtraction on both engines (exact IEEE).
+    *
+    * Shape: coarse assignment is the broadcast scan of
+    * [[rankedCellAssignments]]; codes come from one corpus-keyed
+    * window (as [[pqEncodeWith]]); the search is an equi-join of the
+    * (cell, m, code)-keyed corpus codes against a broadcast per-query
+    * distance-table — candidates ∝ probed-cell population, never the
+    * corpus, and the scan reads only codes, never raw floats. The
+    * sub-codebook is shared across cells (standard IVF-PQ), seeded
+    * from the residuals of the `k` vectors just above the centroid
+    * range — centroid rows themselves have identically-zero residuals
+    * and would degenerate the codebook.
+    *
+    * ADC totals add the m subspace partials in fixed order
+    * (conditional aggregates — the doc19 float-sum rule). */
+  def ivfPqTopK(embs: DataFrame, dim: Int = 64, m: Int = 8, k: Int = 4,
+      nCells: Int = 8, nProbe: Int = 2, queryLo: Int = 12,
+      queryHi: Int = 16, topK: Int = 5): DataFrame = {
+    val sub = dim / m
+    val rankedCells = rankedCellAssignments(embs, dim, nCells)
+    val cent = embs.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cell_ce"))
+    // every corpus vector's residual against its OWN cell centroid
+    val corpusResid = rankedCells.filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      .join(broadcast(cent), "cell")
+      .withColumn("resid",
+        zip_with(col("embedding"), col("cell_ce"), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), col("resid"))
+    val codebook = pqSubvectors(
+        corpusResid.filter(col("vec_id") >= nCells &&
+            col("vec_id") < nCells + k)
+          .select((col("vec_id") - nCells).as("vec_id"),
+            col("resid").as("embedding")),
+        dim, m)
+      .select(col("vec_id").as("cid"), col("m"), col("sv").as("ce"))
+    val codes = pqEncodeWith(
+        corpusResid.select(col("vec_id"), col("resid").as("embedding")),
+        codebook, dim, m)
+      .join(corpusResid.select(col("vec_id"), col("cell")), "vec_id")
+    // query side: one residual PER PROBED CELL, then its distance table
+    val probes = rankedCells
+      .filter(col("vec_id") >= queryLo && col("vec_id") < queryHi &&
+        col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        col("cid").as("cell"))
+      .join(broadcast(cent), "cell")
+      .withColumn("qres",
+        zip_with(col("embedding"), col("cell_ce"), (a, b) => a - b))
+      .select(col("query_id"), col("cell"), col("qres"))
+    val qdt = probes
+      .select(col("query_id"), col("cell"),
+        explode(array((0 until m).map(lit): _*)).as("m"), col("qres"))
+      .withColumn("sv", slice(col("qres"), col("m") * sub + 1, lit(sub)))
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("d", vec_dot(col("sv"), col("sv"))
+        - lit(2.0) * vec_dot(col("sv"), col("ce"))
+        + vec_dot(col("ce"), col("ce")))
+      .select(col("query_id"), col("cell").as("qcell"),
+        col("m").as("qm"), col("cid").as("qcid"), col("d"))
+    val partials = codes.join(broadcast(qdt),
+        codes("cell") === col("qcell") && codes("m") === col("qm") &&
+          codes("code") === col("qcid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), codes("m").as("sm"),
+        col("d"))
+    val adcTerms = (0 until m).map(i =>
+      coalesce(max(when(col("sm") === i, col("d"))), lit(0.0)))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    partials.groupBy(col("query_id"), col("vec_id"))
+      .agg(adcTerms.reduceLeft(_ + _).as("adc"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("adc"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def embeddingNearDups(embs: DataFrame, dim: Int = 64, planes: Int = 6,
       minCos: Double = 0.9): DataFrame = {

@@ -62,6 +62,30 @@ object CdcMerge {
       opCol: String = "event_type", deleteOp: String = "Delete"): DataFrame =
     spark.table(table).filter(col(opCol) =!= deleteOp).drop("_kb")
 
+  /** Collapse a bounded envelope history into snapshot SEED rows: the
+    * latest version per key, deleted keys omitted — the "initial full
+    * load" half of the snapshot-then-tail bootstrap every new CDC
+    * consumer starts with (a real source snapshot has no deleted rows;
+    * the reference's GTID position makes the cutoff explicit).
+    *
+    * Contract: the snapshot must be CONSISTENT AT THE CUTOFF — every
+    * seed row's version ≤ the position the tail replays from. Then no
+    * tombstones are needed for pre-cutoff deletes: any tail event
+    * outranks any seed row of the same key, so the seeded table +
+    * [[applyBatch]] over the tail converges to exactly the state a
+    * full-history replay would reach (tail redeliveries included —
+    * the merge's idempotence covers those). Shape: one keyed window
+    * over the bounded history, the cdc04 latest-state plan. */
+  def snapshotSeed(env: DataFrame, keyCol: String,
+      versionCols: Seq[String], opCol: String = "event_type",
+      deleteOp: String = "Delete"): DataFrame = {
+    val byVersion = Window.partitionBy(col(keyCol))
+      .orderBy(versionCols.map(col(_).desc): _*)
+    env.withColumn("_rn", row_number().over(byVersion))
+      .filter(col("_rn") === 1).drop("_rn")
+      .filter(col(opCol) =!= deleteOp)
+  }
+
   /** Merge one batch of change envelopes into the state table.
     *
     * @param keyCol      primary-key column of the envelope

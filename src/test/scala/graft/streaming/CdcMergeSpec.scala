@@ -46,6 +46,37 @@ class CdcMergeSpec extends SparkSpec {
       raw(0).getAs[String]("event_type") == "Delete")
   }
 
+  test("snapshot bootstrap: seed + tail converges to full-history state") {
+    val t = "merge_bootstrap"
+    CdcMerge.dropStateTable(spark, t)
+    CdcMerge.dropStateTable(spark, s"${t}_stage")
+    // history with every key lifecycle across the cutoff (after id 4):
+    //  k=1 insert→update pre-cutoff, untouched by tail  → seed row wins
+    //  k=2 deleted pre-cutoff, never seen again          → absent
+    //  k=3 deleted pre-cutoff, re-inserted by the tail   → tail row
+    //  k=4 inserted pre-cutoff, updated by the tail      → tail row
+    //  k=5 first seen in the tail                        → tail row
+    val history = env(
+      (1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (1L, "2026-01-01 00:00:02", "Update", 2L),
+      (2L, "2026-01-01 00:00:03", "Delete", 3L),
+      (3L, "2026-01-01 00:00:03", "Delete", 4L),
+      (4L, "2026-01-01 00:00:01", "Insert", 3L),
+      (3L, "2026-01-01 00:00:05", "Insert", 5L),
+      (4L, "2026-01-01 00:00:06", "Update", 6L),
+      (5L, "2026-01-01 00:00:07", "Insert", 7L))
+    val seed = CdcMerge.snapshotSeed(
+      history.filter(col("event_id") <= 4L), "k", Seq("ts", "event_id"))
+    // the snapshot carries no deleted keys (like any source snapshot)
+    assert(seed.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 4L))
+    apply1(t, seed)
+    val tail = history.filter(col("event_id") > 4L)
+    apply1(t, tail)
+    apply1(t, tail) // redelivered tail: idempotent
+    assert(state(t) == Map(1L -> 2L, 3L -> 5L, 4L -> 6L, 5L -> 7L))
+  }
+
   test("redelivered older batch is a no-op: no resurrection, same rows") {
     val t = "merge_replay"
     spark.sql(s"DROP TABLE IF EXISTS $t")
