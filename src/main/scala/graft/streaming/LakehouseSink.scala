@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -93,33 +93,88 @@ object LakehouseSink {
   def clusterBy(spark: SparkSession, table: String,
       clusterCols: Seq[String], nFiles: Int): Unit =
     stagedRewrite(spark, table, s"${table}_clustering") { tmp =>
-      // plain-layout tables only: the rewrite emits unpartitioned,
-      // unbucketed parquet, which would silently DESTROY a directory
-      // partitioning (turning CdcMerge's dynamic partition overwrite
-      // into a whole-table overwrite) or a bucketBy layout (breaking
-      // the no-Exchange read-back contract). Partitioned state tables
-      // re-layout via rebucket; bucketed tables via compact. Checked
-      // here — after the skeleton's crash recovery (the table is
-      // guaranteed to exist) and before any rename (a throw leaves
-      // the table untouched).
-      val special = spark.catalog.listColumns(table).collect()
-        .filter(c => c.isPartition || c.isBucket)
-      require(special.isEmpty,
-        s"clusterBy($table): table has partition/bucket columns " +
-          s"${special.map(_.name).mkString(", ")} — a range-cluster " +
-          "rewrite would discard that layout; use compact (bucketed) " +
-          "or rebucket (partitioned state) instead")
+      requirePlainLayout(spark, table, "clusterBy")
       spark.table(table)
         .repartitionByRange(nFiles, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
         .write.mode("overwrite").format("parquet").saveAsTable(tmp)
     }
 
+  /** Z-order (Morton-curve) clustering on TWO numeric columns — the
+    * multi-dimensional complement to [[clusterBy]]: lexicographic
+    * range-clustering gives the second column no locality at all
+    * (every file spans its full range — prefix predicates only),
+    * while bit-interleaving the two rank-quantized columns gives each
+    * file a tight min-max envelope on BOTH, so single-column
+    * predicates on EITHER column prune row groups. The trade is
+    * per-column sharpness: a z-range covers ~√(files) stripes per
+    * dimension, so first-column-only pruning is weaker than
+    * clusterBy's — which is exactly why both services exist.
+    *
+    * Columns are min-max-quantized to `bits` each via one 1-row stats
+    * aggregate (broadcast — no second scan, no global window); the
+    * interleave is a pure codegen bit expression; the rewrite is
+    * `repartitionByRange` on the z-value. Same staged-rename crash
+    * contract and plain-layout guard as `clusterBy`; single-writer,
+    * off the ingest path. */
+  def zorderBy(spark: SparkSession, table: String, colA: String,
+      colB: String, nFiles: Int, bits: Int = 16): Unit =
+    stagedRewrite(spark, table, s"${table}_zordering") { tmp =>
+      requirePlainLayout(spark, table, "zorderBy")
+      val df = spark.table(table)
+      val maxQ = (1L << bits) - 1
+      val stats = df.agg(
+        min(col(colA)).cast("double").as("_alo"),
+        max(col(colA)).cast("double").as("_ahi"),
+        min(col(colB)).cast("double").as("_blo"),
+        max(col(colB)).cast("double").as("_bhi"))
+      def quant(c: String, lo: Column, hi: Column): Column =
+        when(hi <= lo, lit(0L)).otherwise(
+          least(greatest(
+            floor((col(c).cast("double") - lo) * maxQ / (hi - lo)),
+            lit(0.0)), lit(maxQ.toDouble)).cast("long"))
+      val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(
+            shiftright(col("_qa"), i).bitwiseAND(lit(1L)), 2 * i))
+          .bitwiseOR(shiftleft(
+            shiftright(col("_qb"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+      df.crossJoin(broadcast(stats))
+        .withColumn("_qa", quant(colA, col("_alo"), col("_ahi")))
+        .withColumn("_qb", quant(colB, col("_blo"), col("_bhi")))
+        .withColumn("_z", z)
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_alo", "_ahi", "_blo", "_bhi", "_qa", "_qb", "_z")
+        .write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    }
+
+  /** Plain-layout guard shared by the re-layout services: their
+    * rewrites emit unpartitioned, unbucketed parquet, which would
+    * silently DESTROY a directory partitioning (turning CdcMerge's
+    * dynamic partition overwrite into a whole-table overwrite) or a
+    * bucketBy layout (breaking the no-Exchange read-back contract).
+    * Partitioned state tables re-layout via rebucket; bucketed tables
+    * via compact. Called after the skeleton's crash recovery (the
+    * table is guaranteed to exist) and before any rename (a throw
+    * leaves the table untouched). */
+  private def requirePlainLayout(spark: SparkSession, table: String,
+      service: String): Unit = {
+    val special = spark.catalog.listColumns(table).collect()
+      .filter(c => c.isPartition || c.isBucket)
+    require(special.isEmpty,
+      s"$service($table): table has partition/bucket columns " +
+        s"${special.map(_.name).mkString(", ")} — a re-layout " +
+        "rewrite would discard that layout; use compact (bucketed) " +
+        "or rebucket (partitioned state) instead")
+  }
+
   /** The stage-table suffixes every rewrite service may leave behind
     * on a crash — recovery and cleanup consider ALL of them, because
     * a clusterBy may be the first service to run after a crashed
     * compact (and vice versa). */
-  private val stageSuffixes = Seq("_compacting", "_clustering")
+  private val stageSuffixes = Seq("_compacting", "_clustering", "_zordering")
 
   /** The staged-rename rewrite skeleton shared by the table services:
     * recover a half-swapped crash state, clear stage leftovers (from

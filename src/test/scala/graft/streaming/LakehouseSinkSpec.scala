@@ -242,6 +242,60 @@ class LakehouseSinkSpec extends SparkSpec {
     assert(spark.table(t).count() == 1000)
   }
 
+  test("zorderBy: files get tight envelopes on BOTH columns; either prunes") {
+    import spark.implicits._
+    val t = "lh_zorder"
+    Seq(t, s"${t}_zordering", s"${t}_old")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    // a 64x64 grid of independent (x, y) — shuffled so every pre-
+    // rewrite file spans both full ranges
+    val rnd = new scala.util.Random(11)
+    rnd.shuffle((0L until 4096L).toList).toDF("i")
+      .select((col("i") % 64).as("x"), (col("i") / 64).as("y"))
+      .repartition(4)
+      .write.format("parquet").saveAsTable(t)
+    def scanned(c: String): Long = {
+      val df = spark.table(t).filter(col(c) >= 10 && col(c) < 14)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    val (xBefore, yBefore) = (scanned("x"), scanned("y"))
+
+    LakehouseSink.zorderBy(spark, t, "x", "y", nFiles = 16, bits = 6)
+    assert(spark.table(t).count() == 4096)
+    assert(!spark.catalog.tableExists(s"${t}_zordering"))
+    assert(!spark.catalog.tableExists(s"${t}_old"))
+    // each of the 16 files covers a z-range of ~256 cells = a 16x16
+    // tile (or a few): its x and y envelopes are each a fraction of
+    // the domain, so row-group stats prune single-column predicates
+    // on EITHER axis — the property lexicographic clustering lacks
+    // for the second column
+    val (xAfter, yAfter) = (scanned("x"), scanned("y"))
+    assert(xAfter < xBefore,
+      s"z-order did not prune on x: $xBefore -> $xAfter")
+    assert(yAfter < yBefore,
+      s"z-order did not prune on y: $yBefore -> $yAfter")
+    // contrast: lexicographic clusterBy on (x, y) prunes x but leaves
+    // y un-prunable (every file spans the full y range)
+    LakehouseSink.clusterBy(spark, t, Seq("x", "y"), nFiles = 16)
+    assert(scanned("y") == 4096L,
+      "lexicographic files unexpectedly pruned the second column")
+
+    // half-swapped crash state recovers through the shared skeleton
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}_old")
+    LakehouseSink.zorderBy(spark, t, "x", "y", nFiles = 16, bits = 6)
+    assert(spark.table(t).count() == 4096)
+    // constant column degrades gracefully (quantizes to 0, no div-0)
+    val tc = "lh_zorder_const"
+    Seq(tc, s"${tc}_zordering", s"${tc}_old")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    (0L until 10L).toDF("x").withColumn("y", lit(5L))
+      .write.format("parquet").saveAsTable(tc)
+    LakehouseSink.zorderBy(spark, tc, "x", "y", nFiles = 2, bits = 4)
+    assert(spark.table(tc).count() == 10)
+  }
+
   test("clusterBy refuses partitioned/bucketed layouts it would destroy") {
     import spark.implicits._
     // a _kb-partitioned merge state table: rewriting it plain would
