@@ -996,8 +996,57 @@ object CdcQueries {
       FROM r WHERE rn = 1 AND op <> 'Delete'
       ORDER BY user_id"""))
 
+  // -------------------------------------------------------------- cdc24
+  // Composite-key merge: latest state per (user_id, k) where k is a
+  // field extracted from the change payload — the per-entity keyed
+  // attribute every real CDC table has (source PKs are rarely one
+  // column). Same replay schedule as cdc16 (three batches + one
+  // REDELIVERED); the survivor window and bucket hash cover both key
+  // columns, everything else (tombstones, idempotence, partition
+  // pruning) is arity-independent.
+  private val cdc24 = GraftQuery(
+    "cdc24_composite_merge",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc24_state"
+      Seq(table, s"${table}_stage")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val env = CdcOps.dropSkipped(CdcOps.toEnvelope(events(s, dir)))
+        .withColumn("k",
+          get_json_object($"content", "$.k").cast("long"))
+      def part(i: Int) = env.filter(pmod($"event_id", lit(3)) === i)
+      Seq(part(0), part(1), part(2), part(1)).foreach { b =>
+        graft.streaming.CdcMerge.applyBatchKeyed(
+          s, table, b, Seq("user_id", "k"), Seq("ts", "event_id"),
+          nBuckets = 8)
+      }
+      graft.streaming.CdcMerge.readState(s, table)
+        .select($"user_id", $"k", $"event_id".as("last_event_id"),
+          $"event_type".as("last_op"))
+        .orderBy($"user_id", $"k")
+    },
+    Some("""
+      WITH env AS (
+        SELECT user_id,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          event_id, ts,
+          CASE event_type
+            WHEN 'signup' THEN 'Insert'
+            WHEN 'purchase' THEN 'Insert'
+            WHEN 'click' THEN 'Update'
+            WHEN 'error' THEN 'Delete'
+            ELSE 'Skip' END AS op
+        FROM events),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, k
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM env WHERE op <> 'Skip')
+      SELECT user_id, k, event_id AS last_event_id, op AS last_op
+      FROM r WHERE rn = 1 AND op <> 'Delete'
+      ORDER BY user_id, k"""))
+
   val all: Seq[GraftQuery] =
     Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
       cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
-      cdc21, cdc22, cdc23)
+      cdc21, cdc22, cdc23, cdc24)
 }

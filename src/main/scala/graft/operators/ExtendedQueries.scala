@@ -1075,8 +1075,41 @@ object ExtendedQueries {
       FROM orders
       GROUP BY 1 ORDER BY bucket"""))
 
+  // -------------------------------------------------------------- q52
+  // Windowed DISTINCT counting: per customer, the running count of
+  // distinct order priorities seen to date. Spark bans DISTINCT inside
+  // window aggregates, so the idiomatic form is size(collect_set(...))
+  // over the running frame — per-key state is the distinct set (≤5
+  // here), not the frame. The oracle uses DuckDB's native windowed
+  // COUNT(DISTINCT), independently restating the semantics.
+  private val q52 = GraftQuery(
+    "q52_window_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      t(s, dir, "orders")
+        .withColumn("n_pri_seen",
+          size(collect_set($"o_orderpriority").over(w)).cast("long"))
+        .select($"o_orderkey", $"o_custkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+          $"n_pri_seen")
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        CAST(COUNT(DISTINCT o_orderpriority) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pri_seen
+      FROM orders
+      ORDER BY o_orderkey"""))
+
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
       q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-      q46, q47, q48, q49, q50, q51)
+      q46, q47, q48, q49, q50, q51, q52)
 }

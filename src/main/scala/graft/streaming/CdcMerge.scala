@@ -106,8 +106,28 @@ object CdcMerge {
     */
   def applyBatch(spark: SparkSession, table: String, batch: DataFrame,
       keyCol: String, versionCols: Seq[String], nBuckets: Int,
+      beforeCommit: (DataFrame, DataFrame) => Unit): Unit =
+    applyBatchKeyed(spark, table, batch, Seq(keyCol), versionCols,
+      nBuckets, beforeCommit)
+
+  def applyBatch(spark: SparkSession, table: String, batch: DataFrame,
+      keyCol: String, versionCols: Seq[String], nBuckets: Int): Unit =
+    applyBatchKeyed(spark, table, batch, Seq(keyCol), versionCols,
+      nBuckets, (_, _) => ())
+
+  /** [[applyBatch]] for COMPOSITE primary keys (e.g. a per-user keyed
+    * counter, a (tenant, entity) pair): the survivor window partitions
+    * by all key columns and the bucket hash covers them all
+    * (`xxhash64` is variadic, so the composite hashes as one fused
+    * codegen call — no concat allocation). Everything else — tombstone
+    * semantics, idempotence, partition-overwrite locality — is
+    * unchanged, because max(version) per key never depended on the
+    * key's arity. */
+  def applyBatchKeyed(spark: SparkSession, table: String,
+      batch: DataFrame, keyCols: Seq[String], versionCols: Seq[String],
+      nBuckets: Int,
       beforeCommit: (DataFrame, DataFrame) => Unit = (_, _) => ()): Unit = {
-    val byVersion = Window.partitionBy(col(keyCol))
+    val byVersion = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(versionCols.map(col(_).desc): _*)
     // pre-dedup the batch (cheap: batch-sized) so the state union
     // carries one row per key, then bucket it. Persisted: the dedup
@@ -117,7 +137,8 @@ object CdcMerge {
     val upserts = batch
       .withColumn("_rn", row_number().over(byVersion))
       .filter(col("_rn") === 1).drop("_rn")
-      .withColumn("_kb", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
+      .withColumn("_kb",
+        pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // touched partition ids: driver-side, but bounded by nBuckets (a

@@ -46,6 +46,38 @@ class CdcMergeSpec extends SparkSpec {
       raw(0).getAs[String]("event_type") == "Delete")
   }
 
+  test("composite-key merge: per-(k,sub) survivors, sibling-safe deletes") {
+    import spark.implicits._
+    val t = "merge_composite"
+    CdcMerge.dropStateTable(spark, t)
+    CdcMerge.dropStateTable(spark, s"${t}_stage")
+    def env2(rows: (Long, Long, String, String, Long)*) =
+      rows.toSeq.map { case (k, sub, tm, op, id) =>
+        (k, sub, ts(tm), op, id) }
+        .toDF("k", "sub", "ts", "event_type", "event_id")
+    val b1 = env2(
+      (1L, 1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (1L, 2L, "2026-01-01 00:00:02", "Insert", 2L),
+      (2L, 1L, "2026-01-01 00:00:03", "Insert", 3L))
+    val b2 = env2(
+      (1L, 1L, "2026-01-01 00:00:04", "Update", 4L),
+      (1L, 2L, "2026-01-01 00:00:05", "Delete", 5L)) // sibling stays
+    def apply2(b: org.apache.spark.sql.DataFrame): Unit =
+      CdcMerge.applyBatchKeyed(spark, t, b, Seq("k", "sub"),
+        Seq("ts", "event_id"), 4)
+    apply2(b1); apply2(b2); apply2(b2) // redelivery: idempotent
+    val got = CdcMerge.readState(spark, t)
+      .select("k", "sub", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,2) deleted without touching (1,1); (2,1) untouched
+    assert(got == Map((1L, 1L) -> 4L, (2L, 1L) -> 3L))
+    // the tombstone is retained under the composite key
+    val raw = spark.table(t)
+      .filter(col("k") === 1L && col("sub") === 2L).collect()
+    assert(raw.length == 1 &&
+      raw(0).getAs[String]("event_type") == "Delete")
+  }
+
   test("snapshot bootstrap: seed + tail converges to full-history state") {
     val t = "merge_bootstrap"
     CdcMerge.dropStateTable(spark, t)
