@@ -445,25 +445,67 @@ object SimilarityOps {
     * (conditional aggregates — the doc19 float-sum rule). */
   def ivfPqTopK(embs: DataFrame, dim: Int = 64, m: Int = 8, k: Int = 4,
       nCells: Int = 8, nProbe: Int = 2, queryLo: Int = 12,
-      queryHi: Int = 16, topK: Int = 5): DataFrame = {
-    val sub = dim / m
-    val rankedCells = rankedCellAssignments(embs, dim, nCells)
+      queryHi: Int = 16, topK: Int = 5): DataFrame =
+    ivfPqTopKWith(embs,
+      ivfResidualCodebook(ivfResiduals(embs, dim, nCells), nCells,
+        dim, m, k),
+      dim, m, nCells, nProbe, queryLo, queryHi, topK)
+
+  /** Every corpus vector's residual against its own coarse cell:
+    * (vec_id, cell, resid). Float32 subtraction (exact IEEE). */
+  def ivfResiduals(embs: DataFrame, dim: Int = 64,
+      nCells: Int = 8): DataFrame = {
     val cent = embs.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("cell_ce"))
-    // every corpus vector's residual against its OWN cell centroid
-    val corpusResid = rankedCells.filter(col("rn") === 1)
+    rankedCellAssignments(embs, dim, nCells).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
       .join(broadcast(cent), "cell")
       .withColumn("resid",
         zip_with(col("embedding"), col("cell_ce"), (a, b) => a - b))
       .select(col("vec_id"), col("cell"), col("resid"))
-    val codebook = pqSubvectors(
-        corpusResid.filter(col("vec_id") >= nCells &&
-            col("vec_id") < nCells + k)
-          .select((col("vec_id") - nCells).as("vec_id"),
-            col("resid").as("embedding")),
-        dim, m)
-      .select(col("vec_id").as("cid"), col("m"), col("sv").as("ce"))
+  }
+
+  /** Residuals reshaped for the PQ helpers, with ids shifted down by
+    * `nCells` so the first-k seeds (and [[pqTrainCodebook]]'s) are the
+    * residuals of the vectors JUST ABOVE the centroid range — centroid
+    * rows have identically-zero residuals, which would degenerate any
+    * codebook seeded from them. */
+  def ivfResidualsAsEmbeddings(residuals: DataFrame,
+      nCells: Int): DataFrame =
+    residuals
+      .select((col("vec_id") - nCells).as("vec_id"),
+        col("resid").as("embedding"))
+      .filter(col("vec_id") >= 0)
+
+  /** The deterministic first-k RESIDUAL sub-codebook for IVF-PQ. */
+  def ivfResidualCodebook(residuals: DataFrame, nCells: Int, dim: Int,
+      m: Int, k: Int): DataFrame =
+    pqFirstKCodebook(ivfResidualsAsEmbeddings(residuals, nCells),
+      dim, m, k)
+
+  /** [[ivfPqTopK]] with a Lloyd-TRAINED residual sub-codebook
+    * ([[pqTrainCodebook]] over the residual set — the standard IVF-PQ
+    * training recipe: quantize what the coarse stage leaves behind).
+    * Train on a SAMPLE at scale; the codebook is m·k rows either way. */
+  def ivfPqTopKTrained(embs: DataFrame, dim: Int = 64, m: Int = 8,
+      k: Int = 4, nCells: Int = 8, nProbe: Int = 2, queryLo: Int = 12,
+      queryHi: Int = 16, topK: Int = 5, iters: Int = 2): DataFrame = {
+    val residuals = ivfResiduals(embs, dim, nCells)
+    val codebook = pqTrainCodebook(
+      ivfResidualsAsEmbeddings(residuals, nCells), dim, m, k, iters)
+    ivfPqTopKWith(embs, codebook, dim, m, nCells, nProbe, queryLo,
+      queryHi, topK)
+  }
+
+  /** IVF-PQ search against an arbitrary residual sub-codebook. */
+  def ivfPqTopKWith(embs: DataFrame, codebook: DataFrame, dim: Int = 64,
+      m: Int = 8, nCells: Int = 8, nProbe: Int = 2, queryLo: Int = 12,
+      queryHi: Int = 16, topK: Int = 5): DataFrame = {
+    val sub = dim / m
+    val rankedCells = rankedCellAssignments(embs, dim, nCells)
+    val cent = embs.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cell_ce"))
+    val corpusResid = ivfResiduals(embs, dim, nCells)
     val codes = pqEncodeWith(
         corpusResid.select(col("vec_id"), col("resid").as("embedding")),
         codebook, dim, m)

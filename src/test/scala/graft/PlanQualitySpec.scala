@@ -46,7 +46,11 @@ class PlanQualitySpec extends SparkSpec {
       "doc10_chartrigram_neardup", "cdc15_gap_detect",
       "emb08_cluster_assign", "emb09_kmeans_step", "emb10_cluster_sample",
       // doc19: 1-row stats broadcast; q46: bounded 5×52 spine build
-      "doc19_bm25", "q46_gap_fill")
+      "doc19_bm25", "q46_gap_fill",
+      // emb13: the IVF coarse stage broadcasts the same 8-row
+      // centroid set as emb04/emb08 (per-query distance tables and
+      // codes then flow through equi-joins only)
+      "emb13_ivfpq")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -242,6 +242,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(rr == exact)
   }
 
+  test("IVF-PQ: trained residual codebook lowers MSE; search is total") {
+    val residuals = SimilarityOps.ivfResiduals(embs)
+    val residEmbs = SimilarityOps.ivfResidualsAsEmbeddings(residuals, 8)
+    val firstK = SimilarityOps.ivfResidualCodebook(residuals, 8, 64, 8, 4)
+    val trained = SimilarityOps.pqTrainCodebook(residEmbs, k = 4,
+      iters = 2)
+    val mse0 = SimilarityOps.pqQuantizationMse(residEmbs, firstK)
+    val mse1 = SimilarityOps.pqQuantizationMse(residEmbs, trained)
+    assert(mse1 < mse0,
+      s"residual training did not reduce MSE: $mse0 -> $mse1")
+    // both search paths return exactly topK rows per query, ranked
+    for (df <- Seq(SimilarityOps.ivfPqTopK(embs),
+        SimilarityOps.ivfPqTopKTrained(embs))) {
+      val rows = df.collect()
+      val byQ = rows.groupBy(_.getLong(0))
+      assert(byQ.keySet == Set(12L, 13L, 14L, 15L))
+      byQ.values.foreach { rs =>
+        assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to 5L))
+      }
+      // a query never returns itself
+      assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    }
+  }
+
   test("PQ Lloyd training lowers quantization error; encode stays total") {
     val firstK = SimilarityOps.pqFirstKCodebook(embs, 64, 8, 4)
     val trained = SimilarityOps.pqTrainCodebook(embs, k = 4, iters = 2)
