@@ -128,8 +128,21 @@ object CurationOps {
     * one map-side-combined df count keyed by span → an equi-join of
     * the spans against their df (span-keyed shuffle join at scale;
     * never all-pairs) → one doc-keyed aggregate. The same class as
-    * the decontamination probe, with the corpus itself as the index. */
-  def dupSpanStats(docs: DataFrame, w: Int = 8): DataFrame = {
+    * the decontamination probe, with the corpus itself as the index.
+    *
+    * `dfCap` < Long.MaxValue enables the stop-span guard (the doc10
+    * stop-shingle move applied here): a span present in more than
+    * `dfCap` documents — a boilerplate header, a license block — is
+    * already PROVEN duplicated, so its occurrences never need the
+    * span-keyed join at all. Those spans are split off via a
+    * broadcast anti-join (the hot list is vocab-tail-sized) and their
+    * docs credited directly with one map-side-combined count; the
+    * expensive join runs only over spans with bounded df, which caps
+    * the worst join-key skew at `dfCap` rows per key. Results are
+    * IDENTICAL to the uncapped path — df > dfCap ≥ 1 implies df ≥ 2,
+    * so every capped occurrence is a dup span by definition. */
+  def dupSpanStats(docs: DataFrame, w: Int = 8,
+      dfCap: Long = Long.MaxValue): DataFrame = {
     val spans = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
       .select(col("doc_id"),
@@ -138,13 +151,135 @@ object CurationOps {
     // rows are distinct (doc_id, span) by construction, so the span
     // count IS its distinct-document frequency
     val df = spans.groupBy("span").agg(count(lit(1)).as("span_df"))
-    spans.join(df, Seq("span"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("span_df") >= 2, 1L).otherwise(0L))
-          .as("n_dup_spans"))
-      .withColumn("dup_ratio",
-        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+    val ratio = (n: Column, d: Column) =>
+      d.cast("double") / n.cast("double")
+    if (dfCap == Long.MaxValue)
+      spans.join(df, Seq("span"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("span_df") >= 2, 1L).otherwise(0L))
+            .as("n_dup_spans"))
+        .withColumn("dup_ratio",
+          ratio(col("n_spans"), col("n_dup_spans")))
+    else {
+      require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
+      val hot = df.filter(col("span_df") > dfCap).select("span")
+      // hot occurrences are all dup spans — counted without the join
+      val hotPerDoc = spans.join(broadcast(hot), Seq("span"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
+      val coldDf = df.filter(col("span_df") <= dfCap)
+      val coldPerDoc = spans
+        .join(broadcast(hot), Seq("span"), "left_anti")
+        .join(coldDf, Seq("span"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_cold"),
+          sum(when(col("span_df") >= 2, 1L).otherwise(0L))
+            .as("n_dup_cold"))
+      coldPerDoc.join(hotPerDoc, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(col("n_cold"), lit(0L)) +
+            coalesce(col("n_hot"), lit(0L))).as("n_spans"),
+          (coalesce(col("n_dup_cold"), lit(0L)) +
+            coalesce(col("n_hot"), lit(0L))).as("n_dup_spans"))
+        .withColumn("dup_ratio",
+          ratio(col("n_spans"), col("n_dup_spans")))
+    }
+  }
+
+  /** Gopher-style composite quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — the document-level filter
+    * battery most open corpus pipelines reuse): token-count bounds,
+    * mean-word-length band, minimum alphabetic-word fraction, minimum
+    * stopword hits. Each rule is its own boolean column plus the
+    * conjunction, so pipelines can audit WHICH rule kills a document
+    * (the operational requirement — a single opaque pass/fail can't be
+    * tuned). Pure scan-side codegen over the text column: no shuffle,
+    * no UDFs — the shape a 100 TB quality sweep must have, since it
+    * runs over every document of the raw corpus. Thresholds are the
+    * paper's defaults; all are knobs.
+    *
+    * Double-valued rules compare exactly across engines: each ratio is
+    * one division of two exact integers (single IEEE rounding), so the
+    * derived booleans are deterministic too. */
+  def gopherQuality(docs: DataFrame,
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopwords: Long = 2): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        TextFunctions.tokenChars(col("text")).as("n_token_chars"),
+        size(filter(col("ts"), t => t.rlike("[a-z]"))).cast("long")
+          .as("n_alpha_tokens"),
+        TextFunctions.stopwordCount(col("text")).as("n_stopwords"))
+      .withColumn("mean_word_len",
+        col("n_token_chars").cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("alpha_frac",
+        col("n_alpha_tokens").cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("pass_len",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("pass_word_len",
+        col("mean_word_len") >= minWordLen &&
+          col("mean_word_len") <= maxWordLen)
+      .withColumn("pass_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("pass_stop", col("n_stopwords") >= minStopwords)
+      .withColumn("pass_all",
+        col("pass_len") && col("pass_word_len") &&
+          col("pass_alpha") && col("pass_stop"))
+
+  /** Per-document corpus-frequency (rarity) profile — the
+    * distributional quality signal LM-perplexity filters approximate:
+    * how much of a document is made of corpus-rare vocabulary
+    * (gibberish, OCR noise, codes) vs very common boilerplate. Exact
+    * integer statistics only (no libm logs — the doc09 determinism
+    * contract): token count, rare-token occurrences (corpus frequency
+    * ≤ `rareMax`), and the total corpus-frequency mass, from which
+    * `rare_frac` and `mean_freq` each derive by a single division.
+    *
+    * Shape: one (doc, word) pre-aggregate (bounds any per-key row
+    * count by the corpus vocabulary, not raw occurrences) → a
+    * vocab-sized frequency table → a word-keyed equi-join back → one
+    * doc-keyed aggregate. `hotDf` < Long.MaxValue splits the join by
+    * frequency — the Zipf head (cf > hotDf: few words, most
+    * occurrences) resolves via a broadcast map-side join with NO
+    * shuffle skew, while the shuffled tail join has per-key fan-in
+    * bounded by `hotDf` — the same skew split as the doc20 stop-span
+    * guard, and exactly equivalent to the plain join. `freq_mass`
+    * accumulates in DECIMAL(38,0): per-pair products can cross 2^63
+    * summed at corpus scale (the q37 overflow class). */
+  def rarityProfile(docs: DataFrame, rareMax: Long = 5,
+      hotDf: Long = Long.MaxValue): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c_doc"))
+    val vocab = pairs.groupBy("word").agg(sum(col("c_doc")).as("cf"))
+    val joined =
+      if (hotDf == Long.MaxValue) pairs.join(vocab, Seq("word"))
+      else {
+        require(hotDf >= 1, s"hotDf must be >= 1, got $hotDf")
+        val hot = vocab.filter(col("cf") > hotDf)
+        val cold = vocab.filter(col("cf") <= hotDf)
+        pairs.join(broadcast(hot), Seq("word"))
+          .unionByName(pairs
+            .join(broadcast(hot.select("word")), Seq("word"), "left_anti")
+            .join(cold, Seq("word")))
+      }
+    joined.groupBy("doc_id")
+      .agg(sum(col("c_doc")).as("n_tokens"),
+        sum(when(col("cf") <= rareMax, col("c_doc")).otherwise(0L))
+          .as("n_rare"),
+        sum((col("c_doc") * col("cf"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("freq_mass"))
+      .withColumn("rare_frac",
+        col("n_rare").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("mean_freq",
+        col("freq_mass").cast("double") / col("n_tokens").cast("double"))
   }
 
   /** Per-document lexical-diversity profile — the vocabulary-richness

@@ -356,11 +356,15 @@ object TrainingQueries {
   // exact-substring-dedup signal at span granularity (whole-doc
   // fingerprints miss a duplicated passage inside otherwise-distinct
   // docs). The oracle rebuilds spans with list_slice and recounts df.
+  // dfCap engages the stop-span guard (boilerplate spans split off via
+  // broadcast anti-join, docs credited directly — identical results,
+  // join-key skew capped); the ORACLE is the uncapped formulation, so
+  // the equivalence itself is under the hash check.
   private val doc20 = GraftQuery(
     "doc20_span_dedup",
     (s, dir) => {
       import s.implicits._
-      CurationOps.dupSpanStats(t(s, dir, "documents"), w = 8)
+      CurationOps.dupSpanStats(t(s, dir, "documents"), w = 8, dfCap = 16L)
         .orderBy($"doc_id")
     },
     Some("""
@@ -418,7 +422,97 @@ object TrainingQueries {
           ELSE 0.0 END AS simpson
       FROM agg ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- doc22
+  // Gopher-style quality rule battery: per-rule booleans + the
+  // conjunction, so the audit of WHICH rule kills a doc is in the
+  // result. Scan-side codegen only (no shuffle) — the raw-corpus
+  // sweep shape. Double-valued rules are single divisions of exact
+  // integers, so the booleans compare exactly across engines.
+  private val doc22 = GraftQuery(
+    "doc22_quality_rules",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.gopherQuality(t(s, dir, "documents"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_tokens,
+          CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g'))
+            AS BIGINT) AS n_token_chars,
+          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+            AS BIGINT) AS n_alpha_tokens,
+          CAST(len(regexp_extract_all(text,
+            '\b(the|a|an|of|to|and|in|is|on|for)\b')) AS BIGINT)
+            AS n_stopwords
+        FROM base),
+      r AS (
+        SELECT *,
+          CAST(n_token_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            AS mean_word_len,
+          CAST(n_alpha_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            AS alpha_frac
+        FROM m)
+      SELECT doc_id, n_tokens, n_token_chars, n_alpha_tokens,
+        n_stopwords, mean_word_len, alpha_frac,
+        (n_tokens >= 50 AND n_tokens <= 100000) AS pass_len,
+        (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+          AS pass_word_len,
+        (alpha_frac >= 0.8) AS pass_alpha,
+        (n_stopwords >= 2) AS pass_stop,
+        ((n_tokens >= 50 AND n_tokens <= 100000)
+          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+          AND (alpha_frac >= 0.8) AND (n_stopwords >= 2)) AS pass_all
+      FROM r ORDER BY doc_id"""))
+
+  // -------------------------------------------------------------- doc23
+  // Corpus-frequency rarity profile: rare-vocabulary share + mean
+  // corpus frequency per doc — the distributional quality signal a
+  // perplexity filter approximates, in exact integer statistics (no
+  // libm logs). The Spark side runs the Zipf-head/tail SPLIT join
+  // (head broadcast, tail shuffle with fan-in <= hotDf); the oracle is
+  // the plain single-join formulation, so the split's equivalence is
+  // itself under the hash check. rareMax 300 / hotDf 500 split the
+  // generator's vocabulary non-trivially at sf0.01.
+  private val doc23 = GraftQuery(
+    "doc23_rarity_profile",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.rarityProfile(t(s, dir, "documents"),
+          rareMax = 300L, hotDf = 500L)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS word
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, word, COUNT(*) AS c_doc
+        FROM toks WHERE word <> '' GROUP BY doc_id, word),
+      vocab AS (
+        SELECT word, CAST(SUM(c_doc) AS BIGINT) AS cf
+        FROM pairs GROUP BY word),
+      j AS (
+        SELECT p.doc_id, p.c_doc, v.cf
+        FROM pairs p JOIN vocab v USING (word)),
+      a AS (
+        SELECT doc_id,
+          CAST(SUM(c_doc) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN cf <= 300 THEN c_doc ELSE 0 END)
+            AS BIGINT) AS n_rare,
+          SUM(CAST(c_doc * cf AS DECIMAL(38,0))) AS freq_mass
+        FROM j GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_rare, freq_mass,
+        CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_frac,
+        CAST(freq_mass AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          AS mean_freq
+      FROM a ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(doc12, doc13, doc14, doc15, doc16, doc20, doc21, emb08, emb09,
-      emb10)
+    Seq(doc12, doc13, doc14, doc15, doc16, doc20, doc21, doc22, doc23,
+      emb08, emb09, emb10)
 }

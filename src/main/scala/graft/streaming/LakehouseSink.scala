@@ -133,20 +133,70 @@ object LakehouseSink {
           least(greatest(
             floor((col(c).cast("double") - lo) * maxQ / (hi - lo)),
             lit(0.0)), lit(maxQ.toDouble)).cast("long"))
-      val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-        acc
-          .bitwiseOR(shiftleft(
-            shiftright(col("_qa"), i).bitwiseAND(lit(1L)), 2 * i))
-          .bitwiseOR(shiftleft(
-            shiftright(col("_qb"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-      }
       df.crossJoin(broadcast(stats))
         .withColumn("_qa", quant(colA, col("_alo"), col("_ahi")))
         .withColumn("_qb", quant(colB, col("_blo"), col("_bhi")))
-        .withColumn("_z", z)
+        .withColumn("_z", mortonInterleave(bits))
         .repartitionByRange(nFiles, col("_z"))
         .sortWithinPartitions(col("_z"))
         .drop("_alo", "_ahi", "_blo", "_bhi", "_qa", "_qb", "_z")
+        .write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    }
+
+  /** Bit-interleave of the `_qa`/`_qb` quantized cells into one Morton
+    * z-value (a pure codegen bit expression — shared by both z-order
+    * quantizers). */
+  private def mortonInterleave(bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(
+          shiftright(col("_qa"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(
+          shiftright(col("_qb"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** [[zorderBy]] with RANK-quantized cells: each column's grid lines
+    * are its approximate quantiles (one `percentile_approx` sketch
+    * pass — partial-aggregated, no global sort) instead of a uniform
+    * min-max split. Min-max quantization is skew-sensitive in exactly
+    * the way production id/amount columns punish: one outlier (or a
+    * heavy-tailed distribution) stretches the range so the bulk of the
+    * rows collapse into a handful of cells, and the curve degenerates
+    * to ordering by the OTHER column — no pruning on the skewed one.
+    * Quantile grid lines put ~1/2^bits of the ROWS in every cell by
+    * construction, so file envelopes stay tight on both columns under
+    * any distribution, at the cost of the sketch pass.
+    *
+    * Per-row quantization is `size(filter(cuts, c -> v >= c))` — a
+    * codegen'd linear scan of the 2^bits−1 broadcast cut points, so
+    * keep `bits` moderate (default 8 → 255 compares/row; 256×256 z
+    * cells is plenty for file-level pruning at any realistic
+    * `nFiles`). Duplicate cut points from heavy values just merge
+    * cells — rows of one hot value always share a cell, as they must.
+    * Same staged-rename crash contract and plain-layout guard. */
+  def zorderByRank(spark: SparkSession, table: String, colA: String,
+      colB: String, nFiles: Int, bits: Int = 8,
+      accuracy: Int = 10000): Unit =
+    stagedRewrite(spark, table, s"${table}_zordering") { tmp =>
+      requirePlainLayout(spark, table, "zorderByRank")
+      val df = spark.table(table)
+      val nCells = 1 << bits
+      val cuts = (1 until nCells).map(_.toDouble / nCells)
+      val stats = df.agg(
+        percentile_approx(col(colA).cast("double"), typedLit(cuts),
+          lit(accuracy)).as("_ca"),
+        percentile_approx(col(colB).cast("double"), typedLit(cuts),
+          lit(accuracy)).as("_cb"))
+      def quant(c: String, cutsCol: Column): Column =
+        size(filter(cutsCol, cut => col(c).cast("double") >= cut))
+          .cast("long")
+      df.crossJoin(broadcast(stats))
+        .withColumn("_qa", quant(colA, col("_ca")))
+        .withColumn("_qb", quant(colB, col("_cb")))
+        .withColumn("_z", mortonInterleave(bits))
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_ca", "_cb", "_qa", "_qb", "_z")
         .write.mode("overwrite").format("parquet").saveAsTable(tmp)
     }
 

@@ -121,6 +121,74 @@ class CurationOpsSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("dupSpanStats: stop-span cap path is exactly equivalent") {
+    import spark.implicits._
+    // the shared passage appears in FIVE docs → its spans have df 5;
+    // dfCap 2 routes them through the hot (anti-join) path, dfCap 4
+    // too; a doc made ONLY of the passage exercises the
+    // all-spans-hot full-outer edge (absent from the cold side)
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val docs = Seq(
+      (0L, s"a0 b0 $passage c0 d0"),
+      (1L, s"a1 $passage b1 c1 d1 e1"),
+      (2L, s"q1 q2 $passage"),
+      (3L, s"r1 $passage r2"),
+      (4L, passage),                              // every span hot
+      (5L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),     // clean
+      (6L, "s1 s2 s3")).toDF("doc_id", "text")    // too short
+    def rows(cap: Long) =
+      CurationOps.dupSpanStats(docs, w = 8, dfCap = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val uncapped = rows(Long.MaxValue)
+    assert(rows(2L) == uncapped)
+    assert(rows(4L) == uncapped)
+    assert(rows(1L) == uncapped)
+    // doc 4 (single span, duplicated) present with ratio 1.0
+    assert(uncapped.contains((4L, 1L, 1L, 1.0)))
+  }
+
+  test("gopherQuality: each rule fires independently; flags audit") {
+    import spark.implicits._
+    val longDoc = (("the of " * 25) + ("alpha beta " * 20)).trim // 90 toks
+    val docs = Seq(
+      (0L, longDoc),                       // passes everything
+      (1L, "short the of doc"),            // fails pass_len only
+      (2L, ("x " * 60).trim),              // mean_word_len 1 < 3; no stopwords
+      (3L, (("12345 " * 60) + "the of").trim)) // alpha_frac < 0.8
+      .toDF("doc_id", "text")
+    val got = CurationOps.gopherQuality(docs, minTokens = 50)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("pass_len"), r.getAs[Boolean]("pass_word_len"),
+          r.getAs[Boolean]("pass_alpha"), r.getAs[Boolean]("pass_stop"),
+          r.getAs[Boolean]("pass_all"))).toMap
+    assert(got(0L) == (true, true, true, true, true))
+    assert(got(1L)._1 == false && got(1L)._5 == false)
+    assert(got(2L)._2 == false && got(2L)._4 == false)
+    assert(got(3L)._3 == false && got(3L)._5 == false)
+  }
+
+  test("rarityProfile: exact stats; head/tail split join equivalent") {
+    import spark.implicits._
+    // corpus frequencies: common×6 (3 docs), mid×3, rare×1 each
+    val docs = Seq(
+      (0L, "common common mid rare1"),
+      (1L, "common common mid rare2"),
+      (2L, "common common mid rare3")).toDF("doc_id", "text")
+    def rows(hotDf: Long) =
+      CurationOps.rarityProfile(docs, rareMax = 3, hotDf = hotDf)
+        .select("doc_id", "n_tokens", "n_rare", "rare_frac", "mean_freq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+    val plain = rows(Long.MaxValue)
+    // cf: common 6, mid 3, rare* 1 → n_rare counts mid + rare rows;
+    // mass = 2·6 + 3 + 1 = 16 per doc → mean 4.0
+    assert(plain.contains((0L, 4L, 2L, 0.5, 4.0)))
+    assert(rows(5L) == plain)   // common is hot, mid+rare cold
+    assert(rows(2L) == plain)   // common+mid hot, rare cold
+    assert(rows(1L) == plain)   // everything above 1 hot
+  }
+
   test("lexicalDiversity: exact ratios on a constructed vocabulary") {
     import spark.implicits._
     // 6 tokens, 3 types (a×3, b×2, c×1): ttr 0.5, hapax 1/3,

@@ -296,6 +296,46 @@ class LakehouseSinkSpec extends SparkSpec {
     assert(spark.table(tc).count() == 10)
   }
 
+  test("zorderByRank: quantile grid keeps pruning under skew where " +
+      "min-max collapses") {
+    import spark.implicits._
+    val t = "lh_zorder_rank"
+    Seq(t, s"${t}_zordering", s"${t}_old")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    // the same 64x64 grid as the zorderBy test, plus ONE outlier x —
+    // min-max quantization then maps every regular x into cell 0 (the
+    // range is [0, 1e9]), so the curve degenerates to ordering by y
+    // and x predicates stop pruning; quantile grid lines ignore the
+    // outlier's LOCATION (it is one row = one quantile step)
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 4096L).map(i => (i % 64, i / 64))
+    val rows = rnd.shuffle((base :+ ((1000000000L, 0L))).toList)
+    rows.toDF("x", "y").repartition(4)
+      .write.format("parquet").saveAsTable(t)
+    def scanned(c: String): Long = {
+      val df = spark.table(t).filter(col(c) >= 10 && col(c) < 14)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    LakehouseSink.zorderBy(spark, t, "x", "y", nFiles = 16, bits = 6)
+    val xMinMax = scanned("x")
+
+    LakehouseSink.zorderByRank(spark, t, "x", "y", nFiles = 16, bits = 6)
+    assert(spark.table(t).count() == 4097)
+    assert(!spark.catalog.tableExists(s"${t}_zordering"))
+    assert(!spark.catalog.tableExists(s"${t}_old"))
+    val (xRank, yRank) = (scanned("x"), scanned("y"))
+    // min-max left x un-prunable (every file spans the full x range);
+    // the rank grid restores it, and keeps y pruning too
+    assert(xMinMax == 4097L,
+      s"expected min-max to collapse under the outlier, scanned $xMinMax")
+    assert(xRank < xMinMax, s"rank grid did not prune x: $xRank")
+    assert(yRank < 4097L, s"rank grid did not prune y: $yRank")
+    // correctness is unchanged by the re-layout
+    assert(spark.table(t).filter($"x" >= 10 && $"x" < 14).count() == 256)
+  }
+
   test("clusterBy refuses partitioned/bucketed layouts it would destroy") {
     import spark.implicits._
     // a _kb-partitioned merge state table: rewriting it plain would
