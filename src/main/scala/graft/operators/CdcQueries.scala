@@ -1045,8 +1045,63 @@ object CdcQueries {
       FROM r WHERE rn = 1 AND op <> 'Delete'
       ORDER BY user_id, k"""))
 
+  // -------------------------------------------------------------- cdc25
+  // Incremental SCD2 maintenance (Scd2Merge): the cdc12 validity-
+  // interval view maintained per batch instead of recomputed from the
+  // full history. The replay schedule applies batch 2 BEFORE batch 1 —
+  // so batch 1's events arrive LATE and must split already-closed
+  // intervals — plus one redelivered batch (idempotence); the
+  // converged table must equal the one-shot cdc12 chain over all
+  // events. Touched keys' chains rebuild inside their pruned hash
+  // partitions; the oracle is the batch formulation.
+  private val cdc25 = GraftQuery(
+    "cdc25_scd2_merge",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc25_state"
+      Seq(table, s"${table}_stage")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val env = events(s, dir)
+        .withColumn("op", CdcOps.classifyOp($"event_type"))
+        .filter($"op" =!= "Skip")
+        .select($"user_id", $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k"),
+          $"ts", $"op")
+      def part(i: Int) = env.filter(pmod($"event_id", lit(3)) === i)
+      Seq(part(0), part(2), part(1), part(2)).foreach { b =>
+        graft.streaming.Scd2Merge.applyBatch(
+          s, table, b, "user_id", "ts", "event_id", nBuckets = 8)
+      }
+      graft.streaming.Scd2Merge.readHistory(s, table)
+        .select($"user_id", $"event_id", $"k",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format($"_valid_to", "yyyy-MM-dd HH:mm:ss")
+            .as("valid_to"),
+          $"_is_current".as("is_current"))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      WITH ch AS (
+        SELECT user_id, event_id, ts,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE CASE event_type
+            WHEN 'signup' THEN 'Insert'
+            WHEN 'purchase' THEN 'Insert'
+            WHEN 'click' THEN 'Update'
+            WHEN 'error' THEN 'Delete'
+            ELSE 'Skip' END <> 'Skip')
+      SELECT user_id, event_id, k,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        strftime(LEAD(ts, 1) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to,
+        LEAD(ts, 1) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) IS NULL AS is_current
+      FROM ch
+      ORDER BY user_id, event_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc10, cdc11,
       cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20,
-      cdc21, cdc22, cdc23, cdc24)
+      cdc21, cdc22, cdc23, cdc24, cdc25)
 }
