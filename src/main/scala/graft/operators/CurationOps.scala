@@ -311,6 +311,39 @@ object CurationOps {
             (col("n_tokens") * (col("n_tokens") - lit(1))).cast("double"))
           .otherwise(lit(0.0)))
 
+  /** Curation-funnel report: documents surviving each stage of the
+    * standard curation pipeline — quality rules ([[gopherQuality]]),
+    * exact dedup ([[DedupOps.exactDupGroups]] survivors), benchmark
+    * decontamination ([[contamination]] + eval-set exclusion) — as one
+    * (stage, n_docs) table. This is the observability artifact every
+    * production curation run ships with: yield per stage is how a
+    * too-aggressive (or broken) filter is caught before a training
+    * run, not after. All four counts are tiny aggregates over the
+    * already-scalable stage operators; nothing is collected.
+    *
+    * Stage names carry an ordinal prefix so a plain ORDER BY stage
+    * reads in pipeline order. */
+  def curationFunnel(docs: DataFrame, minOverlap: Int = 3,
+      evalMod: Long = 97): DataFrame = {
+    val quality = gopherQuality(docs)
+      .filter(col("pass_all")).select("doc_id")
+    val qdocs = docs.join(quality, Seq("doc_id"))
+    val survivors = DedupOps.exactDupGroups(qdocs)
+      .select(col("survivor_id").as("doc_id"))
+    val contaminated = contamination(DedupOps.docShingles(docs),
+        isEval = col("doc_id") % evalMod === 0, minOverlap = minOverlap)
+      .select("doc_id")
+    val fin = survivors.filter(col("doc_id") % evalMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    def cnt(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt(docs, "1_total")
+      .unionByName(cnt(qdocs, "2_quality"))
+      .unionByName(cnt(survivors, "3_dedup"))
+      .unionByName(cnt(fin, "4_decontam"))
+  }
+
   /** Solve per-stratum inclusion rates (out of 256) that turn observed
     * stratum counts into target PROPORTIONS by down-sampling only —
     * the planning half of [[mixtureSample]]. The most under-

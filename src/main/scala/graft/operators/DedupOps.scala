@@ -232,6 +232,31 @@ object DedupOps {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** True-Jaccard verification of an EXTERNALLY-supplied candidate
+    * pair list against the shingle set — the verify stage of
+    * [[verifiedNearDupsFrom]] for callers that produce candidates
+    * elsewhere (the incremental LSH index, a cross-corpus probe).
+    * Same candidates-first join shape: work ∝ |candidates| · shingles
+    * per doc, never shingle×shingle. */
+  def verifyPairs(shingles: DataFrame, cands: DataFrame,
+      minJ: Double): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sa = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sb = shingles.select(col("doc_id").as("doc_b"), col("shingle"))
+    cands.select("doc_a", "doc_b")
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        "doc_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+
   /** 16-bit SimHash from the hex digits of per-token md5: bit i set when
     * the majority of token hashes have the top bit of nibble i set. */
   def simhash(docs: DataFrame): DataFrame = {

@@ -136,7 +136,7 @@ object LlmQueries {
     * because list_reduce is expensive in SQL; the Spark side hashes
     * inline because the native expression is one multiply-add per
     * byte. */
-  private def minhashLshOracle(shCtes: String, minJ: Double): String =
+  private[operators] def minhashLshOracle(shCtes: String, minJ: Double): String =
     minhashLshPairsCtes(shCtes, minJ) + """
       SELECT doc_a, doc_b, n_inter, jaccard FROM pairs
       ORDER BY doc_a, doc_b"""
@@ -223,7 +223,7 @@ object LlmQueries {
   // bigram shingles → 8 seeded min-hashes (native poly31+fmix64 longs,
   // see VectorExpressions.SeededMixHash) → 4 bands of 2 → bucket-join
   // candidates → exact Jaccard ≥ 0.2. The oracle replays every stage.
-  private val bigramShCtes =
+  private[operators] val bigramShCtes =
     """toks AS (
         SELECT doc_id, string_split(TRIM(text), ' ') AS ws FROM documents),
       sh AS (

@@ -512,7 +512,159 @@ object TrainingQueries {
           AS mean_freq
       FROM a ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- doc24
+  // Curation-funnel report: per-stage survivor counts through quality
+  // rules → exact dedup → decontamination — the yield observability
+  // every production curation run needs. The oracle restates all
+  // three stages independently (the dedup stage groups by md5(text),
+  // the decontam stage rebuilds the bigram overlap probe).
+  private val doc24 = GraftQuery(
+    "doc24_curation_funnel",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.curationFunnel(t(s, dir, "documents"))
+        .orderBy($"stage")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id, text,
+          CAST(len(string_split(TRIM(text), ' ')) AS BIGINT) AS n_tokens,
+          CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g'))
+            AS BIGINT) AS n_token_chars,
+          CAST(len(list_filter(string_split(TRIM(text), ' '),
+            w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+            AS n_alpha_tokens,
+          CAST(len(regexp_extract_all(text,
+            '\b(the|a|an|of|to|and|in|is|on|for)\b')) AS BIGINT)
+            AS n_stopwords
+        FROM documents),
+      q AS (
+        SELECT doc_id, text FROM m
+        WHERE n_tokens BETWEEN 50 AND 100000
+          AND CAST(n_token_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            BETWEEN 3.0 AND 10.0
+          AND CAST(n_alpha_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            >= 0.8
+          AND n_stopwords >= 2),
+      surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+      toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        FROM toks WHERE len(ws) >= 2),
+      ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      cont AS (
+        SELECT sh.doc_id FROM sh JOIN ev USING (shingle)
+        WHERE sh.doc_id % 97 <> 0
+        GROUP BY sh.doc_id HAVING COUNT(*) >= 3),
+      fin AS (
+        SELECT s.doc_id FROM surv s
+        WHERE s.doc_id % 97 <> 0
+          AND NOT EXISTS (SELECT 1 FROM cont c
+                          WHERE c.doc_id = s.doc_id))
+      SELECT '1_total' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+      UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT) FROM q
+      UNION ALL SELECT '3_dedup', CAST(COUNT(*) AS BIGINT) FROM surv
+      UNION ALL SELECT '4_decontam', CAST(COUNT(*) AS BIGINT) FROM fin
+      ORDER BY stage"""))
+
+  // -------------------------------------------------------------- doc25
+  // Incremental LSH dedup index: documents arrive in THREE batches
+  // (plus one REDELIVERED batch — must contribute nothing); each batch
+  // computes signatures for ITS docs only and collides them against
+  // the bucketed band index. The union of per-batch candidates,
+  // Jaccard-verified, must equal the one-shot doc04 answer — proving
+  // the O(batch) incremental sweep loses no pairs. The oracle is the
+  // one-shot MinHash→LSH→verify replay.
+  private val doc25 = GraftQuery(
+    "doc25_incremental_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val table = "doc25_index"
+      graft.streaming.CdcMerge.dropStateTable(s, table)
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      val perBatch = Seq(part(0), part(1), part(1), part(2)).map { b =>
+        graft.streaming.IncrementalDedup.indexBatch(s, table, b)
+      }
+      val cands = perBatch.reduce(_ unionByName _).distinct()
+      DedupOps.verifyPairs(DedupOps.docShingles(docs), cands,
+          minJ = 0.2)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(LlmQueries.minhashLshOracle(LlmQueries.bigramShCtes,
+      minJ = 0.2)))
+
+  // -------------------------------------------------------------- emb14
+  // Incremental IVF index: embeddings arrive in THREE batches (plus
+  // one REDELIVERED batch — must append nothing); each batch assigns
+  // against the centroids FROZEN at index creation and appends to its
+  // cid partitions. A 2-probe search over the converged table must
+  // equal the one-shot emb05 multi-probe answer — the oracle is that
+  // one-shot replay. Batch 1 spans vec_id < 100, so the frozen
+  // centroid set is the same first-8 set the one-shot path uses.
+  private val emb14 = GraftQuery(
+    "emb14_incremental_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val table = "emb14_index"
+      Seq(table, s"${table}_centroids")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val embs = t(s, dir, "embeddings")
+      val batches = Seq(
+        embs.filter($"vec_id" < 100),
+        embs.filter($"vec_id" >= 100 && $"vec_id" < 200),
+        embs.filter($"vec_id" >= 100 && $"vec_id" < 200), // replay
+        embs.filter($"vec_id" >= 200))
+      batches.foreach(b =>
+        graft.streaming.IncrementalAnn.indexBatch(s, table, b))
+      graft.streaming.IncrementalAnn.searchTopK(s, table,
+          embs.filter($"vec_id" >= 8 && $"vec_id" < 12)
+            .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
+          nProbe = 2, k = 5)
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               ${LlmQueries.normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding,
+               ${LlmQueries.normSql("embedding", 64)} AS en
+        FROM embeddings),
+      assign AS (
+        SELECT b.vec_id, b.embedding, b.en, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            (${LlmQueries.dotSql("b.embedding", "c.ce", 64)})
+              / (b.en * c.cn) DESC, c.cid) AS rn
+        FROM base b CROSS JOIN cent c),
+      clustered AS (
+        SELECT vec_id, embedding, en, cid FROM assign WHERE rn = 1),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, en AS qn, cid
+        FROM assign WHERE vec_id >= 8 AND vec_id < 12 AND rn <= 2),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+          (${LlmQueries.dotSql("q_emb", "c.embedding", 64)})
+            / (q.qn * c.en) AS cos
+        FROM clustered c JOIN q
+          ON c.cid = q.cid AND c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id AS neighbor_id, rnk, cos
+      FROM ranked WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc12, doc13, doc14, doc15, doc16, doc20, doc21, doc22, doc23,
-      emb08, emb09, emb10)
+      doc24, doc25, emb08, emb09, emb10, emb14)
 }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** Incremental IVF (inverted-file) ANN index maintenance: keep the
+  * cell-partitioned embedding index in a table and assign each NEW
+  * batch of vectors against the FIXED coarse centroids — the embedding
+  * counterpart of [[IncrementalDedup]], and the operator that makes a
+  * continuously-growing vector corpus searchable without re-clustering
+  * the world per ingest batch (O(batch) assignment work, O(probed
+  * cells) search work).
+  *
+  * Design:
+  *
+  *  - Coarse centroids are FROZEN at index creation and stored in
+  *    `{table}_centroids` (metadata-sized). Every later batch assigns
+  *    against the stored set — cell ids stay stable forever, so the
+  *    index only ever appends. (Re-training centroids is a separate
+  *    offline rebuild, like [[CdcMerge.rebucket]] for hash buckets —
+  *    the serving index must not re-shuffle on ingest.)
+  *  - The index table is DIRECTORY-partitioned on `cid`: a search with
+  *    `nProbe` cells reads only those partitions (partition pruning /
+  *    DPP through the cell equi-join), and a batch append writes only
+  *    the cells it touches.
+  *  - Replay-safe: already-indexed `vec_id`s are anti-joined away, so
+  *    a redelivered batch appends nothing (at-least-once upstream →
+  *    exactly-once index).
+  *  - Search is [[SimilarityOps.ivfTopKProbed]]'s plan over the stored
+  *    table: broadcast the (tiny) query set against the probed cells'
+  *    partitions — the corpus side is never shuffled.
+  */
+object IncrementalAnn {
+
+  private def centTable(table: String) = s"${table}_centroids"
+
+  /** Index one batch of (vec_id, embedding) rows. On first call the
+    * index is created and the first `nCentroids` vectors of the batch
+    * (by `vec_id`, deterministic) become the frozen coarse centroids. */
+  def indexBatch(spark: SparkSession, table: String, batch: DataFrame,
+      dim: Int = 64, nCentroids: Int = 8): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      CdcMerge.dropStateTable(spark, table)
+      CdcMerge.dropStateTable(spark, centTable(table))
+      batch.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .coalesce(1)
+        .write.format("parquet").saveAsTable(centTable(table))
+      assigned(spark, table, batch, dim)
+        .repartition(col("cid"))
+        .write.format("parquet").partitionBy("cid").saveAsTable(table)
+      return
+    }
+    val fresh = assigned(spark, table, batch, dim)
+      .join(spark.table(table).select("vec_id"), Seq("vec_id"),
+        "left_anti")
+    fresh.select(spark.table(table).columns.toSeq.map(col): _*)
+      .repartition(col("cid"))
+      .write.mode("append").insertInto(table)
+  }
+
+  private def assigned(spark: SparkSession, table: String,
+      batch: DataFrame, dim: Int): DataFrame =
+    SimilarityOps.assignToCentroids(batch, spark.table(centTable(table)),
+        dim)
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("en"), col("cid"))
+
+  /** Multi-probe cosine top-k over the index: each query ranks the
+    * stored centroids, probes its `nProbe` nearest cells, and scores
+    * only those cells' rows — identical math and tie-breaks to
+    * [[SimilarityOps.ivfTopKProbed]], but over the incrementally-built
+    * table. `queries` is (query_id, q_emb). */
+  def searchTopK(spark: SparkSession, table: String, queries: DataFrame,
+      dim: Int = 64, nProbe: Int = 2, k: Int = 5): DataFrame = {
+    val q = SimilarityOps.assignToCentroids(
+        queries.select(col("query_id").as("vec_id"),
+          col("q_emb").as("embedding")),
+        spark.table(centTable(table)), dim)
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("en").as("qn"), col("cid"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    spark.table(table).join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        SimilarityOps.dot(col("q_emb"), col("embedding"), dim) /
+          (col("qn") * col("en")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("cos"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/** Incremental MinHash/LSH dedup-index maintenance: keep the LSH
+  * band-bucket index of an ever-growing corpus in a bucketed table and
+  * process each NEW batch of documents against it — signatures are
+  * computed for the batch only, and candidate pairs come from bucket
+  * collisions of the batch's band rows against the index. This is the
+  * operator that makes streaming-corpus dedup tractable at 100 TB: the
+  * naive alternative recomputes the full corpus×corpus LSH sweep per
+  * ingest batch, i.e. O(corpus) work for O(batch) new data.
+  *
+  * Design:
+  *
+  *  - The index table is (bkey, doc_id), BUCKETED on `bkey` (the
+  *    band id fused into the band key string → a single-column join
+  *    key). The per-batch candidate lookup joins batch bands against
+  *    the index on `bkey`, and bucketing means the stored side reads
+  *    WITHOUT an Exchange — the corpus-sized side of the join is never
+  *    shuffled, batch after batch ([[LakehouseSink]]'s write-once
+  *    shuffle contract).
+  *  - Batch band rows are appended bucketed; per-bucket file count
+  *    grows with batch count, so run [[LakehouseSink.compact]] on the
+  *    index periodically, like any streaming-append table.
+  *  - Replay-safe: band rows already present are anti-joined away, so
+  *    a redelivered batch appends nothing and yields no candidates —
+  *    at-least-once upstream converges to the exactly-once index.
+  *  - New-new pairs within a batch collide in the same join (the batch
+  *    rows are part of neither-yet-indexed; they are unioned into the
+  *    lookup side), normalized to (doc_a < doc_b) and deduped.
+  *
+  * Verification of candidates (true Jaccard) stays work-proportional
+  * to candidates via [[DedupOps.verifyPairs]] over the corpus shingle
+  * view — candidates name WHICH old docs to re-read, so the verify
+  * cost is ∝ collisions, not corpus.
+  */
+object IncrementalDedup {
+
+  /** The batch's LSH band rows as (bkey, doc_id). */
+  def bandRows(batchDocs: DataFrame, k: Int = 8,
+      rowsPerBand: Int = 2): DataFrame =
+    DedupOps.lshBands(DedupOps.minhashSignature(batchDocs, k), k,
+        rowsPerBand)
+      .select(concat(col("band").cast("string"), lit(":"), col("key"))
+        .as("bkey"), col("doc_id"))
+
+  /** Index one batch: append its new band rows to `indexTable` and
+    * return the NEW candidate pairs (batch×indexed ∪ batch×batch),
+    * normalized (doc_a < doc_b) and distinct. The returned frame is
+    * MATERIALIZED (localCheckpoint) before the append so it cannot
+    * observe its own batch's rows through the table. */
+  def indexBatch(spark: SparkSession, indexTable: String,
+      batchDocs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+      nBuckets: Int = 8): DataFrame = {
+    val bands = bandRows(batchDocs, k, rowsPerBand)
+    if (!spark.catalog.tableExists(indexTable)) {
+      CdcMerge.dropStateTable(spark, indexTable)
+      LakehouseSink.writeBucketed(bands, indexTable, "bkey", nBuckets)
+      return normalizedCollisions(
+        spark.table(indexTable), spark.table(indexTable))
+        .localCheckpoint(true)
+    }
+    val fresh = bands
+      .join(spark.table(indexTable), Seq("bkey", "doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lookup = spark.table(indexTable).unionByName(fresh)
+      val pairs = normalizedCollisions(fresh, lookup)
+        .localCheckpoint(true) // materialize BEFORE the append below
+      LakehouseSink.writeBucketed(fresh, indexTable, "bkey", nBuckets,
+        mode = "append")
+      pairs
+    } finally fresh.unpersist()
+  }
+
+  /** Collisions of `probe` band rows against `lookup` band rows on the
+    * band key, as distinct unordered pairs. */
+  private def normalizedCollisions(probe: DataFrame,
+      lookup: DataFrame): DataFrame = {
+    val a = probe.select(col("bkey"), col("doc_id").as("da"))
+    val b = lookup.select(col("bkey"), col("doc_id").as("db"))
+    a.join(b, Seq("bkey"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct()
+  }
+}

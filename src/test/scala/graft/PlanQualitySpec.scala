@@ -50,7 +50,11 @@ class PlanQualitySpec extends SparkSpec {
       // emb13: the IVF coarse stage broadcasts the same 8-row
       // centroid set as emb04/emb08 (per-query distance tables and
       // codes then flow through equi-joins only)
-      "emb13_ivfpq")
+      "emb13_ivfpq",
+      // emb14: incremental IVF — batch assignment and query-cell
+      // ranking broadcast the same frozen ≤8-row centroid table; the
+      // search itself is a cid equi-join
+      "emb14_incremental_ivf")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

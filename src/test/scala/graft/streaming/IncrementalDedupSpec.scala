@@ -1,0 +1,44 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.DedupOps
+
+/** Incremental LSH indexing: batch-wise candidate coverage equals the
+  * one-shot sweep; replayed batches contribute nothing. */
+class IncrementalDedupSpec extends SparkSpec {
+
+  test("batched indexing covers one-shot candidates; replay is inert") {
+    import spark.implicits._
+    val t = "incdedup_idx"
+    CdcMerge.dropStateTable(spark, t)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "unrelated words entirely different content here"),
+      (4L, "alpha beta gamma delta epsilon zeta"), // dup of 1
+      (5L, "one two three four five six eight"),   // near-dup of 2
+      (6L, "totally other thing again")).toDF("doc_id", "text")
+    def batch(ids: Long*) = docs.filter($"doc_id".isin(ids: _*))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val p1 = IncrementalDedup.indexBatch(spark, t, batch(1, 2, 3))
+    val p2 = IncrementalDedup.indexBatch(spark, t, batch(4, 5))
+    val replay = IncrementalDedup.indexBatch(spark, t, batch(4, 5))
+    val p3 = IncrementalDedup.indexBatch(spark, t, batch(6))
+    assert(replay.count() == 0, "replayed batch produced candidates")
+
+    val got = pairSet(p1) ++ pairSet(p2) ++ pairSet(p3)
+    val oneShot = pairSet(DedupOps.lshCandidates(
+      DedupOps.lshBands(DedupOps.minhashSignature(docs))))
+    assert(got == oneShot,
+      s"incremental $got != one-shot $oneShot")
+    assert(got.contains((1L, 4L))) // identical docs always collide
+
+    // replay appended nothing: index rows == one-shot band rows
+    val bandCount =
+      DedupOps.lshBands(DedupOps.minhashSignature(docs)).count()
+    assert(spark.table(t).count() == bandCount)
+  }
+}
