@@ -1108,8 +1108,38 @@ object ExtendedQueries {
       FROM orders
       ORDER BY o_orderkey"""))
 
+  // -------------------------------------------------------------- q53
+  // Semi-structured VARIANT path (Spark 4): parse_json ONCE into the
+  // binary variant encoding, then typed variant_get extractions — at
+  // scale this replaces re-parsing the JSON string per extracted field
+  // (the get_json_object pattern of cdc02), which is why lakehouse
+  // engines grew a variant type at all. try_variant_get on a missing
+  // path is NULL (not an error); to_json round-trips the variant
+  // (whitespace-normalized). The oracle restates everything over
+  // DuckDB's JSON type.
+  private val q53 = GraftQuery(
+    "q53_variant_extract",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_id", $"event_type", parse_json($"props").as("v"))
+        .select($"event_id", $"event_type",
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("try_variant_get(v, '$.missing', 'long')").as("k_missing"),
+          expr("to_json(v)").as("vjson"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        CAST(json_extract_string(props, '$.missing') AS BIGINT)
+          AS k_missing,
+        CAST(json(props) AS VARCHAR) AS vjson
+      FROM events
+      ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
       q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-      q46, q47, q48, q49, q50, q51, q52)
+      q46, q47, q48, q49, q50, q51, q52, q53)
 }

@@ -1214,8 +1214,43 @@ object LlmQueries {
       ORDER BY query_id, rnk"""))
   }
 
+  // -------------------------------------------------------------- mm04
+  // Overlapped byte-range chunk plan: each payload splits into 128-B
+  // chunks overlapping by 32 (sharding before parallel decode of
+  // blobs too big for one task; the overlap keeps boundary-crossing
+  // feature windows whole). Pure integer codegen; the oracle replays
+  // the ceil-division chunk count and the range arithmetic.
+  private val mm04 = GraftQuery(
+    "mm04_chunk_plan",
+    (s, dir) => {
+      import s.implicits._
+      MultimodalOps.chunkPlan(
+          MultimodalOps.toMediaColumns(t(s, dir, "documents")),
+          chunkBytes = 128, overlapBytes = 32)
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, n,
+          GREATEST(1, (GREATEST(n - 32, 0) + 95) // 96) AS n_chunks
+        FROM m),
+      e AS (
+        SELECT doc_id, n, n_chunks,
+          unnest(range(0, n_chunks)) AS chunk_id
+        FROM c)
+      SELECT doc_id, chunk_id,
+        chunk_id * 96 AS byte_start,
+        LEAST(128, n - chunk_id * 96) AS byte_len,
+        chunk_id = n_chunks - 1 AS is_last
+      FROM e
+      ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc01, doc02, doc03, doc04, doc05, doc06, doc07, doc08, doc09,
       doc10, doc11, doc17, doc18, doc19, emb01, emb02, emb03, emb04,
-      emb05, emb06, emb07, emb11, emb12, emb13, mm01, mm02, mm03)
+      emb05, emb06, emb07, emb11, emb12, emb13, mm01, mm02, mm03, mm04)
 }

@@ -77,6 +77,38 @@ object MultimodalOps {
         expr(s"w * $target div longest").as("out_w"),
         expr(s"h * $target div longest").as("out_h"))
 
+  /** Overlapped byte-range chunk plan for large media payloads — the
+    * sharding step before parallel decode/transcribe of blobs too big
+    * for one task (long audio, video segments): each blob splits into
+    * `chunkBytes` ranges overlapping by `overlapBytes` (so a feature
+    * window crossing a boundary is fully contained in some chunk —
+    * the audio-transcription seam contract). One row per (doc, chunk):
+    * chunk_id, byte_start, byte_len, is_last. Pure integer codegen
+    * arithmetic (sequence + transform, `div` division); a downstream
+    * decoder maps each row to `substr(content, byte_start+1,
+    * byte_len)` — chunk rows repartition freely, which IS the point:
+    * decode parallelism stops being bounded by blob count. */
+  def chunkPlan(media: DataFrame, chunkBytes: Long = 65536,
+      overlapBytes: Long = 4096): DataFrame = {
+    require(overlapBytes < chunkBytes,
+      s"overlap $overlapBytes must be < chunk $chunkBytes")
+    val step = chunkBytes - overlapBytes
+    media
+      .select(col("doc_id"), col("media_meta.n_bytes").as("n"))
+      // chunk count: ceil((n - overlap) / step), min 1 — the last
+      // chunk may be short; empty payloads still get one empty chunk
+      .withColumn("n_chunks",
+        expr(s"greatest(1L, (greatest(n - $overlapBytes, 0L) + " +
+          s"${step - 1}) div $step)"))
+      .select(col("doc_id"), col("n"), col("n_chunks"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        expr(s"chunk_id * $step").as("byte_start"),
+        expr(s"least($chunkBytes, n - chunk_id * $step)").as("byte_len"),
+        (col("chunk_id") === col("n_chunks") - 1).as("is_last"))
+  }
+
   /** Batch feature extraction: partition-iterator in/out, mirroring a
     * vectorized decode UDF's batch shape. */
   def extractFeatures(spark: SparkSession, media: DataFrame)

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{CurationOps, SchemaDrift}
+
+/** Streaming text-quality gate: every micro-batch of incoming
+  * documents is scored with the Gopher rule battery
+  * ([[CurationOps.gopherQuality]]) and SPLIT — passing docs flow to
+  * the accepted table, failing docs land in a reject table WITH their
+  * per-rule audit columns (which rule killed each document — the
+  * evidence a filter-tuning loop needs). The ingest-side twin of the
+  * schema-drift quarantine: a bad crawl batch never stops the
+  * pipeline and never silently pollutes the training corpus.
+  *
+  * Both writes are per-batch idempotent
+  * ([[SchemaDrift.writeBatchIdempotent]]: rows dynamically overwrite
+  * their own `_batch_id` partition), so an at-least-once replayed
+  * batch lands exactly once in EACH table. The scoring itself is
+  * scan-side codegen (no shuffle) — the gate adds no wide stage to
+  * ingest.
+  */
+object QualityGate {
+
+  /** Split one batch of documents into (accepted, rejected-with-audit).
+    * Accepted rows keep the input schema; rejected rows append the
+    * rule columns. */
+  def split(docs: DataFrame, minTokens: Long = 50,
+      maxTokens: Long = 100000): (DataFrame, DataFrame) = {
+    val scored = docs.join(
+      CurationOps.gopherQuality(docs, minTokens = minTokens,
+          maxTokens = maxTokens)
+        .select("doc_id", "pass_len", "pass_word_len", "pass_alpha",
+          "pass_stop", "pass_all"),
+      Seq("doc_id"))
+    (scored.filter(col("pass_all")).select(docs.columns.map(col): _*),
+      scored.filter(!col("pass_all")).drop("pass_all"))
+  }
+
+  /** Continuous gate: foreachBatch split + idempotent dual write. */
+  def startGateStream(df: DataFrame, acceptedTable: String,
+      rejectTable: String, checkpointDir: String,
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      availableNow: Boolean = true): StreamingQuery = {
+    val writer = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (ok, bad) = split(batch, minTokens, maxTokens)
+        SchemaDrift.writeBatchIdempotent(
+          ok.withColumn("_batch_id", lit(batchId)), acceptedTable)
+        SchemaDrift.writeBatchIdempotent(
+          bad.withColumn("_batch_id", lit(batchId)), rejectTable)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+}
