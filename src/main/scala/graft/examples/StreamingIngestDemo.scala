@@ -5,65 +5,97 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.operators.DedupOps
 import graft.sources.Tables
-import graft.streaming.CdcPipeline
+import graft.streaming.{CdcMerge, IncrementalDedup, QualityGate}
 
-/** Streaming ingest end-to-end: the custom `graft-replay` DSv2 source
-  * (event_id offsets, admission control) → envelope → watermarked
-  * streaming dedup → transactional parquet sink (exactly-once), with
-  * the RocksDB state store — the shape of a continuous lakehouse
-  * ingestion job.
+/** Streaming corpus INGEST pipeline — the composed end-to-end path a
+  * continuously-crawled training corpus runs on every arrival batch:
+  *
+  *   raw docs → [[QualityGate]] (Gopher-rule split, rejects keep
+  *   per-rule audit) → [[IncrementalDedup]] (O(batch) LSH index
+  *   probe; candidates Jaccard-verified) → accepted corpus table,
+  *   near-dup pair log, reject table.
+  *
+  * Everything is the library's incremental operators, so per-batch
+  * work scales with the batch (plus true collisions), never with the
+  * corpus — the property that lets the same pipeline run at 100 TB.
   *
   * Usage: sbt "runMain graft.examples.StreamingIngestDemo [sfDir]"
   */
 object StreamingIngestDemo {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[8]")
-      .appName("graft-streaming-ingest")
+      .appName("graft-streaming-ingest-demo")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
-    val work = Files.createTempDirectory("graft-ingest").toString
-    val src = s"$work/source"
-    Tables.load(spark, sfDir, "events")
-      .repartition(4).write.parquet(src)
+    Seq("ingest_ok", "ingest_rej", "ingest_lshidx", "ingest_pairs")
+      .foreach(CdcMerge.dropStateTable(spark, _))
 
-    val cfg = CdcPipeline.Config(
-      sourceDir = src,
-      sourceFormat = "graft-replay",
-      checkpointDir = s"$work/checkpoint",
-      sinkConf = Map.empty,
-      availableNow = true)
+    // stage the docs as four arrival files; stream them as micro-batches
+    val src = Files.createTempDirectory("ingest-src").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    (0 until 4).foreach { i =>
+      docs.filter(pmod($"doc_id", lit(4)) === i)
+        .coalesce(1).write.parquet(s"$src/arrival$i")
+    }
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(src)
 
-    val out = s"$work/bronze"
-    val t0 = System.nanoTime()
-    val q = CdcPipeline.dedupStream(spark, cfg)
-      .select(col("event_type"), col("gtid"), col("database"),
-        col("table"), col("content"), col("ts"), col("user_id"))
-      .writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$work/sink-ckpt")
+    // per micro-batch: quality split, then LSH-index the accepted docs
+    // and log the verified near-dup pairs this batch introduced
+    val ck = Files.createTempDirectory("ingest-ck").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val (ok, rej) = QualityGate.split(batch, minTokens = 20)
+        graft.operators.SchemaDrift.writeBatchIdempotent(
+          ok.withColumn("_batch_id", lit(id)), "ingest_ok")
+        graft.operators.SchemaDrift.writeBatchIdempotent(
+          rej.withColumn("_batch_id", lit(id)), "ingest_rej")
+        val cands = IncrementalDedup.indexBatch(
+          spark, "ingest_lshidx", ok)
+        val verified = DedupOps.verifyPairs(
+          DedupOps.docShingles(spark.table("ingest_ok")), cands,
+          minJ = 0.2)
+        graft.operators.SchemaDrift.writeBatchIdempotent(
+          verified.withColumn("_batch_id", lit(id)), "ingest_pairs")
+        ()
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val secs = (System.nanoTime() - t0) / 1e9
 
-    val bronze = spark.read.parquet(out)
-    val n = bronze.count()
-    val distinct = bronze.select("gtid").distinct().count()
-    println(s"[ingest] source events:   " +
-      Tables.load(spark, sfDir, "events").count())
-    println(s"[ingest] bronze rows:     $n (views skipped, dups dropped)")
-    println(s"[ingest] distinct gtids:  $distinct (exactly-once: equal)")
-    println(f"[ingest] wall: $secs%.1f s via graft-replay + RocksDB state")
+    val nOk = spark.table("ingest_ok").count()
+    val nRej = spark.table("ingest_rej").count()
+    val nPairs = spark.table("ingest_pairs")
+      .select("doc_a", "doc_b").distinct().count()
+    println(s"[ingest] accepted=$nOk rejected=$nRej nearDupPairs=$nPairs")
+    require(nOk + nRej == docs.count(), "gate lost documents")
+
+    // maintenance: streaming appends accrete one file set per batch on
+    // the band index; periodic compaction rewrites it to minimal files
+    // with the bucket layout (and its no-Exchange probes) intact
+    val idxRows = spark.table("ingest_lshidx").count()
+    val filesBefore = spark.table("ingest_lshidx").inputFiles.length
+    graft.streaming.LakehouseSink.compact(
+      spark, "ingest_lshidx", "bkey", 8)
+    val filesAfter = spark.table("ingest_lshidx").inputFiles.length
+    require(spark.table("ingest_lshidx").count() == idxRows,
+      "compaction changed index contents")
+    println(s"[ingest] index compaction: $filesBefore -> $filesAfter files")
     spark.stop()
   }
 }

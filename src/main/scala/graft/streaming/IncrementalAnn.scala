@@ -69,6 +69,43 @@ object IncrementalAnn {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("en"), col("cid"))
 
+  /** Offline centroid re-training as a BLUE/GREEN rebuild — the
+    * service that lifts "centroids are frozen at creation" (the
+    * [[CdcMerge.rebucket]] analogue for cells): all vectors of
+    * `fromTable` re-assign against `newCentroids` (e.g. a
+    * [[graft.operators.CurationOps]] k-means result) into a fresh
+    * index under `toTable`, with its own frozen centroid table.
+    * Blue/green instead of in-place: the serving pair (index,
+    * centroids) must never be observed mismatched, and a reader alias
+    * flip — point searches at `toTable` when it is complete, then
+    * drop the old pair — is how production vector stores actually
+    * ship an index rebuild. The old index keeps serving (and keeps
+    * accepting [[indexBatch]] appends) until the flip; batches
+    * ingested after the rebuild's read are re-indexed into the new
+    * table by the caller replaying them, or by a second incremental
+    * catch-up pass over `fromTable` rows absent from `toTable`. */
+  def retrainTo(spark: SparkSession, fromTable: String, toTable: String,
+      newCentroids: DataFrame, dim: Int = 64): Unit = {
+    require(fromTable != toTable,
+      "blue/green rebuild requires a fresh table name")
+    CdcMerge.dropStateTable(spark, toTable)
+    CdcMerge.dropStateTable(spark, centTable(toTable))
+    newCentroids.select(col("cid"), col("ce")).coalesce(1)
+      .write.format("parquet").saveAsTable(centTable(toTable))
+    assigned(spark, toTable,
+        spark.table(fromTable).select("vec_id", "embedding"), dim)
+      .repartition(col("cid"))
+      .write.format("parquet").partitionBy("cid").saveAsTable(toTable)
+  }
+
+  /** Incremental catch-up for a blue/green flip: index into `toTable`
+    * every vector `fromTable` holds that `toTable` does not yet (the
+    * appends that landed on the old index while the rebuild ran). */
+  def catchUp(spark: SparkSession, fromTable: String,
+      toTable: String, dim: Int = 64): Unit =
+    indexBatch(spark, toTable,
+      spark.table(fromTable).select("vec_id", "embedding"), dim)
+
   /** Multi-probe cosine top-k over the index: each query ranks the
     * stored centroids, probes its `nProbe` nearest cells, and scores
     * only those cells' rows — identical math and tie-breaks to

@@ -43,4 +43,39 @@ class IncrementalAnnSpec extends SparkSpec {
     val cids = spark.table(t).select("cid").distinct().count()
     assert(cids > 1, "degenerate single-cell index")
   }
+
+  test("blue/green retrain: new cells serve; catch-up indexes stragglers") {
+    import spark.implicits._
+    val (blue, green) = ("incann_blue", "incann_green")
+    Seq(blue, s"${blue}_centroids", green, s"${green}_centroids")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
+    IncrementalAnn.indexBatch(spark, blue, embs.filter($"vec_id" < 40))
+
+    // retrain against a DIFFERENT centroid set (vectors 50-57)
+    val newCents = embs.filter($"vec_id" >= 50 && $"vec_id" < 58)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    IncrementalAnn.retrainTo(spark, blue, green, newCents)
+    assert(spark.table(green).count() == 40)
+    val cids = spark.table(green).select("cid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cids.subsetOf((50L to 57L).toSet), s"stale cells: $cids")
+
+    // stragglers land on blue while the rebuild runs; catch-up closes
+    // the gap and is idempotent
+    IncrementalAnn.indexBatch(spark, blue,
+      embs.filter($"vec_id" >= 40 && $"vec_id" < 45))
+    IncrementalAnn.catchUp(spark, blue, green)
+    assert(spark.table(green).count() == 45)
+    IncrementalAnn.catchUp(spark, blue, green)
+    assert(spark.table(green).count() == 45)
+
+    // the green pair serves searches against ITS frozen centroids
+    val res = IncrementalAnn.searchTopK(spark, green,
+      embs.filter($"vec_id" >= 8 && $"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
+      nProbe = 2, k = 3)
+    assert(res.count() > 0)
+    assert(res.select("neighbor_id").distinct().count() > 0)
+  }
 }
