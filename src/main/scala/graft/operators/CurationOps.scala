@@ -205,14 +205,29 @@ object CurationOps {
       minTokens: Long = 50, maxTokens: Long = 100000,
       minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
       minAlphaFrac: Double = 0.8, minStopwords: Long = 2): DataFrame =
-    docs.select(col("doc_id"), col("text"),
-        TextFunctions.tokens(col("text")).as("ts"))
-      .select(col("doc_id"),
-        size(col("ts")).cast("long").as("n_tokens"),
-        TextFunctions.tokenChars(col("text")).as("n_token_chars"),
-        size(filter(col("ts"), t => t.rlike("[a-z]"))).cast("long")
-          .as("n_alpha_tokens"),
-        TextFunctions.stopwordCount(col("text")).as("n_stopwords"))
+    gopherQualityKeeping(docs, minTokens, maxTokens, minWordLen,
+      maxWordLen, minAlphaFrac, minStopwords)
+      .select(col("doc_id"), col("n_tokens"), col("n_token_chars"),
+        col("n_alpha_tokens"), col("n_stopwords"), col("mean_word_len"),
+        col("alpha_frac"), col("pass_len"), col("pass_word_len"),
+        col("pass_alpha"), col("pass_stop"), col("pass_all"))
+
+  /** [[gopherQuality]] KEEPING every input column alongside the rule
+    * columns — the form a pure-projection split ([[
+    * graft.streaming.QualityGate]]) needs: scoring stays one
+    * codegen'd scan with no join back to the input. */
+  def gopherQualityKeeping(docs: DataFrame,
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopwords: Long = 2): DataFrame =
+    docs
+      .withColumn("_ts", TextFunctions.tokens(col("text")))
+      .withColumn("n_tokens", size(col("_ts")).cast("long"))
+      .withColumn("n_token_chars", TextFunctions.tokenChars(col("text")))
+      .withColumn("n_alpha_tokens",
+        size(filter(col("_ts"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stopwords", TextFunctions.stopwordCount(col("text")))
+      .drop("_ts")
       .withColumn("mean_word_len",
         col("n_token_chars").cast("double") /
           col("n_tokens").cast("double"))

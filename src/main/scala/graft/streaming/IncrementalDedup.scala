@@ -49,10 +49,21 @@ object IncrementalDedup {
         .as("bkey"), col("doc_id"))
 
   /** Index one batch: append its new band rows to `indexTable` and
-    * return the NEW candidate pairs (batch×indexed ∪ batch×batch),
-    * normalized (doc_a < doc_b) and distinct. The returned frame is
-    * MATERIALIZED (localCheckpoint) before the append so it cannot
-    * observe its own batch's rows through the table. */
+    * return the batch's candidate pairs (batch×indexed ∪ batch×batch),
+    * normalized (doc_a < doc_b) and distinct.
+    *
+    * The pair set is computed from the batch's FULL band rows (not
+    * just the not-yet-indexed ones), so the RETURN VALUE is
+    * idempotent under at-least-once replay: if a crash lands between
+    * the index append and the caller persisting the pairs, the
+    * replayed batch returns the SAME pair set again (its rows are in
+    * the index by then, and self-collisions are filtered) — paired
+    * with an idempotent `_batch_id` write
+    * ([[graft.operators.SchemaDrift.writeBatchIdempotent]]) the pair
+    * log converges exactly. Only genuinely-new band rows are
+    * appended, so the index itself never duplicates. The returned
+    * frame is MATERIALIZED (localCheckpoint) before the append so it
+    * cannot double-count its own batch's rows through the table. */
   def indexBatch(spark: SparkSession, indexTable: String,
       batchDocs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
       nBuckets: Int = 8): DataFrame = {
@@ -69,7 +80,7 @@ object IncrementalDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val lookup = spark.table(indexTable).unionByName(fresh)
-      val pairs = normalizedCollisions(fresh, lookup)
+      val pairs = normalizedCollisions(bands, lookup)
         .localCheckpoint(true) // materialize BEFORE the append below
       LakehouseSink.writeBucketed(fresh, indexTable, "bkey", nBuckets,
         mode = "append")

@@ -26,17 +26,18 @@ object QualityGate {
 
   /** Split one batch of documents into (accepted, rejected-with-audit).
     * Accepted rows keep the input schema; rejected rows append the
-    * rule columns. */
+    * rule columns. Scoring is [[CurationOps.gopherQualityKeeping]] —
+    * one codegen'd projection over the batch, NO join back to the
+    * input and no shuffle. */
   def split(docs: DataFrame, minTokens: Long = 50,
       maxTokens: Long = 100000): (DataFrame, DataFrame) = {
-    val scored = docs.join(
-      CurationOps.gopherQuality(docs, minTokens = minTokens,
-          maxTokens = maxTokens)
-        .select("doc_id", "pass_len", "pass_word_len", "pass_alpha",
-          "pass_stop", "pass_all"),
-      Seq("doc_id"))
+    val scored = CurationOps.gopherQualityKeeping(docs,
+      minTokens = minTokens, maxTokens = maxTokens)
+    val metricCols = Seq("n_tokens", "n_token_chars", "n_alpha_tokens",
+      "n_stopwords", "mean_word_len", "alpha_frac")
     (scored.filter(col("pass_all")).select(docs.columns.map(col): _*),
-      scored.filter(!col("pass_all")).drop("pass_all"))
+      scored.filter(!col("pass_all"))
+        .drop("pass_all").drop(metricCols: _*))
   }
 
   /** Continuous gate: foreachBatch split + idempotent dual write. */

@@ -140,6 +140,32 @@ object ScaleProbe {
         f"feed rows: $feedRows%d (journal overhead vs warm rebuild " +
         f"${(tFeed / tWarm - 1) * 100}%.0f%%)")
     }
+    // Incremental LSH index: total cost of indexing the corpus in 4
+    // batches vs the one-shot sweep, and the marginal cost of ONE more
+    // batch against the full index — the number that decides whether
+    // a streaming corpus can afford per-arrival dedup. Also the
+    // replay batch (must be ~free: anti-join finds nothing).
+    {
+      import graft.streaming.IncrementalDedup
+      val idx = "scaleprobe_lshidx"
+      graft.streaming.CdcMerge.dropStateTable(spark, idx)
+      def batch(i: Int) = docs1.filter(pmod(col("doc_id"), lit(4)) === i)
+      val t0 = System.nanoTime()
+      val nCands = (0 until 4).map { i =>
+        IncrementalDedup.indexBatch(spark, idx, batch(i)).count()
+      }.sum
+      val tInc = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nReplay = IncrementalDedup.indexBatch(spark, idx, batch(3)).count()
+      val tReplay = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nOne = DedupOps.lshCandidates(DedupOps.lshBands(
+        DedupOps.minhashSignature(docs1))).count()
+      val tOne = (System.nanoTime() - t2) / 1e9
+      println(f"PROBE incremental_lsh         4 batches: $tInc%6.2f s " +
+        f"/ $nCands%d cands   one-shot: $tOne%6.2f s / $nOne%d cands   " +
+        f"replay batch: $tReplay%6.2f s / $nReplay%d cands")
+    }
     spark.stop()
   }
 }

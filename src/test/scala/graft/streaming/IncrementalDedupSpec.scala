@@ -27,7 +27,11 @@ class IncrementalDedupSpec extends SparkSpec {
     val p2 = IncrementalDedup.indexBatch(spark, t, batch(4, 5))
     val replay = IncrementalDedup.indexBatch(spark, t, batch(4, 5))
     val p3 = IncrementalDedup.indexBatch(spark, t, batch(6))
-    assert(replay.count() == 0, "replayed batch produced candidates")
+    // replay returns the SAME pair set (idempotent — the crash window
+    // between index append and the caller's pair write is covered),
+    // and appends nothing to the index (checked below)
+    assert(pairSet(replay) == pairSet(p2),
+      "replayed batch must reproduce its pair set")
 
     val got = pairSet(p1) ++ pairSet(p2) ++ pairSet(p3)
     val oneShot = pairSet(DedupOps.lshCandidates(
