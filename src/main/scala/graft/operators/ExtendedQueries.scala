@@ -1138,8 +1138,71 @@ object ExtendedQueries {
       FROM events
       ORDER BY event_id"""))
 
+  // -------------------------------------------------------------- q54
+  // ANSI-safe TRY arithmetic: Spark 4 runs ANSI mode by default, so
+  // div-by-zero / overflow / bad casts are ERRORS unless the pipeline
+  // opts into try_* — which return NULL instead of killing a 100 TB
+  // job at task 9,999 of 10,000. Planted failures: quantity 25 zeroes
+  // the divisor; quantity ≥ 21 overflows the long product; even line
+  // numbers cast a non-numeric flag. The oracle restates each rescue
+  // (NULLIF, a HUGEINT overflow guard, TRY_CAST).
+  private val q54 = GraftQuery(
+    "q54_try_arithmetic",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").select(
+        $"l_orderkey", $"l_linenumber",
+        expr("try_divide(cast(round(l_extendedprice * 100) as bigint)," +
+          " cast(l_quantity as bigint) - 25)").as("safe_ratio"),
+        expr("try_multiply(cast(l_quantity as bigint)," +
+          " 461168601842738790L)").as("safe_product"),
+        expr("try_cast(case when l_linenumber % 2 = 1" +
+          " then cast(l_quantity as string) else l_returnflag end" +
+          " as double)").as("safe_cast"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+          / NULLIF(CAST(l_quantity AS BIGINT) - 25, 0) AS safe_ratio,
+        CAST(CASE WHEN CAST(l_quantity AS HUGEINT) * 461168601842738790
+                       > 9223372036854775807
+             THEN NULL
+             ELSE CAST(l_quantity AS HUGEINT) * 461168601842738790
+             END AS BIGINT) AS safe_product,
+        TRY_CAST(CASE WHEN l_linenumber % 2 = 1
+                 THEN CAST(l_quantity AS VARCHAR)
+                 ELSE l_returnflag END AS DOUBLE) AS safe_cast
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  // -------------------------------------------------------------- q55
+  // Frequent-items sketch (approx_top_k, DataSketches-backed): the
+  // heavy-hitters aggregate — associative partial sketches merged
+  // across partitions, the 100 TB shape for vocabulary/popularity
+  // analytics. maxItemsTracked (100) exceeds the column's distinct
+  // count, so the sketch is EXACT here and the oracle is plain GROUP
+  // BY — pinning the sketch machinery itself under the hash check.
+  // Output re-sorts (count desc, item) so no ordering is owed to the
+  // sketch's internal ranking.
+  private val q55 = GraftQuery(
+    "q55_approx_top_k",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .agg(expr("approx_top_k(event_type, 10, 100)").as("tk"))
+        .select(explode($"tk").as("e"))
+        .select($"e.item".as("item"), $"e.count".as("cnt"))
+        .orderBy($"cnt".desc, $"item")
+    },
+    Some("""
+      SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events
+      GROUP BY event_type
+      ORDER BY cnt DESC, item"""))
+
   val all: Seq[GraftQuery] =
     Seq(q23, q24, q25, q26, cdc08, q27, q28, q29, cdc09, q30, q31, q32,
       q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-      q46, q47, q48, q49, q50, q51, q52, q53)
+      q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
 }
