@@ -45,9 +45,18 @@ object IncrementalAnn {
     if (!spark.catalog.tableExists(table)) {
       CdcMerge.dropStateTable(spark, table)
       CdcMerge.dropStateTable(spark, centTable(table))
-      batch.filter(col("vec_id") < nCentroids)
+      val seeds = batch.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        .coalesce(1)
+      // an empty centroid set would silently build a degenerate index
+      // (every assignment drops out of the cross join) — fail loudly;
+      // the caller either routes the seed vectors into the first
+      // batch or creates via retrainTo with trained centroids
+      require(!seeds.isEmpty,
+        s"indexBatch($table): creating the index but the first batch " +
+          s"has no vec_id < $nCentroids seed vectors; seed the first " +
+          "batch or create the index via retrainTo with an explicit " +
+          "centroid set")
+      seeds.coalesce(1)
         .write.format("parquet").saveAsTable(centTable(table))
       assigned(spark, table, batch, dim)
         .repartition(col("cid"))
@@ -88,6 +97,9 @@ object IncrementalAnn {
       newCentroids: DataFrame, dim: Int = 64): Unit = {
     require(fromTable != toTable,
       "blue/green rebuild requires a fresh table name")
+    require(!newCentroids.isEmpty,
+      s"retrainTo($toTable): empty centroid set would build a " +
+        "degenerate index")
     CdcMerge.dropStateTable(spark, toTable)
     CdcMerge.dropStateTable(spark, centTable(toTable))
     newCentroids.select(col("cid"), col("ce")).coalesce(1)

@@ -88,6 +88,30 @@ object IncrementalDedup {
     } finally fresh.unpersist()
   }
 
+  /** Continuous indexing: foreachBatch [[indexBatch]] over a streaming
+    * document DataFrame, with each batch's candidate pairs logged to
+    * `pairsTable` under its `_batch_id` (dynamic-overwrite idempotent
+    * — with [[indexBatch]]'s replay-idempotent pair set, the log
+    * converges exactly under at-least-once redelivery). */
+  def startIndexStream(df: org.apache.spark.sql.DataFrame,
+      indexTable: String, pairsTable: String, checkpointDir: String,
+      k: Int = 8, rowsPerBand: Int = 2, nBuckets: Int = 8,
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = indexBatch(batch.sparkSession, indexTable, batch,
+          k, rowsPerBand, nBuckets)
+        graft.operators.SchemaDrift.writeBatchIdempotent(
+          pairs.withColumn("_batch_id", lit(batchId)), pairsTable)
+      }
+    (if (availableNow)
+       writer.trigger(
+         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
   /** Collisions of `probe` band rows against `lookup` band rows on the
     * band key, as distinct unordered pairs. */
   private def normalizedCollisions(probe: DataFrame,

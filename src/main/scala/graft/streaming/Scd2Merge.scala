@@ -108,6 +108,22 @@ object Scd2Merge {
       .filter(col("_is_current") && col(opCol) =!= deleteOp)
       .drop("_kb", "_valid_to", "_is_current")
 
+  /** Point-in-time state at `ts`: the interval containing `ts` per
+    * key, deletes erased — time travel as ONE partition-pruned filter
+    * over the maintained intervals (`valid_from <= ts < valid_to`),
+    * no change-log replay and no window: the payoff of keeping the
+    * SCD2 table materialized. Rows whose interval opened after `ts`
+    * simply don't match; keys deleted at `ts` are filtered by op. */
+  def stateAt(spark: SparkSession, table: String,
+      ts: java.sql.Timestamp, tsCol: String = "ts",
+      opCol: String = "event_type",
+      deleteOp: String = "Delete"): DataFrame =
+    spark.table(table)
+      .filter(col(tsCol) <= lit(ts) &&
+        (col("_valid_to").isNull || col("_valid_to") > lit(ts)))
+      .filter(col(opCol) =!= deleteOp)
+      .drop("_kb", "_valid_to", "_is_current")
+
   /** Retention vacuum for the history table: remove CLOSED intervals
     * whose `_valid_to` is older than `cutoff` — the compliance/TTL
     * service every history-keeping table eventually needs (regulatory

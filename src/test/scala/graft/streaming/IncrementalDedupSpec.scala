@@ -45,4 +45,37 @@ class IncrementalDedupSpec extends SparkSpec {
       DedupOps.lshBands(DedupOps.minhashSignature(docs)).count()
     assert(spark.table(t).count() == bandCount)
   }
+
+  test("startIndexStream: streamed batches converge the pair log") {
+    import spark.implicits._
+    val (idx, pairs) = ("incdedup_sidx", "incdedup_spairs")
+    Seq(idx, pairs).foreach(CdcMerge.dropStateTable(spark, _))
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta"), // dup of 1
+      (4L, "one two three four five six eight"))   // near-dup of 2
+      .toDF("doc_id", "text")
+    val src = tmpDir("incdedup-src")
+    docs.filter($"doc_id" <= 2).coalesce(1).write.parquet(s"$src/f1")
+    docs.filter($"doc_id" > 2).coalesce(1).write.parquet(s"$src/f2")
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+    val q = IncrementalDedup.startIndexStream(stream, idx, pairs,
+      tmpDir("incdedup-ck"))
+    try q.awaitTermination() finally q.stop()
+
+    val logged = spark.table(pairs).select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = DedupOps.lshCandidates(
+        DedupOps.lshBands(DedupOps.minhashSignature(docs)))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(logged == oneShot, s"pair log $logged != one-shot $oneShot")
+    assert(logged.contains((1L, 3L)))
+  }
 }

@@ -91,6 +91,28 @@ class Scd2MergeSpec extends SparkSpec {
     assert(cur == latest && cur == Map(1L -> 4L, 3L -> 3L))
   }
 
+  test("stateAt: point-in-time reads off the maintained intervals") {
+    val t = "scd2_asof"
+    drop(t)
+    apply1(t, env(
+      (1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (1L, "2026-01-03 00:00:00", "Update", 3L),
+      (2L, "2026-01-02 00:00:00", "Insert", 2L),
+      (2L, "2026-01-04 00:00:00", "Delete", 4L)))
+    def st(s: String) =
+      Scd2Merge.stateAt(spark, t, ts(s))
+        .select("k", "event_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st("2026-01-01 12:00:00") == Map(1L -> 1L))
+    assert(st("2026-01-02 12:00:00") == Map(1L -> 1L, 2L -> 2L))
+    assert(st("2026-01-03 12:00:00") == Map(1L -> 3L, 2L -> 2L))
+    assert(st("2026-01-05 00:00:00") == Map(1L -> 3L)) // key 2 deleted
+    val current = Scd2Merge.readCurrent(spark, t)
+      .select("k", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st("2026-01-05 00:00:00") == current)
+  }
+
   test("vacuumClosed removes only pre-cutoff closed intervals") {
     val t = "scd2_vacuum"
     drop(t)
