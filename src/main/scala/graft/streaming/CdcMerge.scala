@@ -59,8 +59,13 @@ object CdcMerge {
   /** Read the current state (tombstones filtered). `opCol` rows equal
     * to `deleteOp` are deleted keys retained for replay safety. */
   def readState(spark: SparkSession, table: String,
-      opCol: String = "event_type", deleteOp: String = "Delete"): DataFrame =
+      opCol: String = "event_type", deleteOp: String = "Delete"): DataFrame = {
+    // refresh first: the merge may run on a cloned foreachBatch
+    // session whose writes cannot invalidate THIS session's cached
+    // file listing (stale FILE_NOT_EXIST otherwise)
+    spark.catalog.refreshTable(table)
     spark.table(table).filter(col(opCol) =!= deleteOp).drop("_kb")
+  }
 
   /** Collapse a bounded envelope history into snapshot SEED rows: the
     * latest version per key, deleted keys omitted — the "initial full
@@ -190,6 +195,11 @@ object CdcMerge {
       finally
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
       spark.sql(s"DROP TABLE IF EXISTS $stage")
+      // same-session readers may hold a cached file listing of the
+      // overwritten partitions (stale FILE_NOT_EXIST reads otherwise —
+      // observed through a read-merge-read sequence); refresh is
+      // metadata-only
+      spark.catalog.refreshTable(table)
     } finally upserts.unpersist()
   }
 
@@ -237,6 +247,7 @@ object CdcMerge {
       spark.sql(
         s"ALTER TABLE $table DROP IF EXISTS PARTITION (_kb=$kb)")
     }
+    spark.catalog.refreshTable(table) // stale-listing guard (applyBatch)
     removed
   }
 

@@ -92,21 +92,34 @@ object Scd2Merge {
       finally
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
       spark.sql(s"DROP TABLE IF EXISTS $stage")
+      // same-session readers may hold a cached file listing of the
+      // overwritten partitions (stale FILE_NOT_EXIST reads otherwise —
+      // observed through a read-merge-read sequence); refresh is
+      // metadata-only
+      spark.catalog.refreshTable(table)
     } finally events.unpersist()
   }
 
-  /** The full interval history (every version of every key). */
-  def readHistory(spark: SparkSession, table: String): DataFrame =
+  /** The full interval history (every version of every key). Reads
+    * refresh the table first: the maintaining stream runs on a CLONED
+    * session (foreachBatch), whose writes cannot invalidate THIS
+    * session's cached file listing — without the refresh, a
+    * read-merge-read sequence throws stale FILE_NOT_EXIST. */
+  def readHistory(spark: SparkSession, table: String): DataFrame = {
+    spark.catalog.refreshTable(table)
     spark.table(table).drop("_kb")
+  }
 
   /** Only the open intervals of live keys — the latest-state view,
     * equal to [[CdcMerge.readState]] over the same stream. */
   def readCurrent(spark: SparkSession, table: String,
       opCol: String = "event_type",
-      deleteOp: String = "Delete"): DataFrame =
+      deleteOp: String = "Delete"): DataFrame = {
+    spark.catalog.refreshTable(table)
     spark.table(table)
       .filter(col("_is_current") && col(opCol) =!= deleteOp)
       .drop("_kb", "_valid_to", "_is_current")
+  }
 
   /** Point-in-time state at `ts`: the interval containing `ts` per
     * key, deletes erased — time travel as ONE partition-pruned filter
@@ -117,12 +130,14 @@ object Scd2Merge {
   def stateAt(spark: SparkSession, table: String,
       ts: java.sql.Timestamp, tsCol: String = "ts",
       opCol: String = "event_type",
-      deleteOp: String = "Delete"): DataFrame =
+      deleteOp: String = "Delete"): DataFrame = {
+    spark.catalog.refreshTable(table)
     spark.table(table)
       .filter(col(tsCol) <= lit(ts) &&
         (col("_valid_to").isNull || col("_valid_to") > lit(ts)))
       .filter(col(opCol) =!= deleteOp)
       .drop("_kb", "_valid_to", "_is_current")
+  }
 
   /** Retention vacuum for the history table: remove CLOSED intervals
     * whose `_valid_to` is older than `cutoff` — the compliance/TTL
@@ -176,6 +191,7 @@ object Scd2Merge {
       spark.sql(
         s"ALTER TABLE $table DROP IF EXISTS PARTITION (_kb=$kb)")
     }
+    spark.catalog.refreshTable(table) // stale-listing guard (applyBatch)
     removed
   }
 

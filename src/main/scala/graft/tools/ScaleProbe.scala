@@ -166,6 +166,35 @@ object ScaleProbe {
         f"/ $nCands%d cands   one-shot: $tOne%6.2f s / $nOne%d cands   " +
         f"replay batch: $tReplay%6.2f s / $nReplay%d cands")
     }
+    // Incremental IVF index: same story for embeddings — 4 arrival
+    // batches vs assigning the corpus in one shot, plus the marginal
+    // replay batch (anti-join finds nothing).
+    {
+      import graft.streaming.IncrementalAnn
+      val idx = "scaleprobe_annidx"
+      Seq(idx, s"${idx}_centroids")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(spark, _))
+      val nVecs = embs1.count()
+      val q = nVecs / 4
+      def batch(i: Int) = embs1.filter(
+        col("vec_id") >= i * q && (if (i == 3) lit(true)
+          else col("vec_id") < (i + 1) * q))
+      val t0 = System.nanoTime()
+      (0 until 4).foreach(i =>
+        IncrementalAnn.indexBatch(spark, idx, batch(i)))
+      val tInc = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      IncrementalAnn.indexBatch(spark, idx, batch(3)) // replay
+      val tReplay = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      SimilarityOps.rankedCellAssignments(embs1)
+        .filter(col("rn") === 1).count()
+      val tOne = (System.nanoTime() - t2) / 1e9
+      val rows = spark.table(idx).count()
+      println(f"PROBE incremental_ivf         4 batches/$nVecs%d vecs: " +
+        f"$tInc%6.2f s ($rows%d indexed)   one-shot assign: $tOne%6.2f s" +
+        f"   replay batch: $tReplay%6.2f s")
+    }
     spark.stop()
   }
 }

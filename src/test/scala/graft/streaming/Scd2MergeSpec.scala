@@ -144,6 +144,41 @@ class Scd2MergeSpec extends SparkSpec {
     assert(chain(t)((1L, 7L)) == ("open", true))
   }
 
+  test("startScd2Stream resumes from its checkpoint without loss") {
+    import spark.implicits._
+    val t = "scd2_stream"
+    drop(t)
+    val src = tmpDir("scd2-src")
+    val ck = tmpDir("scd2-ck")
+    val schema = env((0L, "2026-01-01 00:00:00", "Insert", 0L)).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+      val q = Scd2Merge.startScd2Stream(stream, t, "k", "ts",
+        "event_id", nBuckets = 4, checkpointDir = ck)
+      try q.awaitTermination() finally q.stop()
+    }
+    env((1L, "2026-01-01 00:00:01", "Insert", 1L),
+      (2L, "2026-01-01 00:00:02", "Insert", 2L))
+      .coalesce(1).write.parquet(s"$src/f1")
+    run()
+    assert(chain(t).size == 2)
+    // new arrivals after a stop: the resumed stream processes ONLY
+    // them (offsets from the checkpoint) and the chain stays exact
+    env((1L, "2026-01-01 00:00:05", "Update", 5L),
+      (2L, "2026-01-01 00:00:06", "Delete", 6L))
+      .coalesce(1).write.parquet(s"$src/f2")
+    run()
+    assert(chain(t) == Map(
+      (1L, 1L) -> ("2026-01-01 00:00:05", false),
+      (1L, 5L) -> ("open", true),
+      (2L, 2L) -> ("2026-01-01 00:00:06", false),
+      (2L, 6L) -> ("open", true)))
+  }
+
   test("untouched partitions are not rewritten by a merge") {
     val t = "scd2_prune"
     drop(t)
