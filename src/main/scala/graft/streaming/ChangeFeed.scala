@@ -118,9 +118,15 @@ object ChangeFeed {
   /** Changes with `fromBatch <= _commit <= toBatch` — a
     * partition-pruned read of exactly those commits. */
   def readChanges(spark: SparkSession, feedTable: String,
-      fromBatch: Long, toBatch: Long = Long.MaxValue): DataFrame =
+      fromBatch: Long, toBatch: Long = Long.MaxValue): DataFrame = {
+    // refresh first: the feed may be appended from a cloned
+    // foreachBatch session whose writes don't invalidate THIS
+    // session's cached listing — without it a long-lived consumer
+    // silently under-reads the newest commits
+    spark.catalog.refreshTable(feedTable)
     spark.table(feedTable)
       .filter(col("_commit") >= fromBatch && col("_commit") <= toBatch)
+  }
 
   /** Drop feed partitions with `_commit < keepFrom` — retention as a
     * metadata-only operation (no data rewrite), like any partitioned
@@ -168,6 +174,7 @@ object ChangeFeed {
       asOfBatch: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("_commit").desc)
+    spark.catalog.refreshTable(feedTable) // cross-session listing guard
     spark.table(feedTable)
       .filter(col("_commit") <= asOfBatch &&
         col("_change_type") =!= "update_preimage")

@@ -43,6 +43,9 @@ object IncrementalAgg {
     * only to carry the idempotence watermark, see [[applyDeltas]]). */
   def readAgg(spark: SparkSession, aggTable: String): DataFrame = {
     TableSwap.recover(spark, aggTable, s"${aggTable}_stage")
+    // the maintaining stream swaps from a cloned session; refresh so
+    // this session's cached listing can't serve a pre-swap version
+    spark.catalog.refreshTable(aggTable)
     spark.table(aggTable).filter(col("n_live") > 0).drop("_batch")
   }
 

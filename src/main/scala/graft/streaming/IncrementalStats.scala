@@ -44,6 +44,8 @@ object IncrementalStats {
     * cdc20 oracle. */
   def readStats(spark: SparkSession, aggTable: String): DataFrame = {
     TableSwap.recover(spark, aggTable, s"${aggTable}_stage")
+    // cross-session listing guard (see IncrementalAgg.readAgg)
+    spark.catalog.refreshTable(aggTable)
     val nd = col("n_live").cast("double")
     val svd = col("sv").cast("double")
     val sqd = col("sq").cast("double")
