@@ -120,6 +120,63 @@ object TrainingQueries {
       FROM h WHERE bucket < rate256
       GROUP BY lang ORDER BY lang"""))
 
+  // -------------------------------------------------------------- doc26
+  // Quality-weighted sampling: the composition every curation run
+  // ends with — band documents by the (doc01-proven) quality score,
+  // then keep each band at its own deterministic hash rate (low cut
+  // entirely, top kept whole). Bands use FIXED thresholds, not
+  // ntile/percent_rank (rank banding depends on the corpus sample a
+  // partition sees; thresholds are reproducible across reprocessing
+  // runs, which is the property training pipelines need). Same
+  // codegen-filter shape as doc14 — no shuffle before the report.
+  private val doc26 = GraftQuery(
+    "doc26_quality_weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      val q = graft.functions.TextFunctions.qualityScore($"text")
+      val banded = t(s, dir, "documents").withColumn("qband",
+        when(q < 0.3, "0_low").when(q < 0.6, "1_mid")
+          .when(q < 0.8, "2_high").otherwise("3_top"))
+      CurationOps.mixtureSample(banded, "qband",
+          Map("1_mid" -> 64, "2_high" -> 128, "3_top" -> 256))
+        .groupBy($"qband")
+        .agg(count(lit(1)).as("n_sampled"),
+          min($"bucket").as("min_bucket"),
+          max($"bucket").as("max_bucket"))
+        .orderBy($"qband")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+          CAST(len(string_split(TRIM(text), ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text,
+            '\b(the|a|an|of|to|and|in|is|on|for)\b')) AS BIGINT)
+            AS n_stopwords
+        FROM documents),
+      q AS (
+        SELECT doc_id,
+          LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+            * (1.0 - CAST(n_stopwords AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE)) AS quality
+        FROM base),
+      b AS (
+        SELECT doc_id,
+          CASE WHEN quality < 0.3 THEN '0_low'
+               WHEN quality < 0.6 THEN '1_mid'
+               WHEN quality < 0.8 THEN '2_high'
+               ELSE '3_top' END AS qband,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+               AS BIGINT) AS bucket
+        FROM q),
+      r AS (
+        SELECT *, CASE qband WHEN '1_mid' THEN 64 WHEN '2_high' THEN 128
+                             WHEN '3_top' THEN 256 ELSE 0 END AS rate256
+        FROM b)
+      SELECT qband, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket
+      FROM r WHERE bucket < rate256
+      GROUP BY qband ORDER BY qband"""))
+
   // -------------------------------------------------------------- emb08
   // K-means assignment step: every vector to its nearest of 8 fixed
   // centroids (broadcast scan), reported per cluster with
@@ -666,5 +723,5 @@ object TrainingQueries {
 
   val all: Seq[GraftQuery] =
     Seq(doc12, doc13, doc14, doc15, doc16, doc20, doc21, doc22, doc23,
-      doc24, doc25, emb08, emb09, emb10, emb14)
+      doc24, doc25, doc26, emb08, emb09, emb10, emb14)
 }

@@ -179,6 +179,34 @@ class Scd2MergeSpec extends SparkSpec {
       (2L, 6L) -> ("open", true)))
   }
 
+  test("stage leftovers from a crashed merge do not corrupt the next") {
+    import spark.implicits._
+    val t = "scd2_crash"
+    drop(t)
+    apply1(t, env((1L, "2026-01-01 00:00:01", "Insert", 1L)))
+    // simulate a crash AFTER the stage write, BEFORE the overwrite:
+    // a stale stage table with bogus content is left behind
+    spark.table(t).withColumn("event_id", lit(999L))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${t}_stage")
+    // the next merge must overwrite the stage, not absorb it
+    apply1(t, env((1L, "2026-01-01 00:00:02", "Update", 2L)))
+    assert(chain(t) == Map(
+      (1L, 1L) -> ("2026-01-01 00:00:02", false),
+      (1L, 2L) -> ("open", true)))
+    assert(!spark.catalog.tableExists(s"${t}_stage"))
+    // ... and a stale stage DIRECTORY without a catalog entry (crash
+    // mid-saveAsTable) is cleared too, not tripped over
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val dir = new java.io.File(new java.io.File(new java.net.URI(wh)),
+      s"${t}_stage")
+    dir.mkdirs()
+    new java.io.File(dir, "orphan.parquet").createNewFile()
+    apply1(t, env((2L, "2026-01-01 00:00:03", "Insert", 3L)))
+    assert(chain(t).size == 3)
+    assert(!spark.catalog.tableExists(s"${t}_stage"))
+  }
+
   test("untouched partitions are not rewritten by a merge") {
     val t = "scd2_prune"
     drop(t)
