@@ -37,6 +37,16 @@ import graft.operators.DedupOps
   * to candidates via [[DedupOps.verifyPairs]] over the corpus shingle
   * view — candidates name WHICH old docs to re-read, so the verify
   * cost is ∝ collisions, not corpus.
+  *
+  * Known limitation: the stop-shingle df guard
+  * ([[DedupOps.verifiedNearDupsFrom]]'s `maxDocFrac`) is a GLOBAL
+  * statistic and cannot be applied exactly per batch — document
+  * frequencies keep changing as the corpus accretes, so a shingle
+  * innocuous at batch 3 may be universal by batch 300. For
+  * high-collision units (char trigrams over small vocabularies),
+  * treat the guard as a rebuild-time decision: periodically re-derive
+  * the stop list offline and rebuild the index without those
+  * shingles, like any index maintenance.
   */
 object IncrementalDedup {
 
