@@ -196,11 +196,23 @@ object SimilarityOps {
     * nProbe (the query side of the cell equi-join carries nProbe rows
     * per query); the corpus-side shape is unchanged, so this stays the
     * co-partitioned non-cross-product plan at any corpus size. */
+  /** `corpusFilter` turns this into FILTERED ANN — the
+    * metadata-predicate + vector-search composition every production
+    * retrieval surface needs ("nearest docs WHERE lang='en' AND
+    * license permissive"). POST-FILTER-then-rank semantics: the
+    * predicate applies to the candidate corpus BEFORE ranking, so
+    * each query still returns up to `k` PASSING neighbors (applying
+    * it after the top-k would return fewer-than-k or none — the
+    * classic filtered-ANN bug). The filter narrows the probed cells'
+    * rows scan-side (pushed against the assignment projection);
+    * recall is governed by nProbe exactly as unfiltered, because cell
+    * membership is independent of the predicate. */
   def ivfTopKProbed(embs: DataFrame, dim: Int = 64, nCentroids: Int = 8,
       nProbe: Int = 2, queryLo: Int = 8, queryHi: Int = 12,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, corpusFilter: Column = lit(true)): DataFrame = {
     val rankedCells = rankedCellAssignments(embs, dim, nCentroids)
     val clustered = rankedCells.filter(col("rn") === 1)
+      .filter(corpusFilter)
       .select(col("vec_id"), col("embedding"), col("en"), col("cid"))
     val queries = rankedCells
       .filter(col("vec_id") >= queryLo && col("vec_id") < queryHi &&

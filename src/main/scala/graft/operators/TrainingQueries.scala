@@ -721,7 +721,58 @@ object TrainingQueries {
       FROM ranked WHERE rnk <= 5
       ORDER BY query_id, rnk"""))
 
+  // -------------------------------------------------------------- emb15
+  // FILTERED ANN: metadata predicate (vec_id % 3 = 0 as the stand-in
+  // for lang/license columns) composed with multi-probe IVF search —
+  // post-filter-then-rank semantics, so each query still gets up to k
+  // PASSING neighbors (filtering after the top-k returns fewer or
+  // none: the classic filtered-ANN bug). The oracle applies the same
+  // predicate to the clustered corpus before scoring.
+  private val emb15 = GraftQuery(
+    "emb15_filtered_ann",
+    (s, dir) => {
+      import s.implicits._
+      SimilarityOps.ivfTopKProbed(t(s, dir, "embeddings"), nProbe = 2,
+          corpusFilter = pmod($"vec_id", lit(3)) === 0)
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               ${LlmQueries.normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding,
+               ${LlmQueries.normSql("embedding", 64)} AS en
+        FROM embeddings),
+      assign AS (
+        SELECT b.vec_id, b.embedding, b.en, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            (${LlmQueries.dotSql("b.embedding", "c.ce", 64)})
+              / (b.en * c.cn) DESC, c.cid) AS rn
+        FROM base b CROSS JOIN cent c),
+      clustered AS (
+        SELECT vec_id, embedding, en, cid FROM assign
+        WHERE rn = 1 AND vec_id % 3 = 0),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, en AS qn, cid
+        FROM assign WHERE vec_id >= 8 AND vec_id < 12 AND rn <= 2),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+          (${LlmQueries.dotSql("q_emb", "c.embedding", 64)})
+            / (q.qn * c.en) AS cos
+        FROM clustered c JOIN q
+          ON c.cid = q.cid AND c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id AS neighbor_id, rnk, cos
+      FROM ranked WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc12, doc13, doc14, doc15, doc16, doc20, doc21, doc22, doc23,
-      doc24, doc25, doc26, emb08, emb09, emb10, emb14)
+      doc24, doc25, doc26, emb08, emb09, emb10, emb14, emb15)
 }

@@ -54,7 +54,10 @@ class PlanQualitySpec extends SparkSpec {
       // emb14: incremental IVF — batch assignment and query-cell
       // ranking broadcast the same frozen ≤8-row centroid table; the
       // search itself is a cid equi-join
-      "emb14_incremental_ivf")
+      "emb14_incremental_ivf",
+      // emb15: filtered ANN — the same ≤8-row centroid broadcast as
+      // emb05, with the metadata predicate applied scan-side
+      "emb15_filtered_ann")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
