@@ -60,15 +60,20 @@ object StreamingIngestDemo {
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // everything in the loop runs on the BATCH's session — the
+        // writes land there, so reads through the long-lived outer
+        // session would serve a stale cached listing from batch 0
+        val bs = batch.sparkSession
         val (ok, rej) = QualityGate.split(batch, minTokens = 20)
         graft.operators.SchemaDrift.writeBatchIdempotent(
           ok.withColumn("_batch_id", lit(id)), "ingest_ok")
         graft.operators.SchemaDrift.writeBatchIdempotent(
           rej.withColumn("_batch_id", lit(id)), "ingest_rej")
         val cands = IncrementalDedup.indexBatch(
-          spark, "ingest_lshidx", ok)
+          bs, "ingest_lshidx", ok)
+        bs.catalog.refreshTable("ingest_ok")
         val verified = DedupOps.verifyPairs(
-          DedupOps.docShingles(spark.table("ingest_ok")), cands,
+          DedupOps.docShingles(bs.table("ingest_ok")), cands,
           minJ = 0.2)
         graft.operators.SchemaDrift.writeBatchIdempotent(
           verified.withColumn("_batch_id", lit(id)), "ingest_pairs")

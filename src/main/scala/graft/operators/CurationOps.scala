@@ -288,8 +288,13 @@ object CurationOps {
       .agg(sum(col("c_doc")).as("n_tokens"),
         sum(when(col("cf") <= rareMax, col("c_doc")).otherwise(0L))
           .as("n_rare"),
-        sum((col("c_doc") * col("cf"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        // cast BEFORE the multiply: a long×long product crosses 2^63
+        // for hot words at corpus scale (cf ~ 1e13 × c_doc ~ 1e2+) —
+        // ANSI error or silent wrap; the decimal multiply is exact
+        sum(col("c_doc")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("cf"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
           .as("freq_mass"))
       .withColumn("rare_frac",
         col("n_rare").cast("double") / col("n_tokens").cast("double"))

@@ -195,8 +195,9 @@ object SimilarityOps {
     * has true neighbors on both sides). Cost scales linearly with
     * nProbe (the query side of the cell equi-join carries nProbe rows
     * per query); the corpus-side shape is unchanged, so this stays the
-    * co-partitioned non-cross-product plan at any corpus size. */
-  /** `corpusFilter` turns this into FILTERED ANN — the
+    * co-partitioned non-cross-product plan at any corpus size.
+    *
+    * `corpusFilter` turns this into FILTERED ANN — the
     * metadata-predicate + vector-search composition every production
     * retrieval surface needs ("nearest docs WHERE lang='en' AND
     * license permissive"). POST-FILTER-then-rank semantics: the

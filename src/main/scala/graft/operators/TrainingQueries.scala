@@ -561,7 +561,8 @@ object TrainingQueries {
           CAST(SUM(c_doc) AS BIGINT) AS n_tokens,
           CAST(SUM(CASE WHEN cf <= 300 THEN c_doc ELSE 0 END)
             AS BIGINT) AS n_rare,
-          SUM(CAST(c_doc * cf AS DECIMAL(38,0))) AS freq_mass
+          CAST(SUM(CAST(c_doc AS HUGEINT) * cf) AS DECIMAL(38,0))
+            AS freq_mass
         FROM j GROUP BY doc_id)
       SELECT doc_id, n_tokens, n_rare, freq_mass,
         CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_frac,

@@ -42,9 +42,13 @@ object IncrementalAnn {
     * (by `vec_id`, deterministic) become the frozen coarse centroids. */
   def indexBatch(spark: SparkSession, table: String, batch: DataFrame,
       dim: Int = 64, nCentroids: Int = 8): Unit = {
-    if (!spark.catalog.tableExists(table)) {
-      CdcMerge.dropStateTable(spark, table)
-      CdcMerge.dropStateTable(spark, centTable(table))
+    // reads and writes pinned to the BATCH's session (the
+    // IncrementalDedup.indexBatch session-split hazard), plus a
+    // refresh so appends from other sessions are visible
+    val s = batch.sparkSession
+    if (!s.catalog.tableExists(table)) {
+      CdcMerge.dropStateTable(s, table)
+      CdcMerge.dropStateTable(s, centTable(table))
       val seeds = batch.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       // an empty centroid set would silently build a degenerate index
@@ -58,15 +62,16 @@ object IncrementalAnn {
           "centroid set")
       seeds.coalesce(1)
         .write.format("parquet").saveAsTable(centTable(table))
-      assigned(spark, table, batch, dim)
+      assigned(s, table, batch, dim)
         .repartition(col("cid"))
         .write.format("parquet").partitionBy("cid").saveAsTable(table)
       return
     }
-    val fresh = assigned(spark, table, batch, dim)
-      .join(spark.table(table).select("vec_id"), Seq("vec_id"),
+    s.catalog.refreshTable(table)
+    val fresh = assigned(s, table, batch, dim)
+      .join(s.table(table).select("vec_id"), Seq("vec_id"),
         "left_anti")
-    fresh.select(spark.table(table).columns.toSeq.map(col): _*)
+    fresh.select(s.table(table).columns.toSeq.map(col): _*)
       .repartition(col("cid"))
       .write.mode("append").insertInto(table)
   }
@@ -104,6 +109,7 @@ object IncrementalAnn {
     CdcMerge.dropStateTable(spark, centTable(toTable))
     newCentroids.select(col("cid"), col("ce")).coalesce(1)
       .write.format("parquet").saveAsTable(centTable(toTable))
+    spark.catalog.refreshTable(fromTable) // cross-session appends
     assigned(spark, toTable,
         spark.table(fromTable).select("vec_id", "embedding"), dim)
       .repartition(col("cid"))
@@ -114,9 +120,11 @@ object IncrementalAnn {
     * every vector `fromTable` holds that `toTable` does not yet (the
     * appends that landed on the old index while the rebuild ran). */
   def catchUp(spark: SparkSession, fromTable: String,
-      toTable: String, dim: Int = 64): Unit =
+      toTable: String, dim: Int = 64): Unit = {
+    spark.catalog.refreshTable(fromTable) // cross-session appends
     indexBatch(spark, toTable,
       spark.table(fromTable).select("vec_id", "embedding"), dim)
+  }
 
   /** Multi-probe cosine top-k over the index: each query ranks the
     * stored centroids, probes its `nProbe` nearest cells, and scores
@@ -125,6 +133,9 @@ object IncrementalAnn {
     * table. `queries` is (query_id, q_emb). */
   def searchTopK(spark: SparkSession, table: String, queries: DataFrame,
       dim: Int = 64, nProbe: Int = 2, k: Int = 5): DataFrame = {
+    // serving reads refresh first: the index is appended from ingest
+    // sessions this reader can't observe through its relation cache
+    spark.catalog.refreshTable(table)
     val q = SimilarityOps.assignToCentroids(
         queries.select(col("query_id").as("vec_id"),
           col("q_emb").as("embedding")),

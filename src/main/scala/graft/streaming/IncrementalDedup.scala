@@ -77,19 +77,30 @@ object IncrementalDedup {
   def indexBatch(spark: SparkSession, indexTable: String,
       batchDocs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
       nBuckets: Int = 8): DataFrame = {
+    // ALL reads and writes go through the BATCH's own session: under
+    // foreachBatch the batch frame belongs to a cloned session, and
+    // mixing it with a long-lived outer `spark` splits the call
+    // across two relation caches — the writes (which always run on
+    // the batch's session) would never invalidate the outer session's
+    // cached index listing, and from the second batch on the lookup
+    // side silently misses everything previously appended. The
+    // refresh additionally guards against OTHER sessions appending to
+    // the same index between calls.
+    val s = batchDocs.sparkSession
     val bands = bandRows(batchDocs, k, rowsPerBand)
-    if (!spark.catalog.tableExists(indexTable)) {
-      CdcMerge.dropStateTable(spark, indexTable)
+    if (!s.catalog.tableExists(indexTable)) {
+      CdcMerge.dropStateTable(s, indexTable)
       LakehouseSink.writeBucketed(bands, indexTable, "bkey", nBuckets)
       return normalizedCollisions(
-        spark.table(indexTable), spark.table(indexTable))
+        s.table(indexTable), s.table(indexTable))
         .localCheckpoint(true)
     }
+    s.catalog.refreshTable(indexTable)
     val fresh = bands
-      .join(spark.table(indexTable), Seq("bkey", "doc_id"), "left_anti")
+      .join(s.table(indexTable), Seq("bkey", "doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val lookup = spark.table(indexTable).unionByName(fresh)
+      val lookup = s.table(indexTable).unionByName(fresh)
       val pairs = normalizedCollisions(bands, lookup)
         .localCheckpoint(true) // materialize BEFORE the append below
       LakehouseSink.writeBucketed(fresh, indexTable, "bkey", nBuckets,

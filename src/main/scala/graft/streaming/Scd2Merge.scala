@@ -178,8 +178,6 @@ object Scd2Merge {
       CdcMerge.dropStateTable(spark, stage)
     kept.repartition(col("_kb"))
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
-    val keptKbs = spark.table(stage).select("_kb").distinct()
-      .collect().map(_.getLong(0)).toSet
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try spark.table(stage).select(cols.toSeq.map(col): _*)
@@ -187,10 +185,11 @@ object Scd2Merge {
     finally
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.sql(s"DROP TABLE IF EXISTS $stage")
-    kbs.filterNot(keptKbs).foreach { kb =>
-      spark.sql(
-        s"ALTER TABLE $table DROP IF EXISTS PARTITION (_kb=$kb)")
-    }
+    // no drained-partition handling, deliberately unlike
+    // CdcMerge.vacuumTombstones: every key always retains its OPEN
+    // interval (the newest row has _valid_to NULL and open rows are
+    // never prunable), so every touched partition keeps >= 1 row and
+    // the dynamic overwrite always rewrites it
     spark.catalog.refreshTable(table) // stale-listing guard (applyBatch)
     removed
   }
