@@ -177,6 +177,49 @@ object TrainingQueries {
       FROM r WHERE bucket < rate256
       GROUP BY qband ORDER BY qband"""))
 
+  // -------------------------------------------------------------- doc27
+  // SPAN-level decontamination: training docs sharing even ONE 4-word
+  // span with the eval set (every 97th doc) — the long-verbatim-leak
+  // probe bigram overlap dilutes (a quoted benchmark answer inside an
+  // otherwise-original doc shares few bigrams but whole spans).
+  // Same equi-join-vs-benchmark-vocab shape as doc13, stricter unit,
+  // minOverlap 1: verbatim 4-grams are strong leak evidence (w=4
+  // chosen so the generator corpus produces a non-empty flag set —
+  // 8-grams never cross the eval boundary here, which would make the
+  // oracle trivially empty).
+  private val doc27 = GraftQuery(
+    "doc27_span_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val spans = docs
+        .select($"doc_id",
+          graft.functions.TextFunctions.tokens($"text").as("ts"))
+        .select($"doc_id",
+          explode(graft.functions.TextFunctions
+            .wordGramsFromTokens($"ts", 4)).as("shingle"))
+      CurationOps.contamination(spans,
+          isEval = $"doc_id" % 97 === 0, minOverlap = 1)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      sp AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(ws) - 2),
+            i -> array_to_string(list_slice(ws, i, i + 3), ' ')))
+            AS span
+        FROM toks WHERE len(ws) >= 4),
+      ev AS (SELECT DISTINCT span FROM sp WHERE doc_id % 97 = 0),
+      tr AS (SELECT doc_id, span FROM sp WHERE doc_id % 97 <> 0)
+      SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM tr JOIN ev USING (span)
+      GROUP BY tr.doc_id
+      HAVING COUNT(*) >= 1
+      ORDER BY doc_id"""))
+
   // -------------------------------------------------------------- emb08
   // K-means assignment step: every vector to its nearest of 8 fixed
   // centroids (broadcast scan), reported per cluster with
@@ -775,5 +818,5 @@ object TrainingQueries {
 
   val all: Seq[GraftQuery] =
     Seq(doc12, doc13, doc14, doc15, doc16, doc20, doc21, doc22, doc23,
-      doc24, doc25, doc26, emb08, emb09, emb10, emb14, emb15)
+      doc24, doc25, doc26, doc27, emb08, emb09, emb10, emb14, emb15)
 }

@@ -126,6 +126,52 @@ object IncrementalAnn {
       spark.table(fromTable).select("vec_id", "embedding"), dim)
   }
 
+  /** Erasure for the vector index — the embeddings
+    * right-to-be-forgotten path (a training-data platform that stores
+    * user-derived vectors needs deletion as much as the text side
+    * needs [[graft.functions.TextFunctions.redactPii]]): remove the
+    * given `ids` ((vec_id) frame — erasure lists can be large, so no
+    * driver-side seq) from the index. Partition-pruned like every
+    * consumer write: only cells containing hits are rewritten
+    * (dynamic overwrite); a cell drained to zero rows is dropped
+    * outright (unlike the SCD2 vacuum, cells genuinely can drain).
+    * Returns the number of vectors removed; idempotent — re-deleting
+    * removes nothing. A later [[indexBatch]] carrying a deleted
+    * vec_id re-indexes it (re-insertion semantics, the erasure
+    * contract's other half). */
+  def deleteVectors(spark: SparkSession, table: String,
+      ids: DataFrame): Long = {
+    spark.catalog.refreshTable(table)
+    val keyed = ids.select("vec_id")
+    val hit = spark.table(table).join(keyed, Seq("vec_id"), "left_semi")
+    val cids = hit.select("cid").distinct().collect().map(_.getLong(0))
+    if (cids.isEmpty) return 0L
+    val removed = hit.count()
+    val cols = spark.table(table).columns
+    val kept = spark.table(table)
+      .filter(col("cid").isin(cids.toSeq: _*))
+      .join(keyed, Seq("vec_id"), "left_anti")
+    val stage = s"${table}_stage"
+    if (!spark.catalog.tableExists(stage))
+      CdcMerge.dropStateTable(spark, stage)
+    kept.repartition(col("cid"))
+      .write.mode("overwrite").format("parquet").saveAsTable(stage)
+    val keptCids = spark.table(stage).select("cid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.table(stage).select(cols.toSeq.map(col): _*)
+      .write.mode("overwrite").insertInto(table)
+    finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    cids.filterNot(keptCids).foreach { c =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cid=$c)")
+    }
+    spark.catalog.refreshTable(table)
+    removed
+  }
+
   /** Multi-probe cosine top-k over the index: each query ranks the
     * stored centroids, probes its `nProbe` nearest cells, and scores
     * only those cells' rows — identical math and tie-breaks to

@@ -44,6 +44,46 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(cids > 1, "degenerate single-cell index")
   }
 
+  test("deleteVectors: erased ids vanish from search; drained cell drops") {
+    import spark.implicits._
+    val t = "incann_del"
+    Seq(t, s"${t}_centroids").foreach(CdcMerge.dropStateTable(spark, _))
+    val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
+    IncrementalAnn.indexBatch(spark, t, embs)
+    val total = spark.table(t).count()
+    def neighborsOf(qLo: Long, qHi: Long) =
+      IncrementalAnn.searchTopK(spark, t,
+        embs.filter($"vec_id" >= qLo && $"vec_id" < qHi)
+          .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
+        nProbe = 2, k = 5)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    // erase a vector that IS currently a neighbor of some query
+    val victim = neighborsOf(8, 12).head
+    val removed = IncrementalAnn.deleteVectors(spark, t,
+      Seq(victim).toDF("vec_id"))
+    assert(removed == 1L)
+    assert(!neighborsOf(8, 12).contains(victim))
+    assert(spark.table(t).count() == total - 1)
+    // idempotent
+    assert(IncrementalAnn.deleteVectors(spark, t,
+      Seq(victim).toDF("vec_id")) == 0L)
+    // drain an entire cell: its partition disappears, the rest serve
+    val cell = spark.table(t).select("cid").distinct()
+      .collect().map(_.getLong(0)).min
+    val members = spark.table(t).filter($"cid" === cell)
+      .select("vec_id").collect().map(_.getLong(0))
+    val removed2 = IncrementalAnn.deleteVectors(spark, t,
+      members.toSeq.toDF("vec_id"))
+    assert(removed2 == members.length.toLong)
+    assert(spark.table(t).filter($"cid" === cell).count() == 0)
+    assert(!spark.table(t).select("cid").distinct()
+      .collect().map(_.getLong(0)).contains(cell))
+    // re-insertion after erasure: indexBatch re-adds the victim
+    IncrementalAnn.indexBatch(spark, t,
+      embs.filter($"vec_id" === victim))
+    assert(spark.table(t).filter($"vec_id" === victim).count() == 1)
+  }
+
   test("blue/green retrain: new cells serve; catch-up indexes stragglers") {
     import spark.implicits._
     val (blue, green) = ("incann_blue", "incann_green")
