@@ -32,6 +32,25 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Oracle-environment pin: a builder-green / driver-red divergence
+# (r6 doc23) is indistinguishable from a logic bug unless the DuckDB
+# version difference surfaces loudly. The builder's known-good version
+# is the default; set GRAFT_DUCKDB_EXPECT to re-pin (or to "any" to
+# skip the guard when deliberately probing another version).
+EXPECTED_DUCKDB = "1.0.0"
+
+
+def check_duckdb_version() -> None:
+    import os
+    expect = os.environ.get("GRAFT_DUCKDB_EXPECT", EXPECTED_DUCKDB)
+    got = duckdb.__version__
+    print(f"duckdb version: {got} (expected {expect})")
+    if expect != "any" and got != expect:
+        sys.exit(f"FATAL: duckdb {got} != pinned {expect} — a hash "
+                 "mismatch under this interpreter is a VERSION diff, "
+                 "not necessarily a logic bug. Set GRAFT_DUCKDB_EXPECT="
+                 f"{got} (or 'any') to run anyway.")
+
 
 def arrow_kind(t: pa.DataType) -> str:
     if pa.types.is_boolean(t):
@@ -83,6 +102,7 @@ def values_equal(a, b, kind: str) -> bool:
 
 
 def main(sf_dir: str, out_dir: str) -> int:
+    check_duckdb_version()
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()

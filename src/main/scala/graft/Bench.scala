@@ -60,6 +60,19 @@ object Bench {
       }
     }
 
+    // Prime the TARGET-sf data files too: the warm pass above runs at
+    // the smallest sf, so without this the first timed query absorbs
+    // the cold read of the target-sf parquet (r6: q01 10.5 s with
+    // 0 MB shuffle vs 0.43 s for q02 over the same table — an I/O
+    // attribution artifact, not a plan cost). A full-column noop
+    // write per table pulls every byte through the page cache once,
+    // outside any per-query timing.
+    graft.sources.Tables.names.foreach { t =>
+      try graft.sources.Tables.load(spark, sfDir, t)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+
     // per-query shuffle-write bytes: the scale health signal (a query
     // whose shuffle grows out of line with input is the 100 TB
     // regression to catch early). Listener events are async; the

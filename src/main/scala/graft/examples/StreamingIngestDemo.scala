@@ -26,6 +26,7 @@ import graft.streaming.{CdcMerge, IncrementalDedup, QualityGate}
 object StreamingIngestDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val compactEvery = 2 // maintenance cadence, in micro-batches
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-streaming-ingest-demo")
@@ -77,6 +78,20 @@ object StreamingIngestDemo {
           minJ = 0.2)
         graft.operators.SchemaDrift.writeBatchIdempotent(
           verified.withColumn("_batch_id", lit(id)), "ingest_pairs")
+        // maintenance CADENCE: the band index accretes one file set
+        // per batch; every `compactEvery` batches rewrite it to the
+        // bucket layout's minimal file count so probe read-amp stays
+        // flat over an unbounded stream (run end measures the knee).
+        // foreachBatch is sequential, so the staged rewrite's
+        // single-writer contract holds by construction.
+        if ((id + 1) % compactEvery == 0) {
+          val before = bs.table("ingest_lshidx").inputFiles.length
+          graft.streaming.LakehouseSink.compact(
+            bs, "ingest_lshidx", "bkey", 8)
+          val after = bs.table("ingest_lshidx").inputFiles.length
+          println(s"[ingest] batch $id cadence compaction: " +
+            s"$before -> $after files")
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

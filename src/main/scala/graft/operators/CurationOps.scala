@@ -252,7 +252,9 @@ object CurationOps {
     * integer statistics only (no libm logs — the doc09 determinism
     * contract): token count, rare-token occurrences (corpus frequency
     * ≤ `rareMax`), and the total corpus-frequency mass, from which
-    * `rare_frac` and `mean_freq` each derive by a single division.
+    * `rare_ppm` and `mean_freq_x1000` each derive by a single
+    * truncating integer division (scaled so no float ever enters the
+    * output).
     *
     * Shape: one (doc, word) pre-aggregate (bounds any per-key row
     * count by the corpus vocabulary, not raw occurrences) → a
@@ -296,10 +298,19 @@ object CurationOps {
           col("cf"))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0))
           .as("freq_mass"))
-      .withColumn("rare_frac",
-        col("n_rare").cast("double") / col("n_tokens").cast("double"))
-      .withColumn("mean_freq",
-        col("freq_mass").cast("double") / col("n_tokens").cast("double"))
+      // The hashed output is FLOAT-FREE (r6 driver gate: rows+schema
+      // matched but the hash flipped on the two derived doubles in
+      // exactly one environment): both ratios ship as truncating
+      // divisions of exact integers — bit-identical on every engine,
+      // library version, and partitioning. rare_ppm is the rare-token
+      // share in parts-per-million; mean_freq_x1000 the mean corpus
+      // frequency scaled by 1000. Numerators scale inside
+      // DECIMAL(38,0) so the scaled products stay exact at corpus
+      // scale; `div` truncates (== floor: all values nonnegative).
+      .withColumn("rare_ppm", expr(
+        "CAST(n_rare AS DECIMAL(38,0)) * 1000000 div n_tokens"))
+      .withColumn("mean_freq_x1000", expr(
+        "freq_mass * 1000 div n_tokens"))
   }
 
   /** Per-document lexical-diversity profile — the vocabulary-richness

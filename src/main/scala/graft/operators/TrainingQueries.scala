@@ -608,9 +608,10 @@ object TrainingQueries {
             AS freq_mass
         FROM j GROUP BY doc_id)
       SELECT doc_id, n_tokens, n_rare, freq_mass,
-        CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_frac,
-        CAST(freq_mass AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-          AS mean_freq
+        CAST((CAST(n_rare AS HUGEINT) * 1000000) // n_tokens
+          AS BIGINT) AS rare_ppm,
+        CAST((CAST(freq_mass AS HUGEINT) * 1000) // n_tokens
+          AS BIGINT) AS mean_freq_x1000
       FROM a ORDER BY doc_id"""))
 
   // -------------------------------------------------------------- doc24

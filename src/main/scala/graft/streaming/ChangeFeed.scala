@@ -128,6 +128,39 @@ object ChangeFeed {
       .filter(col("_commit") >= fromBatch && col("_commit") <= toBatch)
   }
 
+  /** Commit ids of `feedTable`'s partitions in the given range — the
+    * feed's control-plane listing, with the range pushed INTO the
+    * catalog as a partition predicate (`listPartitionsByFilter`) so a
+    * real metastore prunes server-side and the driver never
+    * materializes the full commit history (which grows without bound
+    * between vacuums; the r6 review flagged the unpruned listing as
+    * the feed's only O(commits) driver cost). The in-memory catalog
+    * evaluates the same predicate inside the catalog layer. `keep`
+    * re-applies the range driver-side as a safety net, and is the
+    * fallback filter if the catalog cannot evaluate the predicate. */
+  private def commitsMatching(spark: SparkSession, feedTable: String,
+      keep: Long => Boolean, lowerInclusive: Option[Long] = None,
+      upperExclusive: Option[Long] = None): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, Cast, Expression, GreaterThanOrEqual,
+      LessThan, Literal}
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser
+      .parseTableIdentifier(feedTable)
+    val dt = catalog.getTableMetadata(ident)
+      .partitionSchema("_commit").dataType
+    val attr = AttributeReference("_commit", dt, nullable = true)()
+    def bound(v: Long): Expression = Cast(Literal(v), dt)
+    val preds: Seq[Expression] =
+      lowerInclusive.map(l =>
+        GreaterThanOrEqual(attr, bound(l)): Expression).toSeq ++
+      upperExclusive.map(u => LessThan(attr, bound(u)): Expression)
+    val parts =
+      try catalog.listPartitionsByFilter(ident, preds)
+      catch { case _: Exception => catalog.listPartitions(ident) }
+    parts.flatMap(_.spec.get("_commit")).map(_.toLong).filter(keep)
+  }
+
   /** Drop feed partitions with `_commit < keepFrom` — retention as a
     * metadata-only operation (no data rewrite), like any partitioned
     * fact table's TTL. Returns the number of commits dropped.
@@ -142,15 +175,8 @@ object ChangeFeed {
   def vacuum(spark: SparkSession, feedTable: String,
       keepFrom: Long): Int = {
     if (!spark.catalog.tableExists(feedTable)) return 0
-    val stale = spark.sql(s"SHOW PARTITIONS $feedTable")
-      .collect().map(_.getString(0))
-      .flatMap { p => // "_commit=3"
-        p.split("=") match {
-          case Array("_commit", v) => Some(v.toLong)
-          case _ => None
-        }
-      }
-      .filter(_ < keepFrom)
+    val stale = commitsMatching(spark, feedTable, _ < keepFrom,
+      upperExclusive = Some(keepFrom))
     stale.foreach { c =>
       spark.sql(
         s"ALTER TABLE $feedTable DROP IF EXISTS PARTITION (_commit=$c)")
@@ -211,13 +237,9 @@ object ChangeFeed {
     val after = stateAsOf(spark, feedTable, keyCol, toBatch)
     val net = diff(before, after, keyCol, versionCols, opCol, deleteOp)
     writeChanges(spark, feedTable, net, toBatch)
-    val stale = spark.sql(s"SHOW PARTITIONS $feedTable")
-      .collect().map(_.getString(0))
-      .flatMap(_.split("=") match {
-        case Array("_commit", v) => Some(v.toLong)
-        case _ => None
-      })
-      .filter(c => c >= fromBatch && c < toBatch)
+    val stale = commitsMatching(spark, feedTable,
+      c => c >= fromBatch && c < toBatch,
+      lowerInclusive = Some(fromBatch), upperExclusive = Some(toBatch))
     stale.foreach { c =>
       spark.sql(
         s"ALTER TABLE $feedTable DROP IF EXISTS PARTITION (_commit=$c)")

@@ -44,22 +44,31 @@ object IncrementalAnn {
       dim: Int = 64, nCentroids: Int = 8): Unit = {
     // reads and writes pinned to the BATCH's session (the
     // IncrementalDedup.indexBatch session-split hazard), plus a
-    // refresh so appends from other sessions are visible
+    // refresh so appends from other sessions are visible; the require
+    // makes the pinning contract explicit instead of silently
+    // ignoring a mismatched `spark` argument
+    require(spark eq batch.sparkSession,
+      s"indexBatch($table): `spark` must be the batch's own session " +
+        "(all reads/writes are pinned to batch.sparkSession)")
     val s = batch.sparkSession
     if (!s.catalog.tableExists(table)) {
       CdcMerge.dropStateTable(s, table)
       CdcMerge.dropStateTable(s, centTable(table))
-      val seeds = batch.filter(col("vec_id") < nCentroids)
+      // the documented semantics, literally: the first nCentroids
+      // vectors of the batch in vec_id order seed the frozen
+      // centroids (TakeOrderedAndProject — a top-k, never a global
+      // sort), so any non-empty first batch creates a working index
+      // regardless of its id range; cid is the seeding vec_id.
+      val seeds = batch.orderBy(col("vec_id")).limit(nCentroids)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       // an empty centroid set would silently build a degenerate index
       // (every assignment drops out of the cross join) — fail loudly;
-      // the caller either routes the seed vectors into the first
-      // batch or creates via retrainTo with trained centroids
+      // the caller either routes seed vectors into the first batch or
+      // creates via retrainTo with trained centroids
       require(!seeds.isEmpty,
         s"indexBatch($table): creating the index but the first batch " +
-          s"has no vec_id < $nCentroids seed vectors; seed the first " +
-          "batch or create the index via retrainTo with an explicit " +
-          "centroid set")
+          "is empty; seed the first batch or create the index via " +
+          "retrainTo with an explicit centroid set")
       seeds.coalesce(1)
         .write.format("parquet").saveAsTable(centTable(table))
       assigned(s, table, batch, dim)

@@ -85,7 +85,12 @@ object IncrementalDedup {
     // cached index listing, and from the second batch on the lookup
     // side silently misses everything previously appended. The
     // refresh additionally guards against OTHER sessions appending to
-    // the same index between calls.
+    // the same index between calls. The require makes that pinning
+    // contract explicit instead of silently ignoring a mismatched
+    // `spark` argument.
+    require(spark eq batchDocs.sparkSession,
+      s"indexBatch($indexTable): `spark` must be the batch's own " +
+        "session (all reads/writes are pinned to batchDocs.sparkSession)")
     val s = batchDocs.sparkSession
     val bands = bandRows(batchDocs, k, rowsPerBand)
     if (!s.catalog.tableExists(indexTable)) {

@@ -35,8 +35,13 @@ object QualityGate {
       minTokens = minTokens, maxTokens = maxTokens)
     val metricCols = Seq("n_tokens", "n_token_chars", "n_alpha_tokens",
       "n_stopwords", "mean_word_len", "alpha_frac")
-    (scored.filter(col("pass_all")).select(docs.columns.map(col): _*),
-      scored.filter(!col("pass_all"))
+    // NULL verdicts (NULL text → NULL metrics → NULL pass_all) route
+    // to the REJECT side: a three-valued filter pair would silently
+    // drop such rows from BOTH tables, breaking the gate's lossless-
+    // split contract on exactly the dirty-crawl input it exists for.
+    val verdict = coalesce(col("pass_all"), lit(false))
+    (scored.filter(verdict).select(docs.columns.map(col): _*),
+      scored.filter(!verdict)
         .drop("pass_all").drop(metricCols: _*))
   }
 

@@ -164,6 +164,11 @@ object Scd2Merge {
     * predecessor). */
   def vacuumClosed(spark: SparkSession, table: String,
       cutoff: java.sql.Timestamp): Long = {
+    // same cross-session staleness guard as every other consumer read
+    // surface: a vacuum from a long-lived session after cloned-session
+    // (foreachBatch) merges would otherwise hit a stale cached file
+    // listing (the FILE_NOT_EXIST class fixed in readHistory et al.)
+    spark.catalog.refreshTable(table)
     val dead = spark.table(table)
       .filter(!col("_is_current") && col("_valid_to") < lit(cutoff))
     val kbs = dead.select("_kb").distinct().collect().map(_.getLong(0))

@@ -165,6 +165,23 @@ object ScaleProbe {
       println(f"PROBE incremental_lsh         4 batches: $tInc%6.2f s " +
         f"/ $nCands%d cands   one-shot: $tOne%6.2f s / $nOne%d cands   " +
         f"replay batch: $tReplay%6.2f s / $nReplay%d cands")
+      // compaction read-amp: the index accretes one file set per
+      // batch; measure a marginal batch's cost against the fragmented
+      // index, compact to the bucket layout's minimal files, measure
+      // again — the delta is the read-amplification a cadence-driven
+      // compaction (StreamingIngestDemo) claws back
+      val filesFrag = spark.table(idx).inputFiles.length
+      graft.streaming.LakehouseSink.compact(spark, idx, "bkey", 8)
+      val filesComp = spark.table(idx).inputFiles.length
+      val t3 = System.nanoTime()
+      val nReplay2 =
+        IncrementalDedup.indexBatch(spark, idx, batch(3)).count()
+      val tReplay2 = (System.nanoTime() - t3) / 1e9
+      require(nReplay2 == nReplay,
+        "compaction changed the replay batch's candidate set")
+      println(f"PROBE lsh_compaction          $filesFrag%d -> " +
+        f"$filesComp%d files   marginal batch before: $tReplay%6.2f s" +
+        f"   after: $tReplay2%6.2f s")
     }
     // Incremental IVF index: same story for embeddings — 4 arrival
     // batches vs assigning the corpus in one shot, plus the marginal

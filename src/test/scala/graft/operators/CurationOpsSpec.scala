@@ -177,13 +177,15 @@ class CurationOpsSpec extends SparkSpec {
       (2L, "common common mid rare3")).toDF("doc_id", "text")
     def rows(hotDf: Long) =
       CurationOps.rarityProfile(docs, rareMax = 3, hotDf = hotDf)
-        .select("doc_id", "n_tokens", "n_rare", "rare_frac", "mean_freq")
+        .select("doc_id", "n_tokens", "n_rare", "rare_ppm",
+          "mean_freq_x1000")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getDouble(3), r.getDouble(4))).toSet
+          r.getLong(3), r.getLong(4))).toSet
     val plain = rows(Long.MaxValue)
     // cf: common 6, mid 3, rare* 1 → n_rare counts mid + rare rows;
-    // mass = 2·6 + 3 + 1 = 16 per doc → mean 4.0
-    assert(plain.contains((0L, 4L, 2L, 0.5, 4.0)))
+    // mass = 2·6 + 3 + 1 = 16 per doc → 2/4 rare = 500000 ppm,
+    // mean 16/4 = 4 → 4000 per-mille
+    assert(plain.contains((0L, 4L, 2L, 500000L, 4000L)))
     assert(rows(5L) == plain)   // common is hot, mid+rare cold
     assert(rows(2L) == plain)   // common+mid hot, rare cold
     assert(rows(1L) == plain)   // everything above 1 hot
