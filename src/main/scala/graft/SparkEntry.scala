@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CdcQueries, ExtendedQueries, LlmQueries, RelationalQueries, TrainingQueries}
+import graft.operators.{CdcQueries, ExtendedQueries, LlmQueries, RelationalQueries, SelectionQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared queries, in module order. Names must be unique. */
   def registry: Seq[GraftQuery] =
     RelationalQueries.all ++ CdcQueries.all ++ LlmQueries.all ++
-      ExtendedQueries.all ++ TrainingQueries.all
+      ExtendedQueries.all ++ TrainingQueries.all ++
+      SelectionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

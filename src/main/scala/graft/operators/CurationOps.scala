@@ -313,6 +313,31 @@ object CurationOps {
         "freq_mass * 1000 div n_tokens"))
   }
 
+  /** Per-document n-gram novelty — the data-selection signal that
+    * rewards documents contributing content the corpus does not
+    * already have (the complement of [[rarityProfile]]'s boilerplate
+    * measure): the share of a document's DISTINCT word-bigram
+    * shingles occurring in NO other document. All exact integers;
+    * the ratio ships as truncating parts-per-million (the doc23
+    * float-free doctrine). Shape: distinct (doc, shingle) explosion →
+    * shingle-keyed document-frequency aggregate → equi-join back →
+    * doc-keyed aggregate — work ∝ corpus shingles, per-key fan-in
+    * bounded by the df of a shingle, never all-pairs. Docs with < 2
+    * tokens have no shingles and no row. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sh = DedupOps.docShingles(docs).distinct()
+    val dfreq = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("novel", (col("df") === 1L).cast("long"))
+      .select("shingle", "novel")
+    sh.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("novel")).as("n_novel"))
+      .withColumn("novelty_ppm", expr(
+        "CAST(n_novel AS DECIMAL(38,0)) * 1000000 div n_shingles"))
+  }
+
   /** Per-document lexical-diversity profile — the vocabulary-richness
     * quality signals (template/boilerplate text scores low on all
     * three): type-token ratio, hapax ratio (share of once-occurring

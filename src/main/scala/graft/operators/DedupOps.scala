@@ -257,6 +257,52 @@ object DedupOps {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    * Jaccard ESTIMATE (matching signature components out of `k`) next
+    * to the exact shingle Jaccard — the calibration a dedup rollout
+    * runs before trusting the sketch at full corpus scale, where
+    * exact verification of every pair is the cost being avoided. The
+    * output is all-integer (the doc23 float-free doctrine): match
+    * count, intersection/union sizes, and both ratios as truncating
+    * parts-per-million, plus their absolute error. Shape: the
+    * signature pass and candidate join are exactly [[verifiedNearDups]]'s
+    * (one groupBy + bucket join, never all-pairs); the per-pair audit
+    * joins signatures (k small ints per doc) and the candidates-first
+    * intersection count. */
+  def minhashAccuracy(docs: DataFrame, k: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sh = docShingles(docs).distinct()
+    val sig = signatureWithExtras(sh, k, Seq(count(lit(1)).as("n")),
+      HashScheme.FastMix)
+    val cands = lshCandidates(lshBands(sig, k, rowsPerBand))
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      col("n").as("n_a") +:
+      (0 until k).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      col("n").as("n_b") +:
+      (0 until k).map(i => col(s"h$i").as(s"hb$i")): _*)
+    val matchK = (0 until k).map(i =>
+      when(col(s"ha$i") === col(s"hb$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    cands
+      .join(inter, Seq("doc_a", "doc_b")) // zero-overlap cands drop
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("match_k", matchK)
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("est_ppm", expr(s"match_k * 1000000 div $k"))
+      .withColumn("true_ppm", expr(
+        "CAST(n_inter AS DECIMAL(38,0)) * 1000000 div n_union"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("true_ppm")))
+      .select("doc_a", "doc_b", "match_k", "n_inter", "n_union",
+        "est_ppm", "true_ppm", "err_ppm")
+  }
+
   /** 16-bit SimHash from the hex digits of per-token md5: bit i set when
     * the majority of token hashes have the top bit of nibble i set. */
   def simhash(docs: DataFrame): DataFrame = {

@@ -34,7 +34,7 @@ object LlmQueries {
       s"(CAST($c[$i] AS DOUBLE)*CAST($c[$i] AS DOUBLE))")
       .reduceLeft((acc, t) => s"($acc + $t)") + ")"
 
-  private def bucketSql(c: String, dim: Int, planes: Int,
+  private[operators] def bucketSql(c: String, dim: Int, planes: Int,
       offset: Int = 0): String = {
     val bits = (0 until planes).map { p =>
       val terms = (1 to dim).flatMap { i =>
@@ -146,7 +146,7 @@ object LlmQueries {
     * the verified pair set (doc04/doc10 select it directly; doc17
     * closes it transitively). `recursive` prefixes WITH RECURSIVE for
     * consumers that append a recursive CTE. */
-  private def minhashLshPairsCtes(shCtes: String, minJ: Double,
+  private[operators] def minhashLshPairsCtes(shCtes: String, minJ: Double,
       recursive: Boolean = false): String = {
     val U32 = "CAST('4294967296' AS HUGEINT)"
     def mulmod(a: String, c: java.math.BigInteger): String = {

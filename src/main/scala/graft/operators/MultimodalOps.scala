@@ -109,6 +109,38 @@ object MultimodalOps {
         (col("chunk_id") === col("n_chunks") - 1).as("is_last"))
   }
 
+  /** Modality-aware training-batch assembly over a chunk plan: each
+    * modality's chunk stream packs into byte-budgeted batches via a
+    * running-total window — the [[graft.operators.CurationOps.packSequences]]
+    * packer lifted to multimodal byte budgets, where each modality
+    * carries its OWN budget (image batches are byte-bound by decode
+    * memory, text by token count; one global budget starves one side
+    * or the other). Input needs (modality, doc_id, chunk_id,
+    * byte_len); output adds `batch_id` per chunk. Deterministic: the
+    * pack order is (doc_id, chunk_id) within modality, the running
+    * sum is exact integers, batch boundaries are truncating division.
+    * The window partitions by modality — bounded partitions at any
+    * corpus size require pre-sharding exactly like doc12's `shards`
+    * (compose with a shard column in the partitionBy at 100 TB). */
+  def batchAssembly(chunks: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long = 65536L): DataFrame = {
+    require(budgets.values.forall(_ > 0) && defaultBudget > 0,
+      "budgets must be positive")
+    val budgetCol = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultBudget)) { case (acc, (m, b)) =>
+        when(col("modality") === m, lit(b)).otherwise(acc)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("modality"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .withColumn("_budget", budgetCol)
+      .withColumn("_cum", sum(col("byte_len")).over(w))
+      .withColumn("batch_id",
+        expr("greatest(_cum - 1, 0L) div _budget"))
+      .drop("_budget", "_cum")
+  }
+
   /** Batch feature extraction: partition-iterator in/out, mirroring a
     * vectorized decode UDF's batch shape. */
   def extractFeatures(spark: SparkSession, media: DataFrame)

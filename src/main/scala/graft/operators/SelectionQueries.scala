@@ -1,0 +1,374 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Round-7 data-selection / retrieval queries: sketch calibration
+  * (MinHash estimate vs exact Jaccard, semantic-dedup threshold
+  * sweep), n-gram novelty scoring, prefix-dimension adaptive
+  * retrieval, and modality-aware batch assembly. All-integer hashed
+  * outputs wherever a ratio appears (truncating ppm divisions — the
+  * doc23 determinism doctrine); the cosine queries reuse the
+  * fixed-association double chains the emb01–15 oracles pin.
+  */
+object SelectionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  import LlmQueries.{bigramShCtes, bucketSql, dotSql, minhashLshPairsCtes, normSql}
+
+  // -------------------------------------------------------------- doc28
+  // n-gram novelty: the share of a doc's distinct bigram shingles that
+  // occur in no other document — the data-selection signal rewarding
+  // content the corpus doesn't already have. Exact integers end to
+  // end; ratio ships as truncating ppm.
+  private val doc28 = GraftQuery(
+    "doc28_ngram_novelty",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.ngramNovelty(t(s, dir, "documents"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH $bigramShCtes,
+      dfq AS (
+        SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+      a AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel
+        FROM sh JOIN dfq USING (shingle) GROUP BY doc_id)
+      SELECT doc_id, n_shingles, n_novel,
+        CAST((CAST(n_novel AS HUGEINT) * 1000000) // n_shingles
+          AS BIGINT) AS novelty_ppm
+      FROM a ORDER BY doc_id"""))
+
+  // -------------------------------------------------------------- doc29
+  // MinHash sketch-accuracy audit: per LSH candidate pair, the
+  // signature-match estimate (match_k/8) against the exact shingle
+  // Jaccard, both as truncating ppm plus the absolute error — the
+  // calibration that justifies trusting the sketch where exact
+  // verification is the cost being avoided. The oracle replays the
+  // full FastMix signature pipeline and re-derives both ratios.
+  private val doc29 = GraftQuery(
+    "doc29_minhash_accuracy",
+    (s, dir) => {
+      import s.implicits._
+      DedupOps.minhashAccuracy(t(s, dir, "documents"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(minhashLshPairsCtes(bigramShCtes, minJ = 0.0) + s""",
+      mk AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(${(0 until 8).map(i =>
+            s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS BIGINT) AS match_k
+        FROM cands c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b),
+      audit AS (
+        SELECT p.doc_a, p.doc_b, mk.match_k, p.n_inter,
+          CAST(na.n + nb.n - p.n_inter AS BIGINT) AS n_union,
+          CAST((mk.match_k * 1000000) // 8 AS BIGINT) AS est_ppm,
+          CAST((CAST(p.n_inter AS HUGEINT) * 1000000)
+            // (na.n + nb.n - p.n_inter) AS BIGINT) AS true_ppm
+        FROM pairs p
+        JOIN mk ON mk.doc_a = p.doc_a AND mk.doc_b = p.doc_b
+        JOIN sizes na ON na.doc_id = p.doc_a
+        JOIN sizes nb ON nb.doc_id = p.doc_b)
+      SELECT doc_a, doc_b, match_k, n_inter, n_union, est_ppm,
+        true_ppm, CAST(abs(est_ppm - true_ppm) AS BIGINT) AS err_ppm
+      FROM audit ORDER BY doc_a, doc_b"""))
+
+  // -------------------------------------------------------------- emb16
+  // Prefix-dimension adaptive retrieval (the Matryoshka pattern):
+  // 16-dim cosine shortlists 20 candidates/query, full 64-dim exact
+  // re-rank keeps 5. The oracle replays both stages with the same
+  // fixed-association dot chains over the sliced index range.
+  private val emb16 = GraftQuery(
+    "emb16_prefix_rerank",
+    (s, dir) =>
+      SimilarityOps.prefixRerankTopK(t(s, dir, "embeddings"))
+        .orderBy(col("query_id"), col("rnk")),
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding,
+          ${normSql("embedding", 16)} AS p_norm,
+          ${normSql("embedding", 64)} AS e_norm
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb,
+          p_norm AS qp_norm, e_norm AS qe_norm
+        FROM base WHERE vec_id < 8),
+      pre AS (
+        SELECT q.query_id, b.vec_id, b.embedding, b.e_norm,
+          q.q_emb, q.qe_norm,
+          (${dotSql("q.q_emb", "b.embedding", 16)})
+            / (q.qp_norm * b.p_norm) AS p_cos
+        FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+      sl AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY p_cos DESC, vec_id) AS prn
+        FROM pre),
+      rr AS (
+        SELECT query_id, vec_id,
+          (${dotSql("q_emb", "embedding", 64)})
+            / (qe_norm * e_norm) AS cos
+        FROM sl WHERE prn <= 20),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        FROM rr)
+      SELECT query_id, vec_id AS neighbor_id, rnk, cos
+      FROM ranked WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+
+  // -------------------------------------------------------------- emb17
+  // Semantic-dedup threshold calibration: near-dup pair count and
+  // would-drop doc count at a permille threshold ladder, from ONE
+  // bucketed pair pass at the ladder floor. Integer thresholds and
+  // counts; the cosine itself never enters the hashed output.
+  private val emb17 = GraftQuery(
+    "emb17_threshold_curve",
+    (s, dir) =>
+      SimilarityOps.thresholdCurve(t(s, dir, "embeddings"))
+        .orderBy(col("thr_permille")),
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding,
+          ${bucketSql("embedding", 64, 6)} AS bucket,
+          ${normSql("embedding", 64)} AS e_norm
+        FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+          (${dotSql("a.embedding", "c.embedding", 64)})
+            / (a.e_norm * c.e_norm) AS cos
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE (${dotSql("a.embedding", "c.embedding", 64)})
+            / (a.e_norm * c.e_norm) >= 0.3),
+      t AS (
+        SELECT CAST(unnest([300, 350, 400, 500]) AS BIGINT)
+          AS thr_permille)
+      SELECT t.thr_permille, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(COUNT(DISTINCT p.id_b) AS BIGINT) AS n_dropped_docs
+      FROM t JOIN p
+        ON p.cos >= CAST(t.thr_permille AS DOUBLE) / 1000.0
+      GROUP BY t.thr_permille
+      ORDER BY thr_permille"""))
+
+  // -------------------------------------------------------------- mm05
+  // Modality-aware batch assembly: the mm04 chunk plan streams into
+  // byte-budgeted training batches with a PER-MODALITY budget
+  // (text 1 KiB, image 4 KiB, audio 2 KiB here), reported per
+  // (modality, batch). Pure integer window arithmetic.
+  private val mm05 = GraftQuery(
+    "mm05_batch_assembly",
+    (s, dir) => {
+      import s.implicits._
+      val chunks = MultimodalOps.chunkPlan(
+          MultimodalOps.toMediaColumns(t(s, dir, "documents")),
+          chunkBytes = 128, overlapBytes = 32)
+        .withColumn("modality",
+          expr("CASE pmod(doc_id, 3) WHEN 0 THEN 'text' " +
+            "WHEN 1 THEN 'image' ELSE 'audio' END"))
+      MultimodalOps.batchAssembly(chunks,
+          Map("text" -> 1024L, "image" -> 4096L, "audio" -> 2048L))
+        .groupBy($"modality", $"batch_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum($"byte_len").as("batch_bytes"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"modality", $"batch_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, n,
+          GREATEST(1, (GREATEST(n - 32, 0) + 95) // 96) AS n_chunks
+        FROM m),
+      e AS (
+        SELECT doc_id, n, n_chunks,
+          unnest(range(0, n_chunks)) AS chunk_id
+        FROM c),
+      ch AS (
+        SELECT doc_id, chunk_id,
+          LEAST(128, n - chunk_id * 96) AS byte_len,
+          CASE doc_id % 3 WHEN 0 THEN 'text'
+            WHEN 1 THEN 'image' ELSE 'audio' END AS modality
+        FROM e),
+      budgeted AS (
+        SELECT *, CASE modality WHEN 'text' THEN 1024
+          WHEN 'image' THEN 4096 ELSE 2048 END AS budget,
+          SUM(byte_len) OVER (PARTITION BY modality
+            ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING)
+            AS cum
+        FROM ch),
+      assigned AS (
+        SELECT *, CAST(GREATEST(cum - 1, 0) // budget AS BIGINT)
+          AS batch_id
+        FROM budgeted)
+      SELECT modality, batch_id, COUNT(*) AS n_chunks,
+        CAST(SUM(byte_len) AS BIGINT) AS batch_bytes,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM assigned GROUP BY modality, batch_id
+      ORDER BY modality, batch_id"""))
+
+  // -------------------------------------------------------------- emb18
+  // ANN recall@5 acceptance report: per query, how many of the exact
+  // cosine top-5 the LSH path recovered — the rollout metric before
+  // trading exactness for candidate pruning. Integer hits and
+  // truncating-ppm recall; the oracle replays BOTH rankings.
+  private val emb18 = GraftQuery(
+    "emb18_ann_recall",
+    (s, dir) =>
+      SimilarityOps.recallAtK(t(s, dir, "embeddings"))
+        .orderBy(col("query_id")),
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding,
+          ${normSql("embedding", 64)} AS e_norm,
+          ${bucketSql("embedding", 64, 6)} AS bucket
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb,
+          e_norm AS q_norm, bucket
+        FROM base WHERE vec_id < 8),
+      ex AS (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM (
+          SELECT q.query_id, b.vec_id,
+            (${dotSql("q.q_emb", "b.embedding", 64)})
+              / (q.q_norm * b.e_norm) AS cos
+          FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id)),
+      exk AS (SELECT query_id, vec_id FROM ex WHERE rnk <= 5),
+      an AS (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM (
+          SELECT q.query_id, b.vec_id,
+            (${dotSql("q.q_emb", "b.embedding", 64)})
+              / (q.q_norm * b.e_norm) AS cos
+          FROM base b JOIN q
+            ON b.bucket = q.bucket AND b.vec_id <> q.query_id)),
+      ank AS (SELECT query_id, vec_id FROM an WHERE rnk <= 5),
+      h AS (
+        SELECT e.query_id, COUNT(a.vec_id) AS n_hits
+        FROM exk e LEFT JOIN ank a
+          ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        GROUP BY e.query_id)
+      SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+        CAST((n_hits * 1000000) // 5 AS BIGINT) AS recall_ppm
+      FROM h ORDER BY query_id"""))
+
+  // -------------------------------------------------------------- q56
+  // Nearest-event join (two-sided as-of): each event matches its
+  // user's closest order-day aggregate in EITHER time direction, ties
+  // to the backward match — one keyed sort + two frame aggregates,
+  // never a non-equi join. The oracle states the semantics directly
+  // as a per-row lateral minimum over exact epoch-microsecond
+  // distances (same tie-break), which DuckDB can afford at sf0.01.
+  private val q56 = GraftQuery(
+    "q56_nearest_join",
+    (s, dir) => {
+      import s.implicits._
+      val events = t(s, dir, "events")
+      val daily = t(s, dir, "orders")
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(count(lit(1)).as("n_orders"))
+      TemporalOps.nearestJoin(
+        events.select($"event_id", $"user_id", $"ts"),
+        daily, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderdate", "n_orders"))
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("event_time"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("nearest_day"),
+          $"n_orders", $"gap_us")
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_custkey, o_orderdate, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey, o_orderdate)
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+        strftime(n.o_orderdate, '%Y-%m-%d') AS nearest_day,
+        n.n_orders,
+        epoch_us(e.ts) - epoch_us(CAST(n.o_orderdate AS TIMESTAMP))
+          AS gap_us
+      FROM events e
+      LEFT JOIN LATERAL (
+        SELECT d.o_orderdate, d.n_orders
+        FROM daily d WHERE d.o_custkey = e.user_id
+        ORDER BY abs(epoch_us(e.ts)
+          - epoch_us(CAST(d.o_orderdate AS TIMESTAMP))), d.o_orderdate
+        LIMIT 1) n ON TRUE
+      ORDER BY e.event_id"""))
+
+  // -------------------------------------------------------------- cdc26
+  // Incrementally-maintained JOIN view (IncrementalJoin): latest
+  // purchase ⋈ latest click per user, maintained from 3 change
+  // batches per side plus an OUT-OF-ORDER redelivery of batch 1 —
+  // must equal the one-shot join of the two latest-state windows,
+  // which is exactly what the oracle states. Per-batch cost is dirty
+  // keys + touched partitions, never table size.
+  private val cdc26 = GraftQuery(
+    "cdc26_join_view",
+    (s, dir) => {
+      import s.implicits._
+      val (lt, rt, vt) = ("cdc26_purch", "cdc26_click", "cdc26_view")
+      Seq(lt, rt, vt, s"${lt}_stage", s"${rt}_stage", s"${vt}_stage")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val ev = t(s, dir, "events")
+      val purch = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_type".as("p_op"),
+          $"event_id".as("p_event_id"), $"ts".as("p_ts"),
+          $"value".as("p_value"))
+      val click = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_type".as("c_op"),
+          $"event_id".as("c_event_id"), $"ts".as("c_ts"))
+      def pb(i: Int) = purch.filter(pmod($"p_event_id", lit(3)) === i)
+      def cb(i: Int) = click.filter(pmod($"c_event_id", lit(3)) === i)
+      Seq(0, 1, 2, 1).foreach { i =>
+        graft.streaming.IncrementalJoin.applyBatch(s, lt, rt, vt,
+          Some(pb(i)), Some(cb(i)), "user_id",
+          Seq("p_ts", "p_event_id"), Seq("c_ts", "c_event_id"),
+          nBuckets = 8, leftOpCol = "p_op", rightOpCol = "c_op")
+      }
+      graft.streaming.IncrementalJoin.readView(s, vt)
+        .select($"user_id", $"p_event_id",
+          date_format($"p_ts", "yyyy-MM-dd HH:mm:ss").as("p_time"),
+          $"p_value", $"c_event_id",
+          date_format($"c_ts", "yyyy-MM-dd HH:mm:ss").as("c_time"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id, ts, value, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, event_id, ts, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'click')
+      SELECT p.user_id, p.event_id AS p_event_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_time,
+        p.value AS p_value,
+        c.event_id AS c_event_id,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_time
+      FROM p JOIN c
+        ON p.user_id = c.user_id AND p.rn = 1 AND c.rn = 1
+      ORDER BY p.user_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26)
+}
+

@@ -561,6 +561,96 @@ object SimilarityOps {
         col("rnk"), col("adc"))
   }
 
+  /** Adaptive two-stage exact retrieval (the Matryoshka / prefix-
+    * dimension pattern): a cheap cosine on the first `prefixDim`
+    * dimensions shortlists `shortlist` candidates per query; only the
+    * shortlist pays the full-dimension exact re-rank. At scale the
+    * first stage does `prefixDim/dim` of brute force's flops (and,
+    * with the prefix materialized as its own column, that fraction of
+    * the bytes), while the re-rank touches `shortlist` rows per query
+    * — recall loss is confined to true neighbors whose prefix rank
+    * falls outside the shortlist margin. Both stages broadcast the
+    * tiny query set; the corpus is never shuffled (the window
+    * partitions by query over shortlist-sized groups). */
+  def prefixRerankTopK(embs: DataFrame, dim: Int = 64,
+      prefixDim: Int = 16, nQueries: Int = 8, shortlist: Int = 20,
+      k: Int = 5): DataFrame = {
+    require(prefixDim < dim, s"prefixDim $prefixDim must be < dim $dim")
+    def pfx(c: Column): Column = slice(c, 1, prefixDim)
+    val corpus = embs.select(col("vec_id"), col("embedding"),
+      norm(pfx(col("embedding")), prefixDim).as("p_norm"),
+      norm(col("embedding"), dim).as("e_norm"))
+    val queries = embs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        norm(pfx(col("embedding")), prefixDim).as("qp_norm"),
+        norm(col("embedding"), dim).as("qe_norm"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("p_cos").desc, col("vec_id"))
+    val short = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("p_cos",
+        dot(pfx(col("q_emb")), pfx(col("embedding")), prefixDim) /
+          (col("qp_norm") * col("p_norm")))
+      .withColumn("prn", row_number().over(wPre))
+      .filter(col("prn") <= shortlist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    short
+      .withColumn("cos", dot(col("q_emb"), col("embedding"), dim) /
+        (col("qe_norm") * col("e_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("cos"))
+  }
+
+  /** Semantic-dedup threshold calibration: the near-dup pair count at
+    * a ladder of cosine thresholds (permille, exact integers in the
+    * output) — the sweep a production rollout runs BEFORE committing
+    * to a single threshold, since the kept-corpus size is a step
+    * function of it. One pass: the bucketed pair set is computed once
+    * at the ladder's floor, then each pair contributes to every rung
+    * it clears (explode over a ≤10-element literal array — no
+    * re-scan per rung, no cross join). */
+  def thresholdCurve(embs: DataFrame, dim: Int = 64, planes: Int = 6,
+      thresholdsPermille: Seq[Int] = Seq(300, 350, 400, 500))
+      : DataFrame = {
+    require(thresholdsPermille.nonEmpty, "empty threshold ladder")
+    val floor = thresholdsPermille.min / 1000.0
+    val pairs = embeddingNearDups(embs, dim, planes, minCos = floor)
+    pairs
+      .withColumn("thr_permille",
+        explode(array(thresholdsPermille.sorted.map(t =>
+          lit(t.toLong)): _*)))
+      .filter(col("cos") >= col("thr_permille").cast("double") / 1000.0)
+      .groupBy("thr_permille")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_dropped_docs"))
+  }
+
+  /** Measured recall@k of the LSH ANN path against the exact
+    * brute-force baseline, per query — the acceptance metric an ANN
+    * rollout reports before trading exactness for speed (the query
+    * twin of [[graft.operators.AnnTuner]]'s internal sample recall).
+    * All-integer output: hit count and truncating-ppm recall. Cost:
+    * both rankings broadcast the ≤nQueries query set; the join of
+    * the two k-sized toplists is per-query tiny. */
+  def recallAtK(embs: DataFrame, dim: Int = 64, planes: Int = 6,
+      nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(embs, dim, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = lshTopK(embs, dim, planes, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall_ppm", expr(s"n_hits * 1000000 div $k"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def embeddingNearDups(embs: DataFrame, dim: Int = 64, planes: Int = 6,
       minCos: Double = 0.9): DataFrame = {

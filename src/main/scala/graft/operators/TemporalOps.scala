@@ -62,6 +62,72 @@ object TemporalOps {
           valueCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
+  /** NEAREST-event join — [[asOfJoin]]'s two-sided sibling: each left
+    * row matches the right row (same key) with the smallest absolute
+    * time distance, in EITHER direction; ties prefer the backward
+    * (earlier-or-equal) match. The enrichment a feature pipeline
+    * wants when "most recent state" is wrong for events landing just
+    * before a snapshot.
+    *
+    * Same scalable shape as [[asOfJoin]] — union both sides, ONE
+    * keyed sort, two frame aggregates over it (backward
+    * last-ignore-nulls, forward first-ignore-nulls) — so the cost is
+    * one shuffle of left+right on the key, never a per-row probe or
+    * a non-equi join. The distance compare runs on exact
+    * `unix_micros` longs (no float time arithmetic). Left rows with
+    * no right rows at all keep NULL values (left-join semantics).
+    * Right rows must be unique per (key, time) — same contract as
+    * [[asOfJoin]] (pre-aggregate the right side to make it so). */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightVal = right.select(
+      (col(rightTime).cast("timestamp") +: valueCols.map(col)): _*)
+    val valSchema = org.apache.spark.sql.types.StructType(
+      rightVal.schema.fields.zipWithIndex.map { case (f, i) =>
+        if (i == 0) f.copy(name = "__rt") else f
+      })
+    val rightU = right.select(
+      col(rightKey).as("__k"),
+      col(rightTime).cast("timestamp").as("__t"),
+      lit(0).as("__side"),
+      struct(col(rightTime).cast("timestamp").as("__rt") +:
+        valueCols.map(col): _*).as("__val"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        left.schema.fields)).as("__row"))
+    val leftU = left.select(
+      col(leftKey).as("__k"),
+      col(leftTime).cast("timestamp").as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(valSchema).as("__val"),
+      struct(leftCols.map(col): _*).as("__row"))
+    // at equal __t the right row sorts first, so backward covers
+    // t_r <= t_l and forward strictly t_r > t_l
+    val ord = Seq(col("__t"), col("__side"))
+    val wB = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val gapTo = (v: org.apache.spark.sql.Column) =>
+      abs(unix_micros(col("__t")) - unix_micros(v.getField("__rt")))
+    val chosen = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(gapTo(col("__b")) <= gapTo(col("__f")), col("__b"))
+      .otherwise(col("__f"))
+    rightU.unionByName(leftU)
+      .withColumn("__b", last(col("__val"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__val"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+      .withColumn("__n", chosen)
+      .select(
+        leftCols.map(c => col(s"__row.$c").as(c)) ++
+          valueCols.map(c => col(s"__n.$c").as(c)) :+
+          (unix_micros(col("__t")) -
+            unix_micros(col("__n.__rt"))).as("gap_us"): _*)
+  }
+
   /** Interval (range) self-join: all pairs of rows sharing `key` whose
     * timestamps lie within `maxGapMs`, canonicalized earlier→later.
     *

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained equi-JOIN view over two [[CdcMerge]] state
+  * tables — the derived-view family's join member ([[IncrementalAgg]]
+  * maintains aggregates, [[IncrementalStats]] extrema/moments, this
+  * maintains `leftState ⋈ rightState` on a shared key). The view a
+  * feature store serves ("user's latest purchase joined to their
+  * latest click") without re-joining two full tables per batch.
+  *
+  * Per batch: merge each side's change batch into its state table
+  * (idempotent, [[CdcMerge.applyBatch]]), then recompute the view rows
+  * of DIRTY KEYS ONLY — keys present in either batch: `fresh` is the
+  * two post-merge states restricted to the dirty set (broadcast
+  * semi-joins; the dirty set is batch-sized) joined on the key, and
+  * only the view partitions those keys hash into are rewritten, each
+  * rebuilt as (its rows for non-dirty keys) ∪ fresh. Cost ∝ batch +
+  * touched partitions — never either table's size, the property that
+  * keeps a 100 TB view maintainable from a trickle of changes.
+  *
+  * Correctness contracts (spec-pinned):
+  *  - **Equivalence**: after any batch sequence, the view equals the
+  *    one-shot `readState(left) ⋈ readState(right)` (cdc26 pins this
+  *    against the DuckDB oracle).
+  *  - **Idempotent replay**: state merges are idempotent and the view
+  *    rewrite is a pure function of the two post-merge states and the
+  *    batch's key set — a redelivered batch rewrites identical
+  *    partitions.
+  *  - **Unmatch removal**: a dirty key whose join no longer matches
+  *    (one side tombstoned, or never present) contributes no fresh
+  *    rows, and the partition overwrite removes its stale view rows
+  *    wholesale; a partition drained to zero rows is dropped outright
+  *    (dynamic overwrite cannot write an empty partition — the
+  *    [[Scd2Merge.vacuumClosed]] rule).
+  *
+  * Left and right value columns must be disjoint apart from `keyCol`
+  * (pre-project each side — the cdc26 query renames per side). */
+object IncrementalJoin {
+
+  /** Merge the change batches (either may be absent) and maintain
+    * `viewTable`. Each side's `opCol` marks tombstones per
+    * [[CdcMerge.readState]]'s contract. */
+  def applyBatch(spark: SparkSession, leftTable: String,
+      rightTable: String, viewTable: String,
+      leftBatch: Option[DataFrame], rightBatch: Option[DataFrame],
+      keyCol: String, leftVersionCols: Seq[String],
+      rightVersionCols: Seq[String], nBuckets: Int = 8,
+      leftOpCol: String = "event_type", rightOpCol: String = "event_type",
+      deleteOp: String = "Delete"): Unit = {
+    leftBatch.foreach(b => CdcMerge.applyBatch(spark, leftTable, b,
+      keyCol, leftVersionCols, nBuckets))
+    rightBatch.foreach(b => CdcMerge.applyBatch(spark, rightTable, b,
+      keyCol, rightVersionCols, nBuckets))
+    val dirty = (leftBatch.toSeq ++ rightBatch.toSeq)
+      .map(_.select(col(keyCol)))
+      .reduceOption(_ unionByName _)
+      .map(_.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .getOrElse(return)
+    try {
+      // touched view partitions: driver-side but bounded by nBuckets;
+      // derived from the DIRTY KEYS, not from fresh rows, so a key
+      // whose join vanished still gets its partition rewritten
+      val touched = dirty
+        .select(pmod(xxhash64(col(keyCol)), lit(nBuckets)).as("_kb"))
+        .distinct().collect().map(_.getLong(0))
+      if (touched.isEmpty) return
+
+      val l = CdcMerge.readState(spark, leftTable, leftOpCol, deleteOp)
+        .join(broadcast(dirty), Seq(keyCol), "left_semi")
+      val r = CdcMerge.readState(spark, rightTable, rightOpCol, deleteOp)
+        .join(broadcast(dirty), Seq(keyCol), "left_semi")
+      val fresh = l.join(r, Seq(keyCol))
+        .withColumn("_kb", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
+
+      if (!spark.catalog.tableExists(viewTable)) {
+        // clear a partial warehouse dir a crashed first write left
+        CdcMerge.dropStateTable(spark, viewTable)
+        fresh.repartition(col("_kb"))
+          .write.mode("overwrite").format("parquet")
+          .partitionBy("_kb").saveAsTable(viewTable)
+        return
+      }
+      spark.catalog.refreshTable(viewTable)
+      val cols = spark.table(viewTable).columns
+      val keep = spark.table(viewTable)
+        .filter(col("_kb").isin(touched.toSeq: _*))
+        .join(broadcast(dirty), Seq(keyCol), "left_anti")
+      val merged = keep.unionByName(fresh.select(cols.toSeq.map(col): _*))
+      val stage = s"${viewTable}_stage"
+      if (!spark.catalog.tableExists(stage))
+        CdcMerge.dropStateTable(spark, stage)
+      merged.repartition(col("_kb"))
+        .write.mode("overwrite").format("parquet").saveAsTable(stage)
+      val stagedKbs = spark.table(stage).select("_kb").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val prev =
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "dynamic")
+      try spark.table(stage).select(cols.toSeq.map(col): _*)
+        .write.mode("overwrite").insertInto(viewTable)
+      finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prev)
+      // a touched partition with NO surviving rows is absent from the
+      // stage — dynamic overwrite left its stale files; drop it
+      touched.filterNot(stagedKbs).foreach { kb =>
+        spark.sql(s"ALTER TABLE $viewTable DROP IF EXISTS " +
+          s"PARTITION (_kb=$kb)")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      spark.catalog.refreshTable(viewTable)
+    } finally dirty.unpersist()
+  }
+
+  /** The maintained view, without the bucketing column. */
+  def readView(spark: SparkSession, viewTable: String): DataFrame = {
+    spark.catalog.refreshTable(viewTable)
+    spark.table(viewTable).drop("_kb")
+  }
+}

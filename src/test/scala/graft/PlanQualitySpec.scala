@@ -57,7 +57,11 @@ class PlanQualitySpec extends SparkSpec {
       "emb14_incremental_ivf",
       // emb15: filtered ANN — the same ≤8-row centroid broadcast as
       // emb05, with the metadata predicate applied scan-side
-      "emb15_filtered_ann")
+      "emb15_filtered_ann",
+      // emb16: prefix re-rank — the emb01-style ≤8-row query-set
+      // broadcast against the corpus scan; the re-rank stage then
+      // touches only shortlist-sized windows
+      "emb16_prefix_rerank")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

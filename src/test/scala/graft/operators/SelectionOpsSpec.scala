@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-7 selection/retrieval operators: n-gram novelty, MinHash
+  * accuracy audit, prefix re-rank retrieval, threshold calibration,
+  * modality-aware batch assembly. */
+class SelectionOpsSpec extends SparkSpec {
+
+  test("ngramNovelty: exact counts on a constructed corpus") {
+    import spark.implicits._
+    // doc 0 shares "a b"/"b c" with doc 1; "c z" is doc 0's alone;
+    // doc 2 is fully novel; doc 3 has one token -> no shingles
+    val docs = Seq(
+      (0L, "a b c z"),
+      (1L, "a b c"),
+      (2L, "p q r"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = CurationOps.ngramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_ppm"))).toMap
+    assert(got(0L) == (3L, 1L, 333333L)) // a b, b c shared; c z novel
+    assert(got(1L) == (2L, 0L, 0L))
+    assert(got(2L) == (2L, 2L, 1000000L))
+    assert(!got.contains(3L))
+  }
+
+  test("minhashAccuracy: identical docs estimate exactly; error bounded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical to 1
+      (3L, "alpha beta gamma delta epsilon eta"),  // near-dup of 1
+      (4L, "one two three four five six")).toDF("doc_id", "text")
+    val rows = DedupOps.minhashAccuracy(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("match_k"), r.getAs[Long]("n_inter"),
+          r.getAs[Long]("n_union"), r.getAs[Long]("est_ppm"),
+          r.getAs[Long]("true_ppm"), r.getAs[Long]("err_ppm"))).toMap
+    // identical docs: all 8 components match, J = 1 exactly
+    val (mk, ni, nu, est, tru, err) = rows((1L, 2L))
+    assert(mk == 8L && est == 1000000L && tru == 1000000L && err == 0L)
+    assert(ni == nu)
+    // every audited pair: est/true consistent with their integers
+    rows.values.foreach { case (m, i, u, e, t, er) =>
+      assert(m >= 0 && m <= 8 && i >= 1 && u >= i)
+      assert(e == m * 1000000L / 8)
+      assert(t == i * 1000000L / u)
+      assert(er == math.abs(e - t))
+    }
+  }
+
+  test("prefixRerankTopK: full-corpus shortlist reproduces brute force") {
+    import spark.implicits._
+    // deterministic 64-dim vectors with varied direction
+    val embs = (0L until 30L).map { id =>
+      (id, (1 to 64).map(j =>
+        ((id * 31 + j * 7) % 13 - 6).toFloat / 6f).toArray)
+    }.toDF("vec_id", "embedding")
+    val exact = SimilarityOps.bruteForceTopK(embs, k = 5)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // shortlist >= corpus: stage-1 pruning keeps everything, so the
+    // re-rank must equal exact brute force
+    val full = SimilarityOps.prefixRerankTopK(embs, shortlist = 30, k = 5)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact)
+    // tight shortlist still returns k rows per query, ranked 1..k
+    val tight = SimilarityOps.prefixRerankTopK(embs, shortlist = 8, k = 5)
+      .collect()
+    assert(tight.length == 8 * 5)
+    assert(tight.groupBy(_.getAs[Long]("query_id")).values
+      .forall(_.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to 5L)))
+  }
+
+  test("thresholdCurve: rung counts equal direct filters; monotone") {
+    import spark.implicits._
+    // ids 20..39 are near-identical twins of 0..19 (one coordinate
+    // nudged), so the ladder's upper rungs are guaranteed non-empty
+    def base(id: Long) = (1 to 64).map(j =>
+      ((id * 17 + j * 3) % 11 - 5).toFloat / 5f).toArray
+    val embs = ((0L until 20L).map(id => (id, base(id))) ++
+      (20L until 40L).map { id =>
+        val v = base(id - 20); v(0) += 0.01f; (id, v)
+      }).toDF("vec_id", "embedding")
+    val thresholds = Seq(300, 400, 500)
+    val curve = SimilarityOps.thresholdCurve(embs,
+        thresholdsPermille = thresholds).collect()
+      .map(r => r.getAs[Long]("thr_permille") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dropped_docs")))
+      .toMap
+    val pairs = SimilarityOps.embeddingNearDups(embs, minCos = 0.3)
+    assert(curve.nonEmpty, "twin vectors must produce ladder rungs")
+    thresholds.foreach { thr =>
+      val direct = pairs.filter(col("cos") >= thr.toDouble / 1000.0)
+      val expectPairs = direct.count()
+      val expectDropped = direct.select("id_b").distinct().count()
+      if (expectPairs == 0) assert(!curve.contains(thr.toLong))
+      else assert(curve(thr.toLong) == (expectPairs, expectDropped))
+    }
+    // monotone: higher rung never has more pairs
+    val present = thresholds.map(_.toLong).filter(curve.contains)
+    present.sliding(2).foreach {
+      case Seq(lo, hi) => assert(curve(lo)._1 >= curve(hi)._1)
+      case _ => ()
+    }
+  }
+
+  test("recallAtK: hits equal the toplist intersection; all queries appear") {
+    import spark.implicits._
+    val embs = (0L until 30L).map { id =>
+      (id, (1 to 64).map(j =>
+        ((id * 31 + j * 7) % 13 - 6).toFloat / 6f).toArray)
+    }.toDF("vec_id", "embedding")
+    def toplist(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = toplist(SimilarityOps.bruteForceTopK(embs, k = 5))
+    val ann = toplist(SimilarityOps.lshTopK(embs, k = 5))
+    val got = SimilarityOps.recallAtK(embs).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).toMap
+    assert(got.keySet == (0L until 8L).toSet) // zero-hit queries kept
+    got.foreach { case (q, (hits, ppm)) =>
+      assert(hits == exact.count { case (eq, n) =>
+        eq == q && ann.contains((q, n)) })
+      assert(ppm == hits * 1000000L / 5)
+    }
+  }
+
+  test("batchAssembly: per-modality budgets, exact boundaries, default") {
+    import spark.implicits._
+    val chunks = Seq(
+      // text budget 100: 60+60 crosses at the second chunk
+      ("text", 1L, 0L, 60L), ("text", 1L, 1L, 60L),
+      ("text", 2L, 0L, 100L),
+      // image budget 300: all three fit in batch 0
+      ("image", 3L, 0L, 100L), ("image", 3L, 1L, 100L),
+      ("image", 4L, 0L, 100L),
+      // unknown modality -> default budget 150
+      ("video", 5L, 0L, 100L), ("video", 5L, 1L, 100L))
+      .toDF("modality", "doc_id", "chunk_id", "byte_len")
+    val got = MultimodalOps.batchAssembly(chunks,
+        Map("text" -> 100L, "image" -> 300L), defaultBudget = 150L)
+      .collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_id")) -> r.getAs[Long]("batch_id")).toMap
+    assert(got(("text", 1L, 0L)) == 0L)  // cum 60
+    assert(got(("text", 1L, 1L)) == 1L)  // cum 120 -> (119)/100 = 1
+    assert(got(("text", 2L, 0L)) == 2L)  // cum 220 -> (219)/100 = 2
+    assert(got(("image", 3L, 0L)) == 0L)
+    assert(got(("image", 3L, 1L)) == 0L)
+    assert(got(("image", 4L, 0L)) == 0L) // cum 300 -> (299)/300 = 0
+    assert(got(("video", 5L, 0L)) == 0L)
+    assert(got(("video", 5L, 1L)) == 1L) // cum 200 -> (199)/150 = 1
+  }
+}
