@@ -311,6 +311,14 @@ object CurationOps {
         "CAST(n_rare AS DECIMAL(38,0)) * 1000000 div n_tokens"))
       .withColumn("mean_freq_x1000", expr(
         "freq_mass * 1000 div n_tokens"))
+      // The DECIMAL(38,0) lives only in the accumulation above: the
+      // SHIPPED freq_mass is BIGINT so every hashed column of this
+      // output is int64 — decimal128 wire/canonicalization differences
+      // between engines can't flip the hash. ANSI cast errors loudly
+      // (rather than wraps) if a corpus ever pushes a per-doc mass
+      // past 2^63, at which point widen the output contract
+      // deliberately on both engines.
+      .withColumn("freq_mass", col("freq_mass").cast("long"))
   }
 
   /** Per-document n-gram novelty — the data-selection signal that

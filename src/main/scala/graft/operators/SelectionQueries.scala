@@ -368,7 +368,70 @@ object SelectionQueries {
         ON p.user_id = c.user_id AND p.rn = 1 AND c.rn = 1
       ORDER BY p.user_id"""))
 
+  // -------------------------------------------------------------- cdc27
+  // Incrementally-maintained NEAREST-join view (IncrementalNearestJoin
+  // — q56's streaming sibling): each purchase event enriched with its
+  // user's closest order-day aggregate in either direction, maintained
+  // from 3 change batches per side plus an OUT-OF-ORDER redelivery of
+  // batch 1 — must equal the one-shot q56-shape join over all events,
+  // which is exactly what the oracle states (per-row lateral minimum
+  // over exact epoch-microsecond distances, ties backward). Per-batch
+  // cost is dirty keys' group sizes + touched partitions, never table
+  // size; a new order can FLIP the match of an untouched event, which
+  // is why invalidation is per join key, not per changed row.
+  private val cdc27 = GraftQuery(
+    "cdc27_nearest_view",
+    (s, dir) => {
+      import s.implicits._
+      val (lt, rt, vt) = ("cdc27_ev", "cdc27_ord", "cdc27_view")
+      Seq(lt, rt, vt, s"${lt}_stage", s"${rt}_stage", s"${vt}_stage")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val ev = t(s, dir, "events").filter($"event_type" === "purchase")
+        .select($"user_id", $"event_type".as("e_op"), $"event_id",
+          $"ts")
+      val ord = t(s, dir, "orders")
+        .select($"o_custkey".as("user_id"), lit("Insert").as("o_op"),
+          $"o_orderkey", $"o_orderdate")
+      def eb(i: Int) = ev.filter(pmod($"event_id", lit(3)) === i)
+      def ob(i: Int) = ord.filter(pmod($"o_orderkey", lit(3)) === i)
+      Seq(0, 1, 2, 1).foreach { i =>
+        graft.streaming.IncrementalNearestJoin.applyBatch(s, lt, rt,
+          vt, Some(eb(i)), Some(ob(i)), "user_id", "event_id",
+          "o_orderkey", Seq("ts", "event_id"),
+          Seq("o_orderdate", "o_orderkey"), "ts", "o_orderdate",
+          Seq("o_orderdate", "n_orders"),
+          rightPrep = r => r.groupBy($"user_id", $"o_orderdate")
+            .agg(count(lit(1)).as("n_orders")),
+          nBuckets = 8, leftOpCol = "e_op", rightOpCol = "o_op")
+      }
+      graft.streaming.IncrementalNearestJoin.readView(s, vt)
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("event_time"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("nearest_day"),
+          $"n_orders", $"gap_us")
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_custkey, o_orderdate, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey, o_orderdate)
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+        strftime(n.o_orderdate, '%Y-%m-%d') AS nearest_day,
+        n.n_orders,
+        epoch_us(e.ts) - epoch_us(CAST(n.o_orderdate AS TIMESTAMP))
+          AS gap_us
+      FROM events e
+      LEFT JOIN LATERAL (
+        SELECT d.o_orderdate, d.n_orders
+        FROM daily d WHERE d.o_custkey = e.user_id
+        ORDER BY abs(epoch_us(e.ts)
+          - epoch_us(CAST(d.o_orderdate AS TIMESTAMP))), d.o_orderdate
+        LIMIT 1) n ON TRUE
+      WHERE e.event_type = 'purchase'
+      ORDER BY e.event_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26)
+    Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27)
 }
 

@@ -607,7 +607,8 @@ object TrainingQueries {
           CAST(SUM(CAST(c_doc AS HUGEINT) * cf) AS DECIMAL(38,0))
             AS freq_mass
         FROM j GROUP BY doc_id)
-      SELECT doc_id, n_tokens, n_rare, freq_mass,
+      SELECT doc_id, n_tokens, n_rare,
+        CAST(freq_mass AS BIGINT) AS freq_mass,
         CAST((CAST(n_rare AS HUGEINT) * 1000000) // n_tokens
           AS BIGINT) AS rare_ppm,
         CAST((CAST(freq_mass AS HUGEINT) * 1000) // n_tokens

@@ -74,45 +74,57 @@ object IncrementalJoin {
         .join(broadcast(dirty), Seq(keyCol), "left_semi")
       val fresh = l.join(r, Seq(keyCol))
         .withColumn("_kb", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
-
-      if (!spark.catalog.tableExists(viewTable)) {
-        // clear a partial warehouse dir a crashed first write left
-        CdcMerge.dropStateTable(spark, viewTable)
-        fresh.repartition(col("_kb"))
-          .write.mode("overwrite").format("parquet")
-          .partitionBy("_kb").saveAsTable(viewTable)
-        return
-      }
-      spark.catalog.refreshTable(viewTable)
-      val cols = spark.table(viewTable).columns
-      val keep = spark.table(viewTable)
-        .filter(col("_kb").isin(touched.toSeq: _*))
-        .join(broadcast(dirty), Seq(keyCol), "left_anti")
-      val merged = keep.unionByName(fresh.select(cols.toSeq.map(col): _*))
-      val stage = s"${viewTable}_stage"
-      if (!spark.catalog.tableExists(stage))
-        CdcMerge.dropStateTable(spark, stage)
-      merged.repartition(col("_kb"))
-        .write.mode("overwrite").format("parquet").saveAsTable(stage)
-      val stagedKbs = spark.table(stage).select("_kb").distinct()
-        .collect().map(_.getLong(0)).toSet
-      val prev =
-        spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-        "dynamic")
-      try spark.table(stage).select(cols.toSeq.map(col): _*)
-        .write.mode("overwrite").insertInto(viewTable)
-      finally spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", prev)
-      // a touched partition with NO surviving rows is absent from the
-      // stage — dynamic overwrite left its stale files; drop it
-      touched.filterNot(stagedKbs).foreach { kb =>
-        spark.sql(s"ALTER TABLE $viewTable DROP IF EXISTS " +
-          s"PARTITION (_kb=$kb)")
-      }
-      spark.sql(s"DROP TABLE IF EXISTS $stage")
-      spark.catalog.refreshTable(viewTable)
+      rewriteView(spark, viewTable, keyCol, dirty, touched, fresh)
     } finally dirty.unpersist()
+  }
+
+  /** Dirty-key partition rewrite shared by the incremental view
+    * family ([[IncrementalJoin]], [[IncrementalNearestJoin]]): replace
+    * the view rows of `dirty` keys with `fresh` (which must already
+    * carry the `_kb` bucket column), touching only the partitions in
+    * `touched`. A touched partition drained to zero rows is dropped
+    * outright (dynamic overwrite cannot write an empty partition —
+    * the [[Scd2Merge.vacuumClosed]] rule). */
+  private[streaming] def rewriteView(spark: SparkSession,
+      viewTable: String, keyCol: String, dirty: DataFrame,
+      touched: Array[Long], fresh: DataFrame): Unit = {
+    if (!spark.catalog.tableExists(viewTable)) {
+      // clear a partial warehouse dir a crashed first write left
+      CdcMerge.dropStateTable(spark, viewTable)
+      fresh.repartition(col("_kb"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("_kb").saveAsTable(viewTable)
+      return
+    }
+    spark.catalog.refreshTable(viewTable)
+    val cols = spark.table(viewTable).columns
+    val keep = spark.table(viewTable)
+      .filter(col("_kb").isin(touched.toSeq: _*))
+      .join(broadcast(dirty), Seq(keyCol), "left_anti")
+    val merged = keep.unionByName(fresh.select(cols.toSeq.map(col): _*))
+    val stage = s"${viewTable}_stage"
+    if (!spark.catalog.tableExists(stage))
+      CdcMerge.dropStateTable(spark, stage)
+    merged.repartition(col("_kb"))
+      .write.mode("overwrite").format("parquet").saveAsTable(stage)
+    val stagedKbs = spark.table(stage).select("_kb").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val prev =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      "dynamic")
+    try spark.table(stage).select(cols.toSeq.map(col): _*)
+      .write.mode("overwrite").insertInto(viewTable)
+    finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prev)
+    // a touched partition with NO surviving rows is absent from the
+    // stage — dynamic overwrite left its stale files; drop it
+    touched.filterNot(stagedKbs).foreach { kb =>
+      spark.sql(s"ALTER TABLE $viewTable DROP IF EXISTS " +
+        s"PARTITION (_kb=$kb)")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    spark.catalog.refreshTable(viewTable)
   }
 
   /** The maintained view, without the bucketing column. */

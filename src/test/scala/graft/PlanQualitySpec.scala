@@ -61,7 +61,11 @@ class PlanQualitySpec extends SparkSpec {
       // emb16: prefix re-rank — the emb01-style ≤8-row query-set
       // broadcast against the corpus scan; the re-rank stage then
       // touches only shortlist-sized windows
-      "emb16_prefix_rerank")
+      "emb16_prefix_rerank",
+      // emb18: recall@k audit — runs bruteForceTopK (exact ground
+      // truth) and lshTopK over the same ≤8-row query set; both
+      // intend the emb01-class bounded query-set broadcast
+      "emb18_ann_recall")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
