@@ -346,6 +346,48 @@ object CurationOps {
         "CAST(n_novel AS DECIMAL(38,0)) * 1000000 div n_shingles"))
   }
 
+  /** DSIR-style importance weighting (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much
+    * its hashed n-gram feature profile resembles a TARGET slice of
+    * the corpus, so selection can up-weight target-like data without
+    * training a classifier. Features are distinct word-bigram
+    * shingles hashed into `buckets` buckets (the paper's hashed
+    * n-gram features); each bucket gets an integer affinity ratio
+    * `((target_count+1) * 1e6) div (corpus_count + buckets)`
+    * (add-one smoothed, truncating — the doc23 float-free doctrine;
+    * the paper's log-ratio becomes a ratio sum so the score stays an
+    * exact BIGINT), and a document's weight is the sum of its
+    * shingles' bucket affinities with a final per-feature
+    * normalization. Shape: shingle explosion → bucket map (native
+    * seeded hash, no shuffle) → `buckets`-row aggregate broadcast
+    * back → per-doc sum — work ∝ corpus shingles, the ratio table is
+    * O(buckets), never a pairwise comparison. Top-N resampling is a
+    * downstream orderBy(weight_per_feat_ppm desc, doc_id)+limit —
+    * TakeOrderedAndProject, no global window. */
+  def dsirWeights(docs: DataFrame, targetSource: String,
+      buckets: Int = 64): DataFrame = {
+    val sh = DedupOps.docShingles(docs).distinct()
+      .withColumn("bucket",
+        graft.functions.VectorExpressions.seeded_mix_hash(0,
+          col("shingle")).bitwiseAND(lit((buckets - 1).toLong)))
+    require((buckets & (buckets - 1)) == 0, "buckets must be 2^k")
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    val withSrc = sh.join(srcOf, Seq("doc_id"))
+    val ratios = withSrc.groupBy("bucket")
+      .agg(count(lit(1)).as("corpus_cnt"),
+        sum((col("source") === targetSource).cast("long"))
+          .as("target_cnt"))
+      .withColumn("affinity_ppm", expr(
+        s"CAST((target_cnt + 1) AS DECIMAL(38,0)) * 1000000 " +
+          s"div (corpus_cnt + $buckets)"))
+      .select("bucket", "affinity_ppm")
+    withSrc.join(broadcast(ratios), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feat"),
+        sum(col("affinity_ppm")).cast("long").as("weight"))
+      .withColumn("weight_per_feat_ppm", expr("weight div n_feat"))
+  }
+
   /** Per-document lexical-diversity profile — the vocabulary-richness
     * quality signals (template/boilerplate text scores low on all
     * three): type-token ratio, hapax ratio (share of once-occurring

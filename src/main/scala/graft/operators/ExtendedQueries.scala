@@ -233,17 +233,26 @@ object ExtendedQueries {
     "q35_approx_percentiles",
     (s, dir) => {
       import s.implicits._
-      // array-prob forms: ONE sketch and ONE value buffer per group,
-      // not one per requested percentile (4 separate exact aggregates
-      // quadrupled the dominant buffer cost — measured 5.9s → 3.2s)
-      t(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
+      // The sketch and the exact band run as SEPARATE aggregations
+      // joined on the 3-row group key: mixing approx_percentile (a
+      // codegen'd partial aggregate) and percentile (an object-buffer
+      // aggregate) in ONE agg forces the whole aggregation onto the
+      // slow object path for every row — measured 8.5s mixed vs
+      // ~2.5s split at sf0.1 (q28, the exact half alone, runs 1.9s).
+      // Split, each half keeps its own efficient plan and the join is
+      // group-cardinality-sized. Array-prob forms throughout: ONE
+      // sketch / ONE value buffer per group however many percentiles.
+      val li = t(s, dir, "lineitem")
+      val sketch = li.groupBy($"l_returnflag")
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
             .as("a"),
-          expr("percentile(l_extendedprice, array(0.45, 0.55, 0.93, 0.97))")
-            .as("e"),
           count(lit(1)).as("n"))
+      val exact = li.groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, array(0.45, 0.55, 0.93, 0.97))")
+            .as("e"))
+      sketch.join(exact, Seq("l_returnflag"))
         .select($"l_returnflag", $"n",
           ($"a" (0) >= $"e" (0) && $"a" (0) <= $"e" (1)).as("p50_in_band"),
           ($"a" (1) >= $"e" (2) && $"a" (1) <= $"e" (3)).as("p95_in_band"))

@@ -431,7 +431,128 @@ object SelectionQueries {
       WHERE e.event_type = 'purchase'
       ORDER BY e.event_id"""))
 
+  // -------------------------------------------------------------- emb19
+  // Binary (sign) quantization retrieval: 64 sign bits packed into two
+  // 32-bit words, Hamming-distance shortlist (bit_count(xor) — the
+  // 16-bytes-per-vector storage tier below int8/PQ), exact cosine
+  // re-rank keeps 5. Packing is a SUM of distinct powers of two per
+  // 32-bit half so the identical arithmetic runs on engines where
+  // 1 << 63 overflows. Ties on Hamming break by vec_id.
+  private val emb19 = {
+    def signSql(lo: Int, hi: Int): String =
+      s"""CAST(list_sum(list_transform(range($lo, $hi), i ->
+         CASE WHEN embedding[i+1] > 0
+           THEN (CAST(1 AS BIGINT) << (i - $lo))
+           ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+    GraftQuery(
+      "emb19_binary_hamming",
+      (s, dir) =>
+        SimilarityOps.binaryHammingRerank(t(s, dir, "embeddings"))
+          .orderBy(col("query_id"), col("rnk")),
+      Some(s"""
+        WITH base AS (
+          SELECT vec_id, embedding,
+            ${normSql("embedding", 64)} AS e_norm,
+            ${signSql(0, 32)} AS sig_lo,
+            ${signSql(32, 64)} AS sig_hi
+          FROM embeddings),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb,
+            e_norm AS q_norm, sig_lo AS q_lo, sig_hi AS q_hi
+          FROM base WHERE vec_id < 8),
+        h AS (
+          SELECT q.query_id, b.vec_id, b.embedding, b.e_norm,
+            q.q_emb, q.q_norm,
+            CAST(bit_count(xor(b.sig_lo, q.q_lo))
+              + bit_count(xor(b.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+          FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+        sl AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY hamming, vec_id) AS hrn
+          FROM h),
+        rr AS (
+          SELECT query_id, vec_id, hamming,
+            (${dotSql("q_emb", "embedding", 64)})
+              / (q_norm * e_norm) AS cos
+          FROM sl WHERE hrn <= 20),
+        ranked AS (
+          SELECT query_id, vec_id, hamming, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+          FROM rr)
+        SELECT query_id, vec_id AS neighbor_id, hamming, rnk, cos
+        FROM ranked WHERE rnk <= 5
+        ORDER BY query_id, rnk"""))
+  }
+
+  // -------------------------------------------------------------- doc30
+  // DSIR-style importance weighting (hashed n-gram features, target =
+  // the src0 slice): per-bucket add-one-smoothed target/corpus
+  // affinity ratios, per-doc summed — the classifier-free "select
+  // data that looks like the target" signal. All-integer output
+  // (truncating ppm divisions); the oracle replays the seed-0 FastMix
+  // bucket hash with the same HUGEINT modular arithmetic the doc04
+  // signature oracle uses.
+  private val doc30 = {
+    val U64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val U32 = "CAST('4294967296' AS HUGEINT)"
+    def mulmod(a: String, c: java.math.BigInteger): String = {
+      val hi = c.shiftRight(32)
+      val lo = c.and(java.math.BigInteger.valueOf(0xffffffffL))
+      s"(((($a) * $lo) % $U64) + (((($a) * $hi) % $U32) * $U32)) % $U64"
+    }
+    val C1 = new java.math.BigInteger("18397679294719823053")
+    val C2 = new java.math.BigInteger("14181476777654086739")
+    val p0 = graft.functions.VectorExpressions.SeededMixHash
+      .prefixHashUnsigned(0)
+    val poly0 =
+      s"""list_reduce(list_prepend(CAST('$p0' AS HUGEINT),
+         list_transform(range(1, length(shingle) + 1),
+           i -> CAST(ascii(substring(shingle, i, 1)) AS HUGEINT))),
+         (h, b) -> (h * 31 + b) % $U64)"""
+    GraftQuery(
+      "doc30_dsir_weights",
+      (s, dir) => {
+        import s.implicits._
+        CurationOps.dsirWeights(t(s, dir, "documents"), "src0")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $bigramShCtes,
+        vocab AS (SELECT DISTINCT shingle FROM sh),
+        b0 AS (SELECT shingle, $poly0 AS u FROM vocab),
+        b1 AS (SELECT shingle, xor(u, u >> 33) AS u FROM b0),
+        b2 AS (SELECT shingle, ${mulmod("u", C1)} AS u FROM b1),
+        b3 AS (SELECT shingle, xor(u, u >> 33) AS u FROM b2),
+        b4 AS (SELECT shingle, ${mulmod("u", C2)} AS u FROM b3),
+        vb AS (SELECT shingle,
+          CAST(xor(u, u >> 33) % 64 AS BIGINT) AS bucket FROM b4),
+        f AS (
+          SELECT sh.doc_id, vb.bucket, d.source
+          FROM sh JOIN vb USING (shingle)
+          JOIN documents d ON d.doc_id = sh.doc_id),
+        r AS (
+          SELECT bucket, COUNT(*) AS corpus_cnt,
+            SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+              AS target_cnt
+          FROM f GROUP BY bucket),
+        ra AS (
+          SELECT bucket,
+            CAST(((target_cnt + 1) * 1000000) // (corpus_cnt + 64)
+              AS BIGINT) AS affinity_ppm
+          FROM r),
+        w AS (
+          SELECT f.doc_id, COUNT(*) AS n_feat,
+            SUM(ra.affinity_ppm) AS weight
+          FROM f JOIN ra USING (bucket) GROUP BY f.doc_id)
+        SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+          CAST(weight AS BIGINT) AS weight,
+          CAST(weight // n_feat AS BIGINT) AS weight_per_feat_ppm
+        FROM w ORDER BY doc_id"""))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27)
+    Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
+      emb19, doc30)
 }
 

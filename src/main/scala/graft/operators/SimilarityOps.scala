@@ -651,6 +651,59 @@ object SimilarityOps {
       .withColumn("recall_ppm", expr(s"n_hits * 1000000 div $k"))
   }
 
+  /** Sign-bit packing of one dimension range `[lo, hi)` into a single
+    * BIGINT word (bit `i-lo` set iff `embedding[i] > 0`). Packed as a
+    * SUM of distinct powers of two rather than a 64-bit OR so the
+    * identical arithmetic runs on engines whose `1 << 63` overflows —
+    * each word covers ≤32 dims, so every intermediate stays < 2^32. */
+  private def signWord(lo: Int, hi: Int): Column = {
+    require(hi - lo <= 32, s"sign word spans ${hi - lo} bits (max 32)")
+    expr(s"aggregate(sequence($lo, ${hi - 1}), 0L, (acc, i) -> " +
+      s"acc + IF(embedding[i] > 0, shiftleft(1L, i - $lo), 0L))")
+  }
+
+  /** Binary (sign) quantization ANN: each vector compresses to
+    * `dim` sign bits packed into 32-bit words (64 dims → 16 bytes vs
+    * 256 for float32 — the storage tier below [[int8Quantize]] and PQ),
+    * candidates rank by Hamming distance on the packed words
+    * (`bit_count(xor)` — a handful of ALU ops per comparison, inside
+    * whole-stage codegen), and only the `shortlist` closest per query
+    * pay the exact full-precision cosine re-rank. The classic
+    * binary-quantization retrieval tier: at 100 TB the Hamming scan
+    * reads 1/16th of the bytes brute force would, the query set is
+    * broadcast, the corpus is never shuffled, and the re-rank touches
+    * `shortlist` rows per query. Ties on Hamming break by vec_id so
+    * the shortlist — and thus the output — is deterministic. */
+  def binaryHammingRerank(embs: DataFrame, dim: Int = 64,
+      nQueries: Int = 8, shortlist: Int = 20, k: Int = 5): DataFrame = {
+    require(dim == 64, s"sign packing written for dim 64, got $dim")
+    val sig = embs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding"), dim).as("e_norm"),
+      signWord(0, 32).as("sig_lo"), signWord(32, 64).as("sig_hi"))
+    val queries = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("e_norm").as("q_norm"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id"))
+    val short = sig.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(col("sig_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("sig_hi").bitwiseXOR(col("q_hi")))).cast("long"))
+      .withColumn("hrn", row_number().over(wH))
+      .filter(col("hrn") <= shortlist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    short
+      .withColumn("cos", dot(col("q_emb"), col("embedding"), dim) /
+        (col("q_norm") * col("e_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("hamming"), col("rnk"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def embeddingNearDups(embs: DataFrame, dim: Int = 64, planes: Int = 6,
       minCos: Double = 0.9): DataFrame = {

@@ -65,7 +65,12 @@ class PlanQualitySpec extends SparkSpec {
       // emb18: recall@k audit — runs bruteForceTopK (exact ground
       // truth) and lshTopK over the same ≤8-row query set; both
       // intend the emb01-class bounded query-set broadcast
-      "emb18_ann_recall")
+      "emb18_ann_recall",
+      // emb19: binary-quantization Hamming shortlist — the same
+      // emb01-class ≤8-row query-set broadcast against the corpus
+      // scan (the Hamming scan is the cheap stage; the re-rank
+      // touches shortlist-sized windows only)
+      "emb19_binary_hamming")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

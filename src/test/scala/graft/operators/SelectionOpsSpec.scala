@@ -157,4 +157,72 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got(("video", 5L, 0L)) == 0L)
     assert(got(("video", 5L, 1L)) == 1L) // cum 200 -> (199)/150 = 1
   }
+
+  test("binaryHammingRerank: sign packing + full-corpus shortlist") {
+    import spark.implicits._
+    // base direction v; vec 8 = v (same signs as query 0 -> hamming 0),
+    // vec 9 = -v (all 64 signs flip -> hamming 64), vec 10 = v with
+    // dim 0 flipped (hamming 1), vec 11 = v with dim 63 flipped
+    // (hamming 1 in the HIGH word)
+    val v = (0 until 64).map(j =>
+      (if ((j * 7 + 3) % 5 < 3) 1f else -1f) * (1f + j / 64f)).toArray
+    def flip(i: Int): Array[Float] =
+      v.zipWithIndex.map { case (x, j) => if (j == i) -x else x }
+    val rows = Seq(
+      (0L, v), (8L, v), (9L, v.map(x => -x)),
+      (10L, flip(0)), (11L, flip(63))) ++
+      (12L until 40L).map(id => (id, (0 until 64).map(j =>
+        ((id * 31 + j * 7) % 13 - 6).toFloat / 6f).toArray))
+    val embs = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.binaryHammingRerank(embs, nQueries = 1,
+        shortlist = 100, k = 100)
+      .collect()
+      .map(r => r.getAs[Long]("neighbor_id") ->
+        r.getAs[Long]("hamming")).toMap
+    assert(got(8L) == 0L)
+    assert(got(9L) == 64L)
+    assert(got(10L) == 1L)
+    assert(got(11L) == 1L)
+    // with shortlist >= corpus the re-rank must equal brute force
+    val bf = SimilarityOps.bruteForceTopK(embs, nQueries = 1, k = 5)
+      .select($"query_id", $"neighbor_id", $"rnk", $"cos")
+    val rr = SimilarityOps.binaryHammingRerank(embs, nQueries = 1,
+        shortlist = 100, k = 5)
+      .select($"query_id", $"neighbor_id", $"rnk", $"cos")
+    assert(rr.except(bf).isEmpty && bf.except(rr).isEmpty)
+  }
+
+  test("dsirWeights: exact smoothing on singletons; target affinity wins") {
+    import spark.implicits._
+    // single doc, single shingle: affinity is bucket-independent —
+    // target: (1+1)*1e6 // (1+64); non-target: (0+1)*1e6 // (1+64)
+    val one = Seq((0L, "a b", "src0")).toDF("doc_id", "text", "source")
+    val r1 = CurationOps.dsirWeights(one, "src0").collect().head
+    assert(r1.getAs[Long]("n_feat") == 1L)
+    assert(r1.getAs[Long]("weight") == 2000000L / 65)
+    val r0 = CurationOps.dsirWeights(one, "other").collect().head
+    assert(r0.getAs[Long]("weight") == 1000000L / 65)
+    // distinctive target vocabulary: every src0 doc scores a higher
+    // per-feature weight than every src1 doc (their buckets carry
+    // target mass; disjoint vocabularies keep buckets separate w.h.p.
+    // but the assertion only needs target-side dominance)
+    val docs = ((0L until 10L).map(i =>
+        (i, s"tgt$i alpha alpha bravo bravo tgt$i", "src0")) ++
+      (10L until 30L).map(i =>
+        (i, s"oth$i xray xray yankee yankee oth$i", "src1")))
+      .toDF("doc_id", "text", "source")
+    val w = CurationOps.dsirWeights(docs, "src0").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("weight_per_feat_ppm")).toMap
+    val tgtMin = (0L until 10L).map(w).min
+    val othMax = (10L until 30L).map(w).max
+    assert(tgtMin > othMax,
+      s"target per-feat weight $tgtMin must exceed $othMax")
+    // feature accounting: n_feat sums to the distinct (doc, shingle)
+    // explosion size
+    val nFeatSum = CurationOps.dsirWeights(docs, "src0")
+      .agg(sum($"n_feat")).as[Long].head()
+    val shCount = DedupOps.docShingles(docs).distinct().count()
+    assert(nFeatSum == shCount)
+  }
 }
