@@ -26,6 +26,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // backstop only — the bench loop GCs deterministically BETWEEN
+      // queries (see below); a short periodic interval here would land
+      // full-GC pauses inside timed runs
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -130,6 +134,16 @@ object Bench {
         Thread.sleep(50) // let straggler task-end events land
         (sec, (shuffleBytes.get - s0) / 1e6)
       }
+      // GC BETWEEN queries, outside the timed sections: the
+      // ContextCleaner only discovers dead RDDs/shuffles/broadcasts
+      // at a driver GC, and leaving collection to chance means either
+      // leaked blocks squeezing later queries (measured: q24 12s in a
+      // 135-query sweep vs 0.75s isolated) or a periodic-GC pause
+      // landing INSIDE a timed run (measured: a 45s periodic GC blew
+      // a 15s pipeline query up to 40s). Deterministic placement
+      // costs untimed wall-clock only.
+      System.gc()
+      Thread.sleep(100) // let async cleaner deletions drain
       QR(q.name, runs.map(_._1).min, runs.head._2, runs.map(_._1))
     }
     def f3(v: Double): String =

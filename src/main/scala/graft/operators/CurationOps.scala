@@ -545,6 +545,46 @@ object CurationOps {
     * iters × scan cost at any corpus size. Lineage grows per
     * iteration; for many iterations at cluster scale, checkpoint or
     * materialize `centroids` between calls (they are k rows — free). */
+  /** Farthest-first (maximin) seeding — the deterministic k-means++
+    * variant: seed 0 is the lowest vec_id; each later seed is the
+    * corpus vector LEAST similar to the chosen set (minimal maximum
+    * cosine, ties to the lowest vec_id). Spreads seeds across the
+    * data's extremes, which is what k-means++ buys over first-k
+    * seeding, without RNG plumbing (the 2-approximation guarantee of
+    * farthest-first traversal is the classical Gonzalez 1985 result).
+    *
+    * Cost model at scale: k-1 rounds, each ONE broadcast corpus scan
+    * (the ≤k-row chosen set broadcasts; the per-vector max-similarity
+    * window partitions by vec_id) and one TakeOrderedAndProject argmin
+    * — the only driver materialization is a single row per round
+    * (control-plane bounded by k, like IncrementalJoin's bucket ids).
+    * Returns (seed_rank, vec_id, sim_max) with sim_max NULL for seed 0
+    * — sim_max is the chosen vector's max cosine to the seeds before
+    * it, the "coverage radius" curve a k-selection sweep reads. */
+  def farthestFirstSeeds(embs: DataFrame, k: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1, "need at least one seed")
+    val spark = embs.sparkSession
+    val first = embs.select(min(col("vec_id"))).head().getLong(0)
+    var chosen = Seq((0L, first, Option.empty[Double]))
+    for (rank <- 1 until k) {
+      val seedsDf = embs
+        .filter(col("vec_id").isin(chosen.map(_._2): _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val next = SimilarityOps.assignToCentroids(embs, seedsDf, dim)
+        .filter(col("rn") === 1) // rn 1 = the MOST similar seed
+        .filter(!col("vec_id").isin(chosen.map(_._2): _*))
+        .orderBy(col("ccos").asc, col("vec_id").asc)
+        .select(col("vec_id"), col("ccos"))
+        .head()
+      chosen = chosen :+ ((rank.toLong, next.getLong(0),
+        Some(next.getDouble(1))))
+    }
+    import spark.implicits._
+    chosen.map { case (r, v, s) => (r, v, s) }
+      .toDF("seed_rank", "vec_id", "sim_max")
+  }
+
   def kmeans(embs: DataFrame, dim: Int = 64, k: Int = 8,
       iters: Int = 2, scale: Long = 1000000L)
       : (DataFrame, DataFrame) = {

@@ -337,31 +337,43 @@ object DedupOps {
     * not the data — becomes the scale limit.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    var labels = edges.select(col("src").as("node")).distinct()
+    // ck is the bare checkpointed frame each round (so its blocks can
+    // be freed the moment the next round supersedes it — see
+    // CheckpointBridge: leaked per-round checkpoints measured as 2-4×
+    // inflation of unrelated downstream queries in a full sweep).
+    var ck = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
+    var labels = ck
+    val idType = ck.schema("comp").dataType
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // neighbor labels flow along edges; min over (self ∪ neighbors)
+      // neighbor labels flow along edges; min over (self ∪ neighbors).
+      // Self rows carry the node's previous label in `prev`, so the
+      // SAME aggregate that computes the new label also reports
+      // whether it changed — convergence is then a filter scan over
+      // the freshly checkpointed blocks, not a per-round diff join.
       val next = edges
         .join(labels.withColumnRenamed("node", "dst")
           .withColumnRenamed("comp", "ncomp"), "dst")
-        .select(col("src").as("node"), col("ncomp").as("comp"))
-        .unionByName(labels)
-        .groupBy("node").agg(min("comp").as("comp"))
+        .select(col("src").as("node"), col("ncomp").as("comp"),
+          lit(null).cast(idType).as("prev"))
+        .unionByName(labels.select(col("node"), col("comp"),
+          col("comp").as("prev")))
+        .groupBy("node").agg(min("comp").as("comp"),
+          max("prev").as("prev"))
         .localCheckpoint()
-      // convergence = no label changed this round (anti-join instead
-      // of a full equality diff: one broadcast-able probe per round)
-      val changed = next.join(labels,
-        next("node") === labels("node") && next("comp") === labels("comp"),
-        "left_anti").isEmpty
-      labels = next
-      converged = changed
+      // labels only ever decrease: changed ⇔ comp < prev
+      converged = next.filter(col("comp") < col("prev")).isEmpty
+      CheckpointBridge.freeLocalCheckpoint(ck)
+      ck = next
+      labels = next.select("node", "comp")
       iter += 1
     }
     edges.unpersist()

@@ -551,8 +551,97 @@ object SelectionQueries {
         FROM w ORDER BY doc_id"""))
   }
 
+  // -------------------------------------------------------------- emb20
+  // Farthest-first (maximin) seeding — deterministic k-means++: seed 0
+  // is the lowest vec_id, each later seed the vector least similar to
+  // the chosen set (minimal max cosine, ties to lowest vec_id). The
+  // oracle unrolls the k rounds as CTEs, carrying the running max
+  // similarity incrementally (GREATEST of the previous round's smax
+  // and one new chain — same doubles, one chain per round instead of
+  // re-stating all of them).
+  private val emb20 = {
+    def chain(b: String, s: String): String =
+      s"(${dotSql(s"$b.embedding", s"$s.embedding", 64)}) / ($b.n * $s.n)"
+    val k = 8
+    val rounds = (1 until k).map { i =>
+      val prev = if (i == 1) "base" else s"r${i - 1}"
+      val seed = s"s${i - 1}"
+      val smax =
+        if (i == 1) chain("b", seed)
+        else s"GREATEST(b.smax, ${chain("b", seed)})"
+      s"""r$i AS (
+         SELECT b.vec_id, b.embedding, b.n, $smax AS smax
+         FROM $prev b, $seed WHERE b.vec_id <> $seed.vec_id),
+       s$i AS (
+         SELECT vec_id, embedding, n, smax FROM r$i
+         ORDER BY smax ASC, vec_id LIMIT 1)"""
+    }.mkString(",\n        ")
+    val out = (s"""SELECT CAST(0 AS BIGINT) AS seed_rank, vec_id,
+         CAST(NULL AS DOUBLE) AS sim_max FROM s0""" +:
+      (1 until k).map(i =>
+        s"SELECT $i, vec_id, smax FROM s$i")).mkString("\n        UNION ALL ")
+    GraftQuery(
+      "emb20_farthest_seeds",
+      (s, dir) =>
+        CurationOps.farthestFirstSeeds(t(s, dir, "embeddings"))
+          .orderBy(col("seed_rank")),
+      Some(s"""
+        WITH base AS (
+          SELECT vec_id, embedding, ${normSql("embedding", 64)} AS n
+          FROM embeddings),
+        s0 AS (
+          SELECT vec_id, embedding, n FROM base
+          ORDER BY vec_id LIMIT 1),
+        $rounds
+        $out
+        ORDER BY seed_rank"""))
+  }
+
+  // -------------------------------------------------------------- emb21
+  // Capacity-bounded balanced assignment: nearest-centroid with a
+  // per-cluster quota (70 here) and one deterministic rebalance round
+  // — over-quota cells keep their most-similar members, the spill
+  // lands on each vector's second choice. The IVF-shard balancing
+  // step; all-integer/boolean output.
+  private val emb21 = GraftQuery(
+    "emb21_balanced_assign",
+    (s, dir) =>
+      SimilarityOps.balancedAssign(t(s, dir, "embeddings"),
+          capacity = 70L)
+        .orderBy(col("vec_id")),
+    Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+          ${normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      sim AS (
+        SELECT b.vec_id, c.cid,
+          (${dotSql("b.embedding", "c.ce", 64)}) / (b.en * c.cn)
+            AS ccos
+        FROM base b CROSS JOIN cent c),
+      assign AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, cid) AS rn
+        FROM sim),
+      fc AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+          ORDER BY ccos DESC, vec_id) AS prio
+        FROM assign WHERE rn = 1),
+      stay AS (
+        SELECT vec_id, cid, FALSE AS moved FROM fc WHERE prio <= 70),
+      spilled AS (SELECT vec_id FROM fc WHERE prio > 70),
+      second AS (
+        SELECT a.vec_id, a.cid, TRUE AS moved
+        FROM assign a JOIN spilled USING (vec_id) WHERE a.rn = 2)
+      SELECT vec_id, cid, moved FROM (
+        SELECT * FROM stay UNION ALL SELECT * FROM second)
+      ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
-      emb19, doc30)
+      emb19, doc30, emb20, emb21)
 }
 

@@ -326,10 +326,15 @@ object SimilarityOps {
           .select(col("m"), col("cid"),
             transform(col("comps"), c => c.getField("comp"))
               .cast("array<float>").as("ce_new"))
+        val prev = cb
         cb = cb.join(means, Seq("m", "cid"), "left_outer")
           .select(col("m"), col("cid"),
             coalesce(col("ce_new"), col("ce")).as("ce"))
           .localCheckpoint() // k·m rows; truncates the loop's lineage
+        // free the superseded iteration's checkpoint blocks (no-op on
+        // the first pass, whose cb is not a checkpoint)
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeLocalCheckpoint(prev)
       }
       cb
     } finally subvecs.unpersist()
@@ -702,6 +707,38 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("hamming"), col("rnk"), col("cos"))
+  }
+
+  /** Capacity-bounded cluster assignment — nearest-centroid assignment
+    * with a per-cluster quota and ONE deterministic rebalance round:
+    * every vector takes its nearest centroid; clusters over `capacity`
+    * keep their `capacity` MOST-similar members (ties to lowest
+    * vec_id) and spill the rest to each spilled vector's second-choice
+    * centroid (final — one round bounds any cluster's overload by its
+    * own spill-in, and the output stays a pure function of the
+    * input). The partition-balancing step for building IVF cells /
+    * index shards: unbounded nearest-assignment on skewed corpora
+    * piles everything into a few hot cells, which become the
+    * straggler partitions at 100 TB. Plan: the ≤nCentroids centroid
+    * set broadcasts twice (rank-1 and rank-2 assignments from ONE
+    * ranked pass), windows partition by vec_id / cid — the corpus
+    * never shuffles except the per-cid priority window.
+    * Returns (vec_id, cid, moved). */
+  def balancedAssign(embs: DataFrame, dim: Int = 64,
+      nCentroids: Int = 8, capacity: Long): DataFrame = {
+    require(capacity >= 1, "capacity must be positive")
+    val ranked = rankedCellAssignments(embs, dim, nCentroids)
+    val first = ranked.filter(col("rn") === 1)
+    val wPrio = Window.partitionBy(col("cid"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    val prio = first.withColumn("prio", row_number().over(wPrio))
+    val stay = prio.filter(col("prio") <= capacity)
+      .select(col("vec_id"), col("cid"), lit(false).as("moved"))
+    val spilled = prio.filter(col("prio") > capacity).select("vec_id")
+    val second = ranked.filter(col("rn") === 2)
+      .join(spilled, Seq("vec_id"))
+      .select(col("vec_id"), col("cid"), lit(true).as("moved"))
+    stay.unionByName(second)
   }
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */

@@ -131,6 +131,11 @@ object IncrementalDedup {
           k, rowsPerBand, nBuckets)
         graft.operators.SchemaDrift.writeBatchIdempotent(
           pairs.withColumn("_batch_id", lit(batchId)), pairsTable)
+        // the pair log is written; free the batch checkpoint's blocks
+        // now instead of leaking one per batch until a driver GC
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeLocalCheckpoint(pairs)
+        ()
       }
     (if (availableNow)
        writer.trigger(

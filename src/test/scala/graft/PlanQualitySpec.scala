@@ -70,7 +70,10 @@ class PlanQualitySpec extends SparkSpec {
       // emb01-class ≤8-row query-set broadcast against the corpus
       // scan (the Hamming scan is the cheap stage; the re-rank
       // touches shortlist-sized windows only)
-      "emb19_binary_hamming")
+      "emb19_binary_hamming",
+      // emb21: balanced assignment — the emb04-class ≤8-row centroid
+      // broadcast (rank-1/rank-2 choices from one ranked pass)
+      "emb21_balanced_assign")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

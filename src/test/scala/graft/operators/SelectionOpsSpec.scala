@@ -192,6 +192,52 @@ class SelectionOpsSpec extends SparkSpec {
     assert(rr.except(bf).isEmpty && bf.except(rr).isEmpty)
   }
 
+  test("farthestFirstSeeds: maximin order on constructed directions") {
+    import spark.implicits._
+    def unit(axis: Int, sign: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(axis) = sign; a
+    }
+    val diag = Array.fill(64)(0f)
+    diag(0) = 0.7071f; diag(1) = 0.7071f
+    // 0: +x, 1: -x, 2: +y, 3: (x+y)/sqrt2. Maximin from +x:
+    // -x (cos -1) first, then +y (max cos 0 beats diag's 0.707)
+    val embs = Seq(
+      (0L, unit(0, 1f)), (1L, unit(0, -1f)),
+      (2L, unit(1, 1f)), (3L, diag)).toDF("vec_id", "embedding")
+    val got = CurationOps.farthestFirstSeeds(embs, k = 4)
+      .orderBy($"seed_rank").collect()
+      .map(r => r.getAs[Long]("seed_rank") -> r.getAs[Long]("vec_id"))
+    assert(got.toSeq == Seq(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // rank-0 seed has no predecessor similarity
+    val r0 = CurationOps.farthestFirstSeeds(embs, k = 4)
+      .filter($"seed_rank" === 0).collect().head
+    assert(r0.isNullAt(r0.fieldIndex("sim_max")))
+  }
+
+  test("balancedAssign: quota keeps most-similar; spill takes 2nd choice") {
+    import spark.implicits._
+    // centroids are corpus rows 0 (+x) and 1 (+y); vectors 2..7 all
+    // prefer +x with strictly decreasing similarity (rotated toward
+    // +y), so capacity 3 keeps {0, 2, 3} and spills {4..7} to cid 1
+    def rot(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      val t = i * 0.1f
+      a(0) = math.cos(t).toFloat; a(1) = math.sin(t).toFloat; a
+    }
+    val embs = (Seq((0L, rot(0)), (1L, { val a = Array.fill(64)(0f); a(1) = 1f; a })) ++
+      (2L to 7L).map(i => (i, rot(i.toInt - 1)))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.balancedAssign(embs, nCentroids = 2,
+        capacity = 3L).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cid"), r.getAs[Boolean]("moved"))).toMap
+    assert(got(0L) == (0L, false) && got(2L) == (0L, false) &&
+      got(3L) == (0L, false))
+    Seq(4L, 5L, 6L, 7L).foreach(v => assert(got(v) == (1L, true)))
+    assert(got(1L) == (1L, false))
+    // totality: every vector assigned exactly once
+    assert(got.size == 8)
+  }
+
   test("dsirWeights: exact smoothing on singletons; target affinity wins") {
     import spark.implicits._
     // single doc, single shingle: affinity is bucket-independent —
