@@ -640,8 +640,42 @@ object SelectionQueries {
         SELECT * FROM stay UNION ALL SELECT * FROM second)
       ORDER BY vec_id"""))
 
+  // -------------------------------------------------------------- q57
+  // Mergeable distinct-count sketches (DataSketches HLL): per
+  // (event_type, day) sketches built in one pass, merged at query
+  // time into the per-type distinct-user estimate — THE 100 TB
+  // distinct-counting pattern (store partition-grain sketches once,
+  // answer any rollup by register-max union, never re-scan raw).
+  // HLL union is max-per-register — commutative and associative — so
+  // the estimate is deterministic under any partitioning; the oracle
+  // pins the exact count and a ±5% band on the estimate (lgK=12
+  // standard error ≈ 1.6%), q35-style.
+  private val q57 = GraftQuery(
+    "q57_hll_union",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val est = daily.groupBy($"event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_exact"))
+      exact.join(est, Seq("event_type"))
+        .select($"event_type", $"n_exact",
+          (abs($"est" - $"n_exact") <=
+            $"n_exact".cast("double") * 0.05).as("est_in_band"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        TRUE AS est_in_band
+      FROM events GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
-      emb19, doc30, emb20, emb21)
+      emb19, doc30, emb20, emb21, q57)
 }
 
