@@ -545,6 +545,64 @@ object CurationOps {
     * iters × scan cost at any corpus size. Lineage grows per
     * iteration; for many iterations at cluster scale, checkpoint or
     * materialize `centroids` between calls (they are k rows — free). */
+  /** Leakage-safe train/val/test split: split assignment hashes the
+    * near-dup CLUSTER id, not the document id, so every member of a
+    * near-duplicate cluster lands in the SAME split — the guard
+    * against eval contamination that a per-document split (doc08)
+    * cannot give (a train/test near-dup pair inflates eval scores
+    * exactly like benchmark contamination). `pairs` is any verified
+    * near-dup pair list ([[DedupOps.verifiedNearDups]]); unpaired
+    * documents keep their own id as the cluster. Thresholds are
+    * md5-bucket boundaries out of 256 (doc08's gate, applied to the
+    * component id) — deterministic under reprocessing and
+    * re-partitioning. Cost on top of the pair list: the
+    * connected-components rounds + one broadcast-able label join. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      trainHi: Int = 204, valHi: Int = 230): DataFrame = {
+    val comps = DedupOps.connectedComponents(pairs)
+    val hx = substring(
+      md5(col("component").cast("string").cast("binary")), 1, 2)
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket", conv(hx, 16, 10).cast("long"))
+      .withColumn("split",
+        when(col("bucket") < trainHi, "train")
+          .when(col("bucket") < valHi, "val")
+          .otherwise("test"))
+  }
+
+  /** Per-dimension winsorization bounds for an embedding column: the
+    * [pLo, pHi] quantiles of every dimension plus how many values
+    * each side would clip — the outlier-robust scaling step before
+    * quantization ([[graft.operators.SimilarityOps]] int8/PQ tiers
+    * assume bounded ranges; one wild dimension otherwise eats the
+    * quantization range). Exact interpolated quantiles here (the
+    * oracle contract; gated via [[PercentileOps.Exact]] — each
+    * dimension's group holds corpus/dim values, the bounded-input
+    * justification). At 100 TB swap in [[PercentileOps.Approx]]: the
+    * clip counts stay exact, the bounds carry the sketch's rank
+    * error. Shape: one posexplode → dim-keyed percentile aggregate
+    * (dim rows, broadcast back) → one counting aggregate. */
+  def dimWinsorize(embs: DataFrame, pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    val vals = embs
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val pLoName = s"p${(pLo * 100).round}"
+    val pHiName = s"p${(pHi * 100).round}"
+    val bounds = PercentileOps.groupPercentiles(vals, "dim", "v",
+        Seq(pLo, pHi), PercentileOps.Exact, allowExact = true)
+      .select(col("dim"), col(pLoName).as("lo"), col(pHiName).as("hi"))
+    vals.join(broadcast(bounds), Seq("dim"))
+      .groupBy("dim")
+      .agg(first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum((col("v") < col("lo")).cast("long")).as("n_lo"),
+        sum((col("v") > col("hi")).cast("long")).as("n_hi"),
+        count(lit(1)).as("n"))
+  }
+
   /** Farthest-first (maximin) seeding — the deterministic k-means++
     * variant: seed 0 is the lowest vec_id; each later seed is the
     * corpus vector LEAST similar to the chosen set (minimal maximum

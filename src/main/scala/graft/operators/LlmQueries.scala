@@ -235,7 +235,7 @@ object LlmQueries {
   /** Recursive transitive closure over `pairs` ending in
     * `comp(doc_id, component)` — the connected-components replay
     * shared by doc17 (labels) and doc18 (representative selection). */
-  private val ccClosureCtes =
+  private[operators] val ccClosureCtes =
     """,
       nodes AS (
         SELECT doc_a AS node FROM pairs

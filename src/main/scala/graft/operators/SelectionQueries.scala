@@ -674,8 +674,71 @@ object SelectionQueries {
       FROM events GROUP BY event_type
       ORDER BY event_type"""))
 
+  // -------------------------------------------------------------- doc31
+  // Leakage-safe split: split assignment hashes the near-dup CLUSTER
+  // id (doc17's components; singletons keep their own id), so no
+  // near-duplicate pair ever straddles train/eval — the doc08 gate
+  // with the doc18 closure, preventing the silent eval inflation a
+  // per-document split allows.
+  private val doc31 = GraftQuery(
+    "doc31_leakage_split",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.verifiedNearDups(docs)
+        .select($"doc_a", $"doc_b")
+      CurationOps.leakageSafeSplit(docs, pairs)
+        .select($"doc_id", $"component", $"bucket", $"split")
+        .orderBy($"doc_id")
+    },
+    Some(minhashLshPairsCtes(bigramShCtes, minJ = 0.2,
+      recursive = true) + LlmQueries.ccClosureCtes + """,
+      lab AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+      g AS (
+        SELECT doc_id, component,
+          CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 2))
+            AS BIGINT) AS bucket
+        FROM lab)
+      SELECT doc_id, component, bucket,
+        CASE WHEN bucket < 204 THEN 'train'
+             WHEN bucket < 230 THEN 'val'
+             ELSE 'test' END AS split
+      FROM g ORDER BY doc_id"""))
+
+  // -------------------------------------------------------------- emb22
+  // Per-dimension winsorization bounds: [p05, p95] exact interpolated
+  // quantiles of every embedding dimension + would-clip counts — the
+  // outlier-robust scaling audit before int8/PQ quantization. Exact
+  // percentiles opt into the PercentileOps gate (corpus/dim values
+  // per group); the 100 TB path swaps in the GK sketch for bounds.
+  private val emb22 = GraftQuery(
+    "emb22_dim_winsorize",
+    (s, dir) =>
+      CurationOps.dimWinsorize(t(s, dir, "embeddings"))
+        .orderBy(col("dim")),
+    Some("""
+      WITH v AS (
+        SELECT CAST(i - 1 AS BIGINT) AS dim,
+          CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) t(i)),
+      bounds AS (
+        SELECT dim, quantile_cont(v, 0.05) AS lo,
+          quantile_cont(v, 0.95) AS hi
+        FROM v GROUP BY dim)
+      SELECT v.dim, ANY_VALUE(b.lo) AS lo, ANY_VALUE(b.hi) AS hi,
+        CAST(SUM(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_lo,
+        CAST(SUM(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hi,
+        COUNT(*) AS n
+      FROM v JOIN bounds b ON v.dim = b.dim
+      GROUP BY v.dim
+      ORDER BY v.dim"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
-      emb19, doc30, emb20, emb21, q57)
+      emb19, doc30, emb20, emb21, q57, doc31, emb22)
 }
 

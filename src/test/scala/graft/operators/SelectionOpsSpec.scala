@@ -192,6 +192,53 @@ class SelectionOpsSpec extends SparkSpec {
     assert(rr.except(bf).isEmpty && bf.except(rr).isEmpty)
   }
 
+  test("leakageSafeSplit: cluster members share a split; singletons keep id") {
+    import spark.implicits._
+    val docs = (0L until 12L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+    // clusters {0,1,2} (chain) and {5,6}; the rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = CurationOps.leakageSafeSplit(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[String]("split"),
+          r.getAs[Long]("bucket"))).toMap
+    assert(got.size == 12) // totality
+    // cluster labels are the min member; members share the split
+    Seq(0L, 1L, 2L).foreach(v => assert(got(v)._1 == 0L))
+    Seq(5L, 6L).foreach(v => assert(got(v)._1 == 5L))
+    assert(Seq(0L, 1L, 2L).map(got(_)._2).distinct.size == 1)
+    assert(Seq(5L, 6L).map(got(_)._2).distinct.size == 1)
+    assert(got(7L)._1 == 7L) // singleton keeps own id
+    // buckets respect the split thresholds
+    got.values.foreach { case (_, split, bucket) =>
+      val expect = if (bucket < 204) "train"
+        else if (bucket < 230) "val" else "test"
+      assert(split == expect)
+    }
+  }
+
+  test("dimWinsorize: interpolated bounds and clip counts on 1..10") {
+    import spark.implicits._
+    // dim 0 holds 1..10, dim 1 holds constant 5
+    val embs = (1 to 10).map(i =>
+      (i.toLong, Array(i.toFloat, 5f))).toDF("vec_id", "embedding")
+    val got = CurationOps.dimWinsorize(embs).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+          r.getAs[Long]("n_lo"), r.getAs[Long]("n_hi"),
+          r.getAs[Long]("n"))).toMap
+    // (n-1)*p: 9*0.05 = 0.45 -> lo = 1 + 0.45; 9*0.95 = 8.55 ->
+    // hi = 9 + 0.55. Tolerance compare: the engine's interpolation
+    // arithmetic and the decimal literals differ in the last ulp
+    // (cross-ENGINE equality is the oracle gate's job, not this
+    // test's — here only the statistic and the exact counts matter)
+    assert(math.abs(got(0L)._1 - 1.45) < 1e-12 &&
+      math.abs(got(0L)._2 - 9.55) < 1e-12 &&
+      got(0L)._3 == 1L && got(0L)._4 == 1L && got(0L)._5 == 10L)
+    assert(got(1L) == (5.0, 5.0, 0L, 0L, 10L))
+  }
+
   test("farthestFirstSeeds: maximin order on constructed directions") {
     import spark.implicits._
     def unit(axis: Int, sign: Float): Array[Float] = {
