@@ -212,6 +212,39 @@ object ScaleProbe {
         f"$tInc%6.2f s ($rows%d indexed)   one-shot assign: $tOne%6.2f s" +
         f"   replay batch: $tReplay%6.2f s")
     }
+
+    // round-9 additions: the Hamming scan and DSIR weighting must
+    // track input size (pure scans + bounded aggregates), farthest-
+    // first is k-1 scans regardless of n
+    probe("binary_hamming") (
+      SimilarityOps.binaryHammingRerank(embs1),
+      SimilarityOps.binaryHammingRerank(embs4))
+    probe("dsir_weights") (
+      graft.operators.CurationOps.dsirWeights(docs1, "src0"),
+      graft.operators.CurationOps.dsirWeights(docs4, "src0"))
+    probe("farthest_seeds_k8") (
+      graft.operators.CurationOps.farthestFirstSeeds(embs1),
+      graft.operators.CurationOps.farthestFirstSeeds(embs4))
+
+    // balanced assignment: the point is the BALANCE, not the time —
+    // report max/mean cell load unbounded vs capacity-bounded
+    {
+      val nVecs = embs1.count()
+      val cap = (nVecs + 7) / 8 + 1
+      def loadStats(df: DataFrame, cidCol: String): (Long, Double) = {
+        val loads = df.groupBy(col(cidCol)).count()
+          .agg(max("count"), avg("count")).head()
+        (loads.getLong(0), loads.getDouble(1))
+      }
+      val (maxU, avgU) = loadStats(
+        SimilarityOps.rankedCellAssignments(embs1)
+          .filter(col("rn") === 1), "cid")
+      val (maxB, avgB) = loadStats(
+        SimilarityOps.balancedAssign(embs1, capacity = cap), "cid")
+      println(f"PROBE balanced_assign         unbounded max/avg: " +
+        f"$maxU%d/$avgU%.1f   capacity=$cap%d max/avg: $maxB%d/$avgB%.1f" +
+        f"   (skew ${maxU.toDouble / avgU}%.2f -> ${maxB.toDouble / avgB}%.2f)")
+    }
     spark.stop()
   }
 }
