@@ -129,8 +129,11 @@ object Bench {
           System.err.println(s"bench: ${q.name} failed: $e") }
         val sec = (System.nanoTime() - t0) / 1e9
         // dedup queries persist their shingle explosion for intra-plan
-        // reuse; release it so caches never accumulate across queries
-        graft.operators.DedupOps.unpersistShingleCaches()
+        // reuse; release it so caches never accumulate across queries.
+        // BLOCKING drain: an async unpersist can still be evicting
+        // while the next timed run starts (doc17's run2 measured
+        // slower than run1 from exactly this contention)
+        graft.operators.DedupOps.unpersistShingleCaches(blocking = true)
         Thread.sleep(50) // let straggler task-end events land
         (sec, (shuffleBytes.get - s0) / 1e6)
       }

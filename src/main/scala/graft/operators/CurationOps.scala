@@ -622,6 +622,8 @@ object CurationOps {
   def farthestFirstSeeds(embs: DataFrame, k: Int = 8,
       dim: Int = 64): DataFrame = {
     require(k >= 1, "need at least one seed")
+    require(embs.select("vec_id").distinct().count() >= k,
+      s"corpus has fewer than $k distinct vectors")
     val spark = embs.sparkSession
     val first = embs.select(min(col("vec_id"))).head().getLong(0)
     var chosen = Seq((0L, first, Option.empty[Double]))

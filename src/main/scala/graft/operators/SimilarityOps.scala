@@ -727,6 +727,8 @@ object SimilarityOps {
   def balancedAssign(embs: DataFrame, dim: Int = 64,
       nCentroids: Int = 8, capacity: Long): DataFrame = {
     require(capacity >= 1, "capacity must be positive")
+    require(nCentroids >= 2,
+      "balancing needs a second choice — nCentroids must be >= 2")
     val ranked = rankedCellAssignments(embs, dim, nCentroids)
     val first = ranked.filter(col("rn") === 1)
     val wPrio = Window.partitionBy(col("cid"))
