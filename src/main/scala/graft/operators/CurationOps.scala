@@ -366,27 +366,48 @@ object CurationOps {
     * TakeOrderedAndProject, no global window. */
   def dsirWeights(docs: DataFrame, targetSource: String,
       buckets: Int = 64): DataFrame = {
-    val sh = DedupOps.docShingles(docs).distinct()
+    val sh = dsirShingles(docs, buckets)
+    val ratios = dsirRatios(
+      sh.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("corpus_cnt"),
+          sum((col("source") === targetSource).cast("long"))
+            .as("target_cnt")), buckets)
+    dsirWeightsFromRatios(sh, ratios)
+  }
+
+  /** Distinct (doc_id, shingle, bucket) rows — the DSIR feature
+    * explosion shared by [[dsirWeights]] and the incrementally
+    * maintained variant ([[graft.streaming.IncrementalDsir]]). */
+  private[graft] def dsirShingles(docs: DataFrame,
+      buckets: Int): DataFrame = {
+    require((buckets & (buckets - 1)) == 0, "buckets must be 2^k")
+    DedupOps.docShingles(docs).distinct()
       .withColumn("bucket",
         graft.functions.VectorExpressions.seeded_mix_hash(0,
           col("shingle")).bitwiseAND(lit((buckets - 1).toLong)))
-    require((buckets & (buckets - 1)) == 0, "buckets must be 2^k")
-    val srcOf = docs.select(col("doc_id"), col("source"))
-    val withSrc = sh.join(srcOf, Seq("doc_id"))
-    val ratios = withSrc.groupBy("bucket")
-      .agg(count(lit(1)).as("corpus_cnt"),
-        sum((col("source") === targetSource).cast("long"))
-          .as("target_cnt"))
-      .withColumn("affinity_ppm", expr(
+  }
+
+  /** The smoothed integer affinity formula over a per-bucket
+    * (corpus_cnt, target_cnt) count table — ONE definition shared by
+    * the one-shot and incremental paths so their outputs are
+    * bit-identical by construction. */
+  private[graft] def dsirRatios(counts: DataFrame,
+      buckets: Int): DataFrame =
+    counts.withColumn("affinity_ppm", expr(
         s"CAST((target_cnt + 1) AS DECIMAL(38,0)) * 1000000 " +
           s"div (corpus_cnt + $buckets)"))
       .select("bucket", "affinity_ppm")
-    withSrc.join(broadcast(ratios), Seq("bucket"))
+
+  /** Per-doc weights of `sh` ([[dsirShingles]] rows) against a bucket
+    * affinity table. */
+  private[graft] def dsirWeightsFromRatios(sh: DataFrame,
+      ratios: DataFrame): DataFrame =
+    sh.join(broadcast(ratios), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feat"),
         sum(col("affinity_ppm")).cast("long").as("weight"))
       .withColumn("weight_per_feat_ppm", expr("weight div n_feat"))
-  }
 
   /** Per-document lexical-diversity profile — the vocabulary-richness
     * quality signals (template/boilerplate text scores low on all

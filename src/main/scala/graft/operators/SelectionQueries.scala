@@ -493,7 +493,11 @@ object SelectionQueries {
   // (truncating ppm divisions); the oracle replays the seed-0 FastMix
   // bucket hash with the same HUGEINT modular arithmetic the doc04
   // signature oracle uses.
-  private val doc30 = {
+  /** doc30's full oracle replay — also the oracle of doc32 (the
+    * incrementally-maintained variant's equivalence pin: batched
+    * bucket counts + current-ratio weights must equal this one-shot
+    * statement exactly). */
+  private val dsirOracleSql: String = {
     val U64 = "CAST('18446744073709551616' AS HUGEINT)"
     val U32 = "CAST('4294967296' AS HUGEINT)"
     def mulmod(a: String, c: java.math.BigInteger): String = {
@@ -510,14 +514,7 @@ object SelectionQueries {
          list_transform(range(1, length(shingle) + 1),
            i -> CAST(ascii(substring(shingle, i, 1)) AS HUGEINT))),
          (h, b) -> (h * 31 + b) % $U64)"""
-    GraftQuery(
-      "doc30_dsir_weights",
-      (s, dir) => {
-        import s.implicits._
-        CurationOps.dsirWeights(t(s, dir, "documents"), "src0")
-          .orderBy($"doc_id")
-      },
-      Some(s"""
+    s"""
         WITH $bigramShCtes,
         vocab AS (SELECT DISTINCT shingle FROM sh),
         b0 AS (SELECT shingle, $poly0 AS u FROM vocab),
@@ -548,8 +545,17 @@ object SelectionQueries {
         SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
           CAST(weight AS BIGINT) AS weight,
           CAST(weight // n_feat AS BIGINT) AS weight_per_feat_ppm
-        FROM w ORDER BY doc_id"""))
+        FROM w ORDER BY doc_id"""
   }
+
+  private val doc30 = GraftQuery(
+    "doc30_dsir_weights",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.dsirWeights(t(s, dir, "documents"), "src0")
+        .orderBy($"doc_id")
+    },
+    Some(dsirOracleSql))
 
   // -------------------------------------------------------------- emb20
   // Farthest-first (maximin) seeding — deterministic k-means++: seed 0
@@ -737,8 +743,35 @@ object SelectionQueries {
       GROUP BY v.dim
       ORDER BY v.dim"""))
 
+  // -------------------------------------------------------------- doc32
+  // Incrementally-maintained DSIR statistics (IncrementalDsir): the
+  // corpus arrives in THREE document-disjoint batches plus a
+  // REDELIVERED batch (watermark no-op); weights served against the
+  // maintained 64-row bucket table must equal one-shot doc30 —
+  // doc30's own oracle IS this query's oracle. Per-ingest cost is one
+  // batch-sized shingle scan, never a corpus re-scan.
+  private val doc32 = GraftQuery(
+    "doc32_incremental_dsir",
+    (s, dir) => {
+      import s.implicits._
+      val table = "doc32_buckets"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      Seq(0, 1, 1, 2).zipWithIndex.foreach { case (p, bid) =>
+        // the replayed batch re-sends p=1 under its ORIGINAL id 1
+        val id = if (bid == 2) 1L else bid.toLong
+        graft.streaming.IncrementalDsir.applyBatch(
+          s, table, part(p), "src0", id)
+      }
+      graft.streaming.IncrementalDsir.weightsFor(s, table, docs)
+        .orderBy($"doc_id")
+    },
+    Some(dsirOracleSql))
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
-      emb19, doc30, emb20, emb21, q57, doc31, emb22)
+      emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32)
 }
 
