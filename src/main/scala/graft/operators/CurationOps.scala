@@ -624,6 +624,37 @@ object CurationOps {
         count(lit(1)).as("n"))
   }
 
+  /** Curriculum ordering: a distributed-safe TRAINING ORDER for the
+    * corpus — cleanest quality band first, deterministic hash shuffle
+    * within each band. The order ships as a single BIGINT `sort_key`
+    * (stage << 40 | 40-bit md5 shuffle of doc_id), so the training
+    * reader materializes the curriculum with one range SORT on
+    * (sort_key, doc_id) — a distributed TakeOrdered/range-exchange,
+    * never the global-rank window this library bans (a dense global
+    * position would funnel the corpus through one task). Stable under
+    * reprocessing and re-partitioning (content-independent id hash,
+    * the doc08 property). `thresholds` are the ascending quality-band
+    * boundaries; band b = #thresholds-below-score, stage = highest
+    * band first. */
+  def curriculumOrder(docs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.3, 0.6, 0.8)): DataFrame = {
+    require(thresholds == thresholds.sorted, "thresholds must ascend")
+    val q = TextFunctions.qualityScore(col("text"))
+    val band = thresholds.foldLeft(lit(0L)) { (acc, t) =>
+      acc + (q >= t).cast("long")
+    }
+    val hx = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 10)
+    docs
+      .withColumn("band", band)
+      .withColumn("stage", lit(thresholds.size.toLong) - col("band"))
+      .withColumn("shuffle40", conv(hx, 16, 10).cast("long"))
+      .withColumn("sort_key",
+        col("stage") * lit(1L << 40) + col("shuffle40"))
+      .select(col("doc_id"), col("band"), col("stage"),
+        col("sort_key"))
+  }
+
   /** Farthest-first (maximin) seeding — the deterministic k-means++
     * variant: seed 0 is the lowest vec_id; each later seed is the
     * corpus vector LEAST similar to the chosen set (minimal maximum

@@ -770,8 +770,47 @@ object SelectionQueries {
     },
     Some(dsirOracleSql))
 
+  // -------------------------------------------------------------- doc33
+  // Curriculum ordering: cleanest quality band first, deterministic
+  // md5 shuffle within band, shipped as ONE BIGINT sort key — the
+  // training reader materializes the curriculum with a distributed
+  // range sort on (sort_key, doc_id), never a global-rank window.
+  private val doc33 = GraftQuery(
+    "doc33_curriculum_order",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.curriculumOrder(t(s, dir, "documents"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+          CAST(len(string_split(TRIM(text), ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text,
+            '\b(the|a|an|of|to|and|in|is|on|for)\b')) AS BIGINT)
+            AS n_stopwords
+        FROM documents),
+      q AS (
+        SELECT doc_id,
+          LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+            * (1.0 - CAST(n_stopwords AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE)) AS quality
+        FROM base),
+      b AS (
+        SELECT doc_id,
+          CAST((CASE WHEN quality >= 0.3 THEN 1 ELSE 0 END)
+             + (CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END)
+             + (CASE WHEN quality >= 0.8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS band,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10))
+            AS BIGINT) AS shuffle40
+        FROM q)
+      SELECT doc_id, band, CAST(3 - band AS BIGINT) AS stage,
+        (3 - band) * 1099511627776 + shuffle40 AS sort_key
+      FROM b ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
-      emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32)
+      emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32, doc33)
 }
 

@@ -285,6 +285,33 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got.size == 8)
   }
 
+  test("curriculumOrder: stages order bands; key encodes stage | shuffle") {
+    import spark.implicits._
+    // long clean text (quality ~1) vs stopword soup (low quality)
+    val clean = (1 to 60).map(i => s"word$i").mkString(" ")
+    val soup = "the a an of to and in is on for the a an of to"
+    val docs = Seq((1L, clean), (2L, soup), (3L, clean))
+      .toDF("doc_id", "text")
+    val got = CurationOps.curriculumOrder(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("band"), r.getAs[Long]("stage"),
+          r.getAs[Long]("sort_key"))).toMap
+    assert(got(1L)._1 == 3L && got(1L)._2 == 0L) // top band, stage 0
+    assert(got(2L)._1 == 0L && got(2L)._2 == 3L) // low band, last stage
+    // key layout: stage in the high bits, 40-bit shuffle below
+    got.values.foreach { case (_, stage, key) =>
+      assert(key >> 40 == stage)
+      assert((key & ((1L << 40) - 1)) >= 0L)
+    }
+    // clean docs sort before soup regardless of id hash
+    assert(got(1L)._3 < got(2L)._3 && got(3L)._3 < got(2L)._3)
+    // deterministic under repartitioning
+    val again = CurationOps.curriculumOrder(docs.repartition(7))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("sort_key")).toMap
+    assert(got.view.mapValues(_._3).toMap == again)
+  }
+
   test("dsirWeights: exact smoothing on singletons; target affinity wins") {
     import spark.implicits._
     // single doc, single shingle: affinity is bucket-independent —
