@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout WITHOUT
+// sbt's "[info] " line prefix: Bench/Verify print machine-parseable
+// JSON lines that a wrapping harness json.loads()es per line, and the
+// prefix has made every such parse fail (BENCH_r1–r9 all carry
+// "parsed": null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
