@@ -697,6 +697,75 @@ object CurationOps {
       .toDF("seed_rank", "vec_id", "sim_max")
   }
 
+  /** Scalable k-means‖ (Bahmani et al., VLDB 2012) seeding — the
+    * fixed-round replacement for [[farthestFirstSeeds]] at real nlist:
+    * maximin traversal costs k−1 sequential corpus scans (10⁴
+    * sequential jobs at the nlist an IVF index wants at 100 TB), while
+    * k-means‖ runs a FIXED number of rounds, each ONE broadcast corpus
+    * scan, sampling ~`oversample` new candidates per round with
+    * probability proportional to each vector's squared cosine distance
+    * to the chosen set, then reduces the candidate set to k seeds by
+    * coverage weight. Corpus scans = rounds + 1, independent of k —
+    * the flat-round-count property SelectionOpsSpec pins.
+    *
+    * Determinism (no RNG): the sampling gate replays doc08's md5-gate
+    * doctrine per (vec_id, round) — u40 = first 40 md5 bits of
+    * "vecId:round"; keep iff u40·φ < d²ᵢ·oversample·2⁴⁰, an EXACT
+    * integer inequality (d²ᵢ is the squared distance in fixed-point
+    * 1e-9 units, φ its corpus sum — BIGINT-exact, so no float-sum
+    * association can flip a borderline gate; this is also precisely
+    * min(1, oversample·d²/φ) ≥ u since u40 < 2⁴⁰ makes the clamp
+    * automatic). In expectation each round keeps `oversample` vectors
+    * (Σ gate probability = oversample exactly); candidates already
+    * chosen have d²ᵢ = 0 and can never re-sample.
+    *
+    * The final reduction takes the k candidates covering the most
+    * corpus vectors (nearest-candidate counts, ties to lowest vec_id)
+    * — the weight step of the paper with a deterministic weight-top-k
+    * in place of its RNG-seeded weighted recluster. Driver traffic is
+    * control-plane only: one 1-row φ aggregate + one ≈oversample-row
+    * candidate-id collect per round (E[new] = oversample; the gate
+    * sum bounds the tail), bounded like IncrementalJoin's bucket ids.
+    * Returns the k seed rows (vec_id, weight), heaviest first. */
+  def kmeansParallelSeeds(embs: DataFrame, k: Int = 8, rounds: Int = 4,
+      oversample: Int = 16, dim: Int = 64): DataFrame = {
+    require(k >= 1 && rounds >= 1 && oversample >= 1,
+      "k, rounds and oversample must be positive")
+    require(oversample.toLong * (1L << 40) > 0, "gate scale overflow")
+    val first = embs.select(min(col("vec_id"))).head().getLong(0)
+    var cands = Seq(first)
+    def candDf(ids: Seq[Long]): DataFrame = embs
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    for (r <- 1 to rounds) {
+      val scored = SimilarityOps.assignToCentroids(embs, candDf(cands), dim)
+        .filter(col("rn") === 1)
+        .select(col("vec_id"),
+          floor((lit(1.0) - col("ccos")) * (lit(1.0) - col("ccos"))
+            * lit(1000000000.0)).as("d2i"))
+      val phi = scored.agg(coalesce(sum("d2i"), lit(0L)))
+        .head().getLong(0)
+      if (phi > 0L) {
+        val u40 = conv(substring(md5(concat(col("vec_id").cast("string"),
+          lit(":" + r)).cast("binary")), 1, 10), 16, 10).cast("long")
+        val kept = scored.withColumn("u40", u40)
+          .filter(col("u40").cast("decimal(38,0)") * lit(phi) <
+            col("d2i").cast("decimal(38,0)") *
+              lit(oversample.toLong * (1L << 40)))
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        cands = cands ++ kept
+      }
+    }
+    require(cands.size >= k,
+      s"k-means|| sampled ${cands.size} candidates < k=$k — raise " +
+        "rounds or oversample (E[candidates] = rounds*oversample + 1)")
+    SimilarityOps.assignToCentroids(embs, candDf(cands), dim)
+      .filter(col("rn") === 1)
+      .groupBy("cid").agg(count(lit(1)).as("weight"))
+      .select(col("cid").as("vec_id"), col("weight"))
+      .orderBy(col("weight").desc, col("vec_id")).limit(k)
+  }
+
   def kmeans(embs: DataFrame, dim: Int = 64, k: Int = 8,
       iters: Int = 2, scale: Long = 1000000L)
       : (DataFrame, DataFrame) = {

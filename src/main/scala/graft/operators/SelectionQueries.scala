@@ -809,8 +809,77 @@ object SelectionQueries {
         (3 - band) * 1099511627776 + shuffle40 AS sort_key
       FROM b ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- emb23
+  // Scalable k-means|| (Bahmani) seeding: a FIXED number of rounds
+  // (corpus scans = rounds+1, independent of k — emb20's maximin costs
+  // k-1 sequential scans), each sampling ~oversample candidates via
+  // the deterministic md5 gate u40·phi < d2i·oversample·2^40 — an
+  // EXACT integer inequality (fixed-point squared distances, BIGINT
+  // phi), so no float-sum association can flip a borderline keep.
+  // Seeds = the k candidates covering the most corpus vectors. The
+  // oracle unrolls the rounds as CTEs with the same integer gate.
+  private val emb23 = {
+    val r = 4; val l = 16; val k = 8
+    val gate = l.toLong * (1L << 40)
+    val rounds = (1 to r).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+        SELECT b.vec_id,
+          MAX((${dotSql("b.embedding", "c.embedding", 64)}) / (b.n * c.n))
+            AS mx
+        FROM base b CROSS JOIN (
+          SELECT bb.embedding, bb.n FROM base bb
+          JOIN $prev cd ON bb.vec_id = cd.vec_id) c
+        GROUP BY b.vec_id),
+      d$i AS (
+        SELECT vec_id,
+          CAST(floor((1.0 - mx) * (1.0 - mx) * 1000000000.0) AS BIGINT)
+            AS d2i
+        FROM a$i),
+      p$i AS (SELECT SUM(d2i) AS phi FROM d$i),
+      c$i AS (
+        SELECT vec_id FROM $prev
+        UNION
+        SELECT d.vec_id FROM d$i d, p$i
+        WHERE CAST(CAST(('0x' ||
+            substring(md5(CAST(d.vec_id AS VARCHAR) || ':$i'), 1, 10))
+            AS BIGINT) AS HUGEINT) * p$i.phi
+          < CAST(d.d2i AS HUGEINT) * $gate)"""
+    }.mkString(",\n        ")
+    GraftQuery(
+      "emb23_kmeanspar_seeds",
+      (s, dir) =>
+        CurationOps.kmeansParallelSeeds(t(s, dir, "embeddings"),
+            k = k, rounds = r, oversample = l)
+          .orderBy(col("weight").desc, col("vec_id")),
+      Some(s"""
+        WITH base AS (
+          SELECT vec_id, embedding, ${normSql("embedding", 64)} AS n
+          FROM embeddings),
+        c0 AS (SELECT vec_id FROM base ORDER BY vec_id LIMIT 1),
+        $rounds,
+        cemb AS (
+          SELECT bb.vec_id AS cid, bb.embedding AS ce, bb.n AS cn
+          FROM base bb JOIN c$r cd ON bb.vec_id = cd.vec_id),
+        sim AS (
+          SELECT b.vec_id, c.cid,
+            (${dotSql("b.embedding", "c.ce", 64)}) / (b.n * c.cn) AS ccos
+          FROM base b CROSS JOIN cemb c),
+        asg AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY ccos DESC, cid) AS rn FROM sim),
+        w AS (
+          SELECT cid, CAST(COUNT(*) AS BIGINT) AS weight
+          FROM asg WHERE rn = 1 GROUP BY cid)
+        SELECT vec_id, weight FROM (
+          SELECT cid AS vec_id, weight FROM w
+          ORDER BY weight DESC, cid LIMIT $k)
+        ORDER BY weight DESC, vec_id"""))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
-      emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32, doc33)
+      emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32, doc33,
+      emb23)
 }
 

@@ -285,6 +285,83 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got.size == 8)
   }
 
+  test("kmeansParallelSeeds: seeds cover separated clusters") {
+    import spark.implicits._
+    // 3 tight clusters around axes 0/1/2 (cluster = id % 3, strong
+    // axis + small id-dependent jitter): the 3 coverage-heaviest
+    // candidates must land one per cluster
+    def cv(i: Long): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      a((i % 3).toInt) = 10f
+      a(3 + (i % 5).toInt) = 0.1f * ((i % 7) + 1)
+      a
+    }
+    val embs = (0L until 30L).map(i => (i, cv(i)))
+      .toDF("vec_id", "embedding")
+    val seeds = CurationOps.kmeansParallelSeeds(embs, k = 3, rounds = 3,
+      oversample = 6).collect()
+    assert(seeds.length == 3)
+    val clusters = seeds.map(_.getAs[Long]("vec_id") % 3).toSet
+    assert(clusters.size == 3, s"seeds share a cluster: ${seeds.toSeq}")
+    assert(seeds.map(_.getAs[Long]("weight")).forall(_ >= 1L))
+  }
+
+  test("kmeansParallelSeeds: corpus-scan jobs flat as k grows") {
+    import spark.implicits._
+    // the whole point vs farthestFirstSeeds: driver actions (and thus
+    // corpus scans) are 1 + 2*rounds regardless of k — maximin would
+    // be k-1. 400 distinct pseudo-random directions keep phi > 0 so
+    // no round short-circuits and the counts are comparable.
+    def v(i: Long): Array[Float] = {
+      val a = new Array[Float](64)
+      var j = 0
+      while (j < 64) {
+        a(j) = (((i * 7919L + j * 104729L) % 997L) - 498L) / 100f
+        j += 1
+      }
+      a
+    }
+    val embs = (0L until 400L).map(i => (i, v(i)))
+      .toDF("vec_id", "embedding")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def jobsDuring(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0)
+        body
+        Thread.sleep(500) // listener events are async
+        jobs.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // only the driver-side sampling loop runs inside the count; the
+    // returned (lazy) weight frame is materialized outside it
+    var small: org.apache.spark.sql.DataFrame = null
+    var large: org.apache.spark.sql.DataFrame = null
+    val jSmall = jobsDuring {
+      small = CurationOps.kmeansParallelSeeds(embs, k = 4, rounds = 3,
+        oversample = 8)
+    }
+    val jLarge = jobsDuring {
+      large = CurationOps.kmeansParallelSeeds(embs, k = 16, rounds = 3,
+        oversample = 32)
+    }
+    assert(jSmall == jLarge,
+      s"sampling job count grew with k: $jSmall -> $jLarge")
+    assert(small.collect().length == 4)
+    assert(large.collect().length == 16)
+    // determinism across partitioning (the md5-gate property)
+    val re = CurationOps.kmeansParallelSeeds(embs.repartition(7), k = 16,
+      rounds = 3, oversample = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re == large.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("curriculumOrder: stages order bands; key encodes stage | shuffle") {
     import spark.implicits._
     // long clean text (quality ~1) vs stopword soup (low quality)
