@@ -624,6 +624,50 @@ object CurationOps {
         count(lit(1)).as("n"))
   }
 
+  /** The 100 TB path of [[dimWinsorize]], oracle-pinned: per-dimension
+    * winsorization bounds from the GK quantile SKETCH
+    * ([[PercentileOps.Approx]] — bounded memory, partial-aggregated,
+    * no per-group full-value buffer anywhere in the plan), audited by
+    * RANK band instead of exact value: the sketch's [pLo, pHi] bounds
+    * must clip a share of each dimension's values within
+    * `bandPct` points of the nominal tail mass (count(v < lo)·100 ∈
+    * [n·(pLo·100 − band), n·(pLo·100 + band)], integer arithmetic, and
+    * symmetrically above hi). This is the q35/q57 sketch-banding
+    * pattern: the oracle pins the band as TRUE per dimension — a
+    * sketch whose rank error drifted past the band (or a silent swap
+    * to a value-buffering aggregate) fails the driver gate, so the
+    * scale path is contractual, not asserted. GK rank error is
+    * n/accuracy (0.01 % at the default), orders of magnitude inside
+    * the ±3-point band. */
+  def dimWinsorizeSketch(embs: DataFrame, pLo: Double = 0.05,
+      pHi: Double = 0.95, accuracy: Int = 10000,
+      bandPct: Int = 3): DataFrame = {
+    val loPct = (pLo * 100).round
+    val hiTailPct = ((1.0 - pHi) * 100).round
+    require(loPct > bandPct && hiTailPct > bandPct,
+      "band must leave a positive lower rank bound")
+    val vals = embs
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val pLoName = s"p${loPct}"
+    val pHiName = s"p${(pHi * 100).round}"
+    val bounds = PercentileOps.groupPercentiles(vals, "dim", "v",
+        Seq(pLo, pHi), PercentileOps.Approx(accuracy))
+      .select(col("dim"), col(pLoName).as("lo"), col(pHiName).as("hi"))
+    def inBand(cnt: Column, target: Long): Column =
+      cnt * 100L >= col("n") * (target - bandPct) &&
+        cnt * 100L <= col("n") * (target + bandPct)
+    vals.join(broadcast(bounds), Seq("dim"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum((col("v") < col("lo")).cast("long")).as("n_lo"),
+        sum((col("v") > col("hi")).cast("long")).as("n_hi"))
+      .select(col("dim"), col("n"),
+        inBand(col("n_lo"), loPct).as("lo_in_band"),
+        inBand(col("n_hi"), hiTailPct).as("hi_in_band"))
+  }
+
   /** Curriculum ordering: a distributed-safe TRAINING ORDER for the
     * corpus — cleanest quality band first, deterministic hash shuffle
     * within each band. The order ships as a single BIGINT `sort_key`

@@ -877,9 +877,30 @@ object SelectionQueries {
         ORDER BY weight DESC, vec_id"""))
   }
 
+  // -------------------------------------------------------------- emb24
+  // The 100 TB path of emb22, oracle-PINNED: winsorization bounds from
+  // the GK sketch (approx_percentile — bounded memory, no per-group
+  // full-value buffer), audited by rank band — the clip count of each
+  // sketch bound must sit within ±3 points of the nominal 5% tail.
+  // The q35/q57 sketch-banding pattern: the oracle emits TRUE per
+  // dimension, so sketch drift (or a silent swap to a value-buffering
+  // aggregate path) fails the driver gate.
+  private val emb24 = GraftQuery(
+    "emb24_winsorize_sketch",
+    (s, dir) =>
+      CurationOps.dimWinsorizeSketch(t(s, dir, "embeddings"))
+        .orderBy(col("dim")),
+    Some("""
+      WITH v AS (
+        SELECT CAST(i - 1 AS BIGINT) AS dim
+        FROM embeddings, range(1, 65) t(i))
+      SELECT dim, COUNT(*) AS n, TRUE AS lo_in_band, TRUE AS hi_in_band
+      FROM v GROUP BY dim
+      ORDER BY dim"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
       emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32, doc33,
-      emb23)
+      emb23, emb24)
 }
 

@@ -73,7 +73,12 @@ class PlanQualitySpec extends SparkSpec {
       "emb19_binary_hamming",
       // emb21: balanced assignment — the emb04-class ≤8-row centroid
       // broadcast (rank-1/rank-2 choices from one ranked pass)
-      "emb21_balanced_assign")
+      "emb21_balanced_assign",
+      // emb23: k-means|| coverage-weight pass — broadcasts the sampled
+      // candidate set (≈ rounds·oversample + 1 ≈ 65 rows, control-
+      // plane bounded) against one corpus scan, the same shape as the
+      // emb04/emb08 centroid broadcasts
+      "emb23_kmeanspar_seeds")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
@@ -117,6 +122,22 @@ class PlanQualitySpec extends SparkSpec {
     val phys = df.queryExecution.executedPlan.toString
     assert(phys.contains("partial_approx_percentile") ||
       phys.contains("ObjectHashAggregate"), phys)
+  }
+
+  test("emb24 sketch winsorize plans the sketch, not a value buffer") {
+    // the registered 100 TB winsorize path must stay on
+    // approx_percentile (GK sketch, partial-aggregated): a silent
+    // regression to exact percentile would buffer corpus/dim values
+    // per group on one reducer
+    val df = SparkEntry.queries("emb24_winsorize_sketch")(
+      spark, sf("sf0.001"))
+    val aggExprs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.map(_.toString).mkString(";")
+    }.mkString(";")
+    assert(aggExprs.contains("approx_percentile"))
+    assert(!aggExprs.replace("approx_percentile", "").contains("percentile("),
+      s"exact percentile (full-value buffer) in emb24: $aggExprs")
   }
 
   test("exact percentile mode is gated behind allowExact") {

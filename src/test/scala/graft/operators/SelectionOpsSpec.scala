@@ -285,6 +285,21 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got.size == 8)
   }
 
+  test("dimWinsorizeSketch: rank bands hold on 1..100; constant dim flags") {
+    import spark.implicits._
+    // dim 0 is 1..100 (sketch p05/p95 clip ~5% each side → in band);
+    // dim 1 is constant (clip counts 0 → OUT of band, the honest
+    // signal that winsorization is meaningless on a degenerate dim)
+    val embs = (1 to 100).map(i => (i.toLong, Array(i.toFloat, 7f)))
+      .toDF("vec_id", "embedding")
+    val got = CurationOps.dimWinsorizeSketch(embs).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("lo_in_band"),
+          r.getAs[Boolean]("hi_in_band"))).toMap
+    assert(got(0L) == (100L, true, true))
+    assert(got(1L) == (100L, false, false))
+  }
+
   test("kmeansParallelSeeds: seeds cover separated clusters") {
     import spark.implicits._
     // 3 tight clusters around axes 0/1/2 (cluster = id % 3, strong
