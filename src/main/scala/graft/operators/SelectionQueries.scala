@@ -898,9 +898,68 @@ object SelectionQueries {
       FROM v GROUP BY dim
       ORDER BY dim"""))
 
+  // -------------------------------------------------------------- emb25
+  // STRICT capacity-bounded assignment: emb21's one rebalance round
+  // bounds a cell only at capacity + spill-in; this is synchronous
+  // deferred acceptance iterated to the fixed point — every cell ends
+  // ≤ capacity, full stop. Capacity is the minimal ceil(n/8) (maximal
+  // pressure — the displacement cascades actually run). The oracle
+  // replays the SAME synchronous rounds as a recursive CTE carrying
+  // the full per-round state (UNION ALL + an advanced-count guard:
+  // DuckDB's recursive working table only sees the last iteration, so
+  // the state must travel whole).
+  private val emb25 = GraftQuery(
+    "emb25_balanced_strict",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val n = embs.count()
+      SimilarityOps.balancedAssignStrict(embs, capacity = (n + 7) / 8)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+          ${normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      cap AS (SELECT CAST((COUNT(*) + 7) // 8 AS BIGINT) AS c FROM base),
+      sim AS (
+        SELECT b.vec_id, c.cid,
+          (${dotSql("b.embedding", "c.ce", 64)}) / (b.en * c.cn) AS ccos
+        FROM base b CROSS JOIN cent c),
+      assign AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, cid) AS rn
+        FROM sim),
+      st AS (
+        SELECT 0 AS it, vec_id, 1 AS rnk FROM base
+        UNION ALL
+        SELECT nxt.it, nxt.vec_id, nxt.rnk FROM (
+          SELECT cur.it + 1 AS it, cur.vec_id,
+            CASE WHEN cur.prio > (SELECT c FROM cap)
+              THEN cur.rnk + 1 ELSE cur.rnk END AS rnk,
+            SUM(CASE WHEN cur.prio > (SELECT c FROM cap)
+              THEN 1 ELSE 0 END) OVER () AS n_adv
+          FROM (
+            SELECT s.it, s.vec_id, s.rnk, a.cid, a.ccos,
+              ROW_NUMBER() OVER (PARTITION BY a.cid
+                ORDER BY a.ccos DESC, s.vec_id) AS prio
+            FROM st s JOIN assign a
+              ON a.vec_id = s.vec_id AND a.rn = s.rnk
+          ) cur
+        ) nxt WHERE nxt.n_adv > 0),
+      fin AS (
+        SELECT vec_id, rnk FROM st
+        WHERE it = (SELECT MAX(it) FROM st))
+      SELECT f.vec_id, a.cid, CAST(f.rnk AS BIGINT) AS rank
+      FROM fin f JOIN assign a ON a.vec_id = f.vec_id AND a.rn = f.rnk
+      ORDER BY f.vec_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
       emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32, doc33,
-      emb23, emb24)
+      emb23, emb24, emb25)
 }
 

@@ -743,6 +743,75 @@ object SimilarityOps {
     stay.unionByName(second)
   }
 
+  /** STRICT capacity-bounded cluster assignment — [[balancedAssign]]
+    * iterated to a fixed point, so the bound on every cell is
+    * `capacity`, full stop (one-round balancedAssign bounds a cell
+    * only at capacity + spill-in from other cells' overflow — under
+    * adversarial skew the second choice of a hot region is itself
+    * hot). The scheme is synchronous deferred acceptance (Gale–Shapley
+    * with capacities): every vector proposes to its best remaining
+    * cell, each cell keeps its `capacity` most-similar proposers (ties
+    * to lowest vec_id), rejected vectors advance to their next choice
+    * — simultaneously, one round per iteration. With
+    * nCentroids·capacity ≥ n (required) every vector lands within its
+    * nCentroids choices, and the fixed point is the unique
+    * vector-optimal stable assignment, independent of round order.
+    *
+    * Cost: each round joins the n·nCentroids ranked-choice table
+    * (persisted once) with the n-row state on (vec_id, rank) and runs
+    * one per-cid priority window — a bounded keyed shuffle; rounds are
+    * data-dependent (displacement chains), `maxRounds` guards the
+    * pathological case. State rounds localCheckpoint with immediate
+    * free of the superseded round (the connectedComponents /
+    * CheckpointBridge pattern — lineage would otherwise double per
+    * round). Keep the one-round [[balancedAssign]] as the cheap
+    * default when approximate balance suffices.
+    * Returns (vec_id, cid, rank) — rank 1 = got its first choice. */
+  def balancedAssignStrict(embs: DataFrame, dim: Int = 64,
+      nCentroids: Int = 8, capacity: Long,
+      maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    import org.apache.spark.storage.StorageLevel
+    require(capacity >= 1, "capacity must be positive")
+    require(nCentroids >= 2,
+      "balancing needs alternative choices — nCentroids must be >= 2")
+    val ranked = rankedCellAssignments(embs, dim, nCentroids)
+      .select(col("vec_id"), col("cid"), col("ccos"),
+        col("rn").as("rnk"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val n = ranked.filter(col("rnk") === 1).count()
+    require(nCentroids * capacity >= n,
+      s"total capacity ${nCentroids * capacity} < corpus $n — " +
+        "deferred acceptance cannot place every vector")
+    val wPrio = Window.partitionBy(col("cid"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    var ck = ranked.filter(col("rnk") === 1)
+      .select(col("vec_id"), col("rnk"), lit(false).as("advanced"))
+      .localCheckpoint()
+    var state = ck.select("vec_id", "rnk")
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = ranked.join(state, Seq("vec_id", "rnk"))
+        .withColumn("prio", row_number().over(wPrio))
+        .select(col("vec_id"),
+          when(col("prio") > capacity, col("rnk") + 1)
+            .otherwise(col("rnk")).as("rnk"),
+          (col("prio") > capacity).as("advanced"))
+        .localCheckpoint()
+      converged = next.filter(col("advanced")).isEmpty
+      CheckpointBridge.freeLocalCheckpoint(ck)
+      ck = next
+      state = next.select("vec_id", "rnk")
+      round += 1
+    }
+    ranked.unpersist()
+    require(converged,
+      s"balancedAssignStrict did not converge in $maxRounds rounds")
+    ranked.join(state, Seq("vec_id", "rnk"))
+      .select(col("vec_id"), col("cid"), col("rnk").cast("long").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def embeddingNearDups(embs: DataFrame, dim: Int = 64, planes: Int = 6,
       minCos: Double = 0.9): DataFrame = {

@@ -78,7 +78,10 @@ class PlanQualitySpec extends SparkSpec {
       // candidate set (≈ rounds·oversample + 1 ≈ 65 rows, control-
       // plane bounded) against one corpus scan, the same shape as the
       // emb04/emb08 centroid broadcasts
-      "emb23_kmeanspar_seeds")
+      "emb23_kmeanspar_seeds",
+      // emb25: strict balanced assignment — the emb21-class ≤8-row
+      // centroid broadcast building the ranked-choice table
+      "emb25_balanced_strict")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

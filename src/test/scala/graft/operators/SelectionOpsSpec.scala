@@ -377,6 +377,47 @@ class SelectionOpsSpec extends SparkSpec {
     assert(re == large.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("balancedAssignStrict: capacity holds where one round overflows") {
+    import spark.implicits._
+    // adversarial second-choice collision: centroids 0 (+x), 1 (+y),
+    // 2 (+z); 6 vectors hug +x (second choice ALWAYS +y), 3 vectors
+    // hug +y. capacity 4: cell 0 spills 3 vectors onto cell 1, which
+    // is already full — one-round balancedAssign leaves cell 1 at 7,
+    // strict deferred acceptance cascades the spill on to cell 2 and
+    // every cell ends <= 4
+    def axis(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0f); a(i) = 1f; a
+    }
+    def near(main: Int, second: Int, t: Double): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      a(main) = math.cos(t).toFloat; a(second) = math.sin(t).toFloat; a
+    }
+    val embs = (Seq((0L, axis(0)), (1L, axis(1)), (2L, axis(2))) ++
+      (3L to 8L).map(i => (i, near(0, 1, 0.15 + 0.02 * (i - 3)))) ++
+      (10L to 12L).map(i => (i, near(1, 0, 0.05 + 0.01 * (i - 10)))))
+      .toDF("vec_id", "embedding")
+    val oneRound = SimilarityOps.balancedAssign(embs, nCentroids = 3,
+        capacity = 4L)
+      .groupBy("cid").count().collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Long]("count")).toMap
+    assert(oneRound.values.max > 4L,
+      s"constructed collision did not overflow one-round: $oneRound")
+    val strict = SimilarityOps.balancedAssignStrict(embs, nCentroids = 3,
+      capacity = 4L).collect()
+    assert(strict.length == 12)
+    assert(strict.map(_.getAs[Long]("vec_id")).distinct.length == 12)
+    val loads = strict.groupBy(_.getAs[Long]("cid")).map {
+      case (c, rows) => c -> rows.length
+    }
+    assert(loads.values.max <= 4, s"strict exceeded capacity: $loads")
+    assert(strict.map(_.getAs[Long]("rank")).forall(r => r >= 1L && r <= 3L))
+    // total capacity below corpus size must be rejected up front
+    intercept[IllegalArgumentException] {
+      SimilarityOps.balancedAssignStrict(embs, nCentroids = 3,
+        capacity = 3L)
+    }
+  }
+
   test("curriculumOrder: stages order bands; key encodes stage | shuffle") {
     import spark.implicits._
     // long clean text (quality ~1) vs stopword soup (low quality)
