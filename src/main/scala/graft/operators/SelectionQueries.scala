@@ -957,9 +957,41 @@ object SelectionQueries {
       FROM fin f JOIN assign a ON a.vec_id = f.vec_id AND a.rn = f.rnk
       ORDER BY f.vec_id"""))
 
+  // -------------------------------------------------------------- cdc28
+  // Incrementally-maintained connected components (IncrementalCC):
+  // the doc04 verified pair list arrives in THREE arbitrary batches
+  // plus a REDELIVERED batch (watermark no-op); the maintained label
+  // table must equal one-shot doc17 — min-label union is associative,
+  // so batch order cannot matter, and doc17's own oracle IS this
+  // query's oracle. Per-batch cost: a component-graph CC bounded by
+  // the batch, one broadcast-join table scan, dirty-bucket upserts.
+  private val cdc28 = GraftQuery(
+    "cdc28_incremental_cc",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc28_labels"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.verifiedNearDups(docs)
+        .select($"doc_a", $"doc_b")
+      def part(i: Int) =
+        pairs.filter(pmod($"doc_a" * 7 + $"doc_b", lit(3)) === i)
+      // the replayed batch re-sends part 1 under its ORIGINAL id 1
+      Seq((0, 0L), (1, 1L), (1, 1L), (2, 2L)).foreach { case (p, id) =>
+        graft.streaming.IncrementalCC.applyBatch(s, table, part(p), id)
+      }
+      graft.streaming.IncrementalCC.readLabels(s, table)
+        .orderBy($"doc_id")
+    },
+    Some(minhashLshPairsCtes(bigramShCtes, minJ = 0.2,
+      recursive = true) + LlmQueries.ccClosureCtes + """
+      SELECT doc_id, component FROM comp
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
       emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32, doc33,
-      emb23, emb24, emb25)
+      emb23, emb24, emb25, cdc28)
 }
 
