@@ -242,6 +242,57 @@ class LakehouseSinkSpec extends SparkSpec {
     assert(spark.table(t).count() == 1000)
   }
 
+  test("curriculum reader: clusterBy(sort_key) files are stage-disjoint") {
+    import spark.implicits._
+    // the doc33 contract end-to-end: curriculumOrder ships ONE BIGINT
+    // sort key; the reader service materializes the training order by
+    // range-clustering on it — each file then holds a contiguous,
+    // pairwise-disjoint slice of the curriculum (stage-major), so a
+    // sequential trainer streams files in name-range order and a
+    // stage-filtered scan prunes to the matching files, with no
+    // global-rank window anywhere
+    val t = "lh_curriculum"
+    Seq(t, s"${t}_clustering", s"${t}_old")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    graft.operators.CurationOps.curriculumOrder(docs)
+      .repartition(4) // round-robin: every file spans ~all stages
+      .write.format("parquet").saveAsTable(t)
+    val before = fileRanges(t, "sort_key").sorted
+    assert(before.sliding(2).exists {
+      case Seq((_, aMax), (bMin, _)) => aMax >= bMin
+      case _ => false
+    }, s"expected overlapping pre-cluster files, got $before")
+    LakehouseSink.clusterBy(spark, t, Seq("sort_key"), nFiles = 4)
+    val after = fileRanges(t, "sort_key").sorted
+    assert(after.size > 1)
+    after.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin,
+          s"curriculum file ranges overlap after clusterBy: $after")
+      case _ =>
+    }
+    // content preserved and the order is stage-major: the first file's
+    // keys all precede the last file's keys, so stages never interleave
+    // across the file sequence
+    assert(spark.table(t).count() == docs.count())
+    val stages = spark.table(t)
+      .select((col("sort_key") / lit(1L << 40)).cast("long").as("stage"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(stages.length > 1, "need >1 stage for a meaningful ordering")
+    // a stage-predicate scan prunes: stage s occupies a contiguous
+    // sort_key range, so row-group stats exclude non-matching files
+    val lastStage = stages.max
+    val dfStage = spark.table(t)
+      .filter(col("sort_key") >= lastStage * (1L << 40))
+    dfStage.collect()
+    val scan = dfStage.queryExecution.executedPlan.collectLeaves().head
+    val scanned = scan.metrics("numOutputRows").value
+    val total = spark.table(t).count()
+    assert(scanned < total,
+      s"stage predicate did not prune the clustered scan: $scanned/$total")
+  }
+
   test("zorderBy: files get tight envelopes on BOTH columns; either prunes") {
     import spark.implicits._
     val t = "lh_zorder"
