@@ -780,9 +780,14 @@ object SimilarityOps {
         col("rn").as("rnk"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val n = ranked.filter(col("rnk") === 1).count()
-    require(nCentroids * capacity >= n,
-      s"total capacity ${nCentroids * capacity} < corpus $n — " +
-        "deferred acceptance cannot place every vector")
+    if (nCentroids * capacity < n) {
+      // release the persist before rejecting — a thrown require would
+      // leak the cached ranked-choice table into the shared session
+      ranked.unpersist(blocking = true)
+      throw new IllegalArgumentException(
+        s"total capacity ${nCentroids * capacity} < corpus $n — " +
+          "deferred acceptance cannot place every vector")
+    }
     val wPrio = Window.partitionBy(col("cid"))
       .orderBy(col("ccos").desc, col("vec_id"))
     var ck = ranked.filter(col("rnk") === 1)
@@ -806,8 +811,11 @@ object SimilarityOps {
       round += 1
     }
     ranked.unpersist()
-    require(converged,
-      s"balancedAssignStrict did not converge in $maxRounds rounds")
+    if (!converged) {
+      CheckpointBridge.freeLocalCheckpoint(ck)
+      throw new IllegalStateException(
+        s"balancedAssignStrict did not converge in $maxRounds rounds")
+    }
     ranked.join(state, Seq("vec_id", "rnk"))
       .select(col("vec_id"), col("cid"), col("rnk").cast("long").as("rank"))
   }
