@@ -826,4 +826,96 @@ object CurationOps {
     }
     (assigned.select(col("vec_id"), col("cid"), col("ccos")), cents)
   }
+
+  /** Bigram language-model fluency score — the perplexity-filter step
+    * of a CCNet-style curation pipeline (train an n-gram LM, keep the
+    * documents the model finds predictable), with the LM trained on
+    * the corpus itself: boilerplate and templated text scores high,
+    * token soup scores low. Ref behavior class:
+    * stream-cdc-style pipelines have no LM scoring; this is part of
+    * the LLM-pipeline surface the engine adds.
+    *
+    * The model is the corpus bigram table: P(w2|w1) estimated as
+    * c(w1,w2)/c(w1·) and shipped as truncating integer ppm (the doc23
+    * float-free doctrine — no libm, no order-dependent float sums, so
+    * the score is bit-identical on every engine and partitioning). A
+    * document's score is the truncating mean ppm over its bigram
+    * OCCURRENCES (repeats weigh — a doc made of one frequent bigram
+    * is maximally predictable). Docs under 2 tokens score 0 over 0
+    * bigrams.
+    *
+    * Shape at scale: one token-array projection → bigram explosion
+    * (∝ corpus tokens) → two map-side-combined count aggregates
+    * (bigram model, then prefix totals via a second aggregate over
+    * the MODEL — vocab-sized, never a re-explosion) → one equi-shuffle
+    * join of occurrences against the model on (w1, w2) → per-doc
+    * aggregate. The model is vocab²-bounded, not broadcast (at
+    * 100 TB it is GBs); the join is a plain keyed shuffle AQE can
+    * re-plan. No windows, no driver materialization. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("ts"))
+    val bg = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cnt2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cnt1 = cnt2.groupBy("w1").agg(sum("c2").as("c1"))
+    val model = cnt2.join(cnt1, Seq("w1"))
+      .withColumn("p_ppm", expr("(c2 * 1000000) div c1"))
+      .select(col("w1"), col("w2"), col("p_ppm"))
+    val scored = bg.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_ppm")).as("sum_ppm"))
+      .withColumn("avg_ppm", expr("sum_ppm div n_bigrams"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_ppm"), lit(0L)).as("avg_ppm"))
+  }
+
+  /** Sliding-window token chunking — the context-window prep step for
+    * RAG indexing and fixed-length pretraining examples: each document
+    * becomes overlapping chunks of `window` tokens advancing by
+    * `stride` (overlap = window − stride carries context across the
+    * boundary). Chunk boundaries are pure functions of the token
+    * count, so the output is deterministic under reprocessing and
+    * re-partitioning; (doc_id, chunk_idx) is the stable chunk key.
+    *
+    * A doc of L ≤ window tokens is one chunk; otherwise
+    * 1 + ⌈(L − window)/stride⌉ chunks, the last one ending exactly at
+    * the final token (it may be shorter than `window`, never empty).
+    * Empty docs produce one empty chunk — the caller filters if chunks
+    * must be non-empty; dropping them here would silently lose the
+    * doc-id from downstream per-chunk rollups.
+    *
+    * Shape at scale: one projection + one explosion, work and output
+    * ∝ corpus tokens × (window/stride) amplification; no shuffle at
+    * all — chunking stays partition-local and pipelines into whatever
+    * consumes the chunks. */
+  def slidingChunks(docs: DataFrame, window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val nChunks = when(col("n_tok") <= window, lit(1L))
+      .otherwise(
+        expr(s"1L + (n_tok - $window + $stride - 1) div ${stride}L"))
+    docs.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("ts"))
+      .withColumn("n_tok", size(col("ts")).cast("long"))
+      .withColumn("n_chunks", nChunks.cast("long"))
+      .select(col("doc_id"), col("ts"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride + 1)
+      .withColumn("chunk_len",
+        least(lit(window.toLong), col("n_tok") - col("start_tok") + 1))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("chunk_len"),
+        concat_ws(" ", slice(col("ts"), col("start_tok").cast("int"),
+          col("chunk_len").cast("int"))).as("chunk_text"))
+  }
 }

@@ -989,9 +989,79 @@ object SelectionQueries {
       SELECT doc_id, component FROM comp
       ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- doc34
+  // Bigram-LM fluency score (the CCNet perplexity-filter shape): the
+  // model is the corpus's own bigram table, P(w2|w1) as truncating
+  // integer ppm, a doc's score the truncating mean over its bigram
+  // occurrences. Float-free end to end (doc23 doctrine).
+  private val doc34 = GraftQuery(
+    "doc34_bigram_lm",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.bigramLmScore(t(s, dir, "documents"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+          i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+        FROM toks WHERE len(ws) >= 2),
+      bgf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgf GROUP BY w1, w2),
+      c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+      model AS (SELECT c2.w1, c2.w2,
+        CAST((c2.c2 * 1000000) // c1.c1 AS BIGINT) AS p_ppm
+        FROM c2 JOIN c1 USING (w1)),
+      sc AS (
+        SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(m.p_ppm) AS sum_ppm
+        FROM bgf b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        GROUP BY b.doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(sc.sum_ppm // sc.n_bigrams, 0) AS BIGINT)
+          AS avg_ppm
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY doc_id"""))
+
+  // -------------------------------------------------------------- doc35
+  // Sliding-window token chunking — RAG / context-window prep: chunks
+  // of 64 tokens advancing by 48 (16-token overlap), (doc_id,
+  // chunk_idx) the stable key, boundaries a pure function of token
+  // count. No shuffle at all: the chunker is partition-local.
+  private val doc35 = GraftQuery(
+    "doc35_text_chunks",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.slidingChunks(t(s, dir, "documents"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      base AS (
+        SELECT doc_id, ws, len(ws) AS n_tok,
+          CASE WHEN len(ws) <= 64 THEN 1
+            ELSE 1 + (len(ws) - 64 + 47) // 48 END AS n_chunks
+        FROM toks),
+      ch AS (
+        SELECT doc_id, ws, n_tok,
+          unnest(range(0, n_chunks)) AS chunk_idx
+        FROM base)
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        CAST(chunk_idx*48 + 1 AS BIGINT) AS start_tok,
+        CAST(LEAST(64, n_tok - chunk_idx*48) AS BIGINT) AS chunk_len,
+        array_to_string(list_slice(ws, chunk_idx*48 + 1,
+          chunk_idx*48 + LEAST(64, n_tok - chunk_idx*48)), ' ')
+          AS chunk_text
+      FROM ch ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
       emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32, doc33,
-      emb23, emb24, emb25, cdc28)
+      emb23, emb24, emb25, cdc28, doc34, doc35)
 }
 

@@ -300,4 +300,62 @@ class CurationOpsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("ccos") - 1.0) < 1e-9)
     }
   }
+
+  test("bigramLmScore: hand-computed ppm on a 3-doc corpus") {
+    import spark.implicits._
+    // corpus bigrams: doc0 "a b","b c"; doc1 "a b","b d"; doc2 "x".
+    // c2: (a,b)=2 (b,c)=1 (b,d)=1; c1: a·=2, b·=2.
+    // ppm: (a,b)=1000000, (b,c)=500000, (b,d)=500000.
+    // doc0 avg = (1000000+500000) div 2 = 750000; doc1 same.
+    // doc2: 1 token → 0 bigrams, score 0.
+    val docs = Seq((0L, "a b c"), (1L, "a b d"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val got = CurationOps.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == (2L, 750000L))
+    assert(got(1L) == (2L, 750000L))
+    assert(got(2L) == (0L, 0L))
+  }
+
+  test("bigramLmScore: repeated bigram weighs per occurrence") {
+    import spark.implicits._
+    // doc0 = "a a a": bigrams (a,a)x2; corpus c2(a,a)=2, c1(a)=2 →
+    // ppm 1000000, avg 1000000 — repetition reads as max fluency,
+    // which is exactly why this score is a FILTER input, not a
+    // quality score on its own.
+    val docs = Seq((0L, "a a a")).toDF("doc_id", "text")
+    val r = CurationOps.bigramLmScore(docs).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1000000L)
+  }
+
+  test("slidingChunks: boundaries, overlap, last-chunk shortfall") {
+    import spark.implicits._
+    // 9 tokens, window 4, stride 3:
+    // n = 1 + ceil((9-4)/3) = 3 → starts 1,4,7; last covers 7..9
+    // (3 tokens — shorter than the window, never empty).
+    val text = (1 to 9).map(i => s"t$i").mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val got = CurationOps.slidingChunks(docs, window = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(got.length == 3)
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 4L, 7L))
+    assert(got.map(_.getLong(3)).toSeq == Seq(4L, 4L, 3L))
+    assert(got(2).getString(4) == "t7 t8 t9")
+    // overlap: chunk 0 ends at t4, chunk 1 starts at t4
+    assert(got(0).getString(4).endsWith("t4"))
+    assert(got(1).getString(4).startsWith("t4"))
+  }
+
+  test("slidingChunks: short doc is one chunk; empty doc survives") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "")).toDF("doc_id", "text")
+    val got = CurationOps.slidingChunks(docs, window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getString(4)))
+    assert(got.length == 2)
+    assert(got.contains((0L, 0L, 2L, "a b")))
+    // "" tokenizes to [""] on both engines (the packSequences note) —
+    // one 1-token chunk of empty text, so the doc id survives chunking
+    assert(got.contains((1L, 0L, 1L, "")))
+  }
 }
