@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.DedupOps
 import graft.sources.Tables
-import graft.streaming.{CdcMerge, IncrementalDedup, QualityGate}
+import graft.streaming.{CdcMerge, IncrementalCC, IncrementalDedup,
+  IncrementalDsir, QualityGate}
 
 /** Streaming corpus INGEST pipeline — the composed end-to-end path a
   * continuously-crawled training corpus runs on every arrival batch:
@@ -15,7 +16,12 @@ import graft.streaming.{CdcMerge, IncrementalDedup, QualityGate}
   *   raw docs → [[QualityGate]] (Gopher-rule split, rejects keep
   *   per-rule audit) → [[IncrementalDedup]] (O(batch) LSH index
   *   probe; candidates Jaccard-verified) → accepted corpus table,
-  *   near-dup pair log, reject table.
+  *   near-dup pair log, reject table
+  *   → [[IncrementalCC]] (pair batches fold into the standing
+  *   near-dup CLUSTER labels — what keeps leakage-safe splits fresh)
+  *   → [[IncrementalDsir]] (accepted batches fold into the DSIR
+  *   bucket counts — selection weights stay current without a corpus
+  *   re-profile).
   *
   * Everything is the library's incremental operators, so per-batch
   * work scales with the batch (plus true collisions), never with the
@@ -38,7 +44,9 @@ object StreamingIngestDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    Seq("ingest_ok", "ingest_rej", "ingest_lshidx", "ingest_pairs")
+    Seq("ingest_ok", "ingest_rej", "ingest_lshidx", "ingest_pairs",
+        "ingest_cclabels", "ingest_cclabels_stage", "ingest_dsir",
+        "ingest_dsir_stage", "ingest_dsir_old")
       .foreach(CdcMerge.dropStateTable(spark, _))
 
     // stage the docs as four arrival files; stream them as micro-batches
@@ -78,6 +86,14 @@ object StreamingIngestDemo {
           minJ = 0.2)
         graft.operators.SchemaDrift.writeBatchIdempotent(
           verified.withColumn("_batch_id", lit(id)), "ingest_pairs")
+        // derived state, maintained from the SAME batch: the pair
+        // batch folds into the standing cluster labels (leakage-safe
+        // splits read these), the accepted docs into the DSIR bucket
+        // counts (selection weights read those) — both O(batch),
+        // both watermark-idempotent under redelivery
+        IncrementalCC.applyBatch(bs, "ingest_cclabels",
+          verified.select("doc_a", "doc_b"), id)
+        IncrementalDsir.applyBatch(bs, "ingest_dsir", ok, "src0", id)
         // maintenance CADENCE: the band index accretes one file set
         // per batch; every `compactEvery` batches rewrite it to the
         // bucket layout's minimal file count so probe read-amp stays
@@ -104,6 +120,26 @@ object StreamingIngestDemo {
       .select("doc_a", "doc_b").distinct().count()
     println(s"[ingest] accepted=$nOk rejected=$nRej nearDupPairs=$nPairs")
     require(nOk + nRej == docs.count(), "gate lost documents")
+
+    // derived-state checks: incrementally-maintained labels must equal
+    // a one-shot CC over the full pair log, and the maintained DSIR
+    // weights must equal a one-shot profile of the accepted corpus —
+    // the equivalences cdc28/doc32 pin against the DuckDB oracle,
+    // re-asserted here on the composed streaming path.
+    val labels = IncrementalCC.readLabels(spark, "ingest_cclabels")
+    val oneShot = DedupOps.connectedComponents(
+      spark.table("ingest_pairs").select("doc_a", "doc_b").distinct())
+    require(labels.join(oneShot, Seq("doc_id", "component"))
+      .count() == oneShot.count() && labels.count() == oneShot.count(),
+      "incremental CC labels diverged from one-shot")
+    val nClusters = labels.select("component").distinct().count()
+    val w = IncrementalDsir.weightsFor(spark, "ingest_dsir",
+      spark.table("ingest_ok"))
+    val oneShotW = graft.operators.CurationOps.dsirWeights(
+      spark.table("ingest_ok"), targetSource = "src0")
+    require(w.exceptAll(oneShotW).isEmpty && oneShotW.exceptAll(w).isEmpty,
+      "incremental DSIR weights diverged from one-shot")
+    println(s"[ingest] clusters=$nClusters dsirWeightedDocs=${w.count()}")
 
     // maintenance: streaming appends accrete one file set per batch on
     // the band index; periodic compaction rewrites it to minimal files
