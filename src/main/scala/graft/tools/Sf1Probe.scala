@@ -60,7 +60,7 @@ object Sf1Probe {
     spark.stop()
   }
 
-  private def generateIfMissing(spark: SparkSession, sfDir: String,
+  private[tools] def generateIfMissing(spark: SparkSession, sfDir: String,
       outDir: String): Unit = {
     if (Files.exists(Paths.get(s"$outDir/documents.parquet"))) return
     println(s"[sf1] generating derived corpus under $outDir ...")

@@ -1,0 +1,211 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationOps, DedupOps, SimilarityOps}
+import graft.streaming.{CdcMerge, IncrementalCC, IncrementalDsir,
+  LakehouseSink}
+
+/** sf1 (10×) knee probe for the round-9/10 operators — the companion
+  * to [[Sf1Probe]] (which covers doc04/doc25/emb05/cdc16): same
+  * derived /tmp corpus, same protocol (time each operator at sf0.1
+  * and at the 10× derivation, print the knee indicator next to wall
+  * time; rows land in SCALE.md).
+  *
+  * Probed here, with the indicator each one's 100 TB story hangs on:
+  *  - doc31: verified pairs → connected components → leakage-safe
+  *    split. Indicator: CC wall vs pair volume (rounds are
+  *    O(diameter), so wall should track pairs ~linearly).
+  *  - cdc28: [[IncrementalCC]] marginal-batch cost against the full
+  *    label table (flat = labels maintainable at any corpus size).
+  *  - doc32: [[IncrementalDsir]] marginal-batch cost vs the one-shot
+  *    corpus profile it replaces.
+  *  - doc33: curriculum range-sort materialization
+  *    ([[LakehouseSink.clusterBy]] on sort_key) — the reader path;
+  *    indicator: wall vs rows (one range exchange, no global window).
+  *  - emb20 vs emb23: maximin seeding (k-1 sequential scans) against
+  *    k-means‖ (rounds+1 scans) at the same k — the scan-count story
+  *    measured, not asserted.
+  *  - emb21/emb25: one-round balanced assignment vs strict deferred
+  *    acceptance. Indicator: max cell load vs capacity, and the
+  *    strict variant's wall (rounds are displacement-chain bounded).
+  *  - emb22 sketch path: [[CurationOps.dimWinsorizeSketch]] — GK
+  *    sketch over 10× the exploded values, bounded memory by
+  *    construction; indicator is plain wall linearity.
+  *
+  * Usage: sbt "runMain graft.tools.Sf1ProbeR10 [sfDir] [outDir]"
+  */
+object Sf1ProbeR10 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.drop(1).headOption.getOrElse("/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    Sf1Probe.generateIfMissing(spark, sfDir, outDir)
+
+    println(s"== sf0.1 ($sfDir) ==")
+    probeAll(spark, sfDir)
+    println(s"== sf1 ($outDir) ==")
+    probeAll(spark, outDir)
+    spark.stop()
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def probeAll(spark: SparkSession, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nDocs = docs.count()
+    val nVecs = embs.count()
+
+    // doc31: pair list (amortized in production — IncrementalDedup
+    // maintains it) + CC + split. Timed separately so the CC/split
+    // increment is visible next to the pair-building cost.
+    val pairs = {
+      val (p, tPairs) = timed {
+        val p = DedupOps.verifiedNearDups(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
+      DedupOps.unpersistShingleCaches(blocking = true)
+      val nPairs = p.count()
+      val (splits, tSplit) = timed {
+        CurationOps.leakageSafeSplit(docs, p)
+          .groupBy("split").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+      }
+      println(f"PROBE doc31_split      $nDocs%8d docs  pairs: " +
+        f"$nPairs%7d ($tPairs%6.1f s)  cc+split: $tSplit%6.1f s  " +
+        splits.mkString(" "))
+      p
+    }
+
+    // cdc28: incremental CC — 3-batch build, then the marginal cost
+    // of one batch against the standing label table.
+    {
+      val table = "sf1probe_cclabels"
+      Seq(table, s"${table}_stage")
+        .foreach(CdcMerge.dropStateTable(spark, _))
+      def batch(i: Int) =
+        pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(4)) === i)
+      val (_, tBuild) = timed {
+        (0 until 3).foreach(i =>
+          IncrementalCC.applyBatch(spark, table, batch(i), i.toLong))
+      }
+      val (_, tMarg) = timed {
+        IncrementalCC.applyBatch(spark, table, batch(3), 3L)
+      }
+      val nLabels = IncrementalCC.readLabels(spark, table).count()
+      println(f"PROBE cdc28_inc_cc     3-batch build: $tBuild%6.1f s   " +
+        f"marginal batch: $tMarg%6.1f s   labels: $nLabels%d")
+      Seq(table, s"${table}_stage")
+        .foreach(CdcMerge.dropStateTable(spark, _))
+      pairs.unpersist()
+    }
+
+    // doc32: incremental DSIR — marginal batch vs the one-shot corpus
+    // profile it replaces (the re-profile a nightly job would run).
+    {
+      val table = "sf1probe_dsir"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(CdcMerge.dropStateTable(spark, _))
+      def batch(i: Int) = docs.filter(pmod(col("doc_id"), lit(4)) === i)
+      val (_, tBuild) = timed {
+        (0 until 3).foreach(i => IncrementalDsir.applyBatch(
+          spark, table, batch(i), "src0", i.toLong))
+      }
+      val (_, tMarg) = timed {
+        IncrementalDsir.applyBatch(spark, table, batch(3), "src0", 3L)
+      }
+      val (_, tOneShot) = timed {
+        CurationOps.dsirWeights(docs, targetSource = "src0").count()
+      }
+      println(f"PROBE doc32_inc_dsir   3-batch build: $tBuild%6.1f s   " +
+        f"marginal batch: $tMarg%6.1f s   one-shot re-profile: " +
+        f"$tOneShot%6.1f s")
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(CdcMerge.dropStateTable(spark, _))
+    }
+
+    // doc33: curriculum reader materialization — range-sort the
+    // corpus by the BIGINT sort key into stage-major files.
+    {
+      val table = "sf1probe_curriculum"
+      Seq(table, s"${table}_clustering")
+        .foreach(CdcMerge.dropStateTable(spark, _))
+      val (_, tWrite) = timed {
+        CurationOps.curriculumOrder(docs)
+          .write.mode("overwrite").format("parquet").saveAsTable(table)
+        LakehouseSink.clusterBy(spark, table,
+          Seq("sort_key", "doc_id"), nFiles = 16)
+      }
+      val nFiles = spark.table(table).inputFiles.length
+      println(f"PROBE doc33_reader     $nDocs%8d docs  curriculum " +
+        f"write+clusterBy: $tWrite%6.1f s   files: $nFiles%d")
+      Seq(table, s"${table}_clustering")
+        .foreach(CdcMerge.dropStateTable(spark, _))
+    }
+
+    // emb20 vs emb23 at the same k: sequential maximin vs fixed-round
+    // k-means‖ — the scan-count contrast measured.
+    {
+      val k = 8
+      val (_, tMaximin) = timed {
+        CurationOps.farthestFirstSeeds(embs, k = k).count()
+      }
+      val (_, tPar) = timed {
+        CurationOps.kmeansParallelSeeds(embs, k = k, rounds = 4,
+          oversample = 16).count()
+      }
+      println(f"PROBE emb20v23_seeds   $nVecs%8d vecs  k=$k%d  " +
+        f"maximin (k-1 scans): $tMaximin%6.1f s   " +
+        f"k-means|| (5 scans): $tPar%6.1f s")
+    }
+
+    // emb21/emb25: one-round vs strict balance. Capacity at
+    // ceil(n/k)+1 — tight enough that rebalancing has real work.
+    {
+      val k = 8
+      val cap = nVecs / k + 1
+      val (load1, t1) = timed {
+        SimilarityOps.balancedAssign(embs, nCentroids = k,
+            capacity = cap)
+          .groupBy("cid").count().agg(max("count")).head().getLong(0)
+      }
+      val (loadS, tS) = timed {
+        SimilarityOps.balancedAssignStrict(embs, nCentroids = k,
+            capacity = cap)
+          .groupBy("cid").count().agg(max("count")).head().getLong(0)
+      }
+      println(f"PROBE emb21v25_assign  $nVecs%8d vecs  cap=$cap%d  " +
+        f"one-round: max load $load1%d ($t1%6.1f s)   " +
+        f"strict: max load $loadS%d ($tS%6.1f s)")
+    }
+
+    // emb22 sketch path: GK-sketch winsorization bounds over 10× the
+    // exploded values — wall should stay ~linear, memory bounded.
+    {
+      val (nBad, t) = timed {
+        CurationOps.dimWinsorizeSketch(embs)
+          .filter(!col("lo_in_band") || !col("hi_in_band")).count()
+      }
+      println(f"PROBE emb22_sketch     $nVecs%8d vecs  " +
+        f"winsorize-sketch: $t%6.1f s   out-of-band dims: $nBad%d")
+    }
+  }
+}
