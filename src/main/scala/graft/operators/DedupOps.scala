@@ -257,6 +257,59 @@ object DedupOps {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** Shingle-CONTAINMENT pairs — the asymmetric complement to
+    * [[verifiedNearDups]]: detects near-SUPERSET relations (a quote,
+    * a syndicated snippet, a doc embedded inside a larger one), which
+    * symmetric Jaccard structurally misses — a 10-shingle doc fully
+    * contained in a 200-shingle doc has J ≈ 0.05, far below any
+    * near-dup threshold, but containment 1.0. Emits ORDERED rows
+    * (doc_a contained in doc_b): containment(a→b) = |A∩B| / |A| as
+    * truncating integer ppm (float-free, the doc23 doctrine),
+    * thresholded at `minContain` with `minShingles` guarding the
+    * degenerate tiny-set case (any 1-shingle doc is "contained" in
+    * everything sharing that shingle).
+    *
+    * Candidates come from the shingle INVERTED INDEX (equi-join on
+    * the shingle), not MinHash bands — LSH on symmetric Jaccard
+    * cannot surface low-J containment pairs, which are the point. The
+    * df stop filter bounds the join the same way it bounds doc10's: a
+    * shingle in > `maxDocFrac` of docs contributes df² candidate rows
+    * but zero discrimination, so it is dropped before the join;
+    * remaining cost is Σ df² over RARE shingles — candidate volume
+    * ∝ true shared content. Work is two map-side-combined aggregates
+    * + one equi-shuffle join; no windows, nothing driver-side. The
+    * shingle caches drain via [[unpersistShingleCaches]] as usual. */
+  def containmentPairs(docs: DataFrame, minContain: Double = 0.8,
+      minShingles: Int = 3, maxDocFrac: Double = 0.2): DataFrame = {
+    val exploded = docShingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    liveCaches.add(exploded)
+    val nDocs = exploded.agg(countDistinct(col("doc_id")).as("nd"))
+    val stopShingles = exploded.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("nd") * maxDocFrac)
+      .select("shingle")
+    val sh = exploded
+      .join(broadcast(stopShingles), Seq("shingle"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    liveCaches.add(sh)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val minPpm = (minContain * 1000000).round
+    sa.join(sb, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .filter(col("n_a") >= minShingles)
+      .withColumn("containment_ppm",
+        expr("(n_inter * 1000000) div n_a"))
+      .filter(col("containment_ppm") >= minPpm)
+      .select("doc_a", "doc_b", "n_inter", "n_a", "containment_ppm")
+  }
+
   /** Sketch-accuracy audit: for every LSH candidate pair, the MinHash
     * Jaccard ESTIMATE (matching signature components out of `k`) next
     * to the exact shingle Jaccard — the calibration a dedup rollout

@@ -1059,9 +1059,49 @@ object SelectionQueries {
           AS chunk_text
       FROM ch ORDER BY doc_id, chunk_idx"""))
 
+  // -------------------------------------------------------------- doc36
+  // Shingle containment (asymmetric near-superset detection): a doc
+  // whose rare shingles are ≥80% contained in another — the quote /
+  // syndicated-snippet relation symmetric Jaccard structurally misses.
+  // Candidates via the df-filtered shingle inverted index (no LSH —
+  // low-J containment pairs are the point); integer ppm output.
+  private val doc36 = GraftQuery(
+    "doc36_containment",
+    (s, dir) => {
+      import s.implicits._
+      DedupOps.containmentPairs(t(s, dir, "documents"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      sh0 AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        FROM toks WHERE len(ws) >= 2),
+      dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+      nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sh0),
+      sh AS (
+        SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfreq USING (shingle)
+        WHERE dfreq.df <= 0.2 * (SELECT n FROM nd)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+          AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+        CAST(sa.n AS BIGINT) AS n_a,
+        CAST((i.n_inter * 1000000) // sa.n AS BIGINT) AS containment_ppm
+      FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+      WHERE sa.n >= 3 AND (i.n_inter * 1000000) // sa.n >= 800000
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
       emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32, doc33,
-      emb23, emb24, emb25, cdc28, doc34, doc35)
+      emb23, emb24, emb25, cdc28, doc34, doc35, doc36)
 }
 

@@ -297,4 +297,34 @@ class LlmOpsSpec extends SparkSpec {
       .select("component").distinct().collect().map(_.getLong(0))
     assert(comps.toSeq == Seq(1L))
   }
+
+  test("containmentPairs: planted snippet found asymmetrically") {
+    import spark.implicits._
+    // doc 1 = a 5-token snippet (4 bigram shingles), doc 2 = a long
+    // doc embedding it verbatim, doc 3 = unrelated. Jaccard(1,2) is
+    // far below near-dup thresholds; containment(1→2) = 1.0. With 3
+    // docs no shingle exceeds the 0.2 df cap unless shared by all.
+    val snippet = "alpha beta gamma delta epsilon"
+    val long = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 " + snippet +
+      " y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"
+    val docs = Seq((1L, snippet), (2L, long), (3L, "p q r s t u v"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(docs, minContain = 0.8,
+      minShingles = 3, maxDocFrac = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    DedupOps.unpersistShingleCaches(blocking = true)
+    // only 1→2 passes: all 4 snippet shingles appear in doc 2
+    assert(got.toSeq == Seq((1L, 2L, 1000000L)))
+  }
+
+  test("containmentPairs: minShingles gates degenerate tiny sets") {
+    import spark.implicits._
+    // doc 1 has ONE shingle, fully shared — gated by minShingles 3
+    val docs = Seq((1L, "a b"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(docs, minContain = 0.5,
+      minShingles = 3, maxDocFrac = 0.9).collect()
+    DedupOps.unpersistShingleCaches(blocking = true)
+    assert(!got.exists(_.getLong(0) == 1L))
+  }
 }
