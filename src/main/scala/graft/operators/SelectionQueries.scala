@@ -1099,9 +1099,91 @@ object SelectionQueries {
       WHERE sa.n >= 3 AND (i.n_inter * 1000000) // sa.n >= 800000
       ORDER BY doc_a, doc_b"""))
 
+  // -------------------------------------------------------------- emb26
+  // MMR diversity re-rank: greedy k-of-pool selection maximizing
+  // λ·relevance − (1−λ)·max-sim-to-selected — the step between "top-k
+  // by cosine" and "what goes in the context window". The oracle
+  // unrolls the k greedy rounds as CTEs (the emb20/emb23 doctrine)
+  // over the same fixed-association cosine chains.
+  private val emb26 = {
+    val nQ = 8; val poolSize = 12; val k = 4
+    val lam = "700000.0"; val mu = "300000.0"
+    val rounds = (1 to k).map { r =>
+      val prev = s"sel${r - 1}"
+      s"""
+      sc$r AS (
+        SELECT p.query_id, p.neighbor_id, p.rel,
+          COALESCE(m.red, 0.0) AS red
+        FROM pool p
+        LEFT JOIN $prev s ON s.query_id = p.query_id
+          AND s.neighbor_id = p.neighbor_id
+        LEFT JOIN (
+          SELECT ps.query_id, ps.a, MAX(ps.cs) AS red
+          FROM pairsims ps JOIN $prev sb
+            ON sb.query_id = ps.query_id AND sb.neighbor_id = ps.b
+          GROUP BY ps.query_id, ps.a) m
+          ON m.query_id = p.query_id AND m.a = p.neighbor_id
+        WHERE s.neighbor_id IS NULL),
+      pk$r AS (
+        SELECT query_id, neighbor_id, rel,
+          $lam * rel - $mu * red AS score_x1m,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY $lam * rel - $mu * red DESC, neighbor_id) AS rn
+        FROM sc$r),
+      sel$r AS (
+        SELECT query_id, neighbor_id, sel_rank, rel, score_x1m
+        FROM $prev
+        UNION ALL
+        SELECT query_id, neighbor_id, CAST($r AS BIGINT) AS sel_rank,
+          rel, score_x1m
+        FROM pk$r WHERE rn = 1)"""
+    }.mkString(",")
+    GraftQuery(
+      "emb26_mmr_rerank",
+      (s, dir) =>
+        SimilarityOps.mmrRerank(t(s, dir, "embeddings"),
+            nQueries = nQ, poolSize = poolSize, k = k)
+          .orderBy(col("query_id"), col("sel_rank")),
+      Some(s"""
+        WITH c AS (
+          SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
+          FROM embeddings),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, en AS qn
+          FROM c WHERE vec_id < $nQ),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+            (${dotSql("q_emb", "embedding", 64)}) / (q.qn * c.en) AS rel
+          FROM c JOIN q ON c.vec_id <> q.query_id),
+        pool AS (
+          SELECT query_id, vec_id AS neighbor_id, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, vec_id) AS rnk
+            FROM scored) WHERE rnk <= $poolSize),
+        pairsims AS (
+          SELECT pa.query_id, pa.neighbor_id AS a, pb.neighbor_id AS b,
+            (${dotSql("ea.embedding", "eb.embedding", 64)})
+              / (ea.en * eb.en) AS cs
+          FROM pool pa
+          JOIN pool pb ON pa.query_id = pb.query_id
+            AND pa.neighbor_id <> pb.neighbor_id
+          JOIN c ea ON ea.vec_id = pa.neighbor_id
+          JOIN c eb ON eb.vec_id = pb.neighbor_id),
+        sel0 AS (
+          SELECT CAST(NULL AS BIGINT) AS query_id,
+            CAST(NULL AS BIGINT) AS neighbor_id,
+            CAST(NULL AS BIGINT) AS sel_rank,
+            CAST(NULL AS DOUBLE) AS rel,
+            CAST(NULL AS DOUBLE) AS score_x1m
+          WHERE FALSE),
+        $rounds
+        SELECT query_id, neighbor_id, sel_rank, rel, score_x1m
+        FROM sel$k ORDER BY query_id, sel_rank"""))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
       emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32, doc33,
-      emb23, emb24, emb25, cdc28, doc34, doc35, doc36)
+      emb23, emb24, emb25, cdc28, doc34, doc35, doc36, emb26)
 }
 

@@ -836,4 +836,90 @@ object SimilarityOps {
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** MMR (maximal marginal relevance) diversity re-rank — the RAG
+    * retrieval step between "top-k by cosine" and "what goes in the
+    * context window": greedily select `k` of each query's
+    * `poolSize`-candidate pool maximizing
+    * `λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` — relevance
+    * traded against redundancy with what is already selected, so
+    * near-duplicate passages stop crowding out coverage. λ ships as
+    * integer ppm; the score is `score_x1m = λppm·rel −
+    * (10⁶−λppm)·red` with red = 0 for the empty selected set — one
+    * fixed-form double expression both engines evaluate identically
+    * (products and the subtraction in declared order; rel/red reuse
+    * the emb01 fixed-association cosine chains). Ties break by
+    * vec_id.
+    *
+    * Shape at scale: the pool is [[bruteForceTopK]]'s output (swap in
+    * any ANN query for the 100 TB pool); pairwise candidate sims are
+    * ONE equi-join on query_id (poolSize² rows per query, poolSize
+    * bounded by contract); then k greedy rounds, each an anti-join +
+    * max-aggregate + per-query argmax window — all keyed by query_id,
+    * nothing driver-side, round count = k independent of corpus and
+    * query count. Work ∝ queries · poolSize² · k. */
+  def mmrRerank(embs: DataFrame, dim: Int = 64, nQueries: Int = 8,
+      poolSize: Int = 12, k: Int = 4, lambdaPpm: Long = 700000L)
+      : DataFrame = {
+    require(k >= 1 && poolSize >= k, "need 1 <= k <= poolSize")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L, "lambda in ppm")
+    val spark = embs.sparkSession
+    val pool = bruteForceTopK(embs, dim, nQueries, poolSize)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = embs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding"), dim).as("en"))
+    def side(s: String) = pool.select(col("query_id"),
+        col("neighbor_id").as(s))
+      .join(e, col(s) === col("vec_id"))
+      .select(col("query_id"), col(s), col("embedding").as(s"e_$s"),
+        col("en").as(s"n_$s"))
+    val pairSims = side("a").join(side("b"), Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cs", dot(col("e_a"), col("e_b"), dim) /
+        (col("n_a") * col("n_b")))
+      .select(col("query_id"), col("a"), col("b"), col("cs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lam = lambdaPpm.toDouble
+    val mu = (1000000L - lambdaPpm).toDouble
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    import spark.implicits._
+    // selected checkpoints per round with immediate free of the
+    // superseded round (the connectedComponents pattern) — without it
+    // the lineage re-reads the pool subtree 2^k times on the caller's
+    // action; the LAST checkpoint backs the returned frame and frees
+    // with the between-query GC like every loop operator here.
+    var ck: DataFrame = null
+    var selected = Seq.empty[(Long, Long, Long, Double, Double)]
+      .toDF("query_id", "neighbor_id", "sel_rank", "rel", "score_x1m")
+    for (r <- 1 to k) {
+      val selIds = selected.select(col("query_id"), col("neighbor_id"))
+      val cand = pool.join(selIds, Seq("query_id", "neighbor_id"),
+        "left_anti")
+      val red = pairSims
+        .join(selIds.withColumnRenamed("neighbor_id", "b"),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("neighbor_id"))
+        .agg(max(col("cs")).as("mred"))
+        .select(col("query_id"), col("neighbor_id"), col("mred"))
+      val scored = cand
+        .join(red, Seq("query_id", "neighbor_id"), "left_outer")
+        .withColumn("red", coalesce(col("mred"), lit(0.0)))
+        .withColumn("score_x1m",
+          lit(lam) * col("rel") - lit(mu) * col("red"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_x1m").desc, col("neighbor_id"))
+      val pick = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(r.toLong).as("sel_rank"), col("rel"), col("score_x1m"))
+      val next = selected.unionByName(pick).localCheckpoint()
+      if (ck != null) CheckpointBridge.freeLocalCheckpoint(ck)
+      ck = next
+      selected = next
+    }
+    pool.unpersist()
+    pairSims.unpersist()
+    selected
+  }
 }

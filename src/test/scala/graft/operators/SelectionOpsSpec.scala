@@ -478,4 +478,33 @@ class SelectionOpsSpec extends SparkSpec {
     val shCount = DedupOps.docShingles(docs).distinct().count()
     assert(nFeatSum == shCount)
   }
+
+  test("mmrRerank: redundancy demotes the duplicate candidate") {
+    import spark.implicits._
+    // query 0 = +x. candidates: 1 and 2 identical (rel .9, mutual
+    // sim 1), 3 equally relevant but on the other side of x (rel .9,
+    // sim to 1 only .62). Pure relevance ranks 1,2,3 by id-tiebreak;
+    // MMR at λ=.7 must pick 1, then 3 (diversity), then 2.
+    def v(x: Double, y: Double): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = x.toFloat; a(1) = y.toFloat; a
+    }
+    val embs = Seq(
+      (0L, v(1.0, 0.0)),
+      (1L, v(0.9, math.sqrt(0.19))),
+      (2L, v(0.9, math.sqrt(0.19))),
+      (3L, v(0.9, -math.sqrt(0.19)))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.mmrRerank(embs, nQueries = 1,
+        poolSize = 3, k = 3)
+      .orderBy($"sel_rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq ==
+      Seq(1L, 3L, 2L))
+    // rank 1 has red 0 by definition: score = λ·rel exactly
+    val r1 = got.head
+    assert(math.abs(r1.getAs[Double]("score_x1m") -
+      700000.0 * r1.getAs[Double]("rel")) < 1e-6)
+    // the duplicate's score reflects red ≈ 1: λ·rel − (1−λ)·1
+    val r3 = got.last
+    assert(r3.getAs[Double]("score_x1m") <
+      700000.0 * r3.getAs[Double]("rel") - 299000.0)
+  }
 }
