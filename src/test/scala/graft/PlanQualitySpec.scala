@@ -81,7 +81,15 @@ class PlanQualitySpec extends SparkSpec {
       "emb23_kmeanspar_seeds",
       // emb25: strict balanced assignment — the emb21-class ≤8-row
       // centroid broadcast building the ranked-choice table
-      "emb25_balanced_strict")
+      "emb25_balanced_strict",
+      // doc36: containment — the doc10-class 1-row doc-count
+      // broadcast gating the stop-shingle filter; the inverted-index
+      // candidate join itself is an equi-join on the shingle
+      "doc36_containment",
+      // emb26: MMR — the pool comes from bruteForceTopK, the
+      // emb01-class ≤8-row query-set broadcast; pairwise sims and
+      // all k greedy rounds are query_id equi-joins
+      "emb26_mmr_rerank")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
