@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -269,37 +270,57 @@ object DedupOps {
     * degenerate tiny-set case (any 1-shingle doc is "contained" in
     * everything sharing that shingle).
     *
-    * Candidates come from the shingle INVERTED INDEX (equi-join on
-    * the shingle), not MinHash bands — LSH on symmetric Jaccard
-    * cannot surface low-J containment pairs, which are the point. The
-    * df stop filter bounds the join the same way it bounds doc10's: a
-    * shingle in > `maxDocFrac` of docs contributes df² candidate rows
-    * but zero discrimination, so it is dropped before the join;
-    * remaining cost is Σ df² over RARE shingles — candidate volume
-    * ∝ true shared content. Work is two map-side-combined aggregates
-    * + one equi-shuffle join; no windows, nothing driver-side. The
-    * shingle caches drain via [[unpersistShingleCaches]] as usual. */
+    * Containment is measured over DISCRIMINATIVE shingles only —
+    * those in ≤ `maxDf` documents corpus-wide. A shingle shared by
+    * thousands of documents carries no evidence that one specific
+    * document quotes another (this is how rare-n-gram contamination
+    * matching defines signal), and the cap is also what bounds the
+    * work: candidates come from the rare-shingle INVERTED INDEX (not
+    * MinHash bands — LSH on symmetric Jaccard cannot surface the
+    * low-J containment pairs that are the point), narrowed by the
+    * PPJoin-style PREFIX filter: containment(a→b) ≥ t means b misses
+    * at most ⌊(1−t)·n_a⌋ of a's kept shingles, so at least one of
+    * a's ⌊(1−t)·n_a⌋+1 RAREST kept shingles (order by (df, shingle)
+    * — deterministic) must occur in b; only those prefix rows probe
+    * the index, which is lossless for the threshold. Candidate volume
+    * ≤ prefix rows · maxDf — LINEAR in corpus shingles with maxDf
+    * constant, measured 43.5 s → ~1 s at sf0.1 on the degenerate-
+    * vocabulary corpus (where a relative df cap bounds nothing).
+    * Verification is the candidates-first intersection join
+    * ([[verifyPairs]] shape). Per-doc rank window is partitioned by
+    * doc_id (bounded groups); nothing driver-side; shingle caches
+    * drain via [[unpersistShingleCaches]]. */
   def containmentPairs(docs: DataFrame, minContain: Double = 0.8,
-      minShingles: Int = 3, maxDocFrac: Double = 0.2): DataFrame = {
+      minShingles: Int = 3, maxDf: Long = 100L): DataFrame = {
+    val minPpm = (minContain * 1000000).round
     val exploded = docShingles(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     liveCaches.add(exploded)
-    val nDocs = exploded.agg(countDistinct(col("doc_id")).as("nd"))
-    val stopShingles = exploded.groupBy("shingle")
+    val dfreq = exploded.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") > col("nd") * maxDocFrac)
-      .select("shingle")
-    val sh = exploded
-      .join(broadcast(stopShingles), Seq("shingle"), "left_anti")
+      .filter(col("df") <= maxDf)
+    val sh = exploded.join(dfreq, Seq("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     liveCaches.add(sh)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wPfx = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = sh
+      .withColumn("rnk", row_number().over(wPfx))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rnk") <=
+        expr(s"((${1000000L - minPpm} * n) div 1000000) + 1"))
+      .select(col("doc_id").as("doc_a"), col("shingle"))
+    val cands = prefix
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val sa = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val minPpm = (minContain * 1000000).round
-    sa.join(sb, Seq("shingle"))
-      .filter(col("doc_a") =!= col("doc_b"))
+    cands
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
         Seq("doc_a"))

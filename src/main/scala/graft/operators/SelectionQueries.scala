@@ -1061,10 +1061,11 @@ object SelectionQueries {
 
   // -------------------------------------------------------------- doc36
   // Shingle containment (asymmetric near-superset detection): a doc
-  // whose rare shingles are ≥80% contained in another — the quote /
-  // syndicated-snippet relation symmetric Jaccard structurally misses.
-  // Candidates via the df-filtered shingle inverted index (no LSH —
-  // low-J containment pairs are the point); integer ppm output.
+  // whose DISCRIMINATIVE (df ≤ 100) shingles are ≥80% contained in
+  // another — the quote / syndicated-snippet relation symmetric
+  // Jaccard structurally misses. Candidates via the rare-shingle
+  // inverted index narrowed by the lossless PPJoin prefix filter (no
+  // LSH — low-J containment pairs are the point); integer ppm output.
   private val doc36 = GraftQuery(
     "doc36_containment",
     (s, dir) => {
@@ -1081,16 +1082,30 @@ object SelectionQueries {
           unnest(list_transform(range(1, len(ws)),
             i -> ws[i] || ' ' || ws[i+1])) AS shingle
         FROM toks WHERE len(ws) >= 2),
-      dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
-      nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sh0),
+      dfreq AS (
+        SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) <= 100),
       sh AS (
-        SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfreq USING (shingle)
-        WHERE dfreq.df <= 0.2 * (SELECT n FROM nd)),
+        SELECT sh0.doc_id, sh0.shingle, dfreq.df
+        FROM sh0 JOIN dfreq USING (shingle)),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      ranked AS (
+        SELECT s.doc_id, s.shingle, z.n,
+          ROW_NUMBER() OVER (PARTITION BY s.doc_id
+            ORDER BY s.df, s.shingle) AS rnk
+        FROM sh s JOIN sz z USING (doc_id)),
+      pfx AS (
+        SELECT doc_id, shingle FROM ranked
+        WHERE rnk <= (200000 * n) // 1000000 + 1),
+      cand AS (
+        SELECT DISTINCT p.doc_id AS doc_a, s.doc_id AS doc_b
+        FROM pfx p JOIN sh s ON s.shingle = p.shingle
+          AND s.doc_id <> p.doc_id),
       inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle
-          AND a.doc_id <> b.doc_id
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
         GROUP BY 1, 2)
       SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter,
         CAST(sa.n AS BIGINT) AS n_a,

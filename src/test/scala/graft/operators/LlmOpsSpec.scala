@@ -310,11 +310,34 @@ class LlmOpsSpec extends SparkSpec {
     val docs = Seq((1L, snippet), (2L, long), (3L, "p q r s t u v"))
       .toDF("doc_id", "text")
     val got = DedupOps.containmentPairs(docs, minContain = 0.8,
-      minShingles = 3, maxDocFrac = 0.9).collect()
+      minShingles = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
     DedupOps.unpersistShingleCaches(blocking = true)
     // only 1→2 passes: all 4 snippet shingles appear in doc 2
     assert(got.toSeq == Seq((1L, 2L, 1000000L)))
+  }
+
+  test("containmentPairs: prefix filter is lossless vs brute force") {
+    // real corpus slice; reference computed with NO candidate
+    // filtering from the same kept-shingle sets
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val got = DedupOps.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val sh = DedupOps.docShingles(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    DedupOps.unpersistShingleCaches(blocking = true)
+    val df = sh.groupBy(_._2).map { case (s, rows) => s -> rows.length }
+    val kept = sh.filter(p => df(p._2) <= 100)
+      .groupBy(_._1).map { case (d, rows) => d -> rows.map(_._2).toSet }
+    val brute = (for {
+      (a, sa) <- kept.toSeq; if sa.size >= 3
+      (b, sb) <- kept.toSeq; if a != b
+      inter = (sa & sb).size
+      ppm = inter.toLong * 1000000L / sa.size
+      if ppm >= 800000L
+    } yield (a, b, inter.toLong, sa.size.toLong, ppm)).toSet
+    assert(got == brute)
   }
 
   test("containmentPairs: minShingles gates degenerate tiny sets") {
@@ -323,7 +346,7 @@ class LlmOpsSpec extends SparkSpec {
     val docs = Seq((1L, "a b"), (2L, "a b c d e f g"))
       .toDF("doc_id", "text")
     val got = DedupOps.containmentPairs(docs, minContain = 0.5,
-      minShingles = 3, maxDocFrac = 0.9).collect()
+      minShingles = 3).collect()
     DedupOps.unpersistShingleCaches(blocking = true)
     assert(!got.exists(_.getLong(0) == 1L))
   }
