@@ -81,6 +81,12 @@ object Bench {
           System.err.println(s"warm pass: ${q.name} failed: $e") }
         graft.operators.DedupOps.unpersistShingleCaches()
       }
+      // the warm pass leaves a full registry's worth of residue (final
+      // loop checkpoints, dead broadcasts, state-table listings); GC
+      // BEFORE the timed loop so the first timed query doesn't absorb
+      // the cleanup — q01 measured 2-3x its isolated time without this
+      System.gc()
+      Thread.sleep(200)
     }
 
     // Prime the TARGET-sf data files too: the warm pass above runs at

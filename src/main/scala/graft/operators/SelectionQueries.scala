@@ -1196,9 +1196,141 @@ object SelectionQueries {
         FROM sel$k ORDER BY query_id, sel_rank"""))
   }
 
+  // -------------------------------------------------------------- q58
+  // KMV/theta sketch set algebra: per-segment k-minimum-values
+  // sketches of the distinct user sets, then SEGMENT-OVERLAP
+  // estimates from the sketches alone — the set-intersection
+  // capability HLL union (q57) cannot give. Exact counts ride in the
+  // same row, so the artifact self-audits; the oracle replays the
+  // integer sketch arithmetic EXACTLY (no band needed — k smallest
+  // md5-40 hashes are a pure set function).
+  private val q58 = {
+    val k = 64
+    val segs = Seq("click", "purchase", "view")
+    GraftQuery(
+      "q58_kmv_intersect",
+      (s, dir) => {
+        import s.implicits._
+        val t40 = SketchOps.Theta40
+        val u = t(s, dir, "events")
+          .filter($"event_type".isin(segs: _*))
+          .select($"event_type", $"user_id").distinct()
+        val all = segs.map { g =>
+          SketchOps.kmvSketch(u.filter($"event_type" === g), "user_id", k)
+            .withColumn("seg", lit(g))
+        }.reduce(_ unionByName _).localCheckpoint()
+        val st = SketchOps.kmvStats(all, "seg", k)
+        val cnt = all.join(st, Seq("seg")).filter($"h" < $"theta")
+          .groupBy("seg").agg(count(lit(1)).as("c"))
+        val est = st.join(cnt, Seq("seg"), "left_outer")
+          .select($"seg",
+            expr(s"(coalesce(c, 0L) * ${t40}L) div theta").as("est"))
+        val pairsDf = segs.combinations(2).toSeq
+          .map { case Seq(a, b) => (a, b) }.toDF("seg_a", "seg_b")
+        val sta = st.select($"seg".as("seg_a"), $"theta".as("tha"))
+        val stb = st.select($"seg".as("seg_b"), $"theta".as("thb"))
+        val com = all.select($"seg".as("seg_a"), $"h")
+          .join(all.select($"seg".as("seg_b"), $"h"), Seq("h"))
+          .filter($"seg_a" < $"seg_b")
+          .join(sta, Seq("seg_a")).join(stb, Seq("seg_b"))
+          .filter($"h" < least($"tha", $"thb"))
+          .groupBy("seg_a", "seg_b").agg(count(lit(1)).as("cc"))
+        val estI = pairsDf
+          .join(sta, Seq("seg_a")).join(stb, Seq("seg_b"))
+          .join(com, Seq("seg_a", "seg_b"), "left_outer")
+          .select($"seg_a", $"seg_b",
+            expr(s"(coalesce(cc, 0L) * ${t40}L) div least(tha, thb)")
+              .as("est_inter"))
+        val exSeg = u.groupBy($"event_type".as("seg"))
+          .agg(count(lit(1)).as("exact"))
+        val exInter = u.select($"event_type".as("seg_a"), $"user_id")
+          .join(u.select($"event_type".as("seg_b"), $"user_id"),
+            Seq("user_id"))
+          .filter($"seg_a" < $"seg_b")
+          .groupBy("seg_a", "seg_b").agg(count(lit(1)).as("exact_inter"))
+        estI
+          .join(est.select($"seg".as("seg_a"), $"est".as("est_a")),
+            Seq("seg_a"))
+          .join(est.select($"seg".as("seg_b"), $"est".as("est_b")),
+            Seq("seg_b"))
+          .join(exSeg.select($"seg".as("seg_a"), $"exact".as("exact_a")),
+            Seq("seg_a"))
+          .join(exSeg.select($"seg".as("seg_b"), $"exact".as("exact_b")),
+            Seq("seg_b"))
+          .join(exInter, Seq("seg_a", "seg_b"), "left_outer")
+          .select($"seg_a", $"seg_b", $"est_a", $"est_b", $"est_inter",
+            $"exact_a", $"exact_b",
+            coalesce($"exact_inter", lit(0L)).as("exact_inter"))
+          .orderBy($"seg_a", $"seg_b")
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE event_type IN ('click', 'purchase', 'view')),
+        hd AS (
+          SELECT DISTINCT event_type,
+            CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 10)
+              AS BIGINT) AS h
+          FROM u),
+        rk AS (
+          SELECT event_type, h, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY h) AS r
+          FROM hd),
+        sk AS (SELECT event_type AS seg, h FROM rk WHERE r <= $k),
+        st AS (
+          SELECT seg, CASE WHEN COUNT(*) < $k
+              THEN ${SketchOps.Theta40}
+              ELSE MAX(h) END AS theta
+          FROM sk GROUP BY seg),
+        cnt AS (
+          SELECT sk.seg, COUNT(*) AS c
+          FROM sk JOIN st USING (seg) WHERE sk.h < st.theta
+          GROUP BY sk.seg),
+        est AS (
+          SELECT st.seg,
+            (COALESCE(cnt.c, 0) * ${SketchOps.Theta40}) // st.theta
+              AS est
+          FROM st LEFT JOIN cnt USING (seg)),
+        pairs(seg_a, seg_b) AS (VALUES
+          ('click', 'purchase'), ('click', 'view'),
+          ('purchase', 'view')),
+        com AS (
+          SELECT x.seg AS seg_a, y.seg AS seg_b, COUNT(*) AS cc
+          FROM sk x JOIN sk y ON x.h = y.h AND x.seg < y.seg
+          JOIN st sa ON sa.seg = x.seg
+          JOIN st sb ON sb.seg = y.seg
+          WHERE x.h < LEAST(sa.theta, sb.theta)
+          GROUP BY 1, 2),
+        exi AS (
+          SELECT p.event_type AS seg_a, q.event_type AS seg_b,
+            COUNT(*) AS exact_inter
+          FROM u p JOIN u q ON p.user_id = q.user_id
+            AND p.event_type < q.event_type
+          GROUP BY 1, 2),
+        exs AS (
+          SELECT event_type AS seg, COUNT(*) AS exact
+          FROM u GROUP BY event_type)
+        SELECT p.seg_a, p.seg_b, ea.est AS est_a, eb.est AS est_b,
+          (COALESCE(com.cc, 0) * ${SketchOps.Theta40})
+            // LEAST(sa.theta, sb.theta) AS est_inter,
+          CAST(xa.exact AS BIGINT) AS exact_a,
+          CAST(xb.exact AS BIGINT) AS exact_b,
+          CAST(COALESCE(exi.exact_inter, 0) AS BIGINT) AS exact_inter
+        FROM pairs p
+        JOIN st sa ON sa.seg = p.seg_a
+        JOIN st sb ON sb.seg = p.seg_b
+        JOIN est ea ON ea.seg = p.seg_a
+        JOIN est eb ON eb.seg = p.seg_b
+        JOIN exs xa ON xa.seg = p.seg_a
+        JOIN exs xb ON xb.seg = p.seg_b
+        LEFT JOIN com ON com.seg_a = p.seg_a AND com.seg_b = p.seg_b
+        LEFT JOIN exi ON exi.seg_a = p.seg_a AND exi.seg_b = p.seg_b
+        ORDER BY p.seg_a, p.seg_b"""))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
       emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32, doc33,
-      emb23, emb24, emb25, cdc28, doc34, doc35, doc36, emb26)
+      emb23, emb24, emb25, cdc28, doc34, doc35, doc36, emb26, q58)
 }
 

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values / theta) distinct-value sketches — the
+  * mergeable set sketch that, unlike HLL (q57), supports SET
+  * ALGEBRA: because the sketch IS a uniform hash sample of the
+  * distinct values below a threshold θ, intersections and
+  * differences estimate by plain set operations on the samples —
+  * audience overlap between segments at 100 TB without ever
+  * co-shuffling the raw sets.
+  *
+  * Determinism doctrine: the value hash is the doc08 40-bit md5 gate
+  * (exact integer arithmetic, replayable on any engine), the sketch
+  * is "k smallest distinct hashes" (a pure set function — partition
+  * order cannot matter), and every estimate is a truncating integer
+  * division. No RNG, no floats.
+  *
+  * Estimator (classical KMV, θ exclusive): a full sketch's k-th
+  * smallest hash is θ; the k−1 hashes strictly below it are a
+  * uniform sample of the value space at rate θ/2⁴⁰, so
+  * `distinct ≈ cnt(h < θ) · 2⁴⁰ div θ`. An undersized sketch
+  * (n < k) saw every value: θ = 2⁴⁰ makes the same formula return
+  * the exact count. Intersection: at θ = min(θ_a, θ_b) both sketches
+  * are complete samples of the SAME rate, so the common hashes below
+  * θ estimate the overlap with the identical formula. All products
+  * bounded by k·2⁴⁰ < 2⁴⁷ — BIGINT-safe on both engines.
+  *
+  * Scale shape: one distinct per segment (the shuffle the exact
+  * answer needs anyway), then `orderBy(h).limit(k)` — a distributed
+  * TakeOrdered reduction (partial top-k per partition, k-row merge),
+  * NOT a per-segment window sort. Sketches are k rows: every
+  * downstream estimate is control-plane-sized.
+  */
+object SketchOps {
+
+  /** 2⁴⁰ — the hash space size; also θ for an undersized sketch. */
+  val Theta40: Long = 1L << 40
+
+  /** 40-bit md5 value hash (the doc08 gate idiom). */
+  def u40(v: Column): Column =
+    conv(substring(md5(v.cast("string").cast("binary")), 1, 10), 16, 10)
+      .cast("long")
+
+  /** KMV sketch: the `k` smallest 40-bit hashes of the column's
+    * DISTINCT values, as a k-row (h) frame. Plans as distinct →
+    * TakeOrderedAndProject — no global sort, no single-task window. */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, "kmv needs k >= 2")
+    df.select(u40(col(valueCol)).as("h")).distinct()
+      .orderBy("h").limit(k)
+  }
+
+  /** Per-segment (theta, n) over a unioned sketch frame tagged by
+    * `segCol` — theta = k-th smallest hash for a full sketch, 2⁴⁰
+    * for an undersized one (the uniform-formula trick above). */
+  def kmvStats(sketches: DataFrame, segCol: String, k: Int): DataFrame =
+    sketches.groupBy(col(segCol))
+      .agg(max("h").as("mx"), count(lit(1)).as("n"))
+      .withColumn("theta",
+        when(col("n") < k, lit(Theta40)).otherwise(col("mx")))
+      .select(col(segCol), col("theta"), col("n"))
+}
