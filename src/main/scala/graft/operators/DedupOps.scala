@@ -79,6 +79,19 @@ object DedupOps {
       .select(col("doc_id"),
         explode(bigramShinglesFromTokens(col("toks"))).as("shingle"))
 
+  /** Exploded distinct (doc_id, `w`-word shingle) pairs — the
+    * generalized shingle unit ([[graft.functions.TextFunctions.wordGramsFromTokens]])
+    * for operators whose discriminative power needs a LONGER n-gram
+    * than the MinHash bigram (containment, contamination matching:
+    * published decontamination pipelines match 8-13-grams for
+    * exactly this reason — w-gram vocabulary grows ~|vocab|^w, so
+    * df per shingle FALLS as w rises and rarity survives corpus
+    * growth). */
+  def docWordGrams(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(wordGramsFromTokens(col("toks"), w)).as("shingle"))
+
   /** Exploded distinct (doc_id, char-trigram) pairs — the character
     * n-gram dedup unit ([[graft.functions.TextFunctions.charTrigrams]]). */
   def docCharTrigrams(docs: DataFrame): DataFrame =
@@ -275,7 +288,15 @@ object DedupOps {
     * thousands of documents carries no evidence that one specific
     * document quotes another (this is how rare-n-gram contamination
     * matching defines signal), and the cap is also what bounds the
-    * work: candidates come from the rare-shingle INVERTED INDEX (not
+    * work. The shingle is a `shingleW`-word gram (default 3, vs the
+    * MinHash bigram): w-gram vocabulary grows ~|vocab|^w, so per-
+    * shingle df FALLS as w rises — the lever that keeps a FIXED
+    * absolute df cap discriminative as the corpus grows (measured on
+    * the degenerate-vocab corpus: at 10× scale only 31/931 bigrams
+    * stay under df 100 and recall collapses to zero, while all 27k
+    * trigrams stay rare and every doc keeps signal; published
+    * decontamination pipelines match 8-13-grams for the same
+    * reason). Candidates come from the rare-shingle INVERTED INDEX (not
     * MinHash bands — LSH on symmetric Jaccard cannot surface the
     * low-J containment pairs that are the point), narrowed by the
     * PPJoin-style PREFIX filter: containment(a→b) ≥ t means b misses
@@ -291,9 +312,10 @@ object DedupOps {
     * doc_id (bounded groups); nothing driver-side; shingle caches
     * drain via [[unpersistShingleCaches]]. */
   def containmentPairs(docs: DataFrame, minContain: Double = 0.8,
-      minShingles: Int = 3, maxDf: Long = 100L): DataFrame = {
+      minShingles: Int = 3, maxDf: Long = 100L,
+      shingleW: Int = 3): DataFrame = {
     val minPpm = (minContain * 1000000).round
-    val exploded = docShingles(docs)
+    val exploded = docWordGrams(docs, shingleW)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     liveCaches.add(exploded)
     val dfreq = exploded.groupBy("shingle")

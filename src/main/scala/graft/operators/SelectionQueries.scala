@@ -1061,11 +1061,17 @@ object SelectionQueries {
 
   // -------------------------------------------------------------- doc36
   // Shingle containment (asymmetric near-superset detection): a doc
-  // whose DISCRIMINATIVE (df ≤ 100) shingles are ≥80% contained in
-  // another — the quote / syndicated-snippet relation symmetric
-  // Jaccard structurally misses. Candidates via the rare-shingle
-  // inverted index narrowed by the lossless PPJoin prefix filter (no
-  // LSH — low-J containment pairs are the point); integer ppm output.
+  // whose DISCRIMINATIVE (df ≤ 100) word-TRIGRAM shingles are ≥80%
+  // contained in another — the quote / syndicated-snippet relation
+  // symmetric Jaccard structurally misses. Trigrams, not the MinHash
+  // bigram: w-gram vocabulary grows ~|vocab|^w, so a fixed absolute
+  // df cap stays discriminative as the corpus grows (bigrams go
+  // universally-common at 10× this corpus and recall collapses to
+  // zero — measured; rare-LONG-n-gram matching is the published
+  // contamination-detection practice). Candidates via the
+  // rare-shingle inverted index narrowed by the lossless PPJoin
+  // prefix filter (no LSH — low-J containment pairs are the point);
+  // integer ppm output.
   private val doc36 = GraftQuery(
     "doc36_containment",
     (s, dir) => {
@@ -1079,9 +1085,9 @@ object SelectionQueries {
         FROM documents),
       sh0 AS (
         SELECT DISTINCT doc_id,
-          unnest(list_transform(range(1, len(ws)),
-            i -> ws[i] || ' ' || ws[i+1])) AS shingle
-        FROM toks WHERE len(ws) >= 2),
+          unnest(list_transform(range(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        FROM toks WHERE len(ws) >= 3),
       dfreq AS (
         SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle
         HAVING COUNT(*) <= 100),

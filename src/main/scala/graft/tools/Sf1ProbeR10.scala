@@ -33,6 +33,15 @@ import graft.streaming.{CdcMerge, IncrementalCC, IncrementalDsir,
   *  - emb22 sketch path: [[CurationOps.dimWinsorizeSketch]] — GK
   *    sketch over 10× the exploded values, bounded memory by
   *    construction; indicator is plain wall linearity.
+  *  - doc34: [[CurationOps.bigramLmScore]] — the model table is the
+  *    knee indicator (vocab grows 10× on the derived corpus).
+  *  - doc36: [[DedupOps.containmentPairs]] — candidate/pair volume
+  *    vs corpus (PPJoin bound ⇒ linear). This probe caught the
+  *    bigram recall cliff that motivated the trigram default.
+  *  - emb26: [[SimilarityOps.mmrRerank]] — pool²·k per-query work is
+  *    corpus-independent; wall should be flat.
+  *  - q58: [[graft.operators.SketchOps]] KMV build cost + estimate
+  *    error at k=64 (the k-sweep convergence is recorded in SCALE.md).
   *
   * Usage: sbt "runMain graft.tools.Sf1ProbeR10 [sfDir] [outDir]"
   */
@@ -206,6 +215,67 @@ object Sf1ProbeR10 {
       }
       println(f"PROBE emb22_sketch     $nVecs%8d vecs  " +
         f"winsorize-sketch: $t%6.1f s   out-of-band dims: $nBad%d")
+    }
+
+    // doc34: bigram-LM scoring — two shuffles; the model table is the
+    // knee indicator (the derived corpus grows the VOCABULARY 10×, so
+    // model rows grow ~10× while per-doc work stays flat).
+    {
+      val (nModel, t) = timed {
+        CurationOps.bigramLmScore(docs).count()
+      }
+      println(f"PROBE doc34_bigram_lm  $nDocs%8d docs  " +
+        f"score-all: $t%6.1f s   scored rows: $nModel%d")
+    }
+
+    // doc36: prefix-filtered containment — candidate volume is the
+    // knee indicator (bounded by prefix rows × maxDf by construction;
+    // the 10× corpus has 10× the rare shingles, so candidates should
+    // grow ~linearly, never quadratically).
+    {
+      val (nPairs, t) = timed {
+        DedupOps.containmentPairs(docs).count()
+      }
+      DedupOps.unpersistShingleCaches(blocking = true)
+      println(f"PROBE doc36_containment $nDocs%7d docs  " +
+        f"pairs: $nPairs%6d ($t%6.1f s)")
+    }
+
+    // emb26: MMR re-rank — per-query work is poolSize²·k regardless
+    // of corpus; only the pool-building brute-force stage scales with
+    // input (swap in ANN at real scale), so wall tracks the corpus
+    // scan ~linearly.
+    {
+      val (n, t) = timed {
+        SimilarityOps.mmrRerank(embs).count()
+      }
+      println(f"PROBE emb26_mmr        $nVecs%8d vecs  " +
+        f"selected: $n%d ($t%6.1f s)")
+    }
+
+    // q58/KMV: sketch build is distinct + TakeOrdered — the reduction
+    // should stay ~flat beyond the distinct's shuffle cost; estimate
+    // error is the quality indicator.
+    {
+      // only (event_type, user_id) needed — no ts rebuild (the derived
+      // events were written by Spark with proper timestamp types, and
+      // the sf0.1 originals prune ts out of the read anyway)
+      val events = spark.read.parquet(s"$dir/events.parquet")
+      val k = 64
+      val u = events.filter(col("event_type") === "click")
+        .select(col("user_id"))
+      val ((est, exact), t) = timed {
+        val sk = graft.operators.SketchOps.kmvSketch(u, "user_id", k)
+          .withColumn("seg", lit("click"))
+        val st = graft.operators.SketchOps.kmvStats(sk, "seg", k)
+          .collect().head
+        val theta = st.getAs[Long]("theta")
+        val c = sk.filter(col("h") < theta).count()
+        val est = c * graft.operators.SketchOps.Theta40 / theta
+        (est, u.distinct().count())
+      }
+      println(f"PROBE q58_kmv          est: $est%8d   exact: " +
+        f"$exact%8d   ($t%6.1f s, k=$k%d)")
     }
   }
 }

@@ -300,10 +300,10 @@ class LlmOpsSpec extends SparkSpec {
 
   test("containmentPairs: planted snippet found asymmetrically") {
     import spark.implicits._
-    // doc 1 = a 5-token snippet (4 bigram shingles), doc 2 = a long
-    // doc embedding it verbatim, doc 3 = unrelated. Jaccard(1,2) is
-    // far below near-dup thresholds; containment(1→2) = 1.0. With 3
-    // docs no shingle exceeds the 0.2 df cap unless shared by all.
+    // doc 1 = a 5-token snippet (3 trigram shingles at the default
+    // w=3), doc 2 = a long doc embedding it verbatim, doc 3 =
+    // unrelated. Jaccard(1,2) is far below near-dup thresholds;
+    // containment(1→2) = 1.0. With 3 docs every shingle is rare.
     val snippet = "alpha beta gamma delta epsilon"
     val long = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 " + snippet +
       " y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"
@@ -324,7 +324,7 @@ class LlmOpsSpec extends SparkSpec {
     val got = DedupOps.containmentPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
-    val sh = DedupOps.docShingles(docs).collect()
+    val sh = DedupOps.docWordGrams(docs, 3).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     DedupOps.unpersistShingleCaches(blocking = true)
     val df = sh.groupBy(_._2).map { case (s, rows) => s -> rows.length }
@@ -343,10 +343,11 @@ class LlmOpsSpec extends SparkSpec {
   test("containmentPairs: minShingles gates degenerate tiny sets") {
     import spark.implicits._
     // doc 1 has ONE shingle, fully shared — gated by minShingles 3
+    // (shingleW=2 keeps the single-bigram construction meaningful)
     val docs = Seq((1L, "a b"), (2L, "a b c d e f g"))
       .toDF("doc_id", "text")
     val got = DedupOps.containmentPairs(docs, minContain = 0.5,
-      minShingles = 3).collect()
+      minShingles = 3, shingleW = 2).collect()
     DedupOps.unpersistShingleCaches(blocking = true)
     assert(!got.exists(_.getLong(0) == 1L))
   }
