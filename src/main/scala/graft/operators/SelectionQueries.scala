@@ -1334,9 +1334,64 @@ object SelectionQueries {
         ORDER BY p.seg_a, p.seg_b"""))
   }
 
+  // -------------------------------------------------------------- emb27
+  // SemDeDup-style semantic dedup: within each centroid cell, a
+  // member is a duplicate when its cosine to a strictly BETTER-ranked
+  // member (centroid-cosine desc) reaches τ=0.35 — paraphrase-level
+  // near-dups that lexical MinHash/SimHash cannot see. The cell
+  // equi-join bounds the pairwise pass at cell size (the published
+  // SemDeDup recipe, because corpus all-pairs is impossible); the
+  // kept representative is the centroid-closest member; decisions on
+  // truncating integer ppm (floor of bit-identical doubles).
+  private val emb27 = GraftQuery(
+    "emb27_semantic_dedup",
+    (s, dir) =>
+      SimilarityOps.semanticDedup(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id")),
+    Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               ${normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding,
+               ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      assign AS (
+        SELECT b.vec_id, b.embedding, b.en, c.cid,
+          (${dotSql("b.embedding", "c.ce", 64)}) / (b.en * c.cn)
+            AS ccos,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            (${dotSql("b.embedding", "c.ce", 64)}) / (b.en * c.cn)
+              DESC, c.cid) AS rn
+        FROM base b CROSS JOIN cent c),
+      mem AS (
+        SELECT vec_id, embedding, en, cid, ccos
+        FROM assign WHERE rn = 1),
+      ranked AS (
+        SELECT vec_id, embedding, en, cid, ccos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY cid
+            ORDER BY ccos DESC, vec_id) AS BIGINT) AS crnk
+        FROM mem),
+      best AS (
+        SELECT a.cid, a.vec_id,
+          MAX(CAST(FLOOR(
+            (${dotSql("a.embedding", "b.embedding", 64)})
+              / (a.en * b.en) * 1000000 ) AS BIGINT)) AS bp
+        FROM ranked a JOIN ranked b
+          ON b.cid = a.cid AND b.crnk < a.crnk
+        GROUP BY a.cid, a.vec_id)
+      SELECT r.vec_id, r.cid, r.crnk,
+        COALESCE(bp, -1000000) AS best_better_ppm,
+        COALESCE(bp, -1000000) >= 350000 AS is_dup
+      FROM ranked r LEFT JOIN best
+        ON best.cid = r.cid AND best.vec_id = r.vec_id
+      ORDER BY r.vec_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
       emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32, doc33,
-      emb23, emb24, emb25, cdc28, doc34, doc35, doc36, emb26, q58)
+      emb23, emb24, emb25, cdc28, doc34, doc35, doc36, emb26, q58,
+      emb27)
 }
 

@@ -922,4 +922,54 @@ object SimilarityOps {
     pairSims.unpersist()
     selected
   }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus into
+    * centroid cells, then flag within-cell members whose cosine to a
+    * STRICTLY BETTER-RANKED cell member (centroid-cosine desc, ties
+    * on vec_id) reaches `tauPpm` — embedding-level near-duplicates
+    * that lexical MinHash/SimHash miss (paraphrases, translations,
+    * re-encodings). The kept representative of every dup group is
+    * the member closest to the cell centroid; rank 1 of a cell is
+    * never a dup. One-pass rank-gated semantics (dup iff within τ of
+    * ANY better-ranked member, kept or not) — deterministic and
+    * join-expressible, no greedy chain to iterate.
+    *
+    * Scale shape: this is exactly the published SemDeDup recipe
+    * BECAUSE all-pairs over the corpus is impossible — the cell
+    * equi-join bounds the quadratic at cell-membership size, so total
+    * pair work is Σ|cell|² with |cell| ≈ n/k at nCells = k chosen so
+    * a cell fits a task (the [[balancedAssignStrict]] capacity bound
+    * is the guarantee when skew would break that). Per-cell rank
+    * window partitions by cid (bounded groups); centroids broadcast
+    * (≤ nCells rows); output is one row per vector. Cosine doubles
+    * rank; thresholds compare on truncating integer ppm (floor of the
+    * same double on both engines — the doc23 float-free doctrine for
+    * every DECISION column). */
+  def semanticDedup(embs: DataFrame, dim: Int = 64, nCells: Int = 8,
+      tauPpm: Long = 350000L): DataFrame = {
+    val wRank = Window.partitionBy(col("cid"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    val ranked = rankedCellAssignments(embs, dim, nCells)
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("en"), col("cid"),
+        col("ccos"))
+      .withColumn("crnk", row_number().over(wRank).cast("long"))
+    val better = ranked.select(col("cid"),
+      col("embedding").as("b_emb"), col("en").as("b_en"),
+      col("crnk").as("b_rnk"))
+    val best = ranked.select(col("cid"), col("vec_id"), col("embedding"),
+        col("en"), col("crnk"))
+      .join(better, Seq("cid"))
+      .filter(col("b_rnk") < col("crnk"))
+      .withColumn("ppm", floor(dot(col("embedding"), col("b_emb"), dim) /
+        (col("en") * col("b_en")) * lit(1000000.0)).cast("long"))
+      .groupBy("cid", "vec_id")
+      .agg(max(col("ppm")).as("best_better_ppm"))
+    ranked.join(best, Seq("cid", "vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("crnk"),
+        coalesce(col("best_better_ppm"), lit(-1000000L))
+          .as("best_better_ppm"),
+        (coalesce(col("best_better_ppm"), lit(-1000000L)) >= tauPpm)
+          .as("is_dup"))
+  }
 }

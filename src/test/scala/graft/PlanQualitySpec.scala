@@ -89,7 +89,11 @@ class PlanQualitySpec extends SparkSpec {
       // emb26: MMR — the pool comes from bruteForceTopK, the
       // emb01-class ≤8-row query-set broadcast; pairwise sims and
       // all k greedy rounds are query_id equi-joins
-      "emb26_mmr_rerank")
+      "emb26_mmr_rerank",
+      // emb27: semantic dedup — the emb04/emb08-class ≤8-row centroid
+      // broadcast for cell assignment; the within-cell pairwise pass
+      // is a cid equi-join (cell-bounded, the SemDeDup contract)
+      "emb27_semantic_dedup")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

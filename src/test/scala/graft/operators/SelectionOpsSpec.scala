@@ -507,4 +507,34 @@ class SelectionOpsSpec extends SparkSpec {
     assert(r3.getAs[Double]("score_x1m") <
       700000.0 * r3.getAs[Double]("rel") - 299000.0)
   }
+
+  test("semanticDedup: rank-gated within-cell dups; rep kept") {
+    import spark.implicits._
+    // centroids = corpus rows 0 (+x) and 1 (+y). vec 2 is nearly
+    // parallel to 0 (cos ≈ .994 ≥ τ=.35 → dup); vec 3 lands in cell
+    // 0 (cos .30 to +x beats 0 to +y) but is below τ to BOTH
+    // better-ranked members → kept. vec 1 is alone in its cell.
+    def v(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); pairs.foreach { case (i, x) => a(i) = x }; a
+    }
+    val embs = Seq(
+      (0L, v(0 -> 1f)), (1L, v(1 -> 1f)),
+      (2L, v(0 -> 0.9f, 2 -> 0.1f)),
+      (3L, v(0 -> 0.3f, 3 -> 0.95f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticDedup(embs, nCells = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cid"), r.getAs[Long]("crnk"),
+          r.getAs[Long]("best_better_ppm"), r.getAs[Boolean]("is_dup"))))
+      .toMap
+    assert(got.size == 4)
+    // centroid-closest member of the dup group is the KEPT rep —
+    // asymmetry: cos(0,2) ≥ τ flags only the worse-ranked vec 2
+    assert(got(0L) == ((0L, 1L, -1000000L, false)))
+    val (c2, r2, bp2, d2) = got(2L)
+    assert(c2 == 0L && r2 == 2L && d2 && bp2 >= 990000L)
+    val (c3, _, bp3, d3) = got(3L)
+    assert(c3 == 0L && !d3 && bp3 < 350000L && bp3 >= 0L)
+    // a cell's rank 1 is never a dup, even alone
+    assert(got(1L) == ((1L, 1L, -1000000L, false)))
+  }
 }
