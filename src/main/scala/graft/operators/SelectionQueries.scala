@@ -1334,6 +1334,111 @@ object SelectionQueries {
         ORDER BY p.seg_a, p.seg_b"""))
   }
 
+  // -------------------------------------------------------------- cdc29
+  // Incremental semantic dedup: emb27's decisions maintained under
+  // batched ingest (arrival-order contract — a kept representative is
+  // never evicted; a batch member is dup iff τ-close to an earlier
+  // kept rep in its cell OR to a better-ranked member of its own
+  // batch). Frozen centroids = first 8 vectors of batch 0; the kept
+  // reps of a cell are pairwise > τ apart, so rep state saturates at
+  // the τ-packing number — geometry-bounded, not corpus-bounded. The
+  // oracle unrolls the three batches (and the replay, which must
+  // append nothing) as CTEs.
+  private val cdc29 = {
+    val dotAB = dotSql("a.embedding", "x.embedding", 64)
+    val ppmAB = s"CAST(FLOOR(($dotAB) / (a.en * x.en) * 1000000) AS BIGINT)"
+    def round(i: Int): String = s"""
+      r$i AS MATERIALIZED (
+        SELECT vec_id, embedding, en, cid, ccos,
+          ROW_NUMBER() OVER (PARTITION BY cid
+            ORDER BY ccos DESC, vec_id) AS crnk
+        FROM mem WHERE b = $i),
+      pa$i AS (
+        SELECT a.cid, a.vec_id, $ppmAB AS p
+        FROM r$i a JOIN k${i - 1} x ON x.cid = a.cid),
+      pb$i AS (
+        SELECT a.cid, a.vec_id, $ppmAB AS p
+        FROM r$i a JOIN r$i x ON x.cid = a.cid AND x.crnk < a.crnk),
+      p$i AS (
+        SELECT cid, vec_id, MAX(p) AS bp FROM (
+          SELECT * FROM pa$i UNION ALL SELECT * FROM pb$i)
+        GROUP BY cid, vec_id),
+      d$i AS MATERIALIZED (
+        SELECT r.vec_id, r.cid, r.embedding, r.en,
+          COALESCE(bp, -1000000) AS bkp,
+          COALESCE(bp, -1000000) >= 350000 AS is_dup,
+          CAST($i AS BIGINT) AS batch
+        FROM r$i r LEFT JOIN p$i
+          ON p$i.cid = r.cid AND p$i.vec_id = r.vec_id),
+      k$i AS MATERIALIZED (
+        SELECT cid, embedding, en FROM k${i - 1}
+        UNION ALL
+        SELECT cid, embedding, en FROM d$i WHERE NOT is_dup)"""
+    GraftQuery(
+      "cdc29_incremental_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        val table = "cdc29_semdedup"
+        Seq(table, s"${table}_centroids")
+          .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+        val embs = t(s, dir, "embeddings")
+        def part(i: Int) = embs.filter(pmod($"vec_id", lit(3)) === i)
+        // batch 1 is re-delivered under its original id — must no-op
+        Seq((0, 0L), (1, 1L), (1, 1L), (2, 2L)).foreach { case (p, id) =>
+          graft.streaming.IncrementalSemDedup.applyBatch(
+            s, table, part(p), id)
+        }
+        graft.streaming.IncrementalSemDedup.readDecisions(s, table)
+          .select($"vec_id", $"cid", $"best_kept_ppm", $"is_dup",
+            $"_batch".as("batch"))
+          .orderBy($"vec_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT vec_id, embedding,
+            ${normSql("embedding", 64)} AS en,
+            vec_id % 3 AS b
+          FROM embeddings),
+        cent AS (
+          SELECT vec_id AS cid, embedding AS ce, en AS cn
+          FROM base WHERE b = 0 ORDER BY vec_id LIMIT 8),
+        assign AS (
+          SELECT v.vec_id, v.embedding, v.en, v.b, c.cid,
+            (${dotSql("v.embedding", "c.ce", 64)}) / (v.en * c.cn)
+              AS ccos,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              (${dotSql("v.embedding", "c.ce", 64)}) / (v.en * c.cn)
+                DESC, c.cid) AS rn
+          FROM base v CROSS JOIN cent c),
+        mem AS MATERIALIZED (
+          SELECT vec_id, embedding, en, b, cid, ccos
+          FROM assign WHERE rn = 1),
+        r0 AS MATERIALIZED (
+          SELECT vec_id, embedding, en, cid, ccos,
+            ROW_NUMBER() OVER (PARTITION BY cid
+              ORDER BY ccos DESC, vec_id) AS crnk
+          FROM mem WHERE b = 0),
+        p0 AS (
+          SELECT a.cid, a.vec_id, MAX($ppmAB) AS bp
+          FROM r0 a JOIN r0 x ON x.cid = a.cid AND x.crnk < a.crnk
+          GROUP BY a.cid, a.vec_id),
+        d0 AS MATERIALIZED (
+          SELECT r.vec_id, r.cid, r.embedding, r.en,
+            COALESCE(bp, -1000000) AS bkp,
+            COALESCE(bp, -1000000) >= 350000 AS is_dup,
+            CAST(0 AS BIGINT) AS batch
+          FROM r0 r LEFT JOIN p0
+            ON p0.cid = r.cid AND p0.vec_id = r.vec_id),
+        k0 AS MATERIALIZED (SELECT cid, embedding, en FROM d0 WHERE NOT is_dup),
+        ${round(1)},
+        ${round(2)}
+        SELECT vec_id, cid, bkp AS best_kept_ppm, is_dup, batch FROM (
+          SELECT * FROM d0 UNION ALL
+          SELECT * FROM d1 UNION ALL
+          SELECT * FROM d2)
+        ORDER BY vec_id"""))
+  }
+
   // -------------------------------------------------------------- emb27
   // SemDeDup-style semantic dedup: within each centroid cell, a
   // member is a duplicate when its cosine to a strictly BETTER-ranked
@@ -1392,6 +1497,6 @@ object SelectionQueries {
     Seq(doc28, doc29, emb16, emb17, emb18, mm05, q56, cdc26, cdc27,
       emb19, doc30, emb20, emb21, q57, doc31, emb22, doc32, doc33,
       emb23, emb24, emb25, cdc28, doc34, doc35, doc36, emb26, q58,
-      emb27)
+      emb27, cdc29)
 }
 
