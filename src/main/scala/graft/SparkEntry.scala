@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CdcQueries, ExtendedQueries, LlmQueries, RelationalQueries, SelectionQueries, TrainingQueries}
+import graft.operators.{CdcQueries, ExtendedQueries, LlmQueries, OpsQueries, RelationalQueries, SelectionQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     RelationalQueries.all ++ CdcQueries.all ++ LlmQueries.all ++
       ExtendedQueries.all ++ TrainingQueries.all ++
-      SelectionQueries.all
+      SelectionQueries.all ++ OpsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -918,4 +918,68 @@ object CurationOps {
         concat_ws(" ", slice(col("ts"), col("start_tok").cast("int"),
           col("chunk_len").cast("int"))).as("chunk_text"))
   }
+
+  /** Per-dimension embedding-distribution drift audit between a
+    * reference corpus slice and a current one — the "did the embedding
+    * space move?" gate in front of every consumer that froze
+    * centroids, codebooks or winsorization bounds on the reference
+    * distribution (emb04/13/14 IVF cells, emb11 PQ, emb22 bounds):
+    * at 100 TB those artifacts are retrained on DRIFT EVIDENCE, not on
+    * a calendar.
+    *
+    * Two signals per dimension, both exact-integer so the audit is
+    * bit-identical across engines and partitionings (no log/sqrt —
+    * deliberately TVD over PSI, whose ln() is libm-dependent):
+    *
+    *  - `tvd_ppm`: total variation distance between the two 16-bin
+    *    histograms over the fixed [-1, 1) value range, computed as
+    *    Σ|cur·n_ref − ref·n_cur| · 10⁶ div (2·n_ref·n_cur) — integer
+    *    cross-multiplied, truncating ppm;
+    *  - `mu_ref_fp`/`mu_cur_fp`: truncating fixed-point (1e-6) means
+    *    from per-value floored integers.
+    *
+    * Shape: one posexplode per side → (dim, bin) counting aggregate
+    * (map-side combined; 64·16 result rows per side) → one dim-keyed
+    * merge. Metadata-scale output, corpus-linear single pass. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
+    // vf is the OFFSET fixed-point value floor((v+1)·1e6): nonnegative,
+    // so the truncating div below IS floor division in both engines
+    // (Spark `div` truncates toward zero, DuckDB `//` floors — they
+    // agree only on nonnegative operands; the −1e6 shift-back happens
+    // after the division, identically on both sides).
+    def hist(embs: DataFrame, side: String): DataFrame =
+      embs
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"),
+          col("v").cast("double").as("v"))
+        .withColumn("bin",
+          least(lit(15L), greatest(lit(0L),
+            floor((col("v") + 1.0) * 8.0).cast("long"))))
+        .withColumn("vf", floor((col("v") + 1.0) * 1000000).cast("long"))
+        .groupBy("dim", "bin")
+        .agg(count(lit(1)).as(s"c_$side"), sum("vf").as(s"s_$side"))
+    val merged = hist(ref, "ref")
+      .join(hist(cur, "cur"), Seq("dim", "bin"), "full_outer")
+      .select(col("dim"), col("bin"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"),
+        coalesce(col("s_ref"), lit(0L)).as("s_ref"),
+        coalesce(col("s_cur"), lit(0L)).as("s_cur"))
+    val totals = merged.groupBy("dim")
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
+        sum("s_ref").as("t_ref"), sum("s_cur").as("t_cur"))
+    // BIGINT-exact while n_ref·n_cur < ~4.6e12 per dimension (≈ 2M
+    // values per side per dim); past that the same formula runs in
+    // DECIMAL(38,0) — the counts, not the corpus, are the operands.
+    val numer = merged
+      .join(broadcast(totals.select("dim", "n_ref", "n_cur")), Seq("dim"))
+      .groupBy("dim")
+      .agg(sum(abs(col("c_cur") * col("n_ref") -
+        col("c_ref") * col("n_cur"))).as("numer"))
+    totals.join(numer, Seq("dim"))
+      .select(col("dim"), col("n_ref"), col("n_cur"),
+        expr("(numer * 1000000) div (2 * n_ref * n_cur)").as("tvd_ppm"),
+        (expr("t_ref div n_ref") - 1000000L).as("mu_ref_fp"),
+        (expr("t_cur div n_cur") - 1000000L).as("mu_cur_fp"))
+  }
 }

@@ -499,4 +499,95 @@ object DedupOps {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
+
+  /** Corpus vocabulary with term frequency: one exploded-token
+    * groupBy (map-side combined), empty tokens dropped. The input to
+    * [[fuzzyVocabPairs]] — at 100 TB the vocabulary is heavy-tailed
+    * but still ~10⁷–10⁸ DISTINCT rows, i.e. corpus-sublinear: every
+    * downstream fuzzy step runs on this table, never on the corpus. */
+  def vocab(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Symmetric-delete (SymSpell) blocking index: every string
+    * obtainable from `word` by deleting up to `maxEdit` characters
+    * (including the word itself, the 0-deletion variant). The classic
+    * lossless blocking key for edit distance: two words within
+    * Damerau/Levenshtein distance d ≤ maxEdit always share at least
+    * one ≤maxEdit-deletion variant, so an EQUI-join on `variant`
+    * yields a candidate superset and the quadratic all-pairs scan is
+    * never run. Index size is O(V · L^maxEdit) rows (L ≈ word length;
+    * ~1+L+L(L−1)/2 variants per word at maxEdit=2) — vocabulary-
+    * bounded, corpus-independent.
+    *
+    * Skew note (the doc10/doc36 df doctrine): very short words
+    * collapse into short/empty variants — the "" bucket holds every
+    * word of length ≤ maxEdit, a 1-char variant bucket every word one
+    * delete away from it. Those buckets are bounded by the ALPHABET
+    * (≤ |Σ|^maxEdit words can be that short), not the vocabulary, so
+    * no df cap is needed for losslessness; candidates are still
+    * post-verified exactly. Deletions use i < j positions applied
+    * right-to-left so earlier indices stay valid. */
+  def deletionVariants(vocabDf: DataFrame, maxEdit: Int = 2): DataFrame = {
+    require(maxEdit == 1 || maxEdit == 2,
+      "symmetric-delete blocking supports maxEdit 1 or 2")
+    val base = vocabDf
+      .withColumn("L", length(col("word")).cast("int"))
+      .withColumn("i", explode(expr("sequence(-1, L - 1)")))
+    val withJ =
+      if (maxEdit == 1) base.withColumn("j", lit(-1))
+      else base
+        .withColumn("j", explode(expr("sequence(i, L - 1)")))
+        .filter(col("j") > col("i") ||
+          (col("i") === -1 && col("j") === -1))
+    withJ
+      .withColumn("vj",
+        when(col("j") < 0, col("word"))
+          .otherwise(concat(expr("substring(word, 1, j)"),
+            expr("substring(word, j + 2)"))))
+      .withColumn("variant",
+        when(col("i") < 0, col("vj"))
+          .otherwise(concat(expr("substring(vj, 1, i)"),
+            expr("substring(vj, i + 2)"))))
+      .select(col("word"), col("variant"))
+      .distinct()
+  }
+
+  /** Fuzzy vocabulary matching — every pair of corpus words within
+    * Levenshtein distance `maxEdit`, with both term frequencies: the
+    * OCR-confusable / typo-variant audit that complements the shingle
+    * (doc04/doc10/doc36) and embedding (emb27) dedup ladders at the
+    * TOKEN grain, where shingling has no signal (a 1-char typo shares
+    * no word-grain shingles with its correction and embeds nowhere
+    * near it in a count-based space).
+    *
+    * Shape: [[vocab]] (corpus-sublinear) → [[deletionVariants]]
+    * self-equi-join on `variant` (the SymSpell lossless candidate
+    * superset — never all-pairs) → exact `levenshtein` verification
+    * on candidates only → tf join-back. All-integer output; the
+    * levenshtein verifier is Spark's codegen'd built-in, and the
+    * candidate count is bounded by variant-bucket collisions (true
+    * matches + the alphabet-bounded short-word buckets), not V². */
+  def fuzzyVocabPairs(docs: DataFrame, maxEdit: Int = 2): DataFrame = {
+    val v = vocab(docs)
+    val variants = deletionVariants(v.select("word"), maxEdit)
+    val cands = variants.as("a")
+      .join(variants.as("b"), Seq("variant"))
+      .filter(col("a.word") < col("b.word"))
+      .select(col("a.word").as("word_a"), col("b.word").as("word_b"))
+      .distinct()
+    cands
+      .withColumn("dist",
+        levenshtein(col("word_a"), col("word_b")).cast("long"))
+      .filter(col("dist") <= maxEdit)
+      .join(v.select(col("word").as("word_a"), col("tf").as("tf_a")),
+        Seq("word_a"))
+      .join(v.select(col("word").as("word_b"), col("tf").as("tf_b")),
+        Seq("word_b"))
+      .select(col("word_a"), col("word_b"), col("dist"),
+        col("tf_a"), col("tf_b"))
+  }
 }

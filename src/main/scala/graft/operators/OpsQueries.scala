@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Round-10 corpus-operations queries: token-grain fuzzy matching,
+  * incremental sketch maintenance, multi-dimensional data layout and
+  * distribution-drift auditing — the "operate a 100 TB corpus"
+  * surface (vs the build-the-corpus surface of doc01–36). Same
+  * determinism doctrine as everywhere else: all-integer outputs or
+  * bit-identical double chains, total ORDER BY, truncating integer
+  * ratios.
+  */
+object OpsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // -------------------------------------------------------------- doc37
+  // Fuzzy vocabulary pairs — SymSpell symmetric-delete blocking:
+  // every pair of corpus words within Levenshtein distance 2, found
+  // via an EQUI-join on ≤2-deletion variants (lossless candidate
+  // superset, post-verified by the exact codegen'd levenshtein), with
+  // both term frequencies. The token-grain rung of the dedup ladder:
+  // a typo and its correction share no word shingles and no embedding
+  // neighborhood. The oracle brute-forces all-pairs on the
+  // vocabulary — V² is fine for DuckDB at test scale and pins the
+  // LOSSLESSNESS of the deletion blocking, which is the entire claim.
+  private val doc37 = GraftQuery(
+    "doc37_fuzzy_vocab",
+    (s, dir) =>
+      DedupOps.fuzzyVocabPairs(t(s, dir, "documents"), maxEdit = 2)
+        .orderBy(col("word_a"), col("word_b")),
+    Some("""
+      WITH w AS (
+        SELECT UNNEST(string_split(text, ' ')) AS word
+        FROM documents),
+      v AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS tf FROM w
+        WHERE length(word) > 0 GROUP BY word)
+      SELECT a.word AS word_a, b.word AS word_b,
+        CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist,
+        a.tf AS tf_a, b.tf AS tf_b
+      FROM v a JOIN v b ON a.word < b.word
+      WHERE levenshtein(a.word, b.word) <= 2
+      ORDER BY word_a, word_b"""))
+
+  // -------------------------------------------------------------- cdc30
+  // Incrementally-maintained HLL rollup (IncrementalHll): q57's
+  // per-(event_type, day) sketches maintained under batched ingest —
+  // three event-disjoint batches plus a REDELIVERED batch (watermark
+  // no-op; a register no-op even without it). The estimate served
+  // from the maintained state must EQUAL the one-shot q57 estimate
+  // (union is associative/commutative/idempotent, pinned here as
+  // batched_eq_oneshot), and the oracle pins the exact counts + the
+  // q57 ±5% band.
+  private val cdc30 = GraftQuery(
+    "cdc30_incremental_hll",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc30_sketches"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val ev = t(s, dir, "events")
+      def part(i: Int) = ev.filter(pmod($"event_id", lit(3)) === i)
+      Seq(0, 1, 1, 2).zipWithIndex.foreach { case (p, bid) =>
+        // the replayed batch re-sends p=1 under its ORIGINAL id 1
+        val id = if (bid == 2) 1L else bid.toLong
+        graft.streaming.IncrementalHll.applyBatch(s, table, part(p), id)
+      }
+      val est = graft.streaming.IncrementalHll.estimateByType(s, table)
+      val oneShot = ev
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .groupBy($"event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est1"))
+      val exact = ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_exact"))
+      exact.join(est, Seq("event_type")).join(oneShot, Seq("event_type"))
+        .select($"event_type", $"n_exact",
+          (abs($"est" - $"n_exact") <=
+            $"n_exact".cast("double") * 0.05).as("est_in_band"),
+          ($"est" === $"est1").as("batched_eq_oneshot"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        TRUE AS est_in_band, TRUE AS batched_eq_oneshot
+      FROM events GROUP BY event_type
+      ORDER BY event_type"""))
+
+  // -------------------------------------------------------------- q59
+  // Z-order layout keys: 16-bit integer quantization of (user_id,
+  // fixed-point value) + Morton bit-interleave — the multi-dim
+  // clustering key a writer range-partitions on so parquet footer
+  // min/max stats prune 2-D range scans on BOTH axes (1-D sort keys
+  // prune only their own column). Pure BIGINT arithmetic end to end;
+  // the oracle replays the mask ladder bit for bit. LayoutSpec
+  // measures the actual file-skipping win against a 1-D layout.
+  private val q59 = {
+    def spread(v: String): String = {
+      val s8 = s"((($v) | (($v) << 8)) & 16711935)"
+      val s4 = s"((($s8) | (($s8) << 4)) & 252645135)"
+      val s2 = s"((($s4) | (($s4) << 2)) & 858993459)"
+      s"((($s2) | (($s2) << 1)) & 1431655765)"
+    }
+    GraftQuery(
+      "q59_zorder_layout",
+      (s, dir) =>
+        LayoutOps.zorderEvents(t(s, dir, "events"))
+          .orderBy(col("event_id")),
+      Some(s"""
+        WITH fixed AS (
+          SELECT event_id, CAST(user_id AS BIGINT) AS x,
+            CAST(FLOOR(value * 1000) AS BIGINT) AS y
+          FROM events),
+        ext AS (
+          SELECT MIN(x) AS xlo, MAX(x) AS xhi,
+            MIN(y) AS ylo, MAX(y) AS yhi
+          FROM fixed),
+        q AS (
+          SELECT event_id,
+            ((x - xlo) * 65535) // GREATEST(1, xhi - xlo) AS qx,
+            ((y - ylo) * 65535) // GREATEST(1, yhi - ylo) AS qy
+          FROM fixed, ext)
+        SELECT event_id, qx, qy,
+          (${spread("qx")}) | ((${spread("qy")}) << 1) AS zkey
+        FROM q ORDER BY event_id"""))
+  }
+
+  // -------------------------------------------------------------- emb28
+  // Embedding-distribution drift audit: per-dimension total-variation
+  // distance (16 fixed bins over [-1, 1)) + fixed-point mean shift
+  // between the even-id (reference) and odd-id (current) corpus
+  // halves — the retrain-on-evidence gate for every frozen-artifact
+  // consumer (IVF cells, PQ codebooks, winsorization bounds).
+  // Deliberately TVD over PSI: no ln(), so the audit is exact integer
+  // arithmetic, bit-identical across engines — counts cross-multiplied,
+  // truncating ppm; means via the offset fixed-point trick (operands
+  // kept nonnegative so Spark's truncating div and DuckDB's floor //
+  // agree).
+  private val emb28 = GraftQuery(
+    "emb28_embedding_drift",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      CurationOps.embeddingDrift(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          e.filter(pmod(col("vec_id"), lit(2)) === 1))
+        .orderBy(col("dim"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+          CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) t(i)),
+      h AS (
+        SELECT dim,
+          LEAST(15, GREATEST(0,
+            CAST(FLOOR((v + 1.0) * 8.0) AS BIGINT))) AS bin,
+          vec_id % 2 = 0 AS is_ref,
+          CAST(FLOOR((v + 1.0) * 1000000) AS BIGINT) AS vf
+        FROM v),
+      m AS (
+        SELECT dim, bin,
+          SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+          SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c_cur,
+          SUM(CASE WHEN is_ref THEN vf ELSE 0 END) AS s_ref,
+          SUM(CASE WHEN NOT is_ref THEN vf ELSE 0 END) AS s_cur
+        FROM h GROUP BY dim, bin),
+      tot AS (
+        SELECT dim, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur,
+          SUM(s_ref) AS t_ref, SUM(s_cur) AS t_cur
+        FROM m GROUP BY dim),
+      nm AS (
+        SELECT m.dim,
+          SUM(ABS(m.c_cur * t.n_ref - m.c_ref * t.n_cur)) AS numer
+        FROM m JOIN tot t ON m.dim = t.dim GROUP BY m.dim)
+      SELECT t.dim, CAST(t.n_ref AS BIGINT) AS n_ref,
+        CAST(t.n_cur AS BIGINT) AS n_cur,
+        CAST((nm.numer * 1000000) // (2 * t.n_ref * t.n_cur)
+          AS BIGINT) AS tvd_ppm,
+        CAST((t.t_ref // t.n_ref) - 1000000 AS BIGINT) AS mu_ref_fp,
+        CAST((t.t_cur // t.n_cur) - 1000000 AS BIGINT) AS mu_cur_fp
+      FROM tot t JOIN nm ON nm.dim = t.dim
+      ORDER BY t.dim"""))
+
+  val all: Seq[GraftQuery] = Seq(doc37, cdc30, q59, emb28)
+}

@@ -277,5 +277,107 @@ object Sf1ProbeR10 {
       println(f"PROBE q58_kmv          est: $est%8d   exact: " +
         f"$exact%8d   ($t%6.1f s, k=$k%d)")
     }
+
+    // doc37: SymSpell fuzzy vocabulary — the knee indicators are the
+    // VOCAB size (corpus-sublinear: the 10× derived corpus remints
+    // word ids, so vocab grows ~10× here, the worst case) and the
+    // candidate volume out of the deletion-variant equi-join (bounded
+    // by bucket collisions, never V²).
+    {
+      val ((nVocab, nPairs), t) = timed {
+        val v = DedupOps.vocab(docs).count()
+        val p = DedupOps.fuzzyVocabPairs(docs).count()
+        (v, p)
+      }
+      println(f"PROBE doc37_fuzzy      $nDocs%8d docs  vocab: " +
+        f"$nVocab%7d  pairs: $nPairs%6d ($t%6.1f s)")
+    }
+
+    // cdc30: incremental HLL — marginal batch vs the one-shot rollup
+    // re-scan it replaces (the q57 shape run from raw history).
+    {
+      val events = graft.sources.Tables.load(spark, dir, "events")
+      val table = "sf1probe_hll"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(CdcMerge.dropStateTable(spark, _))
+      def batch(i: Int) =
+        events.filter(pmod(col("event_id"), lit(4)) === i)
+      val (_, tBuild) = timed {
+        (0 until 3).foreach(i => graft.streaming.IncrementalHll
+          .applyBatch(spark, table, batch(i), i.toLong))
+      }
+      val (_, tMarg) = timed {
+        graft.streaming.IncrementalHll.applyBatch(
+          spark, table, batch(3), 3L)
+      }
+      val (_, tOneShot) = timed {
+        events.groupBy(col("event_type"),
+            org.apache.spark.sql.functions.to_date(col("ts")).as("day"))
+          .agg(org.apache.spark.sql.functions
+            .expr("hll_sketch_agg(user_id, 12)").as("sk"))
+          .groupBy("event_type")
+          .agg(org.apache.spark.sql.functions
+            .expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+          .count()
+      }
+      println(f"PROBE cdc30_inc_hll    3-batch build: $tBuild%6.1f s   " +
+        f"marginal batch: $tMarg%6.1f s   one-shot re-scan: " +
+        f"$tOneShot%6.1f s")
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(CdcMerge.dropStateTable(spark, _))
+    }
+
+    // q59: z-order layout — key generation is one scan + a range
+    // exchange; the quality indicator is bbox-level file pruning for
+    // equi-depth qy bands vs a 1-D qx sort of the same data.
+    {
+      val events = graft.sources.Tables.load(spark, dir, "events")
+      val zDir = java.nio.file.Files
+        .createTempDirectory("probe-z").toString
+      val xDir = java.nio.file.Files
+        .createTempDirectory("probe-x").toString
+      val (z, tKeys) = timed {
+        val z = graft.operators.LayoutOps.zorderEvents(events)
+        z.repartitionByRange(32, col("zkey"))
+          .write.mode("overwrite").parquet(zDir)
+        z
+      }
+      z.repartitionByRange(32, col("qx"))
+        .write.mode("overwrite").parquet(xDir)
+      def bboxes(d: String) = spark.read.parquet(d)
+        .groupBy(org.apache.spark.sql.functions.input_file_name())
+        .agg(min("qx").as("xlo"), max("qx").as("xhi"),
+          min("qy").as("ylo"), max("qy").as("yhi"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      val zB = bboxes(zDir); val xB = bboxes(xDir)
+      val edges = spark.read.parquet(zDir).stat
+        .approxQuantile("qy", (0 to 8).map(_ / 8.0).toArray, 0.001)
+        .map(_.toLong)
+      def hits(bs: Array[(Long, Long, Long, Long)]) =
+        (0 until 8).map { i =>
+          val (plo, phi) = (edges(i),
+            math.max(edges(i + 1) - 1, edges(i)))
+          bs.count(b => b._4 >= plo && b._3 <= phi)
+        }.sum
+      println(f"PROBE q59_zorder       keys+write: $tKeys%6.1f s   " +
+        f"qy-band files hit: zorder ${hits(zB)}%d/${8 * zB.length}%d " +
+        f"vs 1-D ${hits(xB)}%d/${8 * xB.length}%d")
+    }
+
+    // emb28: drift audit — one pass per side, metadata-sized output;
+    // wall should track corpus linearly with no knee.
+    {
+      val ((nDims, maxTvd), t) = timed {
+        val d = CurationOps.embeddingDrift(
+          embs.filter(pmod(col("vec_id"), lit(2)) === 0),
+          embs.filter(pmod(col("vec_id"), lit(2)) === 1))
+        val rows = d.collect()
+        (rows.length.toLong, rows.map(_.getLong(3)).max)
+      }
+      println(f"PROBE emb28_drift      $nVecs%8d vecs  dims: $nDims%d  " +
+        f"max tvd_ppm: $maxTvd%d ($t%6.1f s)")
+    }
   }
 }

@@ -93,7 +93,11 @@ class PlanQualitySpec extends SparkSpec {
       // emb27: semantic dedup — the emb04/emb08-class ≤8-row centroid
       // broadcast for cell assignment; the within-cell pairwise pass
       // is a cid equi-join (cell-bounded, the SemDeDup contract)
-      "emb27_semantic_dedup")
+      "emb27_semantic_dedup",
+      // q59: z-order layout — the q20-class 1-row corpus-extremes
+      // aggregate broadcast against the scan; the key itself is pure
+      // bit arithmetic, no other join anywhere in the plan
+      "q59_zorder_layout")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

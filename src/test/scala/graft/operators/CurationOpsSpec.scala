@@ -358,4 +358,26 @@ class CurationOpsSpec extends SparkSpec {
     // one 1-token chunk of empty text, so the doc id survives chunking
     assert(got.contains((1L, 0L, 1L, "")))
   }
+
+  test("embeddingDrift: zero drift vs self; planted shift detected") {
+    val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
+    // identical distributions: every dim at TVD 0, identical means
+    val self = CurationOps.embeddingDrift(embs, embs).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getLong(3) == 0L, s"dim ${r.getLong(0)} tvd != 0")
+      assert(r.getLong(4) == r.getLong(5))
+    }
+    // planted +0.1 shift on every coordinate: mean moves ~100000 fp
+    // units on every dim and mass crosses bin edges somewhere
+    val shifted = embs.withColumn("embedding",
+      expr("transform(embedding, x -> x + CAST(0.1 AS FLOAT))"))
+    val drift = CurationOps.embeddingDrift(embs, shifted).collect()
+    drift.foreach { r =>
+      val shift = r.getLong(5) - r.getLong(4)
+      assert(shift > 90000L && shift < 110000L,
+        s"dim ${r.getLong(0)} mean shift $shift")
+    }
+    assert(drift.map(_.getLong(3)).max > 0L, "no TVD signal at all")
+  }
 }

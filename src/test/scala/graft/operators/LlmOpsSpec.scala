@@ -351,4 +351,55 @@ class LlmOpsSpec extends SparkSpec {
     DedupOps.unpersistShingleCaches(blocking = true)
     assert(!got.exists(_.getLong(0) == 1L))
   }
+
+  test("deletionVariants: exact variant set, count bound holds") {
+    import spark.implicits._
+    val v = Seq("abc").toDF("word")
+    val got2 = DedupOps.deletionVariants(v, maxEdit = 2).collect()
+      .map(_.getString(1)).toSet
+    // 0 deletions {abc}; 1 {bc, ac, ab}; 2 {c, b, a}
+    assert(got2 == Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    val got1 = DedupOps.deletionVariants(v, maxEdit = 1).collect()
+      .map(_.getString(1)).toSet
+    assert(got1 == Set("abc", "bc", "ac", "ab"))
+    // per-word bound 1 + L + L(L-1)/2 on a real vocabulary
+    val vocab = DedupOps.vocab(docs)
+    val counts = DedupOps.deletionVariants(vocab.select("word"))
+      .groupBy("word").count()
+      .join(vocab.select(col("word"), length(col("word")).as("L")),
+        Seq("word"))
+      .collect()
+    assert(counts.nonEmpty)
+    counts.foreach { r =>
+      val l = r.getInt(2).toLong
+      assert(r.getLong(1) <= 1L + l + l * (l - 1) / 2)
+    }
+  }
+
+  test("fuzzyVocabPairs: symmetric-delete blocking is lossless") {
+    // brute-force all-pairs Levenshtein over the real sf0.001
+    // vocabulary vs the SymSpell equi-join path — same pair set with
+    // the same distances proves no candidate is lost to blocking.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = DedupOps.vocab(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = vocab.keys.toSeq.sorted
+    val brute = (for {
+      a <- words; b <- words; if a < b
+      d = lev(a, b); if d <= 2
+    } yield (a, b, d.toLong, vocab(a), vocab(b))).toSet
+    val got = DedupOps.fuzzyVocabPairs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // corpus really exercises the operator
+  }
 }
