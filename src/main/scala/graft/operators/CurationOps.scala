@@ -941,25 +941,43 @@ object CurationOps {
     * Shape: one posexplode per side → (dim, bin) counting aggregate
     * (map-side combined; 64·16 result rows per side) → one dim-keyed
     * merge. Metadata-scale output, corpus-linear single pass. */
-  def embeddingDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
-    // vf is the OFFSET fixed-point value floor((v+1)·1e6): nonnegative,
-    // so the truncating div below IS floor division in both engines
-    // (Spark `div` truncates toward zero, DuckDB `//` floors — they
-    // agree only on nonnegative operands; the −1e6 shift-back happens
-    // after the division, identically on both sides).
-    def hist(embs: DataFrame, side: String): DataFrame =
-      embs
-        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
-        .select(col("dim").cast("long").as("dim"),
-          col("v").cast("double").as("v"))
-        .withColumn("bin",
-          least(lit(15L), greatest(lit(0L),
-            floor((col("v") + 1.0) * 8.0).cast("long"))))
-        .withColumn("vf", floor((col("v") + 1.0) * 1000000).cast("long"))
-        .groupBy("dim", "bin")
-        .agg(count(lit(1)).as(s"c_$side"), sum("vf").as(s"s_$side"))
-    val merged = hist(ref, "ref")
-      .join(hist(cur, "cur"), Seq("dim", "bin"), "full_outer")
+  def embeddingDrift(ref: DataFrame, cur: DataFrame): DataFrame =
+    driftFromHists(embeddingHistogram(ref), embeddingHistogram(cur))
+
+  /** Per-(dim, bin) histogram of an embedding frame — the sufficient
+    * statistic [[embeddingDrift]] consumes, exposed so
+    * [[graft.streaming.IncrementalDrift]] can maintain it ADDITIVELY
+    * under batched ingest (counts and fixed-point sums are pure sums
+    * over rows, so per-bin cells add across document-disjoint
+    * batches — the IncrementalDsir argument, applied to drift).
+    *
+    * vf is the OFFSET fixed-point value floor((v+1)·1e6): nonnegative,
+    * so the truncating div in [[driftFromHists]] IS floor division in
+    * both engines (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they agree only on nonnegative operands; the −1e6
+    * shift-back happens after the division, identically on both
+    * sides). */
+  def embeddingHistogram(embs: DataFrame): DataFrame =
+    embs
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .withColumn("bin",
+        least(lit(15L), greatest(lit(0L),
+          floor((col("v") + 1.0) * 8.0).cast("long"))))
+      .withColumn("vf", floor((col("v") + 1.0) * 1000000).cast("long"))
+      .groupBy("dim", "bin")
+      .agg(count(lit(1)).as("cnt"), sum("vf").as("vsum"))
+
+  /** Drift statistics from two [[embeddingHistogram]] frames — the
+    * metadata-scale half of [[embeddingDrift]], shared with the
+    * incremental path so maintained == one-shot by construction. */
+  def driftFromHists(href: DataFrame, hcur: DataFrame): DataFrame = {
+    val merged = href
+      .select(col("dim"), col("bin"), col("cnt").as("c_ref"),
+        col("vsum").as("s_ref"))
+      .join(hcur.select(col("dim"), col("bin"), col("cnt").as("c_cur"),
+        col("vsum").as("s_cur")), Seq("dim", "bin"), "full_outer")
       .select(col("dim"), col("bin"),
         coalesce(col("c_ref"), lit(0L)).as("c_ref"),
         coalesce(col("c_cur"), lit(0L)).as("c_cur"),

@@ -142,16 +142,7 @@ object OpsQueries {
   // truncating ppm; means via the offset fixed-point trick (operands
   // kept nonnegative so Spark's truncating div and DuckDB's floor //
   // agree).
-  private val emb28 = GraftQuery(
-    "emb28_embedding_drift",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      CurationOps.embeddingDrift(
-          e.filter(pmod(col("vec_id"), lit(2)) === 0),
-          e.filter(pmod(col("vec_id"), lit(2)) === 1))
-        .orderBy(col("dim"))
-    },
-    Some("""
+  private val embDriftOracle = """
       WITH v AS (
         SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
           CAST(embedding[i] AS DOUBLE) AS v
@@ -185,7 +176,89 @@ object OpsQueries {
         CAST((t.t_ref // t.n_ref) - 1000000 AS BIGINT) AS mu_ref_fp,
         CAST((t.t_cur // t.n_cur) - 1000000 AS BIGINT) AS mu_cur_fp
       FROM tot t JOIN nm ON nm.dim = t.dim
-      ORDER BY t.dim"""))
+      ORDER BY t.dim"""
 
-  val all: Seq[GraftQuery] = Seq(doc37, cdc30, q59, emb28)
+  private val emb28 = GraftQuery(
+    "emb28_embedding_drift",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      CurationOps.embeddingDrift(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          e.filter(pmod(col("vec_id"), lit(2)) === 1))
+        .orderBy(col("dim"))
+    },
+    Some(embDriftOracle))
+
+  // -------------------------------------------------------------- cdc31
+  // Incrementally-maintained drift monitor (IncrementalDrift): the
+  // even-id half frozen as the reference histogram, the odd-id half
+  // ingested in THREE vector-disjoint batches plus a REDELIVERED
+  // batch (watermark no-op); the served drift report must equal
+  // one-shot emb28 — emb28's own oracle IS this query's oracle
+  // (histogram cells are pure sums, additive across batches; the
+  // report side is byte-shared code).
+  private val cdc31 = GraftQuery(
+    "cdc31_incremental_drift",
+    (s, dir) => {
+      import s.implicits._
+      val refT = "cdc31_ref"; val curT = "cdc31_hist"
+      Seq(refT, s"${refT}_stage", s"${refT}_old",
+          curT, s"${curT}_stage", s"${curT}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val e = t(s, dir, "embeddings")
+      graft.streaming.IncrementalDrift.freezeReference(s, refT,
+        e.filter(pmod($"vec_id", lit(2)) === 0))
+      val cur = e.filter(pmod($"vec_id", lit(2)) === 1)
+      def part(i: Int) = cur.filter(pmod($"vec_id", lit(6)) === 2 * i + 1)
+      Seq(0, 1, 1, 2).zipWithIndex.foreach { case (p, bid) =>
+        // the replayed batch re-sends p=1 under its ORIGINAL id 1
+        val id = if (bid == 2) 1L else bid.toLong
+        graft.streaming.IncrementalDrift.applyBatch(s, curT, part(p), id)
+      }
+      graft.streaming.IncrementalDrift.driftReport(s, refT, curT)
+        .orderBy($"dim")
+    },
+    Some(embDriftOracle))
+
+  // -------------------------------------------------------------- q60
+  // Ordered-step funnel: view → click-after-view → purchase-after-
+  // click, first-touch per user, strict time order — per-step user
+  // counts + truncating ppm conversion. Every shuffle is on the user
+  // key (exchange-reusable chain); the conversion join is a
+  // ≤3-row self-join, never an unpartitioned window.
+  private val q60 = GraftQuery(
+    "q60_funnel_steps",
+    (s, dir) =>
+      TemporalOps.funnelSteps(t(s, dir, "events"),
+          Seq("view", "click", "purchase"))
+        .orderBy(col("step")),
+    Some("""
+      WITH s0 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s0 ON e.user_id = s0.user_id
+          AND e.ts > s0.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+          AND e.ts > s1.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      c AS (
+        SELECT CAST(0 AS BIGINT) AS step, 'view' AS event_type,
+          CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+        UNION ALL SELECT 1, 'click', COUNT(*) FROM s1
+        UNION ALL SELECT 2, 'purchase', COUNT(*) FROM s2)
+      SELECT c.step, c.event_type, c.n_users,
+        CAST(CASE WHEN p.n_users IS NULL THEN 1000000
+          WHEN p.n_users = 0 THEN 0
+          ELSE (c.n_users * 1000000) // p.n_users END AS BIGINT)
+          AS conv_ppm
+      FROM c LEFT JOIN c p ON p.step = c.step - 1
+      ORDER BY c.step"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(doc37, cdc30, q59, emb28, cdc31, q60)
 }

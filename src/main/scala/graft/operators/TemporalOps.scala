@@ -159,4 +159,49 @@ object TemporalOps {
       .select(col("k").as(key), col("id_a"), col("id_b"),
         (col("ms_b") - col("ms_a")).as("gap_ms"))
   }
+
+  /** Ordered-step funnel: per user, the steps must occur in TIME
+    * ORDER — step i counts a user iff some step-i event happens
+    * STRICTLY AFTER that user's earliest valid step-(i−1) event (the
+    * classic product-analytics windowed funnel, first-touch
+    * attribution). Returns one row per step: (step, event_type,
+    * n_users, conv_ppm) with conv_ppm the truncating ppm conversion
+    * from the previous step (step 0 = 1000000).
+    *
+    * Shape at scale: one keyed min-aggregate + one equi-join per step
+    * — every shuffle is on the user key, so AQE/exchange-reuse keeps
+    * the chain on ONE partitioning of the (filtered) event stream;
+    * per-step frames shrink monotonically (funnels only narrow). The
+    * step results are 1-row aggregates; the conversion join is a
+    * ≤steps-row self-join — control-plane sized, no window over an
+    * unpartitioned frame (the PlanQualitySpec ban). */
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+    var stepFrames = Seq(reached)
+    steps.drop(1).foreach { st =>
+      reached = events.filter(col(typeCol) === st)
+        .join(reached.select(col(userCol), col("_t").as("_prev")),
+          Seq(userCol))
+        .filter(col(tsCol) > col("_prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+      stepFrames = stepFrames :+ reached
+    }
+    val counts = stepFrames.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step"),
+          lit(steps(i)).as("event_type"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val prev = counts.select((col("step") + 1).as("step"),
+      col("n_users").as("n_prev"))
+    counts.join(prev, Seq("step"), "left_outer")
+      .select(col("step"), col("event_type"), col("n_users"),
+        when(col("n_prev").isNull, lit(1000000L))
+          .when(col("n_prev") === 0, lit(0L))
+          .otherwise(expr("(n_users * 1000000) div n_prev"))
+          .as("conv_ppm"))
+  }
 }

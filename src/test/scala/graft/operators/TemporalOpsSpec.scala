@@ -69,4 +69,45 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got.getAs[String]("extra") == "payload")
     assert(got.getAs[Double]("x") == 42.0)
   }
+
+  test("funnelSteps: strict order, first-touch, out-of-order excluded") {
+    import spark.implicits._
+    def t(m: Int) = ts(f"2024-06-01 00:$m%02d:00")
+    // u1: full funnel in order. u2: purchase BEFORE click — depth 2.
+    // u3: only view. u4: click/purchase but no view — depth 0.
+    // u5: full funnel where only the SECOND click is after view —
+    //     first-touch must use the earliest VALID click.
+    val ev = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      (2L, "view", t(1)), (2L, "purchase", t(2)), (2L, "click", t(3)),
+      (3L, "view", t(5)),
+      (4L, "click", t(1)), (4L, "purchase", t(2)),
+      (5L, "click", t(1)), (5L, "view", t(2)), (5L, "click", t(4)),
+      (5L, "purchase", t(5))
+    ).toDF("user_id", "event_type", "ts")
+    val got = TemporalOps.funnelSteps(ev,
+        Seq("view", "click", "purchase"))
+      .orderBy($"step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // views: u1,u2,u3,u5 = 4; clicks-after-view: u1,u2,u5 = 3;
+    // purchases-after-that-click: u1,u5 = 2
+    assert(got.toSeq == Seq(
+      (0L, "view", 4L, 1000000L),
+      (1L, "click", 3L, 750000L),
+      (2L, "purchase", 2L, 666666L)))
+  }
+
+  test("funnelSteps: single step and empty funnel tail") {
+    import spark.implicits._
+    def t(m: Int) = ts(f"2024-06-01 00:$m%02d:00")
+    val ev = Seq((1L, "view", t(1)), (2L, "view", t(2)))
+      .toDF("user_id", "event_type", "ts")
+    val got = TemporalOps.funnelSteps(ev,
+        Seq("view", "click", "purchase"))
+      .orderBy($"step").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 2L, 1000000L), (1L, 0L, 0L),
+      (2L, 0L, 0L)))
+  }
 }
