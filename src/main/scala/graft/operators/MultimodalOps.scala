@@ -158,4 +158,68 @@ object MultimodalOps {
         }
       }
   }
+
+  /** Perceptual-hash stand-in for media payloads: 32-bit SimHash over
+    * byte 4-grams — similarity-PRESERVING (near-identical payloads
+    * land at small Hamming distance), which is what an image pHash /
+    * audio chromaprint gives and an avalanche checksum (mm02) cannot.
+    * The bit votes ride on md5 hex-digit high bits (the doc05 idiom),
+    * so the hash is engine-replayable; a real pHash swaps the gram
+    * hash for DCT coefficients and changes nothing structurally.
+    * Payloads shorter than `gram` bytes have no signal and are
+    * excluded (the doc36 minShingles doctrine).
+    * Returns (doc_id, n_grams, phash) with phash a `bits`-char
+    * bit string. */
+  def mediaSimhash(media: DataFrame, gram: Int = 4,
+      bits: Int = 32): DataFrame = {
+    require(bits >= 8 && bits <= 32, "phash width must be 8..32 bits")
+    val grams = media
+      .select(col("doc_id"), col("content").cast("string").as("txt"))
+      .withColumn("n", length(col("txt")))
+      .filter(col("n") >= gram)
+      .withColumn("i", explode(expr(s"sequence(1, n - ${gram - 1})")))
+      .withColumn("h",
+        md5(expr(s"substring(txt, i, $gram)").cast("binary")))
+    val bitAggs = (1 to bits).map { i =>
+      when(sum(when(substring(col("h"), i, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)) > 0, "1").otherwise("0")
+    }
+    grams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        concat(bitAggs: _*).as("phash"))
+  }
+
+  /** Media near-duplicate pairs via banded pHash LSH: the image-dedup
+    * recipe — band the `bits`-bit hash into `bands` equal slices, an
+    * EQUI-join on (band, slice) yields every pair within Hamming
+    * distance < bands by pigeonhole (candidates, never all-pairs),
+    * then exact Hamming (bit_count over the XOR of the numeric
+    * hashes, codegen'd) verifies ≤ `maxHam`. Same LSH scale shape as
+    * doc04: work tracks bucket collisions, not n². */
+  def mediaNearDups(media: DataFrame, maxHam: Int = 3,
+      gram: Int = 4, bits: Int = 32, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxHam < bands,
+      "banded LSH is lossless only for maxHam < bands (pigeonhole)")
+    val width = bits / bands
+    val ph = mediaSimhash(media, gram, bits)
+    val banded = ph
+      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("key",
+        expr(s"substring(phash, band * $width + 1, $width)"))
+    val cands = banded.as("a")
+      .join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct()
+    cands
+      .withColumn("hamming",
+        bit_count(conv(col("ph_a"), 2, 10).cast("long")
+          .bitwiseXOR(conv(col("ph_b"), 2, 10).cast("long")))
+          .cast("long"))
+      .filter(col("hamming") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

@@ -259,6 +259,58 @@ object OpsQueries {
       FROM c LEFT JOIN c p ON p.step = c.step - 1
       ORDER BY c.step"""))
 
+  // -------------------------------------------------------------- mm06
+  // Media near-dup via banded perceptual hash: 32-bit byte-4-gram
+  // SimHash (similarity-preserving, the pHash stand-in — mm02's
+  // avalanche checksum can only catch EXACT dups), banded 4×8 for the
+  // LSH candidate equi-join (lossless for Hamming ≤ 3 by pigeonhole),
+  // exact bit_count(xor) verify in codegen. The image-dedup recipe
+  // over the opaque binary column; the oracle replays bit votes,
+  // banding and Hamming per hex digit.
+  private val mm06 = {
+    val bits = 32; val bands = 4; val width = bits / bands
+    val gram = 4; val maxHam = 3
+    val hex = "'8','9','a','b','c','d','e','f'"
+    val bitExprs = (1 to bits).map { i =>
+      s"""CASE WHEN SUM(CASE WHEN substring(h, $i, 1) IN ($hex)
+         THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"""
+    }.mkString(" || ")
+    val hamming = (1 to bits).map { i =>
+      s"(CASE WHEN substring(pa, $i, 1) <> substring(pb, $i, 1) " +
+        "THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    GraftQuery(
+      "mm06_phash_neardup",
+      (s, dir) =>
+        MultimodalOps.mediaNearDups(
+            MultimodalOps.toMediaColumns(t(s, dir, "documents")),
+            maxHam = maxHam, gram = gram, bits = bits, bands = bands)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+            unnest(list_transform(
+              range(1, length(text) - ${gram - 2}),
+              i -> md5(substring(text, i, $gram)))) AS h
+          FROM documents WHERE length(text) >= $gram),
+        ph AS (
+          SELECT doc_id, $bitExprs AS phash FROM g GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, phash, band,
+            substring(phash, band * $width + 1, $width) AS key
+          FROM ph, range(0, $bands) t(band)),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.phash AS pa, b.phash AS pb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key
+            AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming
+        FROM cands
+        WHERE $hamming <= $maxHam
+        ORDER BY doc_a, doc_b"""))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(doc37, cdc30, q59, emb28, cdc31, q60)
+    Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06)
 }

@@ -352,6 +352,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got.exists(_.getLong(0) == 1L))
   }
 
+  test("mediaSimhash/NearDups: identical payloads at Hamming 0; " +
+      "banding lossless vs brute force") {
+    import spark.implicits._
+    val media = MultimodalOps.toMediaColumns(docs)
+    // identical payloads -> identical phash: plant a dup of doc 0
+    val d0 = docs.filter($"doc_id" === 0).withColumn("doc_id", lit(-1L))
+    val withDup = MultimodalOps.toMediaColumns(docs.unionByName(d0))
+    val dupPair = MultimodalOps.mediaNearDups(withDup)
+      .filter($"doc_a" === -1L && $"doc_b" === 0L).collect()
+    assert(dupPair.length == 1 && dupPair(0).getLong(2) == 0L)
+    // banded candidates lose nothing under maxHam < bands: compare
+    // against all-pairs Hamming on the real sf0.001 corpus
+    val ph = MultimodalOps.mediaSimhash(media).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    val brute = (for {
+      (a, pa) <- ph; (b, pb) <- ph; if a < b
+      d = pa.zip(pb).count { case (x, y) => x != y }; if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = MultimodalOps.mediaNearDups(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+  }
+
   test("deletionVariants: exact variant set, count bound holds") {
     import spark.implicits._
     val v = Seq("abc").toDF("word")
