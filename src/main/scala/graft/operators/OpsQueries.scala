@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -311,6 +311,152 @@ object OpsQueries {
         ORDER BY doc_a, doc_b"""))
   }
 
+  // -------------------------------------------------------------- q61
+  // ANALYZE-style one-pass table statistics: per-column row count,
+  // null count, exact NDV, banded approx-NDV (HLL++, the 100 TB mode
+  // — the exact countDistincts exist to GRADE it), and min/max in
+  // exact fixed-point BIGINT (doubles floored ×100, timestamps as
+  // unix micros, strings ranked as strings). The stats-collection
+  // pass a CBO and a pipeline-health dashboard share; ONE scan, all
+  // aggregates partial/map-side combined, 6-row output via stack —
+  // no per-column re-scan.
+  private val q61 = {
+    case class ColSpec(name: String, fp: Column, isStr: Boolean)
+    val cols = Seq(
+      ColSpec("l_orderkey", col("l_orderkey").cast("long"), false),
+      ColSpec("l_quantity",
+        floor(col("l_quantity") * 100).cast("long"), false),
+      ColSpec("l_extendedprice",
+        floor(col("l_extendedprice") * 100).cast("long"), false),
+      ColSpec("l_discount",
+        floor(col("l_discount") * 100).cast("long"), false),
+      ColSpec("l_shipdate", unix_micros(col("l_shipdate")), false),
+      ColSpec("l_returnflag", lit(null).cast("long"), true))
+    GraftQuery(
+      "q61_table_stats",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val aggs = cols.flatMap { c =>
+          val base = col(c.name)
+          Seq(
+            sum(base.isNull.cast("long")).as(s"${c.name}__nulls"),
+            countDistinct(base).as(s"${c.name}__ndv"),
+            approx_count_distinct(base).as(s"${c.name}__andv"),
+            (if (c.isStr) min(base.cast("string"))
+             else lit(null).cast("string")).as(s"${c.name}__min_s"),
+            (if (c.isStr) max(base.cast("string"))
+             else lit(null).cast("string")).as(s"${c.name}__max_s"),
+            min(c.fp).as(s"${c.name}__min_fp"),
+            max(c.fp).as(s"${c.name}__max_fp"))
+        }
+        val one = li.agg(count(lit(1)).as("n"), aggs: _*)
+        val stackArgs = cols.map { c =>
+          s"'${c.name}', ${c.name}__nulls, ${c.name}__ndv, " +
+            s"CAST(abs(${c.name}__andv - ${c.name}__ndv) * 100 <= " +
+            s"${c.name}__ndv * 10 AS BOOLEAN), " +
+            s"${c.name}__min_fp, ${c.name}__max_fp, " +
+            s"${c.name}__min_s, ${c.name}__max_s"
+        }.mkString(", ")
+        one.select(col("n"), expr(s"stack(${cols.size}, $stackArgs) " +
+            "as (column_name, n_nulls, ndv, approx_in_band, " +
+            "min_fp, max_fp, min_str, max_str)"))
+          .select(col("column_name"), col("n"), col("n_nulls"),
+            col("ndv"), col("approx_in_band"), col("min_fp"),
+            col("max_fp"), col("min_str"), col("max_str"))
+          .orderBy(col("column_name"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT * FROM (VALUES
+            ('l_orderkey'), ('l_quantity'), ('l_extendedprice'),
+            ('l_discount'), ('l_shipdate'), ('l_returnflag'))
+            t(column_name)),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS k_ndv,
+            CAST(MIN(l_orderkey) AS BIGINT) AS k_min,
+            CAST(MAX(l_orderkey) AS BIGINT) AS k_max,
+            CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS q_ndv,
+            CAST(MIN(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+              AS q_min,
+            CAST(MAX(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+              AS q_max,
+            CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS p_ndv,
+            CAST(MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS p_min,
+            CAST(MAX(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS p_max,
+            CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS d_ndv,
+            CAST(MIN(CAST(FLOOR(l_discount * 100) AS BIGINT)) AS BIGINT)
+              AS d_min,
+            CAST(MAX(CAST(FLOOR(l_discount * 100) AS BIGINT)) AS BIGINT)
+              AS d_max,
+            CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS t_ndv,
+            CAST(MIN(epoch_us(l_shipdate)) AS BIGINT) AS t_min,
+            CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS t_max,
+            CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS f_ndv,
+            MIN(l_returnflag) AS f_min, MAX(l_returnflag) AS f_max
+          FROM lineitem)
+        SELECT s.column_name, a.n, CAST(0 AS BIGINT) AS n_nulls,
+          CASE s.column_name
+            WHEN 'l_orderkey' THEN k_ndv WHEN 'l_quantity' THEN q_ndv
+            WHEN 'l_extendedprice' THEN p_ndv
+            WHEN 'l_discount' THEN d_ndv WHEN 'l_shipdate' THEN t_ndv
+            ELSE f_ndv END AS ndv,
+          TRUE AS approx_in_band,
+          CASE s.column_name
+            WHEN 'l_orderkey' THEN k_min WHEN 'l_quantity' THEN q_min
+            WHEN 'l_extendedprice' THEN p_min
+            WHEN 'l_discount' THEN d_min WHEN 'l_shipdate' THEN t_min
+            ELSE NULL END AS min_fp,
+          CASE s.column_name
+            WHEN 'l_orderkey' THEN k_max WHEN 'l_quantity' THEN q_max
+            WHEN 'l_extendedprice' THEN p_max
+            WHEN 'l_discount' THEN d_max WHEN 'l_shipdate' THEN t_max
+            ELSE NULL END AS max_fp,
+          CASE s.column_name WHEN 'l_returnflag' THEN f_min
+            ELSE NULL END AS min_str,
+          CASE s.column_name WHEN 'l_returnflag' THEN f_max
+            ELSE NULL END AS max_str
+        FROM s, a
+        ORDER BY s.column_name"""))
+  }
+
+  // -------------------------------------------------------------- cdc32
+  // Incrementally-maintained KMV sketches (IncrementalKmv): q58's
+  // set-algebra sketches folded per ingest batch — kmin_k is a
+  // monotone pure set function, so the maintained sketch IS the
+  // one-shot sketch of everything seen (not an approximation of it).
+  // Three event-disjoint batches + a REDELIVERED batch, then the full
+  // q58 overlap report served from the maintained table through the
+  // byte-shared SketchOps.overlapReport — q58's own oracle is this
+  // query's oracle, row for row.
+  private val cdc32 = GraftQuery(
+    "cdc32_incremental_kmv",
+    (s, dir) => {
+      import s.implicits._
+      val k = 64
+      val segs = Seq("click", "purchase", "view")
+      val table = "cdc32_sketches"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val ev = t(s, dir, "events").filter($"event_type".isin(segs: _*))
+      def part(i: Int) = ev.filter(pmod($"event_id", lit(3)) === i)
+      Seq(0, 1, 1, 2).zipWithIndex.foreach { case (p, bid) =>
+        // the replayed batch re-sends p=1 under its ORIGINAL id 1
+        val id = if (bid == 2) 1L else bid.toLong
+        graft.streaming.IncrementalKmv.applyBatch(s, table, part(p),
+          "event_type", "user_id", id, k)
+      }
+      val sketches = graft.streaming.IncrementalKmv.readSketches(s, table)
+      val u = ev.select($"event_type".as("seg"), $"user_id".as("v"))
+        .distinct()
+      SketchOps.overlapReport(sketches, u, k)
+        .orderBy($"seg_a", $"seg_b")
+    },
+    SelectionQueries.all.find(_.name == "q58_kmv_intersect")
+      .flatMap(_.oracle))
+
   val all: Seq[GraftQuery] =
-    Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06)
+    Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32)
 }

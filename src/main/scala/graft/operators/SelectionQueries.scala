@@ -1217,57 +1217,15 @@ object SelectionQueries {
       "q58_kmv_intersect",
       (s, dir) => {
         import s.implicits._
-        val t40 = SketchOps.Theta40
         val u = t(s, dir, "events")
           .filter($"event_type".isin(segs: _*))
-          .select($"event_type", $"user_id").distinct()
+          .select($"event_type".as("seg"), $"user_id".as("v"))
+          .distinct()
         val all = segs.map { g =>
-          SketchOps.kmvSketch(u.filter($"event_type" === g), "user_id", k)
+          SketchOps.kmvSketch(u.filter($"seg" === g), "v", k)
             .withColumn("seg", lit(g))
         }.reduce(_ unionByName _).localCheckpoint()
-        val st = SketchOps.kmvStats(all, "seg", k)
-        val cnt = all.join(st, Seq("seg")).filter($"h" < $"theta")
-          .groupBy("seg").agg(count(lit(1)).as("c"))
-        val est = st.join(cnt, Seq("seg"), "left_outer")
-          .select($"seg",
-            expr(s"(coalesce(c, 0L) * ${t40}L) div theta").as("est"))
-        val pairsDf = segs.combinations(2).toSeq
-          .map { case Seq(a, b) => (a, b) }.toDF("seg_a", "seg_b")
-        val sta = st.select($"seg".as("seg_a"), $"theta".as("tha"))
-        val stb = st.select($"seg".as("seg_b"), $"theta".as("thb"))
-        val com = all.select($"seg".as("seg_a"), $"h")
-          .join(all.select($"seg".as("seg_b"), $"h"), Seq("h"))
-          .filter($"seg_a" < $"seg_b")
-          .join(sta, Seq("seg_a")).join(stb, Seq("seg_b"))
-          .filter($"h" < least($"tha", $"thb"))
-          .groupBy("seg_a", "seg_b").agg(count(lit(1)).as("cc"))
-        val estI = pairsDf
-          .join(sta, Seq("seg_a")).join(stb, Seq("seg_b"))
-          .join(com, Seq("seg_a", "seg_b"), "left_outer")
-          .select($"seg_a", $"seg_b",
-            expr(s"(coalesce(cc, 0L) * ${t40}L) div least(tha, thb)")
-              .as("est_inter"))
-        val exSeg = u.groupBy($"event_type".as("seg"))
-          .agg(count(lit(1)).as("exact"))
-        val exInter = u.select($"event_type".as("seg_a"), $"user_id")
-          .join(u.select($"event_type".as("seg_b"), $"user_id"),
-            Seq("user_id"))
-          .filter($"seg_a" < $"seg_b")
-          .groupBy("seg_a", "seg_b").agg(count(lit(1)).as("exact_inter"))
-        estI
-          .join(est.select($"seg".as("seg_a"), $"est".as("est_a")),
-            Seq("seg_a"))
-          .join(est.select($"seg".as("seg_b"), $"est".as("est_b")),
-            Seq("seg_b"))
-          .join(exSeg.select($"seg".as("seg_a"), $"exact".as("exact_a")),
-            Seq("seg_a"))
-          .join(exSeg.select($"seg".as("seg_b"), $"exact".as("exact_b")),
-            Seq("seg_b"))
-          .join(exInter, Seq("seg_a", "seg_b"), "left_outer")
-          .select($"seg_a", $"seg_b", $"est_a", $"est_b", $"est_inter",
-            $"exact_a", $"exact_b",
-            coalesce($"exact_inter", lit(0L)).as("exact_inter"))
-          .orderBy($"seg_a", $"seg_b")
+        SketchOps.overlapReport(all, u, k).orderBy($"seg_a", $"seg_b")
       },
       Some(s"""
         WITH u AS (

@@ -61,4 +61,61 @@ object SketchOps {
       .withColumn("theta",
         when(col("n") < k, lit(Theta40)).otherwise(col("mx")))
       .select(col(segCol), col("theta"), col("n"))
+
+  /** The q58 audience-overlap report from an already-built sketch
+    * frame (`seg`, `h`) plus the exact distinct (`seg`, value) frame
+    * that grades it: per-pair segment estimates, intersection
+    * estimate, and the exact counts in the same rows. Shared by q58
+    * (fresh sketches) and cdc32 (sketches served from the
+    * incrementally-maintained table) — byte-shared code, so
+    * maintained == one-shot is structural. Every join operand here is
+    * sketch-sized (k rows per segment) except the exact-count grading
+    * frames the oracle needs anyway. */
+  def overlapReport(sketches: DataFrame, u: DataFrame,
+      k: Int): DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val segs = u.select($"seg").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val st = kmvStats(sketches, "seg", k)
+    val cnt = sketches.join(st, Seq("seg")).filter($"h" < $"theta")
+      .groupBy("seg").agg(count(lit(1)).as("c"))
+    val est = st.join(cnt, Seq("seg"), "left_outer")
+      .select($"seg",
+        expr(s"(coalesce(c, 0L) * ${Theta40}L) div theta").as("est"))
+    val pairsDf = segs.combinations(2).toSeq
+      .map { case Seq(a, b) => (a, b) }.toDF("seg_a", "seg_b")
+    val sta = st.select($"seg".as("seg_a"), $"theta".as("tha"))
+    val stb = st.select($"seg".as("seg_b"), $"theta".as("thb"))
+    val com = sketches.select($"seg".as("seg_a"), $"h")
+      .join(sketches.select($"seg".as("seg_b"), $"h"), Seq("h"))
+      .filter($"seg_a" < $"seg_b")
+      .join(sta, Seq("seg_a")).join(stb, Seq("seg_b"))
+      .filter($"h" < least($"tha", $"thb"))
+      .groupBy("seg_a", "seg_b").agg(count(lit(1)).as("cc"))
+    val estI = pairsDf
+      .join(sta, Seq("seg_a")).join(stb, Seq("seg_b"))
+      .join(com, Seq("seg_a", "seg_b"), "left_outer")
+      .select($"seg_a", $"seg_b",
+        expr(s"(coalesce(cc, 0L) * ${Theta40}L) div least(tha, thb)")
+          .as("est_inter"))
+    val exSeg = u.groupBy($"seg").agg(count(lit(1)).as("exact"))
+    val exInter = u.select($"seg".as("seg_a"), $"v")
+      .join(u.select($"seg".as("seg_b"), $"v"), Seq("v"))
+      .filter($"seg_a" < $"seg_b")
+      .groupBy("seg_a", "seg_b").agg(count(lit(1)).as("exact_inter"))
+    estI
+      .join(est.select($"seg".as("seg_a"), $"est".as("est_a")),
+        Seq("seg_a"))
+      .join(est.select($"seg".as("seg_b"), $"est".as("est_b")),
+        Seq("seg_b"))
+      .join(exSeg.select($"seg".as("seg_a"), $"exact".as("exact_a")),
+        Seq("seg_a"))
+      .join(exSeg.select($"seg".as("seg_b"), $"exact".as("exact_b")),
+        Seq("seg_b"))
+      .join(exInter, Seq("seg_a", "seg_b"), "left_outer")
+      .select($"seg_a", $"seg_b", $"est_a", $"est_b", $"est_inter",
+        $"exact_a", $"exact_b",
+        coalesce($"exact_inter", lit(0L)).as("exact_inter"))
+  }
 }
