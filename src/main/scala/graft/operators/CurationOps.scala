@@ -853,20 +853,8 @@ object CurationOps {
     * 100 TB it is GBs); the join is a plain keyed shuffle AQE can
     * re-plan. No windows, no driver materialization. */
   def bigramLmScore(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      TextFunctions.tokens(col("text")).as("ts"))
-    val bg = toks.filter(size(col("ts")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ts")) - 1),
-          i => struct(element_at(col("ts"), i).as("w1"),
-            element_at(col("ts"), i + 1).as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val cnt2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val cnt1 = cnt2.groupBy("w1").agg(sum("c2").as("c1"))
-    val model = cnt2.join(cnt1, Seq("w1"))
-      .withColumn("p_ppm", expr("(c2 * 1000000) div c1"))
-      .select(col("w1"), col("w2"), col("p_ppm"))
-    val scored = bg.join(model, Seq("w1", "w2"))
+    val bg = bigramOccurrences(docs)
+    val scored = bg.join(bigramModel(bg), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("p_ppm")).as("sum_ppm"))
@@ -875,6 +863,62 @@ object CurationOps {
       .join(scored, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_ppm"), lit(0L)).as("avg_ppm"))
+  }
+
+  /** Per-occurrence bigram stream of a corpus — (doc_id, w1, w2),
+    * repeats kept (shared by [[bigramLmScore]] and
+    * [[bigramLmScoreHeldOut]]). */
+  private def bigramOccurrences(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** Bigram model over an occurrence stream: P(w2|w1) as truncating
+    * integer ppm (vocab²-bounded, equi-joined — never broadcast). */
+  private def bigramModel(bg: DataFrame): DataFrame = {
+    val cnt2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cnt1 = cnt2.groupBy("w1").agg(sum("c2").as("c1"))
+    cnt2.join(cnt1, Seq("w1"))
+      .withColumn("p_ppm", expr("(c2 * 1000000) div c1"))
+      .select(col("w1"), col("w2"), col("p_ppm"))
+  }
+
+  /** HELD-OUT bigram-LM scoring — the actual CCNet recipe: the model
+    * trains only on the deterministic md5 TRAIN split (the doc31
+    * gate: first-byte bucket < 204 ≈ 80%), and every document scores
+    * against that frozen model, so a document never rates its own
+    * contribution (in-corpus scoring lets a big dup cluster certify
+    * itself fluent — the self-grading bias doc34 accepts and this
+    * variant removes). Out-of-vocabulary bigrams are the signal the
+    * held-out split creates: they contribute 0 ppm AND are counted
+    * (`n_oov`) — a doc the model has never seen scores low and shows
+    * why. Same integer-ppm determinism doctrine; same corpus-linear
+    * shape plus one broadcast-able id-gate semi-join. */
+  def bigramLmScoreHeldOut(docs: DataFrame): DataFrame = {
+    val bg = bigramOccurrences(docs)
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("long")
+    val trainIds = docs.select(col("doc_id"))
+      .filter(bucket < 204)
+    val model = bigramModel(bg.join(trainIds, Seq("doc_id")))
+    val scored = bg.join(model, Seq("w1", "w2"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("p_ppm"), lit(0L))).as("sum_ppm"),
+        sum(col("p_ppm").isNull.cast("long")).as("n_oov"))
+      .withColumn("avg_ppm", expr("sum_ppm div n_bigrams"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(col("avg_ppm"), lit(0L)).as("avg_ppm"))
   }
 

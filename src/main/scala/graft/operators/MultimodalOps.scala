@@ -163,31 +163,38 @@ object MultimodalOps {
     * byte 4-grams — similarity-PRESERVING (near-identical payloads
     * land at small Hamming distance), which is what an image pHash /
     * audio chromaprint gives and an avalanche checksum (mm02) cannot.
-    * The bit votes ride on md5 hex-digit high bits (the doc05 idiom),
-    * so the hash is engine-replayable; a real pHash swaps the gram
-    * hash for DCT coefficients and changes nothing structurally.
-    * Payloads shorter than `gram` bytes have no signal and are
-    * excluded (the doc36 minShingles doctrine).
-    * Returns (doc_id, n_grams, phash) with phash a `bits`-char
-    * bit string. */
+    * The bit votes ride on the first 32 md5 bits of each gram (exact
+    * integer shift/mask arithmetic, engine-replayable); a real pHash
+    * swaps the gram hash for DCT coefficients and changes nothing
+    * structurally. Payloads shorter than `gram` bytes have no signal
+    * and are excluded (the doc36 minShingles doctrine).
+    * Returns (doc_id, n_grams, phash) with phash a `bits`-bit LONG. */
   def mediaSimhash(media: DataFrame, gram: Int = 4,
       bits: Int = 32): DataFrame = {
     require(bits >= 8 && bits <= 32, "phash width must be 8..32 bits")
+    // 32-bit gram hash as a LONG (first 8 md5 hex chars) — the bit
+    // votes below are integer shift/mask sums, NOT per-bit substring
+    // compares (32 string probes per gram measured ~4× slower than
+    // the arithmetic path on the same corpus)
     val grams = media
       .select(col("doc_id"), col("content").cast("string").as("txt"))
       .withColumn("n", length(col("txt")))
       .filter(col("n") >= gram)
       .withColumn("i", explode(expr(s"sequence(1, n - ${gram - 1})")))
-      .withColumn("h",
-        md5(expr(s"substring(txt, i, $gram)").cast("binary")))
-    val bitAggs = (1 to bits).map { i =>
-      when(sum(when(substring(col("h"), i, 1)
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-        .otherwise(-1)) > 0, "1").otherwise("0")
+      .withColumn("g",
+        conv(substring(
+          md5(expr(s"substring(txt, i, $gram)").cast("binary")),
+          1, 8), 16, 10).cast("long"))
+    val voteAggs = (0 until bits).map { b =>
+      sum(shiftright(col("g"), b).bitwiseAND(lit(1L)) * 2 - 1)
+        .as(s"_v$b")
     }
+    val phash = (0 until bits).map { b =>
+      shiftleft((col(s"_v$b") > 0).cast("long"), b)
+    }.reduce(_ bitwiseOR _)
     grams.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        concat(bitAggs: _*).as("phash"))
+      .agg(count(lit(1)).as("n_grams"), voteAggs: _*)
+      .select(col("doc_id"), col("n_grams"), phash.as("phash"))
   }
 
   /** Media near-duplicate pairs via banded pHash LSH: the image-dedup
@@ -203,11 +210,13 @@ object MultimodalOps {
     require(maxHam < bands,
       "banded LSH is lossless only for maxHam < bands (pigeonhole)")
     val width = bits / bands
+    val mask = (1L << width) - 1
     val ph = mediaSimhash(media, gram, bits)
     val banded = ph
       .withColumn("band", explode(array((0 until bands).map(lit): _*)))
       .withColumn("key",
-        expr(s"substring(phash, band * $width + 1, $width)"))
+        expr(s"shiftright(phash, band * $width)")
+          .bitwiseAND(lit(mask)))
     val cands = banded.as("a")
       .join(banded.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -216,9 +225,7 @@ object MultimodalOps {
       .distinct()
     cands
       .withColumn("hamming",
-        bit_count(conv(col("ph_a"), 2, 10).cast("long")
-          .bitwiseXOR(conv(col("ph_b"), 2, 10).cast("long")))
-          .cast("long"))
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
       .filter(col("hamming") <= maxHam)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

@@ -270,14 +270,10 @@ object OpsQueries {
   private val mm06 = {
     val bits = 32; val bands = 4; val width = bits / bands
     val gram = 4; val maxHam = 3
-    val hex = "'8','9','a','b','c','d','e','f'"
-    val bitExprs = (1 to bits).map { i =>
-      s"""CASE WHEN SUM(CASE WHEN substring(h, $i, 1) IN ($hex)
-         THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"""
-    }.mkString(" || ")
-    val hamming = (1 to bits).map { i =>
-      s"(CASE WHEN substring(pa, $i, 1) <> substring(pb, $i, 1) " +
-        "THEN 1 ELSE 0 END)"
+    val mask = (1L << width) - 1
+    val phExpr = (0 until bits).map { b =>
+      s"""(CASE WHEN SUM(((gv >> $b) & 1) * 2 - 1) > 0
+         THEN ${1L << b} ELSE 0 END)"""
     }.mkString(" + ")
     GraftQuery(
       "mm06_phash_neardup",
@@ -291,13 +287,16 @@ object OpsQueries {
           SELECT doc_id,
             unnest(list_transform(
               range(1, length(text) - ${gram - 2}),
-              i -> md5(substring(text, i, $gram)))) AS h
+              i -> CAST(('0x' ||
+                substring(md5(substring(text, i, $gram)), 1, 8))
+                AS BIGINT))) AS gv
           FROM documents WHERE length(text) >= $gram),
         ph AS (
-          SELECT doc_id, $bitExprs AS phash FROM g GROUP BY doc_id),
+          SELECT doc_id, CAST($phExpr AS BIGINT) AS phash
+          FROM g GROUP BY doc_id),
         banded AS (
           SELECT doc_id, phash, band,
-            substring(phash, band * $width + 1, $width) AS key
+            (phash >> (band * $width)) & $mask AS key
           FROM ph, range(0, $bands) t(band)),
         cands AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -305,21 +304,24 @@ object OpsQueries {
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.key = b.key
             AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming
+        SELECT doc_a, doc_b,
+          CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
         FROM cands
-        WHERE $hamming <= $maxHam
+        WHERE bit_count(xor(pa, pb)) <= $maxHam
         ORDER BY doc_a, doc_b"""))
   }
 
   // -------------------------------------------------------------- q61
-  // ANALYZE-style one-pass table statistics: per-column row count,
-  // null count, exact NDV, banded approx-NDV (HLL++, the 100 TB mode
-  // — the exact countDistincts exist to GRADE it), and min/max in
+  // ANALYZE-style table statistics: per-column row count, null
+  // count, exact NDV, banded approx-NDV (HLL++, the 100 TB mode —
+  // the exact countDistincts exist to GRADE it), and min/max in
   // exact fixed-point BIGINT (doubles floored ×100, timestamps as
   // unix micros, strings ranked as strings). The stats-collection
-  // pass a CBO and a pipeline-health dashboard share; ONE scan, all
-  // aggregates partial/map-side combined, 6-row output via stack —
-  // no per-column re-scan.
+  // pass a CBO and a pipeline-health dashboard share. One PRUNED
+  // single-column scan per column (same total IO as a one-pass wide
+  // scan), every aggregate two-phase — deliberately NOT one wide
+  // Aggregate: N distinct-aggs in a single operator make Catalyst
+  // Expand every row N× (measured 20 s → 2 s here).
   private val q61 = {
     case class ColSpec(name: String, fp: Column, isStr: Boolean)
     val cols = Seq(
@@ -335,34 +337,31 @@ object OpsQueries {
     GraftQuery(
       "q61_table_stats",
       (s, dir) => {
+        // one pruned single-column scan per column, NOT one wide agg:
+        // N distinct-aggregates in a single Aggregate make Catalyst
+        // Expand every row N× (measured 20 s vs 2 s here); per-column
+        // plans each read ONE parquet column (pruned — same total IO
+        // as the one-pass scan) and keep every aggregate two-phase
         val li = t(s, dir, "lineitem")
-        val aggs = cols.flatMap { c =>
+        cols.map { c =>
           val base = col(c.name)
-          Seq(
-            sum(base.isNull.cast("long")).as(s"${c.name}__nulls"),
-            countDistinct(base).as(s"${c.name}__ndv"),
-            approx_count_distinct(base).as(s"${c.name}__andv"),
-            (if (c.isStr) min(base.cast("string"))
-             else lit(null).cast("string")).as(s"${c.name}__min_s"),
-            (if (c.isStr) max(base.cast("string"))
-             else lit(null).cast("string")).as(s"${c.name}__max_s"),
-            min(c.fp).as(s"${c.name}__min_fp"),
-            max(c.fp).as(s"${c.name}__max_fp"))
-        }
-        val one = li.agg(count(lit(1)).as("n"), aggs: _*)
-        val stackArgs = cols.map { c =>
-          s"'${c.name}', ${c.name}__nulls, ${c.name}__ndv, " +
-            s"CAST(abs(${c.name}__andv - ${c.name}__ndv) * 100 <= " +
-            s"${c.name}__ndv * 10 AS BOOLEAN), " +
-            s"${c.name}__min_fp, ${c.name}__max_fp, " +
-            s"${c.name}__min_s, ${c.name}__max_s"
-        }.mkString(", ")
-        one.select(col("n"), expr(s"stack(${cols.size}, $stackArgs) " +
-            "as (column_name, n_nulls, ndv, approx_in_band, " +
-            "min_fp, max_fp, min_str, max_str)"))
-          .select(col("column_name"), col("n"), col("n_nulls"),
-            col("ndv"), col("approx_in_band"), col("min_fp"),
-            col("max_fp"), col("min_str"), col("max_str"))
+          li.select(base.as("v"), c.fp.as("fp"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("v").isNull.cast("long")).as("n_nulls"),
+              countDistinct(col("v")).as("ndv"),
+              approx_count_distinct(col("v")).as("andv"),
+              min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"),
+              (if (c.isStr) min(col("v").cast("string"))
+               else lit(null).cast("string")).as("min_str"),
+              (if (c.isStr) max(col("v").cast("string"))
+               else lit(null).cast("string")).as("max_str"))
+            .select(lit(c.name).as("column_name"), col("n"),
+              col("n_nulls"), col("ndv"),
+              (abs(col("andv") - col("ndv")) * 100 <= col("ndv") * 10)
+                .as("approx_in_band"),
+              col("min_fp"), col("max_fp"), col("min_str"),
+              col("max_str"))
+        }.reduce(_ unionByName _)
           .orderBy(col("column_name"))
       },
       Some("""
@@ -457,6 +456,50 @@ object OpsQueries {
     SelectionQueries.all.find(_.name == "q58_kmv_intersect")
       .flatMap(_.oracle))
 
+  // -------------------------------------------------------------- doc38
+  // Held-out bigram-LM scoring — doc34 without the self-grading bias:
+  // the model trains only on the md5 train split (doc31 gate,
+  // bucket < 204 ≈ 80%), every doc scores against that frozen model,
+  // OOV bigrams contribute 0 ppm and are counted as the n_oov signal.
+  private val doc38 = GraftQuery(
+    "doc38_heldout_lm",
+    (s, dir) =>
+      CurationOps.bigramLmScoreHeldOut(t(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+          i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+        FROM toks WHERE len(ws) >= 2),
+      bgf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+      train AS (
+        SELECT doc_id FROM documents
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+          1, 2)) AS BIGINT) < 204),
+      c2 AS (
+        SELECT w1, w2, COUNT(*) AS c2
+        FROM bgf JOIN train USING (doc_id) GROUP BY w1, w2),
+      c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+      model AS (SELECT c2.w1, c2.w2,
+        CAST((c2.c2 * 1000000) // c1.c1 AS BIGINT) AS p_ppm
+        FROM c2 JOIN c1 USING (w1)),
+      sc AS (
+        SELECT b.doc_id, COUNT(*) AS n_bigrams,
+          SUM(COALESCE(m.p_ppm, 0)) AS sum_ppm,
+          SUM(CASE WHEN m.p_ppm IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM bgf b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        GROUP BY b.doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov,
+        CAST(COALESCE(sc.sum_ppm // sc.n_bigrams, 0) AS BIGINT)
+          AS avg_ppm
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32)
+    Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32, doc38)
 }

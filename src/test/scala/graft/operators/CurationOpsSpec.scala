@@ -359,6 +359,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.contains((1L, 0L, 1L, "")))
   }
 
+  test("bigramLmScoreHeldOut: frozen train model, OOV counted") {
+    import spark.implicits._
+    // split ids 0..29 by the doc31 md5 gate (computed here the same
+    // way), then give every TRAIN doc "a b a b" and every EVAL doc
+    // "x y x y" — eval bigrams are fully out-of-vocabulary
+    val ids = (0L until 30L)
+    val buckets = ids.toDF("doc_id")
+      .withColumn("b", conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2),
+        16, 10).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = ids.filter(buckets(_) < 204)
+    val evalIds = ids.filter(buckets(_) >= 204)
+    assert(trainIds.nonEmpty && evalIds.nonEmpty)
+    val docs = ids.map { i =>
+      (i, if (buckets(i) < 204) "a b a c" else "x y x y")
+    }.toDF("doc_id", "text")
+    val got = CurationOps.bigramLmScoreHeldOut(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // train docs "a b a c": prefix a splits 50/50, prefix b is
+    // deterministic -> p(a,b)=500000, p(b,a)=1000000, p(a,c)=500000;
+    // truncating mean = 2000000 div 3
+    trainIds.foreach { i =>
+      assert(got(i) == ((3L, 0L, 2000000L / 3)))
+    }
+    // eval docs: every bigram OOV -> counted, zero score
+    evalIds.foreach(i => assert(got(i) == ((3L, 3L, 0L))))
+  }
+
   test("embeddingDrift: zero drift vs self; planted shift detected") {
     val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
     // identical distributions: every dim at TVD 0, identical means

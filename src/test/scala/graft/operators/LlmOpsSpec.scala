@@ -365,10 +365,10 @@ class LlmOpsSpec extends SparkSpec {
     // banded candidates lose nothing under maxHam < bands: compare
     // against all-pairs Hamming on the real sf0.001 corpus
     val ph = MultimodalOps.mediaSimhash(media).collect()
-      .map(r => r.getLong(0) -> r.getString(2))
+      .map(r => r.getLong(0) -> r.getLong(2))
     val brute = (for {
       (a, pa) <- ph; (b, pb) <- ph; if a < b
-      d = pa.zip(pb).count { case (x, y) => x != y }; if d <= 3
+      d = java.lang.Long.bitCount(pa ^ pb); if d <= 3
     } yield (a, b, d.toLong)).toSet
     val got = MultimodalOps.mediaNearDups(media).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
