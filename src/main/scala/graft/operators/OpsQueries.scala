@@ -500,6 +500,96 @@ object OpsQueries {
       FROM documents d LEFT JOIN sc USING (doc_id)
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------- doc39 / cdc33
+  // Count-Min frequency sketch: d=4 seeded hash rows × w=256 BIGINT
+  // counters over the corpus word stream; estimate = min over rows —
+  // can only OVERCOUNT, ≤ truth + εN w.h.p. The frequency member of
+  // the sketch family (q57 HLL distinct, q58 KMV set algebra); the
+  // oracle replays the seeded hashes, the grid, the min-probe, the
+  // ≥-truth guarantee and the 3N/256 band exactly. cdc33 is the same
+  // report served from the INCREMENTALLY maintained grid — counters
+  // are pure sums, so batched == one-shot bit-exactly.
+  private val cmsOracle = """
+      WITH wtok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+      wf AS (SELECT word FROM wtok WHERE length(word) > 0),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wf),
+      ex AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS tf_exact
+        FROM wf GROUP BY word),
+      cells AS (
+        SELECT t.j,
+          CAST(('0x' || substring(md5(CAST(t.j AS VARCHAR) || ':' ||
+            word), 1, 10)) AS BIGINT) % 256 AS bucket
+        FROM wf, range(0, 4) t(j)),
+      grid AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY j, bucket),
+      probes AS (
+        SELECT e.word, t.j,
+          CAST(('0x' || substring(md5(CAST(t.j AS VARCHAR) || ':' ||
+            e.word), 1, 10)) AS BIGINT) % 256 AS bucket
+        FROM ex e, range(0, 4) t(j)),
+      est AS (
+        SELECT p.word, MIN(COALESCE(g.cnt, 0)) AS tf_cms
+        FROM probes p LEFT JOIN grid g
+          ON g.j = p.j AND g.bucket = p.bucket
+        GROUP BY p.word)
+      SELECT e.word, e.tf_exact, CAST(est.tf_cms AS BIGINT) AS tf_cms,
+        est.tf_cms >= e.tf_exact AS over_ok,
+        (est.tf_cms - e.tf_exact) * 256 <= nt.n * 3 AS band_ok
+      FROM ex e JOIN est USING (word), nt
+      ORDER BY e.word"""
+
+  private def cmsReport(words: DataFrame, grid: DataFrame): DataFrame = {
+    val exact = words.groupBy("word")
+      .agg(count(lit(1)).as("tf_exact"))
+    val nTot = words.agg(count(lit(1)).as("n"))
+    val est = SketchOps.cmsEstimate(grid, exact, "word")
+    exact.join(est, exact("word") === est("item"))
+      .join(broadcast(nTot))
+      .select(exact("word"), col("tf_exact"), col("est").as("tf_cms"),
+        (col("est") >= col("tf_exact")).as("over_ok"),
+        ((col("est") - col("tf_exact")) * 256 <= col("n") * 3)
+          .as("band_ok"))
+      .orderBy(col("word"))
+  }
+
+  private def corpusWords(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.functions.TextFunctions
+        .tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+
+  private val doc39 = GraftQuery(
+    "doc39_cms_counts",
+    (s, dir) => {
+      val words = corpusWords(t(s, dir, "documents"))
+      cmsReport(words, SketchOps.cmsGrid(words, "word"))
+    },
+    Some(cmsOracle))
+
+  private val cdc33 = GraftQuery(
+    "cdc33_incremental_cms",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc33_grid"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) =
+        corpusWords(docs.filter(pmod($"doc_id", lit(3)) === i))
+      Seq(0, 1, 1, 2).zipWithIndex.foreach { case (p, bid) =>
+        // the replayed batch re-sends p=1 under its ORIGINAL id 1
+        val id = if (bid == 2) 1L else bid.toLong
+        graft.streaming.IncrementalCms.applyBatch(s, table, part(p),
+          "word", id)
+      }
+      cmsReport(corpusWords(docs),
+        graft.streaming.IncrementalCms.readGrid(s, table))
+    },
+    Some(cmsOracle))
+
   val all: Seq[GraftQuery] =
-    Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32, doc38)
+    Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
+      doc38, doc39, cdc33)
 }

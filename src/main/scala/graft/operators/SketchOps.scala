@@ -43,6 +43,55 @@ object SketchOps {
     conv(substring(md5(v.cast("string").cast("binary")), 1, 10), 16, 10)
       .cast("long")
 
+  /** Count-Min Sketch counter grid over an item stream — the
+    * FREQUENCY member of the sketch family (q57 HLL = distinct
+    * counts, q58 KMV = set algebra, this = per-item counts): d
+    * seeded hash rows × w buckets of plain BIGINT counters, built by
+    * ONE map-side-combined aggregate over the exploded items. The
+    * counters are pure SUMS, so grids merge (and maintain
+    * incrementally — [[graft.streaming.IncrementalCms]]) by cell-wise
+    * addition; estimate(item) = min over rows of its d counters,
+    * which can only OVERCOUNT (collisions add, never subtract) —
+    * estimate ≥ truth always, ≤ truth + εN with probability 1−δ for
+    * w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. Grid size d·w is a constant: at 100 TB
+    * the sketch answers heavy-hitter / frequency queries from KBs of
+    * state while the exact answer needs a vocabulary-sized shuffle.
+    * Row hash j is the doc08 idiom seeded by prefixing "j:" — exact
+    * integer arithmetic, engine-replayable. */
+  def cmsGrid(items: DataFrame, itemCol: String, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    require(d >= 1 && w >= 2, "need d >= 1 hash rows and w >= 2 buckets")
+    items
+      .select((0 until d).map(j =>
+        pmod(u40(concat(lit(s"$j:"), col(itemCol).cast("string"))),
+          lit(w.toLong)).as(s"b$j")): _*)
+      .select(posexplode(array((0 until d).map(j => col(s"b$j")): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy(col("row").cast("long").as("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate lookup: min over the d counters each queried item
+    * hashes to. `grid` is a [[cmsGrid]] frame; `queries` one row per
+    * item. Returns (item, est). Missing cells count 0 (an item the
+    * stream never touched can still collide, so est ≥ 0 stays an
+    * overcount bound). */
+  def cmsEstimate(grid: DataFrame, queries: DataFrame,
+      itemCol: String, d: Int = 4, w: Int = 256): DataFrame = {
+    val probes = queries
+      .select(col(itemCol).as("item"))
+      .distinct()
+      .select(col("item"), posexplode(array((0 until d).map(j =>
+        pmod(u40(concat(lit(s"$j:"), col("item").cast("string"))),
+          lit(w.toLong))): _*)).as(Seq("row", "bucket")))
+      .select(col("item"), col("row").cast("long").as("row"),
+        col("bucket"))
+    probes
+      .join(grid, Seq("row", "bucket"), "left_outer")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** KMV sketch: the `k` smallest 40-bit hashes of the column's
     * DISTINCT values, as a k-row (h) frame. Plans as distinct →
     * TakeOrderedAndProject — no global sort, no single-task window. */

@@ -97,7 +97,10 @@ class PlanQualitySpec extends SparkSpec {
       // q59: z-order layout — the q20-class 1-row corpus-extremes
       // aggregate broadcast against the scan; the key itself is pure
       // bit arithmetic, no other join anywhere in the plan
-      "q59_zorder_layout")
+      "q59_zorder_layout",
+      // doc39/cdc33: CMS report — the doc09-class 1-row total-count
+      // broadcast for the εN band; grid probes are equi-joins
+      "doc39_cms_counts", "cdc33_incremental_cms")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
