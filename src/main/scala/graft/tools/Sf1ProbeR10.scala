@@ -366,6 +366,37 @@ object Sf1ProbeR10 {
         f"vs 1-D ${hits(xB)}%d/${8 * xB.length}%d")
     }
 
+    // doc39/cdc33: CMS — grid is d·w rows at ANY corpus; marginal
+    // batch cost = batch scan + 1024-cell merge. Knee indicator is
+    // plain wall linearity; the estimate-error band is oracle-pinned.
+    {
+      val words = docs
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val table = "sf1probe_cms"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(CdcMerge.dropStateTable(spark, _))
+      def batch(i: Int) =
+        words.filter(pmod(col("doc_id"), lit(4)) === i)
+      val (_, tBuild) = timed {
+        (0 until 3).foreach(i => graft.streaming.IncrementalCms
+          .applyBatch(spark, table, batch(i), "word", i.toLong))
+      }
+      val (_, tMarg) = timed {
+        graft.streaming.IncrementalCms.applyBatch(
+          spark, table, batch(3), "word", 3L)
+      }
+      val (nCells, tOne) = timed {
+        graft.operators.SketchOps.cmsGrid(words, "word").count()
+      }
+      println(f"PROBE cdc33_inc_cms    3-batch build: $tBuild%6.1f s   " +
+        f"marginal batch: $tMarg%6.1f s   one-shot grid: $tOne%6.1f s" +
+        f"   cells: $nCells%d")
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(CdcMerge.dropStateTable(spark, _))
+    }
+
     // emb28: drift audit — one pass per side, metadata-sized output;
     // wall should track corpus linearly with no knee.
     {
