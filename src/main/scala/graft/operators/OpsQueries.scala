@@ -589,7 +589,43 @@ object OpsQueries {
     },
     Some(cmsOracle))
 
+  // -------------------------------------------------------------- cdc34
+  // Incrementally-maintained funnel (IncrementalFunnel): q60's
+  // order-dependent per-user state folded over three TIME-ORDERED
+  // date-sliced batches plus a REDELIVERED batch — the first
+  // non-commutative member of the maintained-state family, exact
+  // under the watermark-ordered ingest contract. The served report
+  // must equal one-shot q60 row for row — q60's own oracle is the
+  // gate.
+  private val cdc34 = GraftQuery(
+    "cdc34_incremental_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val steps = Seq("view", "click", "purchase")
+      val table = "cdc34_funnel"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val ev = t(s, dir, "events")
+      // time-ordered slices (the contract): Jan 1-10, 11-20, 21-31
+      def slice(lo: String, hi: String) =
+        ev.filter($"ts" >= lit(lo).cast("timestamp") &&
+          $"ts" < lit(hi).cast("timestamp"))
+      val batches = Seq(
+        slice("2024-01-01", "2024-01-11"),
+        slice("2024-01-11", "2024-01-21"),
+        slice("2024-01-21", "2024-02-01"))
+      Seq(0, 1, 1, 2).zipWithIndex.foreach { case (p, bid) =>
+        // the replayed batch re-sends slice 1 under its ORIGINAL id 1
+        val id = if (bid == 2) 1L else bid.toLong
+        graft.streaming.IncrementalFunnel.applyBatch(s, table,
+          batches(p), steps, id)
+      }
+      graft.streaming.IncrementalFunnel.funnelReport(s, table, steps)
+        .orderBy($"step")
+    },
+    q60.oracle)
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
-      doc38, doc39, cdc33)
+      doc38, doc39, cdc33, cdc34)
 }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.operators.TemporalOps
+import org.apache.spark.sql.functions._
+
+/** IncrementalFunnel: time-ordered folds equal the one-shot funnel
+  * (cross-batch and within-batch chains); replay no-ops; an
+  * out-of-contract (out-of-order) batch can only UNDER-count, never
+  * invent a conversion. */
+class IncrementalFunnelSpec extends SparkSpec {
+
+  private val table = "funnelspec_state"
+  private val steps = Seq("view", "click", "purchase")
+
+  private def freshTable(): Unit =
+    Seq(table, s"${table}_stage", s"${table}_old")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-06-01 00:$m%02d:00")
+
+  // u1 completes across three batches; u2 completes inside batch 0;
+  // u3 purchase-before-click (depth 2, the click lands in batch 1);
+  // u4 clicks without ever viewing (depth 0)
+  private def batch0 = {
+    import spark.implicits._
+    Seq((1L, "view", ts(1)),
+      (2L, "view", ts(2)), (2L, "click", ts(3)),
+      (2L, "purchase", ts(4)),
+      (3L, "view", ts(2)), (3L, "purchase", ts(3)),
+      (4L, "click", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+  }
+  private def batch1 = {
+    import spark.implicits._
+    Seq((1L, "click", ts(11)), (3L, "click", ts(12)),
+      (4L, "purchase", ts(11))
+    ).toDF("user_id", "event_type", "ts")
+  }
+  private def batch2 = {
+    import spark.implicits._
+    Seq((1L, "purchase", ts(21))).toDF("user_id", "event_type", "ts")
+  }
+
+  private def allEvents = batch0
+    .unionByName(batch1).unionByName(batch2)
+
+  private def report() = IncrementalFunnel
+    .funnelReport(spark, table, steps)
+    .orderBy(col("step")).collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq
+
+  test("time-ordered folds == one-shot funnel, chains across batches") {
+    freshTable()
+    IncrementalFunnel.applyBatch(spark, table, batch0, steps, 0L)
+    IncrementalFunnel.applyBatch(spark, table, batch1, steps, 1L)
+    IncrementalFunnel.applyBatch(spark, table, batch2, steps, 2L)
+    val oneShot = TemporalOps.funnelSteps(allEvents, steps)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(report() == oneShot)
+    // views u1,u2,u3 = 3; clicks-after-view u1,u2,u3 = 3;
+    // purchases-after-click u1,u2 = 2
+    assert(report() == Seq((0L, "view", 3L, 1000000L),
+      (1L, "click", 3L, 1000000L), (2L, "purchase", 2L, 666666L)))
+    freshTable()
+  }
+
+  test("replayed batch id is a no-op") {
+    freshTable()
+    IncrementalFunnel.applyBatch(spark, table, batch0, steps, 0L)
+    IncrementalFunnel.applyBatch(spark, table, batch1, steps, 1L)
+    val before = report()
+    IncrementalFunnel.applyBatch(spark, table, batch1, steps, 1L)
+    assert(report() == before)
+    freshTable()
+  }
+
+  test("out-of-order batch under-counts, never invents a conversion") {
+    import spark.implicits._
+    freshTable()
+    // CONTRACT VIOLATION: the click arrives in batch 0, the earlier
+    // view only in batch 1. One-shot sees the full chain; the fold
+    // cannot (the click was discarded while no view existed) — the
+    // maintained count must be <= one-shot at every step.
+    val b0 = Seq((7L, "click", ts(5))).toDF("user_id", "event_type", "ts")
+    val b1 = Seq((7L, "view", ts(1))).toDF("user_id", "event_type", "ts")
+    IncrementalFunnel.applyBatch(spark, table, b0, steps, 0L)
+    IncrementalFunnel.applyBatch(spark, table, b1, steps, 1L)
+    val inc = report()
+    val oneShot = TemporalOps
+      .funnelSteps(b0.unionByName(b1), steps)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(oneShot(1)._3 == 1L) // one-shot sees view -> click
+    assert(inc(0)._3 == 1L && inc(1)._3 == 0L) // fold lost the click
+    (0 to 2).foreach(i => assert(inc(i)._3 <= oneShot(i)._3))
+    freshTable()
+  }
+}
