@@ -229,4 +229,50 @@ object MultimodalOps {
       .filter(col("hamming") <= maxHam)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Frame-grain fingerprints of a media payload: fixed `frameBytes`
+    * slices (up to `maxFrames`, full slices only — a real pipeline
+    * samples decoded video frames; the slice stands in for the frame
+    * raster exactly like the rest of the stub decode), each hashed to
+    * the 40-bit doc08 fingerprint. Distinct per (doc, fingerprint):
+    * a frame repeated WITHIN one video counts once. */
+  def frameFingerprints(media: DataFrame, frameBytes: Int = 16,
+      maxFrames: Int = 16): DataFrame =
+    media
+      .select(col("doc_id"), col("content").cast("string").as("txt"))
+      .withColumn("n", length(col("txt")))
+      .withColumn("i",
+        explode(expr(s"sequence(0, ${maxFrames - 1})")))
+      .filter(col("n") >= (col("i") + 1) * frameBytes)
+      .select(col("doc_id"),
+        SketchOps.u40(expr(
+          s"substring(txt, 1 + i * $frameBytes, $frameBytes)"))
+          .as("fprint"))
+      .distinct()
+
+  /** Video-style near-dup via shared frame fingerprints — the
+    * third rung of the media-dedup ladder (mm02 checksum = exact
+    * payload, mm06 pHash = near-identical payload, this = re-cut /
+    * re-encoded content sharing FRAMES): two media match when they
+    * share ≥ `minMatch` distinct frame fingerprints. The equi-join on
+    * the fingerprint is doc36's inverted-index shape at frame grain,
+    * with the same absolute df cap killing universal frames
+    * (boilerplate intros/black frames at scale) before they go
+    * quadratic — candidate volume ≤ kept-fingerprint rows · maxDf.
+    * Returns (doc_a, doc_b, n_match). */
+  def frameNearDups(media: DataFrame, frameBytes: Int = 16,
+      maxFrames: Int = 16, minMatch: Int = 3,
+      maxDf: Int = 100): DataFrame = {
+    val fps = frameFingerprints(media, frameBytes, maxFrames)
+    val kept = fps.join(
+      fps.groupBy("fprint").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select("fprint"),
+      Seq("fprint"))
+    kept.as("a").join(kept.as("b"), Seq("fprint"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= minMatch)
+  }
 }

@@ -625,7 +625,44 @@ object OpsQueries {
     },
     q60.oracle)
 
+  // -------------------------------------------------------------- mm07
+  // Video-style frame-fingerprint near-dup: fixed 16-byte frame
+  // slices (the stub frame raster), 40-bit fingerprints, doc36's
+  // inverted-index equi-join at frame grain with the absolute df cap
+  // — media sharing >= 3 distinct frames match (re-cut/re-encoded
+  // content that whole-payload pHash misses). Oracle replays slicing,
+  // hashing, the cap and the overlap count exactly.
+  private val mm07 = GraftQuery(
+    "mm07_frame_neardup",
+    (s, dir) =>
+      MultimodalOps.frameNearDups(
+          MultimodalOps.toMediaColumns(t(s, dir, "documents")))
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some("""
+      WITH fr AS (
+        SELECT doc_id, substring(text, 1 + i * 16, 16) AS f
+        FROM documents, range(0, 16) t(i)
+        WHERE length(text) >= (i + 1) * 16),
+      fps AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substring(md5(f), 1, 10)) AS BIGINT) AS fprint
+        FROM fr),
+      dfc AS (
+        SELECT fprint, COUNT(*) AS c FROM fps GROUP BY fprint),
+      kept AS (
+        SELECT fps.doc_id, fps.fprint
+        FROM fps JOIN dfc USING (fprint) WHERE dfc.c <= 100),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(COUNT(*) AS BIGINT) AS n_match
+        FROM kept a JOIN kept b
+          ON a.fprint = b.fprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_match FROM p
+      WHERE n_match >= 3
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
-      doc38, doc39, cdc33, cdc34)
+      doc38, doc39, cdc33, cdc34, mm07)
 }

@@ -375,6 +375,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("frameNearDups: re-cut content matches; df cap kills " +
+      "universal frames") {
+    import spark.implicits._
+    // 16-byte frames. doc 1 = frames A B C D; doc 2 = a RE-CUT
+    // (D C A B reordered + one new frame) — shares 4 frames; doc 3
+    // unrelated. With minMatch 3, only (1,2) matches.
+    def f(c: Char) = c.toString * 16
+    val docs = Seq(
+      (1L, f('a') + f('b') + f('c') + f('d')),
+      (2L, f('d') + f('c') + f('a') + f('b') + f('z')),
+      (3L, f('p') + f('q') + f('r') + f('s'))
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = MultimodalOps.frameNearDups(
+        MultimodalOps.toMediaColumns(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 4L)))
+    // a universal frame shared by everyone is capped out: with
+    // maxDf = 2, a frame in all 3 docs cannot form candidates
+    val univ = Seq(
+      (1L, f('u') + f('a') + f('b') + f('c')),
+      (2L, f('u') + f('a') + f('b') + f('x')),
+      (3L, f('u') + f('y') + f('w') + f('v'))
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val capped = MultimodalOps.frameNearDups(
+        MultimodalOps.toMediaColumns(univ), minMatch = 3, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (1,2) share u+a+b = 3 frames, but u is df-capped -> only 2 left
+    assert(capped.isEmpty)
+    val uncapped = MultimodalOps.frameNearDups(
+        MultimodalOps.toMediaColumns(univ), minMatch = 3, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(uncapped.toSeq == Seq((1L, 2L, 3L)))
+  }
+
   test("deletionVariants: exact variant set, count bound holds") {
     import spark.implicits._
     val v = Seq("abc").toDF("word")
