@@ -46,7 +46,8 @@ object StreamingIngestDemo {
 
     Seq("ingest_ok", "ingest_rej", "ingest_lshidx", "ingest_pairs",
         "ingest_cclabels", "ingest_cclabels_stage", "ingest_dsir",
-        "ingest_dsir_stage", "ingest_dsir_old")
+        "ingest_dsir_stage", "ingest_dsir_old", "ingest_cms",
+        "ingest_cms_stage", "ingest_cms_old")
       .foreach(CdcMerge.dropStateTable(spark, _))
 
     // stage the docs as four arrival files; stream them as micro-batches
@@ -94,6 +95,12 @@ object StreamingIngestDemo {
         IncrementalCC.applyBatch(bs, "ingest_cclabels",
           verified.select("doc_a", "doc_b"), id)
         IncrementalDsir.applyBatch(bs, "ingest_dsir", ok, "src0", id)
+        // ... and the accepted words into the Count-Min frequency
+        // grid (the vocabulary heavy-hitter monitor — d·w cells
+        // forever, whatever the stream volume)
+        graft.streaming.IncrementalCms.applyBatch(bs, "ingest_cms",
+          ok.select(explode(split(trim(col("text")), " ")).as("word"))
+            .filter(length(col("word")) > 0), "word", id)
         // maintenance CADENCE: the band index accretes one file set
         // per batch; every `compactEvery` batches rewrite it to the
         // bucket layout's minimal file count so probe read-amp stays
@@ -140,6 +147,18 @@ object StreamingIngestDemo {
     require(w.exceptAll(oneShotW).isEmpty && oneShotW.exceptAll(w).isEmpty,
       "incremental DSIR weights diverged from one-shot")
     println(s"[ingest] clusters=$nClusters dsirWeightedDocs=${w.count()}")
+    // maintained CMS grid == one-shot grid over the accepted corpus
+    // (cells are sums — the cdc33 equivalence on the composed path)
+    val okWords = spark.table("ingest_ok")
+      .select(explode(split(trim(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val cmsInc = graft.streaming.IncrementalCms
+      .readGrid(spark, "ingest_cms")
+    val cmsOne = graft.operators.SketchOps.cmsGrid(okWords, "word")
+    require(cmsInc.exceptAll(cmsOne).isEmpty &&
+      cmsOne.exceptAll(cmsInc).isEmpty,
+      "incremental CMS grid diverged from one-shot")
+    println(s"[ingest] cmsCells=${cmsInc.count()}")
 
     // maintenance: streaming appends accrete one file set per batch on
     // the band index; periodic compaction rewrites it to minimal files
