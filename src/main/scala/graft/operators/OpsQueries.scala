@@ -19,6 +19,8 @@ object OpsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  import LlmQueries.{dotSql, normSql}
+
   // -------------------------------------------------------------- doc37
   // Fuzzy vocabulary pairs — SymSpell symmetric-delete blocking:
   // every pair of corpus words within Levenshtein distance 2, found
@@ -662,7 +664,55 @@ object OpsQueries {
       WHERE n_match >= 3
       ORDER BY doc_a, doc_b"""))
 
+  // -------------------------------------------------------------- emb29
+  // Approximate k-NN graph: every vector's top-4 cosine neighbors
+  // via emb05's multi-probe shape with EVERY vector as a query —
+  // candidates are the members of each vector's 2 nearest cells (cid
+  // equi-join, never n²). The seed structure for NN-descent / graph
+  // ANN / neighborhood dedup. Oracle replays assignment, probing,
+  // the distinct candidate set and the ranking on the emb01
+  // fixed-association cosine chains.
+  private val emb29 = GraftQuery(
+    "emb29_knn_graph",
+    (s, dir) =>
+      SimilarityOps.knnGraph(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("nbr_id"), col("rnk"), col("cos"))
+        .orderBy(col("vec_id"), col("rnk")),
+    Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+          ${normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      assign AS (
+        SELECT b.vec_id, b.embedding, b.en, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            (${dotSql("b.embedding", "c.ce", 64)}) / (b.en * c.cn)
+              DESC, c.cid) AS rn
+        FROM base b CROSS JOIN cent c),
+      members AS (
+        SELECT cid, vec_id AS nbr_id, embedding AS m_emb, en AS m_en
+        FROM assign WHERE rn = 1),
+      probes AS (
+        SELECT vec_id, embedding, en, cid FROM assign WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT p.vec_id, m.nbr_id,
+          (${dotSql("p.embedding", "m.m_emb", 64)}) / (p.en * m.m_en)
+            AS cos
+        FROM probes p JOIN members m
+          ON p.cid = m.cid AND p.vec_id <> m.nbr_id),
+      r AS (
+        SELECT vec_id, nbr_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+        FROM cand)
+      SELECT vec_id, nbr_id, rnk, cos FROM r
+      WHERE rnk <= 4
+      ORDER BY vec_id, rnk"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
-      doc38, doc39, cdc33, cdc34, mm07)
+      doc38, doc39, cdc33, cdc34, mm07, emb29)
 }

@@ -972,4 +972,38 @@ object SimilarityOps {
         (coalesce(col("best_better_ppm"), lit(-1000000L)) >= tauPpm)
           .as("is_dup"))
   }
+
+  /** Approximate k-NN GRAPH over the whole corpus — every vector's
+    * top-`k` cosine neighbors, the seed structure for NN-descent
+    * refinement, graph-based ANN (HNSW-class), graph clustering and
+    * dedup-by-neighborhood. Brute force is n² and impossible at
+    * corpus scale; here EVERY vector plays the emb05 multi-probe
+    * query role: candidates = members (rank-1 cell assignment) of
+    * the vector's `nProbe` nearest cells — a cid EQUI-join, work
+    * bounded by Σ(probes·cell size), never n². Neighbors missed
+    * across unprobed cell boundaries are the standard recall trade;
+    * raise nProbe, or build cells with [[balancedAssignStrict]] when
+    * skew would concentrate the per-cell quadratic. Distinct
+    * candidate pairs before ranking (a neighbor seen via two probed
+    * cells counts once); ties break on lowest neighbor id.
+    * Returns (vec_id, nbr_id, rnk, cos). */
+  def knnGraph(embs: DataFrame, dim: Int = 64, nCentroids: Int = 8,
+      nProbe: Int = 2, k: Int = 4): DataFrame = {
+    val ranked = rankedCellAssignments(embs, dim, nCentroids)
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id").as("nbr_id"),
+        col("embedding").as("m_emb"), col("en").as("m_en"))
+    val probes = ranked.filter(col("rn") <= nProbe)
+      .select(col("vec_id"), col("embedding"), col("en"), col("cid"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    probes.join(members, Seq("cid"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        (dot(col("embedding"), col("m_emb"), dim) /
+          (col("en") * col("m_en"))).as("cos"))
+      .distinct()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -100,7 +100,11 @@ class PlanQualitySpec extends SparkSpec {
       "q59_zorder_layout",
       // doc39/cdc33: CMS report — the doc09-class 1-row total-count
       // broadcast for the εN band; grid probes are equi-joins
-      "doc39_cms_counts", "cdc33_incremental_cms")
+      "doc39_cms_counts", "cdc33_incremental_cms",
+      // emb29: kNN graph — the emb04/emb08-class ≤8-row centroid
+      // broadcast for cell assignment; candidate generation is a cid
+      // equi-join, ranking a per-vector window
+      "emb29_knn_graph")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -409,6 +409,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(uncapped.toSeq == Seq((1L, 2L, 3L)))
   }
 
+  test("knnGraph: full-probe graph equals brute-force all-pairs top-k") {
+    // probing EVERY cell removes the approximation — the graph must
+    // then be exactly the n² top-k (the recall trade is the only
+    // difference between the cell-bounded and brute paths)
+    val k = 3
+    val full = SimilarityOps.knnGraph(embs, nCentroids = 8,
+        nProbe = 8, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val vecs = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = vecs.flatMap { case (id, v) =>
+      vecs.filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(k)
+        .zipWithIndex
+        .map { case ((nid, _), i) => (id, nid, (i + 1).toLong) }
+    }.toSet
+    assert(full.nonEmpty && full == brute)
+    // partial probing returns a total graph too (k rows per vector)
+    val approx = SimilarityOps.knnGraph(embs, nProbe = 2, k = k)
+    assert(approx.count() == vecs.length.toLong * k)
+  }
+
   test("deletionVariants: exact variant set, count bound holds") {
     import spark.implicits._
     val v = Seq("abc").toDF("word")
