@@ -672,14 +672,8 @@ object OpsQueries {
   // ANN / neighborhood dedup. Oracle replays assignment, probing,
   // the distinct candidate set and the ranking on the emb01
   // fixed-association cosine chains.
-  private val emb29 = GraftQuery(
-    "emb29_knn_graph",
-    (s, dir) =>
-      SimilarityOps.knnGraph(t(s, dir, "embeddings"))
-        .select(col("vec_id"), col("nbr_id"), col("rnk"), col("cos"))
-        .orderBy(col("vec_id"), col("rnk")),
-    Some(s"""
-      WITH cent AS (
+  private def knnGraphCtes(nProbe: Int): String = s"""
+      cent AS (
         SELECT vec_id AS cid, embedding AS ce,
           ${normSql("embedding", 64)} AS cn
         FROM embeddings WHERE vec_id < 8),
@@ -696,23 +690,88 @@ object OpsQueries {
         SELECT cid, vec_id AS nbr_id, embedding AS m_emb, en AS m_en
         FROM assign WHERE rn = 1),
       probes AS (
-        SELECT vec_id, embedding, en, cid FROM assign WHERE rn <= 2),
+        SELECT vec_id, embedding, en, cid FROM assign
+        WHERE rn <= $nProbe),
       cand AS (
         SELECT DISTINCT p.vec_id, m.nbr_id,
           (${dotSql("p.embedding", "m.m_emb", 64)}) / (p.en * m.m_en)
             AS cos
         FROM probes p JOIN members m
           ON p.cid = m.cid AND p.vec_id <> m.nbr_id),
-      r AS (
+      g AS (
         SELECT vec_id, nbr_id, cos,
           CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
             ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
-        FROM cand)
-      SELECT vec_id, nbr_id, rnk, cos FROM r
+        FROM cand)"""
+
+  private val emb29 = GraftQuery(
+    "emb29_knn_graph",
+    (s, dir) =>
+      SimilarityOps.knnGraph(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("nbr_id"), col("rnk"), col("cos"))
+        .orderBy(col("vec_id"), col("rnk")),
+    Some(s"""
+      WITH ${knnGraphCtes(nProbe = 2)}
+      SELECT vec_id, nbr_id, rnk, cos FROM g
+      WHERE rnk <= 4
+      ORDER BY vec_id, rnk"""))
+
+  // -------------------------------------------------------------- emb30
+  // One NN-descent refinement step from the deterministic RANDOM
+  // seed (arithmetic ring graph — the recipe's content-blind initial
+  // graph; a cell-local seed is structurally a no-op, see
+  // ringSeedGraph): candidates = undirected neighborhood + one-hop
+  // expansion, exact cosine re-rank, top-k — the Dong et al.
+  // convergence engine as two k-bounded edge-list equi-joins, no
+  // driver loop. The spec pins the measured recall gain and the
+  // monotone-improvement property; the oracle replays seed, reversal,
+  // hop-2 and the re-rank.
+  private val emb30 = GraftQuery(
+    "emb30_nn_descent",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val seed = SimilarityOps.ringSeedGraph(embs)
+      SimilarityOps.nnDescentStep(embs, seed)
+        .select(col("vec_id"), col("nbr_id"), col("rnk"), col("cos"))
+        .orderBy(col("vec_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      seed AS (
+        SELECT e.vec_id, (e.vec_id + j.j * 37) % nn.n AS nbr_id
+        FROM embeddings e, range(1, 5) j(j), nn),
+      und AS (
+        SELECT vec_id, nbr_id FROM seed
+        UNION
+        SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM seed),
+      hop2 AS (
+        SELECT a.vec_id, b.nbr_id AS cand
+        FROM und a JOIN und b ON a.nbr_id = b.vec_id),
+      cand2 AS (
+        SELECT DISTINCT vec_id, cand FROM (
+          SELECT vec_id, nbr_id AS cand FROM und
+          UNION ALL SELECT vec_id, cand FROM hop2)
+        WHERE vec_id <> cand),
+      rr AS (
+        SELECT c.vec_id, c.cand AS nbr_id,
+          (${dotSql("p.embedding", "q.embedding", 64)}) / (p.en * q.en)
+            AS cos
+        FROM cand2 c
+        JOIN base p ON p.vec_id = c.vec_id
+        JOIN base q ON q.vec_id = c.cand),
+      rk AS (
+        SELECT vec_id, nbr_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+        FROM rr)
+      SELECT vec_id, nbr_id, rnk, cos FROM rk
       WHERE rnk <= 4
       ORDER BY vec_id, rnk"""))
 
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
-      doc38, doc39, cdc33, cdc34, mm07, emb29)
+      doc38, doc39, cdc33, cdc34, mm07, emb29, emb30)
 }

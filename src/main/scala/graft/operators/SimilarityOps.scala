@@ -1006,4 +1006,64 @@ object SimilarityOps {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** One NN-DESCENT refinement step over a k-NN graph: candidates =
+    * the undirected neighborhood (graph ∪ reversed graph) plus its
+    * one-hop expansion ("my neighbor's neighbors are probably my
+    * neighbors" — the convergence engine of Dong et al.'s NN-descent),
+    * re-ranked by exact cosine, top-k kept. Each step is TWO
+    * self-equi-joins of the k-bounded edge list + one corpus join for
+    * the exact re-rank — candidate volume ≤ n·(2k)², independent of
+    * cell structure, so iterating steps converges a cheap seed graph
+    * (low nProbe [[knnGraph]]) toward the exact graph without the n²
+    * scan; each refined edge set can only improve (top-k over a
+    * candidate SUPERSET of the current edges — monotone by
+    * construction, the property the spec pins alongside measured
+    * recall gain). Returns (vec_id, nbr_id, rnk, cos). */
+  /** Deterministic "random" seed graph for NN-descent: neighbor j of
+    * vector v is id (v + j·stride) mod n — the arithmetic stand-in
+    * for the random initial graph the NN-descent recipe starts from
+    * (content-blind, engine-replayable, no RNG plumbing; requires the
+    * contiguous 0..n-1 id space the corpus tables use). A cell-local
+    * seed ([[knnGraph]] at nProbe=1) is the WRONG start here: its
+    * edges never leave the cell, so neighbors-of-neighbors stay
+    * inside the already-searched cell and the step is structurally a
+    * no-op — measured, which is why this seed exists. */
+  def ringSeedGraph(embs: DataFrame, k: Int = 4,
+      stride: Int = 37): DataFrame = {
+    val n = embs.count() // control-plane scalar, like the bucket ids
+    require(n > stride.toLong * k, "corpus too small for the ring")
+    embs.select(col("vec_id"))
+      .withColumn("j", explode(expr(s"sequence(1, $k)")))
+      .select(col("vec_id"),
+        pmod(col("vec_id") + col("j") * stride, lit(n)).as("nbr_id"))
+  }
+
+  def nnDescentStep(embs: DataFrame, graph: DataFrame, dim: Int = 64,
+      k: Int = 4): DataFrame = {
+    val fwd = graph.select(col("vec_id"), col("nbr_id"))
+    val und = fwd.unionByName(
+        fwd.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .distinct()
+    val hop2 = und.as("a")
+      .join(und.as("b"), col("a.nbr_id") === col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.nbr_id").as("cand"))
+    val cands = und.select(col("vec_id"), col("nbr_id").as("cand"))
+      .unionByName(hop2)
+      .filter(col("vec_id") =!= col("cand"))
+      .distinct()
+    val base = embs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding"), dim).as("en"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    cands
+      .join(base, Seq("vec_id"))
+      .join(base.select(col("vec_id").as("cand"),
+        col("embedding").as("n_emb"), col("en").as("n_en")), Seq("cand"))
+      .select(col("vec_id"), col("cand").as("nbr_id"),
+        (dot(col("embedding"), col("n_emb"), dim) /
+          (col("en") * col("n_en"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

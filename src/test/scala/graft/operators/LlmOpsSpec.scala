@@ -441,6 +441,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(approx.count() == vecs.length.toLong * k)
   }
 
+  test("nnDescentStep: monotone per-vector improvement, recall rises") {
+    // seed = the content-blind ring graph (a cell-local seed is
+    // structurally a no-op: its hop-2 expansion never leaves the
+    // already-searched cell — the ringSeedGraph scaladoc note, which
+    // this test originally discovered)
+    val k = 4
+    val seedRing = SimilarityOps.ringSeedGraph(embs, k = k)
+    val base = embs.select(col("vec_id"), col("embedding"))
+    val seed = SimilarityOps.nnDescentStep(embs, seedRing, k = k)
+      .select(col("vec_id"), col("nbr_id"), col("cos"), col("rnk"))
+    val refined = SimilarityOps.nnDescentStep(embs, seed, k = k)
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos")))
+    val s = edges(seed); val r = edges(refined)
+    assert(r.length == s.length) // stays a total k-graph
+    // per-vector cosine at every rank can only improve (candidate
+    // superset + same ranking)
+    val sBy = s.groupBy(_._1); val rBy = r.groupBy(_._1)
+    sBy.foreach { case (v, se) =>
+      val sc = se.map(_._3).sorted.reverse
+      val rc = rBy(v).map(_._3).sorted.reverse
+      sc.zip(rc).foreach { case (a, b) =>
+        assert(b >= a - 1e-12, s"vec $v got worse")
+      }
+    }
+    // and the step actually helps somewhere on this corpus: edge sets
+    // differ and total cosine mass strictly increases
+    assert(r.map(_._3).sum > s.map(_._3).sum + 1e-9)
+  }
+
   test("deletionVariants: exact variant set, count bound holds") {
     import spark.implicits._
     val v = Seq("abc").toDF("word")
