@@ -397,6 +397,22 @@ object Sf1ProbeR10 {
         .foreach(CdcMerge.dropStateTable(spark, _))
     }
 
+    // emb29: kNN graph — the knee is CANDIDATE VOLUME ≈ n·nProbe·
+    // (n/nlist): at fixed nlist it grows quadratically, so nlist must
+    // scale with the corpus (the IVF doctrine). Probe: nlist 8 at
+    // sf0.1, 64 at the 10× corpus — per-vector candidates then stay
+    // flat and wall tracks n.
+    {
+      val nlist = if (nVecs > 10000) 64 else 8
+      val ((edges, nCands), t) = timed {
+        val g = SimilarityOps.knnGraph(embs, nCentroids = nlist)
+        val cands = nVecs * 2L * (nVecs / nlist)
+        (g.count(), cands)
+      }
+      println(f"PROBE emb29_knn_graph  $nVecs%8d vecs  nlist=$nlist%d  " +
+        f"edges: $edges%d ($t%6.1f s)  ~cands: $nCands%d")
+    }
+
     // emb28: drift audit — one pass per side, metadata-sized output;
     // wall should track corpus linearly with no knee.
     {
