@@ -889,13 +889,17 @@ object CurationOps {
       .select(col("w1"), col("w2"), col("p_ppm"))
   }
 
-  /** HELD-OUT bigram-LM scoring — the actual CCNet recipe: the model
-    * trains only on the deterministic md5 TRAIN split (the doc31
-    * gate: first-byte bucket < 204 ≈ 80%), and every document scores
-    * against that frozen model, so a document never rates its own
-    * contribution (in-corpus scoring lets a big dup cluster certify
-    * itself fluent — the self-grading bias doc34 accepts and this
-    * variant removes). Out-of-vocabulary bigrams are the signal the
+  /** HELD-OUT bigram-LM scoring — a step toward the CCNet recipe:
+    * the model trains only on the deterministic md5 TRAIN split (the
+    * doc31 gate: first-byte bucket < 204 ≈ 80%), and every document
+    * scores against that frozen model. Only the ~20% HELD-OUT
+    * documents are fully free of self-grading — train-split docs are
+    * in the model they score against, and a large dup cluster still
+    * has ~80% of its copies certifying it fluent (CCNet proper
+    * trains the LM on a separate reference corpus; full
+    * self-exclusion would score each doc against the complement of
+    * its own bucket, cross-validation style — k model builds instead
+    * of one). Out-of-vocabulary bigrams are the signal the
     * held-out split creates: they contribute 0 ppm AND are counted
     * (`n_oov`) — a doc the model has never seen scores low and shows
     * why. Same integer-ppm determinism doctrine; same corpus-linear
@@ -1038,10 +1042,24 @@ object CurationOps {
       .groupBy("dim")
       .agg(sum(abs(col("c_cur") * col("n_ref") -
         col("c_ref") * col("n_cur"))).as("numer"))
+    // one-sided dimensions (present in only one histogram, or an
+    // empty side) are EXACTLY the ones that drifted most — without
+    // the guard the division by n_ref·n_cur = 0 nulls their tvd_ppm
+    // (and errors in DuckDB), silently dropping the strongest signal.
+    // TVD of a distribution vs nothing is its mass = 1.0 → the
+    // 1000000-ppm sentinel; the missing side's mean is undefined →
+    // NULL, never a fabricated number.
     totals.join(numer, Seq("dim"))
       .select(col("dim"), col("n_ref"), col("n_cur"),
-        expr("(numer * 1000000) div (2 * n_ref * n_cur)").as("tvd_ppm"),
-        (expr("t_ref div n_ref") - 1000000L).as("mu_ref_fp"),
-        (expr("t_cur div n_cur") - 1000000L).as("mu_cur_fp"))
+        when(col("n_ref") === 0 || col("n_cur") === 0, lit(1000000L))
+          .otherwise(
+            expr("(numer * 1000000) div (2 * n_ref * n_cur)"))
+          .as("tvd_ppm"),
+        when(col("n_ref") === 0, lit(null).cast("long"))
+          .otherwise(expr("t_ref div n_ref") - 1000000L)
+          .as("mu_ref_fp"),
+        when(col("n_cur") === 0, lit(null).cast("long"))
+          .otherwise(expr("t_cur div n_cur") - 1000000L)
+          .as("mu_cur_fp"))
   }
 }

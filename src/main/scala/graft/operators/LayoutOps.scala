@@ -43,7 +43,15 @@ object LayoutOps {
   /** Z-order layout keys for the events table over (user_id,
     * fixed-point value): per-row quantized cells + the Morton key the
     * writer range-partitions on. The corpus min/max aggregate is one
-    * 1-row broadcast — no second scan shape, no window. */
+    * 1-row broadcast — no second scan shape, no window.
+    *
+    * The ×65535 quantization multiply runs in DECIMAL(38,0): in
+    * BIGINT it silently overflows once the key range exceeds
+    * ~1.4e14 (snowflake-style 64-bit ids are well past that),
+    * corrupting the Morton key for exactly the wide-id tables that
+    * need layout most. The integral divide brings the cell back to
+    * BIGINT; operands are nonnegative, so Spark's truncating `div`
+    * and DuckDB's floor `//` agree bit for bit. */
   def zorderEvents(events: DataFrame): DataFrame = {
     val fixed = events.select(col("event_id"),
       col("user_id").cast("long").as("x"),
@@ -52,9 +60,11 @@ object LayoutOps {
       min("y").as("ylo"), max("y").as("yhi"))
     fixed.join(broadcast(ext))
       .withColumn("qx",
-        expr("((x - xlo) * 65535) div greatest(1, xhi - xlo)"))
+        expr("(cast(x - xlo as decimal(38,0)) * 65535)" +
+          " div greatest(1, xhi - xlo)"))
       .withColumn("qy",
-        expr("((y - ylo) * 65535) div greatest(1, yhi - ylo)"))
+        expr("(cast(y - ylo as decimal(38,0)) * 65535)" +
+          " div greatest(1, yhi - ylo)"))
       .select(col("event_id"), col("qx"), col("qy"),
         mortonKey(col("qx"), col("qy")).as("zkey"))
   }

@@ -125,8 +125,10 @@ object OpsQueries {
           FROM fixed),
         q AS (
           SELECT event_id,
-            ((x - xlo) * 65535) // GREATEST(1, xhi - xlo) AS qx,
-            ((y - ylo) * 65535) // GREATEST(1, yhi - ylo) AS qy
+            CAST((CAST(x - xlo AS HUGEINT) * 65535)
+              // GREATEST(1, xhi - xlo) AS BIGINT) AS qx,
+            CAST((CAST(y - ylo AS HUGEINT) * 65535)
+              // GREATEST(1, yhi - ylo) AS BIGINT) AS qy
           FROM fixed, ext)
         SELECT event_id, qx, qy,
           (${spread("qx")}) | ((${spread("qy")}) << 1) AS zkey
@@ -173,10 +175,15 @@ object OpsQueries {
         FROM m JOIN tot t ON m.dim = t.dim GROUP BY m.dim)
       SELECT t.dim, CAST(t.n_ref AS BIGINT) AS n_ref,
         CAST(t.n_cur AS BIGINT) AS n_cur,
-        CAST((nm.numer * 1000000) // (2 * t.n_ref * t.n_cur)
-          AS BIGINT) AS tvd_ppm,
-        CAST((t.t_ref // t.n_ref) - 1000000 AS BIGINT) AS mu_ref_fp,
-        CAST((t.t_cur // t.n_cur) - 1000000 AS BIGINT) AS mu_cur_fp
+        CAST(CASE WHEN t.n_ref = 0 OR t.n_cur = 0 THEN 1000000
+          ELSE (nm.numer * 1000000) // (2 * t.n_ref * t.n_cur)
+          END AS BIGINT) AS tvd_ppm,
+        CAST(CASE WHEN t.n_ref = 0 THEN NULL
+          ELSE (t.t_ref // t.n_ref) - 1000000
+          END AS BIGINT) AS mu_ref_fp,
+        CAST(CASE WHEN t.n_cur = 0 THEN NULL
+          ELSE (t.t_cur // t.n_cur) - 1000000
+          END AS BIGINT) AS mu_cur_fp
       FROM tot t JOIN nm ON nm.dim = t.dim
       ORDER BY t.dim"""
 

@@ -410,4 +410,28 @@ class CurationOpsSpec extends SparkSpec {
     }
     assert(drift.map(_.getLong(3)).max > 0L, "no TVD signal at all")
   }
+
+  test("driftFromHists: one-sided dim gets the full-drift sentinel") {
+    import spark.implicits._
+    // dim 0 in both histograms, dim 1 only in cur, dim 2 only in ref
+    // — the one-sided dims are the MOST drifted and must not be
+    // silently nulled by the n_ref*n_cur division
+    val href = Seq((0L, 3L, 10L, 5000000L), (2L, 1L, 4L, 800000L))
+      .toDF("dim", "bin", "cnt", "vsum")
+    val hcur = Seq((0L, 3L, 10L, 5000000L), (1L, 7L, 6L, 9000000L))
+      .toDF("dim", "bin", "cnt", "vsum")
+    val got = CurationOps.driftFromHists(href, hcur)
+      .orderBy("dim").collect()
+    assert(got.length == 3)
+    val both = got(0)
+    assert(both.getLong(3) == 0L && both.getLong(4) == both.getLong(5))
+    val curOnly = got(1)
+    assert(curOnly.getLong(1) == 0L && curOnly.getLong(2) == 6L)
+    assert(curOnly.getLong(3) == 1000000L, "sentinel TVD expected")
+    assert(curOnly.isNullAt(4), "mean of the missing side is NULL")
+    assert(curOnly.getLong(5) == 9000000L / 6 - 1000000L)
+    val refOnly = got(2)
+    assert(refOnly.getLong(3) == 1000000L)
+    assert(!refOnly.isNullAt(4) && refOnly.isNullAt(5))
+  }
 }

@@ -64,15 +64,31 @@ class LayoutSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq
 
+  /** Write `df` as 16 equal-depth files clustered on `key` —
+    * DETERMINISTIC stand-in for repartitionByRange, whose sampled
+    * partition bounds depend on shared-session state (rdd-id-seeded
+    * sampling) and made this suite flaky when run after other suites.
+    * The unpartitioned window is test-only simulation at sf0.01, not
+    * an operator. */
+  private def writeClustered(df: DataFrame, key: String,
+      dir: String): Unit = {
+    val n = df.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(key), col("event_id"))
+    df.withColumn("fid",
+        (((row_number().over(w) - 1).cast("long") * 16) / n)
+          .cast("int"))
+      .repartition(col("fid"))
+      .write.partitionBy("fid").mode("overwrite").parquet(dir)
+  }
+
   test("Z-order layout prunes on BOTH axes; 1-D sort cannot") {
     val z = LayoutOps.zorderEvents(
       Tables.load(spark, sf("sf0.01"), "events"))
     val zDir = tmpDir("layout-z")
     val xDir = tmpDir("layout-x")
-    z.repartitionByRange(16, col("zkey"))
-      .write.mode("overwrite").parquet(zDir)
-    z.repartitionByRange(16, col("qx"))
-      .write.mode("overwrite").parquet(xDir)
+    writeClustered(z, "zkey", zDir)
+    writeClustered(z, "qx", xDir)
     val zBox = fileBboxes(zDir)
     val xBox = fileBboxes(xDir)
     assert(zBox.size >= 8 && xBox.size >= 8)
@@ -102,6 +118,10 @@ class LayoutSpec extends SparkSpec {
       edges(j * 2), math.max(edges(j * 2 + 2) - 1, edges(j * 2)))
     val zBoxHits = boxProbes.map(filesHit(zBox, _)).sum
     val xBoxHits = boxProbes.map(filesHit(xBox, _)).sum
+    // the layout writes above are deterministic (writeClustered), so
+    // this comparison no longer flakes with suite order the way the
+    // sampled repartitionByRange layout did (zBoxHits 74 vs 68
+    // observed after other suites); strictness is safe again
     assert(zBoxHits < xBoxHits,
       s"z-order should beat 1-D on 2-D boxes: $zBoxHits vs $xBoxHits")
   }
