@@ -103,19 +103,38 @@ object Bench {
         System.err.println(s"target-sf prime: table $t failed: $e") }
     }
 
-    // per-query shuffle-write bytes: the scale health signal (a query
-    // whose shuffle grows out of line with input is the 100 TB
-    // regression to catch early). Listener events are async; the
-    // short settle wait after each query keeps attribution ~exact for
-    // a single-threaded bench loop.
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    // per-query executor metrics: shuffle write stays the scale
+    // health signal (a query whose shuffle grows out of line with
+    // input is the 100 TB regression to catch early); task time, GC
+    // time, shuffle read, spill and input bytes exist to ATTRIBUTE
+    // wall-clock drift — without them a sweep regression is
+    // indistinguishable from environment I/O variance (the r9→r10
+    // +21% question). Listener events are async; the short settle
+    // wait after each query keeps attribution ~exact for a
+    // single-threaded bench loop.
+    import java.util.concurrent.atomic.AtomicLong
+    class MetricsProbe {
+      val taskMs, gcMs, shufW, shufR, spill, inBytes = new AtomicLong
+      def snapshot: Array[Long] = Array(taskMs.get, gcMs.get,
+        shufW.get, shufR.get, spill.get, inBytes.get)
+    }
+    val probe = new MetricsProbe
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
-          if (m != null)
-            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          if (m != null) {
+            probe.taskMs.addAndGet(m.executorRunTime)
+            probe.gcMs.addAndGet(m.jvmGCTime)
+            probe.shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            probe.shufR.addAndGet(
+              m.shuffleReadMetrics.localBytesRead +
+                m.shuffleReadMetrics.remoteBytesRead)
+            probe.spill.addAndGet(
+              m.memoryBytesSpilled + m.diskBytesSpilled)
+            probe.inBytes.addAndGet(m.inputMetrics.bytesRead)
+          }
           ()
         }
       })
@@ -130,10 +149,10 @@ object Bench {
     val nRuns = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
     case class QR(name: String, sec: Double, shuffleMb: Double,
-        runs: Seq[Double])
+        runs: Seq[Double], metrics: Array[Long])
     val results = registry.map { q =>
       val runs = (1 to nRuns).map { _ =>
-        val s0 = shuffleBytes.get
+        val s0 = probe.snapshot
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case NonFatal(e) =>
@@ -146,7 +165,8 @@ object Bench {
         // slower than run1 from exactly this contention)
         graft.operators.DedupOps.unpersistShingleCaches(blocking = true)
         Thread.sleep(50) // let straggler task-end events land
-        (sec, (shuffleBytes.get - s0) / 1e6)
+        val s1 = probe.snapshot
+        (sec, s1.zip(s0).map { case (a, b) => a - b })
       }
       // GC BETWEEN queries, outside the timed sections: the
       // ContextCleaner only discovers dead RDDs/shuffles/broadcasts
@@ -158,7 +178,11 @@ object Bench {
       // costs untimed wall-clock only.
       System.gc()
       Thread.sleep(100) // let async cleaner deletions drain
-      QR(q.name, runs.map(_._1).min, runs.head._2, runs.map(_._1))
+      // metrics reported for the MIN-time run (the same run the
+      // headline second comes from, so gc/task/io lines explain THAT
+      // number, not an average across cold and warm runs)
+      val best = runs.minBy(_._1)
+      QR(q.name, best._1, best._2(2) / 1e6, runs.map(_._1), best._2)
     }
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -173,12 +197,20 @@ object Bench {
     val rr = dict(results.map { r =>
       r.name -> r.runs.map(f3).mkString("[", ",", "]")
     })
+    def mb(v: Long): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v / 1e6))
+    val mx = dict(results.map { r =>
+      val m = r.metrics
+      r.name -> (s"""{"task_ms":${m(0)},"gc_ms":${m(1)},""" +
+        s""""shuf_w_mb":${mb(m(2))},"shuf_r_mb":${mb(m(3))},""" +
+        s""""spill_mb":${mb(m(4))},"in_mb":${mb(m(5))}}""")
+    })
     val total = if (results.nonEmpty) results.map(_.sec).sum else 0.0
     // FULL artifact (all queries + shuffle-write bytes + raw runs)
     // goes to a file, committed per round as BENCH_LOCAL.json.
     val warmTag = warmDir.map(d => s""","warm":"$d"""").getOrElse("")
     val full =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_runs":$nRuns,"queries":$qs,"runs":$rr,"shuffle_write_mb":$sh$warmTag,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_runs":$nRuns,"queries":$qs,"runs":$rr,"shuffle_write_mb":$sh,"metrics":$mx$warmTag,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (full + "\n").getBytes("UTF-8"))

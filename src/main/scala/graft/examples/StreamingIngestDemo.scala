@@ -45,7 +45,9 @@ object StreamingIngestDemo {
     import spark.implicits._
 
     Seq("ingest_ok", "ingest_rej", "ingest_lshidx", "ingest_pairs",
-        "ingest_cclabels", "ingest_cclabels_stage", "ingest_dsir",
+        "ingest_cclabels", "ingest_cclabels_stage",
+        "ingest_cclabels_cidx", "ingest_cclabels_cidx_stage",
+        "ingest_dsir",
         "ingest_dsir_stage", "ingest_dsir_old", "ingest_cms",
         "ingest_cms_stage", "ingest_cms_old")
       .foreach(CdcMerge.dropStateTable(spark, _))

@@ -964,14 +964,15 @@ object SelectionQueries {
   // table must equal one-shot doc17 — min-label union is associative,
   // so batch order cannot matter, and doc17's own oracle IS this
   // query's oracle. Per-batch cost: a component-graph CC bounded by
-  // the batch, one broadcast-join table scan, dirty-bucket upserts.
+  // the batch, PRUNED-bucket reads of the label table and its
+  // component→buckets inverted index (scan ∝ touched components,
+  // never table size), dirty-bucket upserts.
   private val cdc28 = GraftQuery(
     "cdc28_incremental_cc",
     (s, dir) => {
       import s.implicits._
       val table = "cdc28_labels"
-      Seq(table, s"${table}_stage", s"${table}_old")
-        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      graft.streaming.IncrementalCC.dropTables(s, table)
       val docs = t(s, dir, "documents")
       val pairs = DedupOps.verifiedNearDups(docs)
         .select($"doc_a", $"doc_b")

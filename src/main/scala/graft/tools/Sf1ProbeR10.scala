@@ -108,8 +108,7 @@ object Sf1ProbeR10 {
     // of one batch against the standing label table.
     {
       val table = "sf1probe_cclabels"
-      Seq(table, s"${table}_stage")
-        .foreach(CdcMerge.dropStateTable(spark, _))
+      IncrementalCC.dropTables(spark, table)
       def batch(i: Int) =
         pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(4)) === i)
       val (_, tBuild) = timed {
@@ -122,8 +121,7 @@ object Sf1ProbeR10 {
       val nLabels = IncrementalCC.readLabels(spark, table).count()
       println(f"PROBE cdc28_inc_cc     3-batch build: $tBuild%6.1f s   " +
         f"marginal batch: $tMarg%6.1f s   labels: $nLabels%d")
-      Seq(table, s"${table}_stage")
-        .foreach(CdcMerge.dropStateTable(spark, _))
+      IncrementalCC.dropTables(spark, table)
       pairs.unpersist()
     }
 
