@@ -1,0 +1,101 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.IncrementalCC
+
+/** Round-11 scale probes — rows land in SCALE.md.
+  *
+  * cc_scan: the [[IncrementalCC]] pruning claim MEASURED. Before
+  * round 11 a trickle batch broadcast-joined the FULL label table
+  * (scan bytes ∝ table); now endpoint lookups prune to endpoint
+  * buckets and merged-member lookups prune via the component→buckets
+  * inverted index (scan bytes ∝ touched components × bucket size).
+  * Protocol: build a star-cluster corpus at 1× and at 10× docs, with
+  * nBuckets scaled ∝ corpus (the CdcMerge rebucket discipline —
+  * bucket size constant, as a real table service would keep it),
+  * then apply one tiny 2-pair merge batch and read the bytes the
+  * batch actually scanned off `inputMetrics.bytesRead`. Flat bytes
+  * at 10× table = the claim; the old code would read ≥3× the table.
+  *
+  * Usage: sbt "runMain graft.tools.Sf1ProbeR11 [probe...]"
+  * (no args = all probes)
+  */
+object Sf1ProbeR11 {
+
+  def main(args: Array[String]): Unit = {
+    val which = if (args.isEmpty) Set("cc_scan") else args.toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val inBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) inBytes.addAndGet(m.inputMetrics.bytesRead)
+        ()
+      }
+    })
+    def measured[T](f: => T): (T, Double, Long) = {
+      Thread.sleep(100) // drain straggler task-end events
+      val b0 = inBytes.get
+      val t0 = System.nanoTime()
+      val r = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(100)
+      (r, wall, inBytes.get - b0)
+    }
+
+    if (which("cc_scan")) {
+      // star clusters: docs [base, base+9] pair to their base —
+      // component = base, size 10, diameter 1
+      def starPairs(nDocs: Long) = spark.range(nDocs)
+        .filter(col("id") % 10 =!= 0)
+        .select((col("id") - col("id") % 10).as("doc_a"),
+          col("id").as("doc_b"))
+      // trickle: merge clusters 0↔10 and 1000↔1010 — 2 pairs, 4
+      // touched components, constant at every corpus size
+      import spark.implicits._
+      val trickle = Seq((0L, 10L), (1000L, 1010L))
+        .toDF("doc_a", "doc_b")
+      Seq((200000L, 64), (2000000L, 640)).foreach { case (n, nb) =>
+        val table = s"r11probe_cc_$nb"
+        IncrementalCC.dropTables(spark, table)
+        val (_, tBuild, _) = measured {
+          (0 until 3).foreach { i =>
+            IncrementalCC.applyBatch(spark, table,
+              starPairs(n).filter(pmod(col("doc_b"), lit(3)) === i),
+              i.toLong, nb)
+          }
+        }
+        val tableBytes = spark.table(table).inputFiles
+          .map(f => new java.io.File(
+            new java.net.URI(f)).length()).sum
+        val (_, tTrickle, scanned) = measured {
+          IncrementalCC.applyBatch(spark, table, trickle, 3L, nb)
+        }
+        val labels = IncrementalCC.readLabels(spark, table)
+        val merged = labels.filter(col("component") === 0L).count()
+        assert(merged == 20L, s"merge failed: $merged")
+        println(f"PROBE cc_scan n=$n%8d nBuckets=$nb%4d  " +
+          f"build: $tBuild%6.1f s  table: ${tableBytes / 1e6}%8.1f MB  " +
+          f"trickle: $tTrickle%5.1f s  scanned: ${scanned / 1e6}%7.1f MB " +
+          f"(${scanned * 100.0 / math.max(tableBytes, 1)}%5.1f%% of table)")
+        IncrementalCC.dropTables(spark, table)
+      }
+    }
+
+    spark.stop()
+  }
+}
