@@ -778,7 +778,123 @@ object OpsQueries {
       WHERE rnk <= 4
       ORDER BY vec_id, rnk"""))
 
+  // ------------------------------------------------------ emb32/emb33
+  // The SKEW GUARD of the cell-quadratic operators, oracle-pinned:
+  // emb29/emb27 bound per-cell pairwise work at |cell|² only if no
+  // cell runs hot — real embedding corpora cluster heavily, so the
+  // 100 TB path needs membership CAPPED. These two queries run the
+  // SAME operators with capacity = ceil(n/nCells) (maximal pressure:
+  // every displacement cascade actually runs) — membership via
+  // emb25's strict deferred acceptance, replayed in the oracle as the
+  // same recursive CTE, then the emb29/emb27 logic verbatim on the
+  // capped members. Green here = the capped path is not a separate
+  // code fork but the same operators with the guard engaged.
+  private def strictMembersCtes(nCells: Int): String = s"""
+      cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+          ${normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < $nCells),
+      base AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      cap AS (SELECT CAST((COUNT(*) + ${nCells - 1}) // $nCells
+          AS BIGINT) AS c FROM base),
+      sim AS (
+        SELECT b.vec_id, c.cid,
+          (${dotSql("b.embedding", "c.ce", 64)}) / (b.en * c.cn)
+            AS ccos
+        FROM base b CROSS JOIN cent c),
+      assign AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, cid) AS rn
+        FROM sim),
+      st AS (
+        SELECT 0 AS it, vec_id, 1 AS rnk FROM base
+        UNION ALL
+        SELECT nxt.it, nxt.vec_id, nxt.rnk FROM (
+          SELECT cur.it + 1 AS it, cur.vec_id,
+            CASE WHEN cur.prio > (SELECT c FROM cap)
+              THEN cur.rnk + 1 ELSE cur.rnk END AS rnk,
+            SUM(CASE WHEN cur.prio > (SELECT c FROM cap)
+              THEN 1 ELSE 0 END) OVER () AS n_adv
+          FROM (
+            SELECT s.it, s.vec_id, s.rnk, a.cid, a.ccos,
+              ROW_NUMBER() OVER (PARTITION BY a.cid
+                ORDER BY a.ccos DESC, s.vec_id) AS prio
+            FROM st s JOIN assign a
+              ON a.vec_id = s.vec_id AND a.rn = s.rnk
+          ) cur
+        ) nxt WHERE nxt.n_adv > 0),
+      fin AS (
+        SELECT vec_id, rnk FROM st
+        WHERE it = (SELECT MAX(it) FROM st)),
+      members AS (
+        SELECT a.cid, f.vec_id, b.embedding, b.en, a.ccos
+        FROM fin f
+        JOIN assign a ON a.vec_id = f.vec_id AND a.rn = f.rnk
+        JOIN base b ON b.vec_id = f.vec_id)"""
+
+  private val emb32 = GraftQuery(
+    "emb32_knn_graph_capped",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val n = embs.count()
+      SimilarityOps.knnGraph(embs, capacity = Some((n + 7) / 8))
+        .select(col("vec_id"), col("nbr_id"), col("rnk"), col("cos"))
+        .orderBy(col("vec_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${strictMembersCtes(nCells = 8)},
+      probes AS (
+        SELECT a.vec_id, b.embedding, b.en, a.cid
+        FROM assign a JOIN base b ON b.vec_id = a.vec_id
+        WHERE a.rn <= 2),
+      cand AS (
+        SELECT DISTINCT p.vec_id, m.vec_id AS nbr_id,
+          (${dotSql("p.embedding", "m.embedding", 64)})
+            / (p.en * m.en) AS cos
+        FROM probes p JOIN members m
+          ON p.cid = m.cid AND p.vec_id <> m.vec_id),
+      g AS (
+        SELECT vec_id, nbr_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+        FROM cand)
+      SELECT vec_id, nbr_id, rnk, cos FROM g
+      WHERE rnk <= 4
+      ORDER BY vec_id, rnk"""))
+
+  private val emb33 = GraftQuery(
+    "emb33_semdedup_capped",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val n = embs.count()
+      SimilarityOps.semanticDedup(embs, capacity = Some((n + 7) / 8))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${strictMembersCtes(nCells = 8)},
+      ranked AS (
+        SELECT vec_id, embedding, en, cid, ccos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY cid
+            ORDER BY ccos DESC, vec_id) AS BIGINT) AS crnk
+        FROM members),
+      best AS (
+        SELECT a.cid, a.vec_id,
+          MAX(CAST(FLOOR(
+            (${dotSql("a.embedding", "b.embedding", 64)})
+              / (a.en * b.en) * 1000000 ) AS BIGINT)) AS bp
+        FROM ranked a JOIN ranked b
+          ON b.cid = a.cid AND b.crnk < a.crnk
+        GROUP BY a.cid, a.vec_id)
+      SELECT r.vec_id, r.cid, r.crnk,
+        COALESCE(bp, -1000000) AS best_better_ppm,
+        COALESCE(bp, -1000000) >= 350000 AS is_dup
+      FROM ranked r LEFT JOIN best
+        ON best.cid = r.cid AND best.vec_id = r.vec_id
+      ORDER BY r.vec_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
-      doc38, doc39, cdc33, cdc34, mm07, emb29, emb30)
+      doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb32, emb33)
 }

@@ -820,6 +820,37 @@ object SimilarityOps {
       .select(col("vec_id"), col("cid"), col("rnk").cast("long").as("rank"))
   }
 
+  /** Rank-1 cell membership for the cell-quadratic operators
+    * ([[semanticDedup]], [[knnGraph]]), optionally CAPACITY-CAPPED —
+    * the skew guard those operators' scale stories hang on: their
+    * per-cell pairwise work is Σ|cell|², so one hot cell on a skewed
+    * corpus (real embeddings cluster heavily) becomes the straggler
+    * that dominates the job. With `capacity = Some(cap)` membership
+    * comes from [[balancedAssignStrict]] (deferred acceptance — every
+    * cell ends ≤ cap, full stop), bounding any cell's pairwise term
+    * at cap² whatever the data distribution; spilled vectors land in
+    * their next-nearest cell, trading a little neighbor recall for
+    * the bound (raise nProbe on the query side to buy it back).
+    * `ccos` is the cosine to the cell ACTUALLY assigned (the spilled
+    * vector ranks within its landing cell), read back from the ranked
+    * table by (vec_id, cid) equi-join — all broadcast-scan shapes,
+    * no new shuffle class. Columns: vec_id, embedding, en, cid, ccos. */
+  def cellMembers(embs: DataFrame, dim: Int = 64, nCells: Int = 8,
+      capacity: Option[Long] = None): DataFrame = {
+    val cols = Seq(col("vec_id"), col("embedding"), col("en"),
+      col("cid"), col("ccos"))
+    capacity match {
+      case None => rankedCellAssignments(embs, dim, nCells)
+        .filter(col("rn") === 1).select(cols: _*)
+      case Some(cap) =>
+        val strict = balancedAssignStrict(embs, dim, nCells, cap)
+          .select(col("vec_id"), col("cid"))
+        rankedCellAssignments(embs, dim, nCells)
+          .join(strict, Seq("vec_id", "cid"))
+          .select(cols: _*)
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def embeddingNearDups(embs: DataFrame, dim: Int = 64, planes: Int = 6,
       minCos: Double = 0.9): DataFrame = {
@@ -938,21 +969,24 @@ object SimilarityOps {
     * BECAUSE all-pairs over the corpus is impossible — the cell
     * equi-join bounds the quadratic at cell-membership size, so total
     * pair work is Σ|cell|² with |cell| ≈ n/k at nCells = k chosen so
-    * a cell fits a task (the [[balancedAssignStrict]] capacity bound
-    * is the guarantee when skew would break that). Per-cell rank
+    * a cell fits a task — and `capacity = Some(cap)` makes that a
+    * GUARANTEE on skewed corpora, not a hope: membership then comes
+    * from [[balancedAssignStrict]] via [[cellMembers]], so no cell's
+    * pairwise term can exceed cap² whatever the distribution (the
+    * capped-off vectors dedup within their landing cell; τ-near
+    * twins split across cells are the standard recall trade, same
+    * class as an unprobed IVF cell). Per-cell rank
     * window partitions by cid (bounded groups); centroids broadcast
     * (≤ nCells rows); output is one row per vector. Cosine doubles
     * rank; thresholds compare on truncating integer ppm (floor of the
     * same double on both engines — the doc23 float-free doctrine for
     * every DECISION column). */
   def semanticDedup(embs: DataFrame, dim: Int = 64, nCells: Int = 8,
-      tauPpm: Long = 350000L): DataFrame = {
+      tauPpm: Long = 350000L,
+      capacity: Option[Long] = None): DataFrame = {
     val wRank = Window.partitionBy(col("cid"))
       .orderBy(col("ccos").desc, col("vec_id"))
-    val ranked = rankedCellAssignments(embs, dim, nCells)
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("en"), col("cid"),
-        col("ccos"))
+    val ranked = cellMembers(embs, dim, nCells, capacity)
       .withColumn("crnk", row_number().over(wRank).cast("long"))
     val better = ranked.select(col("cid"),
       col("embedding").as("b_emb"), col("en").as("b_en"),
@@ -982,15 +1016,20 @@ object SimilarityOps {
     * the vector's `nProbe` nearest cells — a cid EQUI-join, work
     * bounded by Σ(probes·cell size), never n². Neighbors missed
     * across unprobed cell boundaries are the standard recall trade;
-    * raise nProbe, or build cells with [[balancedAssignStrict]] when
-    * skew would concentrate the per-cell quadratic. Distinct
+    * raise nProbe, and pass `capacity = Some(cap)` when skew would
+    * concentrate the per-cell quadratic: the MEMBER side then comes
+    * from [[balancedAssignStrict]] via [[cellMembers]], bounding
+    * every cell's candidate term at nProbe·cap·cap whatever the
+    * distribution (the probe side stays nearest-cells — queries may
+    * probe any cell; only membership is capped). Distinct
     * candidate pairs before ranking (a neighbor seen via two probed
     * cells counts once); ties break on lowest neighbor id.
     * Returns (vec_id, nbr_id, rnk, cos). */
   def knnGraph(embs: DataFrame, dim: Int = 64, nCentroids: Int = 8,
-      nProbe: Int = 2, k: Int = 4): DataFrame = {
+      nProbe: Int = 2, k: Int = 4,
+      capacity: Option[Long] = None): DataFrame = {
     val ranked = rankedCellAssignments(embs, dim, nCentroids)
-    val members = ranked.filter(col("rn") === 1)
+    val members = cellMembers(embs, dim, nCentroids, capacity)
       .select(col("cid"), col("vec_id").as("nbr_id"),
         col("embedding").as("m_emb"), col("en").as("m_en"))
     val probes = ranked.filter(col("rn") <= nProbe)

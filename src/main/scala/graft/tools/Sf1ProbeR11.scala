@@ -6,6 +6,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.operators.SimilarityOps
+import graft.sources.Tables
 import graft.streaming.IncrementalCC
 
 /** Round-11 scale probes — rows land in SCALE.md.
@@ -28,7 +30,8 @@ import graft.streaming.IncrementalCC
 object Sf1ProbeR11 {
 
   def main(args: Array[String]): Unit = {
-    val which = if (args.isEmpty) Set("cc_scan") else args.toSet
+    val which =
+      if (args.isEmpty) Set("cc_scan", "knn_skew") else args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,6 +97,55 @@ object Sf1ProbeR11 {
           f"(${scanned * 100.0 / math.max(tableBytes, 1)}%5.1f%% of table)")
         IncrementalCC.dropTables(spark, table)
       }
+    }
+
+    if (which("knn_skew")) {
+      // ADVERSARIALLY SKEWED corpus: 90% of sf0.1's 20k vectors are
+      // pulled to one hot cluster (0.9·centroid0 + 0.1·own — all land
+      // in centroid 0's cell under nearest-assignment). This is the
+      // corpus shape that breaks the uncapped cell-quadratic:
+      // Σ|cell|² degenerates to ~n².
+      val embs = Tables.load(spark, "/root/testdata/sf0.1",
+        "embeddings")
+      val c0 = embs.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("c0"))
+      val skewed = embs.crossJoin(broadcast(c0))
+        .withColumn("embedding",
+          when(col("vec_id") % 10 =!= 0,
+            expr("zip_with(embedding, c0, (x, y) -> " +
+              "CAST(0.1 * x + 0.9 * y AS FLOAT))"))
+            .otherwise(col("embedding")))
+        .drop("c0")
+        .localCheckpoint()
+      val n = skewed.count()
+      val cap = (n + 7) / 8
+      // probe-side cell demand is identical both ways (rn <= 2)
+      val probesPerCell = SimilarityOps
+        .rankedCellAssignments(skewed).filter(col("rn") <= 2)
+        .groupBy("cid").agg(count(lit(1)).as("p"))
+      def cells(capacity: Option[Long]): (Long, Long, Double) = {
+        val t0 = System.nanoTime()
+        val m = SimilarityOps.cellMembers(skewed, 64, 8, capacity)
+          .groupBy("cid").agg(count(lit(1)).as("m"))
+          .join(probesPerCell, Seq("cid"))
+          .agg(max(col("m")), sum(col("m") * col("p")))
+          .head()
+        (m.getLong(0), m.getLong(1),
+          (System.nanoTime() - t0) / 1e9)
+      }
+      val (maxU, candU, tU) = cells(None)
+      val (maxC, candC, tC) = cells(Some(cap))
+      println(f"PROBE knn_skew n=$n%6d hot=90%% cap=$cap%5d  " +
+        f"uncapped: maxcell=$maxU%6d cand=${candU / 1e6}%7.1f M " +
+        f"($tU%5.1f s)  capped: maxcell=$maxC%5d " +
+        f"cand=${candC / 1e6}%5.1f M ($tC%5.1f s)")
+      assert(maxC <= cap, s"cap violated: $maxC > $cap")
+      // the capped graph itself, end to end (wall + edges)
+      val t0 = System.nanoTime()
+      val edges = SimilarityOps
+        .knnGraph(skewed, capacity = Some(cap)).count()
+      println(f"PROBE knn_skew capped knnGraph: " +
+        f"${(System.nanoTime() - t0) / 1e9}%5.1f s  edges=$edges%d")
     }
 
     spark.stop()
