@@ -778,6 +778,63 @@ object OpsQueries {
       WHERE rnk <= 4
       ORDER BY vec_id, rnk"""))
 
+  // -------------------------------------------------------------- emb31
+  // NN-descent CONVERGENCE LOOP (SimilarityOps.nnDescent): emb30 is
+  // one refinement step; this pins the iterated service — ring seed,
+  // TWO unrolled rounds (minGainPpm = -1 disables the data-dependent
+  // early stop, so the round count is exact — SQL cannot replay a
+  // convergence test, and the loop's gain scalar is a driver-side
+  // control read anyway). The oracle nests the emb30 step CTEs twice;
+  // LlmOpsSpec carries the convergence acceptance (recall@k vs brute
+  // force monotone per round, ≥ target at the fixed point).
+  private def nnStepCtes(inG: String, outG: String, i: Int): String = s"""
+      und$i AS (
+        SELECT vec_id, nbr_id FROM $inG
+        UNION
+        SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM $inG),
+      hop$i AS (
+        SELECT a.vec_id, b.nbr_id AS cand
+        FROM und$i a JOIN und$i b ON a.nbr_id = b.vec_id),
+      cnd$i AS (
+        SELECT DISTINCT vec_id, cand FROM (
+          SELECT vec_id, nbr_id AS cand FROM und$i
+          UNION ALL SELECT vec_id, cand FROM hop$i)
+        WHERE vec_id <> cand),
+      rr$i AS (
+        SELECT c.vec_id, c.cand AS nbr_id,
+          (${dotSql("p.embedding", "q.embedding", 64)}) / (p.en * q.en)
+            AS cos
+        FROM cnd$i c
+        JOIN base p ON p.vec_id = c.vec_id
+        JOIN base q ON q.vec_id = c.cand),
+      $outG AS (
+        SELECT vec_id, nbr_id, cos, rnk FROM (
+          SELECT vec_id, nbr_id, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+          FROM rr$i)
+        WHERE rnk <= 4)"""
+
+  private val emb31 = GraftQuery(
+    "emb31_nn_descent_loop",
+    (s, dir) =>
+      SimilarityOps.nnDescent(t(s, dir, "embeddings"),
+          maxRounds = 2, minGainPpm = -1L)
+        .select(col("vec_id"), col("nbr_id"), col("rnk"), col("cos"))
+        .orderBy(col("vec_id"), col("rnk")),
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      seed AS (
+        SELECT e.vec_id, (e.vec_id + j.j * 37) % nn.n AS nbr_id
+        FROM embeddings e, range(1, 5) j(j), nn),
+      ${nnStepCtes("seed", "g1", 1)},
+      ${nnStepCtes("g1", "g2", 2)}
+      SELECT vec_id, nbr_id, rnk, cos FROM g2
+      ORDER BY vec_id, rnk"""))
+
   // ------------------------------------------------------ emb32/emb33
   // The SKEW GUARD of the cell-quadratic operators, oracle-pinned:
   // emb29/emb27 bound per-cell pairwise work at |cell|² only if no
@@ -896,5 +953,6 @@ object OpsQueries {
 
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
-      doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb32, emb33)
+      doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
+      emb33)
 }

@@ -770,12 +770,34 @@ object SimilarityOps {
   def balancedAssignStrict(embs: DataFrame, dim: Int = 64,
       nCentroids: Int = 8, capacity: Long,
       maxRounds: Int = 64): DataFrame = {
+    require(nCentroids >= 2,
+      "balancing needs alternative choices — nCentroids must be >= 2")
+    balancedAssignStrictTo(embs,
+      embs.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      dim, capacity, maxRounds, nCentroidsHint = Some(nCentroids))
+  }
+
+  /** [[balancedAssignStrict]] against an ARBITRARY centroid set
+    * `(cid, ce)` — the form the IVF index build
+    * ([[graft.streaming.IvfBuild]]) needs, where centroids come out
+    * of k-means‖ + Lloyd instead of the first-k stand-in. Same
+    * deferred-acceptance scheme, same guarantees; the feasibility
+    * check counts the centroid frame unless `nCentroidsHint` is
+    * given, so pass a MATERIALIZED (checkpointed) centroid frame —
+    * a centroid plan that re-derives from the corpus would re-run
+    * its whole pipeline on that count. */
+  def balancedAssignStrictTo(embs: DataFrame, centroids: DataFrame,
+      dim: Int = 64, capacity: Long, maxRounds: Int = 64,
+      nCentroidsHint: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge
     import org.apache.spark.storage.StorageLevel
     require(capacity >= 1, "capacity must be positive")
+    val nCentroids: Long =
+      nCentroidsHint.map(_.toLong).getOrElse(centroids.count())
     require(nCentroids >= 2,
-      "balancing needs alternative choices — nCentroids must be >= 2")
-    val ranked = rankedCellAssignments(embs, dim, nCentroids)
+      "balancing needs alternative choices — need >= 2 centroids")
+    val ranked = assignToCentroids(embs, centroids, dim)
       .select(col("vec_id"), col("cid"), col("ccos"),
         col("rn").as("rnk"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
@@ -1076,6 +1098,53 @@ object SimilarityOps {
       .withColumn("j", explode(expr(s"sequence(1, $k)")))
       .select(col("vec_id"),
         pmod(col("vec_id") + col("j") * stride, lit(n)).as("nbr_id"))
+  }
+
+  /** NN-descent ITERATED TO CONVERGENCE — the service wrapper around
+    * [[nnDescentStep]] (one step) and [[ringSeedGraph]] (the
+    * content-blind start): refine until a round's total edge-quality
+    * gain (Σ top-k cosine over the whole graph, floored to ppm) drops
+    * to `minGainPpm` or `maxRounds` is hit. The gain is MONOTONE
+    * nondecreasing (each vector re-ranks a candidate SUPERSET of its
+    * current edges), so the stop test is a plain threshold on a
+    * scalar the driver reads once per round — a control-plane read,
+    * like the touched-bucket lists; `minGainPpm = -1` disables early
+    * stop (gain is never negative), pinning an EXACT round count —
+    * the shape the emb31 oracle replays, since SQL cannot express a
+    * data-dependent loop. Per-round state localCheckpoints with
+    * immediate free of the superseded round (the
+    * connectedComponents / balancedAssignStrict pattern); per-round
+    * cost is the step's two k-bounded edge-list equi-joins + one
+    * corpus join — candidates ≤ n·(2k)², independent of corpus
+    * clustering, which is why iterating a cheap seed converges toward
+    * the exact graph without any n² scan (Dong et al.'s argument).
+    * LlmOpsSpec measures the acceptance: recall@k vs brute force
+    * monotone per round and ≥ target at convergence.
+    * Returns (vec_id, nbr_id, rnk, cos). */
+  def nnDescent(embs: DataFrame, dim: Int = 64, k: Int = 4,
+      maxRounds: Int = 8, minGainPpm: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    require(maxRounds >= 1, "need at least one refinement round")
+    var ck = ringSeedGraph(embs, k).localCheckpoint()
+    var graph = ck
+    // seed has no cos column; its quality is measured after the
+    // first step (the seed is content-blind by design)
+    var lastSumPpm = Long.MinValue
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = nnDescentStep(embs, graph, dim, k).localCheckpoint()
+      val sumPpm = next.agg(
+        floor(sum(col("cos")) * 1000000).cast("long")).head().getLong(0)
+      CheckpointBridge.freeLocalCheckpoint(ck)
+      ck = next
+      graph = next
+      converged = lastSumPpm != Long.MinValue &&
+        sumPpm - lastSumPpm <= minGainPpm
+      lastSumPpm = sumPpm
+      round += 1
+    }
+    graph
   }
 
   def nnDescentStep(embs: DataFrame, graph: DataFrame, dim: Int = 64,

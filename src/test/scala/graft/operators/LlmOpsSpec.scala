@@ -471,6 +471,100 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.map(_._3).sum > s.map(_._3).sum + 1e-9)
   }
 
+  test("nnDescent: loop == unrolled steps; recall monotone to target") {
+    val k = 4
+    // (1) the fixed-round service (early stop disabled) is exactly
+    // the manual unrolling — pins the loop composition the emb31
+    // oracle replays in SQL
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+      .toSet
+    val two = SimilarityOps.nnDescent(embs, k = k, maxRounds = 2,
+      minGainPpm = -1L)
+    val manual = SimilarityOps.nnDescentStep(embs,
+      SimilarityOps.nnDescentStep(embs,
+        SimilarityOps.ringSeedGraph(embs, k = k), k = k), k = k)
+    assert(edgeSet(two) == edgeSet(manual))
+
+    // (2) ground truth: brute-force top-k sets per vector
+    val vecs = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth: Map[Long, Set[Long]] = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(k).map(_._1).toSet
+    }.toMap
+    def recall(edges: Set[(Long, Long)]): Double = {
+      val hit = edges.count { case (v, n) => truth(v)(n) }
+      hit.toDouble / (truth.size * k)
+    }
+
+    // (3) recall@k is monotone nondecreasing per round (each new
+    // top-k is picked from a candidate SUPERSET of the kept edges,
+    // so a true neighbor once held is only ever displaced by a
+    // higher-cosine edge — itself a true neighbor, ties aside).
+    // localCheckpoint per round: each step references its input
+    // graph ~4× (undirected view joined with itself), so an
+    // uncheckpointed 6-round chain is a 4⁶-reference plan
+    var g = SimilarityOps.nnDescentStep(embs,
+      SimilarityOps.ringSeedGraph(embs, k = k), k = k).localCheckpoint()
+    var rs = List(recall(edgeSet(g)))
+    for (_ <- 2 to 6) {
+      g = SimilarityOps.nnDescentStep(embs, g, k = k).localCheckpoint()
+      rs = recall(edgeSet(g)) :: rs
+    }
+    val perRound = rs.reverse
+    perRound.sliding(2).foreach {
+      case List(a, b) => assert(b >= a - 1e-9,
+        s"recall fell between rounds: $perRound")
+      case _ =>
+    }
+    assert(perRound.last > perRound.head)
+
+    // (4) convergence to target recall needs a corpus NN-descent is
+    // FOR: the synthetic table is near-isotropic in 64-d (median
+    // pairwise cos ≈ 0, hop-2 self-recovery ≈ 10% — measured), the
+    // algorithm's documented worst case, where descent is monotone
+    // (above) but slow — a simulation replaying the exact step rule
+    // reproduces the Spark per-round recalls to 3 decimals, so the
+    // slowness is the data, not the operator. Real embedding corpora
+    // have low INTRINSIC dimensionality (that is why NN-descent works
+    // in practice — Dong et al. §5); derive one deterministically:
+    // keep each vector's first 3 coords as the latent position and
+    // spread them over 64 dims by a fixed cosine mixing matrix.
+    // There, with k=8 (≳ the connectivity threshold; Dong uses K≥20
+    // on real data), descent reaches ≥95% of the exact graph from
+    // the content-blind seed within 12 rounds.
+    val k8 = 8
+    val lowDim = embs.selectExpr("vec_id",
+      ("transform(sequence(1, 64), d -> cast(" +
+        "cos(d * 1.0d) * embedding[0] + cos(d * 2.0d) * embedding[1]" +
+        " + cos(d * 3.0d) * embedding[2] as float)) as embedding"))
+    val lvecs = lowDim.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val ltruth: Map[Long, Set[Long]] = lvecs.map { case (id, v) =>
+      id -> lvecs.filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(k8).map(_._1).toSet
+    }.toMap
+    val conv = SimilarityOps.nnDescent(lowDim, k = k8,
+      maxRounds = 12, minGainPpm = 1000L)
+    val convEdges = edgeSet(conv)
+    val lrec = convEdges.count { case (v, n) => ltruth(v)(n) }
+      .toDouble / (ltruth.size * k8)
+    assert(lrec >= 0.95, s"converged recall on structured corpus: $lrec")
+  }
+
   test("deletionVariants: exact variant set, count bound holds") {
     import spark.implicits._
     val v = Seq("abc").toDF("word")
