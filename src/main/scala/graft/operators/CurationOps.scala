@@ -827,6 +827,33 @@ object CurationOps {
     (assigned.select(col("vec_id"), col("cid"), col("ccos")), cents)
   }
 
+  /** Lloyd's k-means from an EXPLICIT seed centroid set `(cid, ce)` —
+    * the overload [[kmeans]]'s scaladoc promises, and the refine step
+    * of the end-to-end IVF index build
+    * ([[graft.streaming.IvfBuild]]): seed with [[kmeansParallelSeeds]]
+    * (k-means‖) instead of the first-k stand-in, then run `iters`
+    * assignment passes. The k-row centroid frame localCheckpoints per
+    * iteration — without it each pass nests the previous pass's full
+    * corpus plan inside the next (plan depth ∝ iters), which is the
+    * NN-descent / deferred-acceptance lineage lesson applied here;
+    * checkpointing k·dim floats per pass is metadata-cost. Returns
+    * (assignments (vec_id, cid, ccos), centroids (cid, ce)). */
+  def kmeansFrom(embs: DataFrame, seeds: DataFrame, dim: Int = 64,
+      iters: Int = 2, scale: Long = 1000000L)
+      : (DataFrame, DataFrame) = {
+    require(iters >= 1, "kmeans needs at least one assignment pass")
+    var cents = seeds.select(col("cid"), col("ce")).localCheckpoint()
+    var assigned = SimilarityOps.assignToCentroids(embs, cents, dim)
+      .filter(col("rn") === 1)
+    for (_ <- 1 until iters) {
+      cents = updateCentroids(assigned, dim, scale)
+        .select(col("cid"), col("ce")).localCheckpoint()
+      assigned = SimilarityOps.assignToCentroids(embs, cents, dim)
+        .filter(col("rn") === 1)
+    }
+    (assigned.select(col("vec_id"), col("cid"), col("ccos")), cents)
+  }
+
   /** Bigram language-model fluency score — the perplexity-filter step
     * of a CCNet-style curation pipeline (train an n-gram LM, keep the
     * documents the model finds predictable), with the LM trained on

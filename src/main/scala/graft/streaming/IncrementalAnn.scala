@@ -35,7 +35,8 @@ import graft.operators.SimilarityOps
   */
 object IncrementalAnn {
 
-  private def centTable(table: String) = s"${table}_centroids"
+  private[streaming] def centTable(table: String) =
+    s"${table}_centroids"
 
   /** Index one batch of (vec_id, embedding) rows. On first call the
     * index is created and the first `nCentroids` vectors of the batch
