@@ -67,6 +67,25 @@ object CdcMerge {
     spark.table(table).filter(col(opCol) =!= deleteOp).drop("_kb")
   }
 
+  /** [[readState]] PRUNED to the given `_kb` buckets — for consumers
+    * that will immediately restrict to a dirty-key set whose buckets
+    * they already know (the incremental-view family): every state row
+    * with a dirty key hashes into a touched bucket BY CONSTRUCTION
+    * (same key, same bucket formula), so reading only those
+    * partitions before the dirty-key semi-join is lossless, and the
+    * scan cost becomes ∝ touched buckets instead of ∝ table — the
+    * IncrementalCC pruning doctrine applied to flat state. Only valid
+    * when the caller's bucket count equals the table's (the
+    * applyBatch contract already requires a stable nBuckets per
+    * table). */
+  def readStateBuckets(spark: SparkSession, table: String,
+      kbs: Seq[Long], opCol: String = "event_type",
+      deleteOp: String = "Delete"): DataFrame = {
+    spark.catalog.refreshTable(table)
+    spark.table(table).filter(col("_kb").isin(kbs: _*))
+      .filter(col(opCol) =!= deleteOp).drop("_kb")
+  }
+
   /** Collapse a bounded envelope history into snapshot SEED rows: the
     * latest version per key, deleted keys omitted — the "initial full
     * load" half of the snapshot-then-tail bootstrap every new CDC
@@ -127,11 +146,26 @@ object CdcMerge {
     * codegen call — no concat allocation). Everything else — tombstone
     * semantics, idempotence, partition-overwrite locality — is
     * unchanged, because max(version) per key never depended on the
-    * key's arity. */
+    * key's arity.
+    *
+    * `partitionCols` (default: the key columns) lets the table bucket
+    * on a DIFFERENT column than it merges on — the co-location lever
+    * for consumers that look rows up by an attribute rather than by
+    * identity (the [[IncrementalNearestJoin]] states: merged per
+    * event, scanned per join key — partitioning by the join key makes
+    * a dirty-key read prune to its buckets instead of scanning the
+    * table). INVARIANT the caller owns: each key's partition-column
+    * values must be immutable across its versions (an event's user
+    * never changes). A violating upsert lands in a different bucket
+    * than the row it should supersede, and both survive — the same
+    * rule every partitioned upsert store imposes on its partition
+    * path. */
   def applyBatchKeyed(spark: SparkSession, table: String,
       batch: DataFrame, keyCols: Seq[String], versionCols: Seq[String],
       nBuckets: Int,
-      beforeCommit: (DataFrame, DataFrame) => Unit = (_, _) => ()): Unit = {
+      beforeCommit: (DataFrame, DataFrame) => Unit = (_, _) => (),
+      partitionCols: Seq[String] = Nil): Unit = {
+    val pCols = if (partitionCols.isEmpty) keyCols else partitionCols
     val byVersion = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(versionCols.map(col(_).desc): _*)
     // pre-dedup the batch (cheap: batch-sized) so the state union
@@ -143,7 +177,7 @@ object CdcMerge {
       .withColumn("_rn", row_number().over(byVersion))
       .filter(col("_rn") === 1).drop("_rn")
       .withColumn("_kb",
-        pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)))
+        pmod(xxhash64(pCols.map(col): _*), lit(nBuckets)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // touched partition ids: driver-side, but bounded by nBuckets (a

@@ -68,9 +68,14 @@ object IncrementalJoin {
         .distinct().collect().map(_.getLong(0))
       if (touched.isEmpty) return
 
-      val l = CdcMerge.readState(spark, leftTable, leftOpCol, deleteOp)
+      // state reads prune to the dirty keys' buckets FIRST (every
+      // dirty key's state rows hash there — same key, same formula),
+      // then semi-join: scan ∝ touched buckets, never ∝ state size
+      val l = CdcMerge.readStateBuckets(spark, leftTable,
+          touched.toSeq, leftOpCol, deleteOp)
         .join(broadcast(dirty), Seq(keyCol), "left_semi")
-      val r = CdcMerge.readState(spark, rightTable, rightOpCol, deleteOp)
+      val r = CdcMerge.readStateBuckets(spark, rightTable,
+          touched.toSeq, rightOpCol, deleteOp)
         .join(broadcast(dirty), Seq(keyCol), "left_semi")
       val fresh = l.join(r, Seq(keyCol))
         .withColumn("_kb", pmod(xxhash64(col(keyCol)), lit(nBuckets)))

@@ -70,10 +70,18 @@ object IncrementalNearestJoin {
       rightPrep: DataFrame => DataFrame = identity, nBuckets: Int = 8,
       leftOpCol: String = "event_type", rightOpCol: String = "event_type",
       deleteOp: String = "Delete"): Unit = {
-    leftBatch.foreach(b => CdcMerge.applyBatch(spark, leftTable, b,
-      leftIdCol, leftVersionCols, nBuckets))
-    rightBatch.foreach(b => CdcMerge.applyBatch(spark, rightTable, b,
-      rightIdCol, rightVersionCols, nBuckets))
+    // states merge on row IDENTITY but bucket on the JOIN KEY (the
+    // CdcMerge partitionCols lever): a dirty key's rows — on both
+    // sides — then live in the buckets its hash names, so the
+    // recompute below reads only those partitions. The partition-col
+    // stability invariant holds by construction: an event's join key
+    // is part of its content, not its version.
+    leftBatch.foreach(b => CdcMerge.applyBatchKeyed(spark, leftTable,
+      b, Seq(leftIdCol), leftVersionCols, nBuckets,
+      partitionCols = Seq(joinKey)))
+    rightBatch.foreach(b => CdcMerge.applyBatchKeyed(spark, rightTable,
+      b, Seq(rightIdCol), rightVersionCols, nBuckets,
+      partitionCols = Seq(joinKey)))
     val dirty = (leftBatch.toSeq ++ rightBatch.toSeq)
       .map(_.select(col(joinKey)))
       .reduceOption(_ unionByName _)
@@ -89,10 +97,15 @@ object IncrementalNearestJoin {
         .distinct().collect().map(_.getLong(0))
       if (touched.isEmpty) return
 
-      val l = CdcMerge.readState(spark, leftTable, leftOpCol, deleteOp)
+      // state reads prune to the dirty keys' buckets FIRST (every
+      // dirty key's state rows hash there — same key, same formula),
+      // then semi-join: scan ∝ touched buckets, never ∝ state size
+      val l = CdcMerge.readStateBuckets(spark, leftTable,
+          touched.toSeq, leftOpCol, deleteOp)
         .join(broadcast(dirty), Seq(joinKey), "left_semi")
       val r = rightPrep(
-        CdcMerge.readState(spark, rightTable, rightOpCol, deleteOp)
+        CdcMerge.readStateBuckets(spark, rightTable,
+            touched.toSeq, rightOpCol, deleteOp)
           .join(broadcast(dirty), Seq(joinKey), "left_semi"))
       val fresh = graft.operators.TemporalOps.nearestJoin(
           l, r, joinKey, joinKey, leftTime, rightTime, valueCols)

@@ -31,7 +31,9 @@ object Sf1ProbeR11 {
 
   def main(args: Array[String]): Unit = {
     val which =
-      if (args.isEmpty) Set("cc_scan", "knn_skew") else args.toSet
+      if (args.isEmpty) Set("cc_scan", "knn_skew", "ivf_build",
+        "view_soak")
+      else args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -146,6 +148,174 @@ object Sf1ProbeR11 {
         .knnGraph(skewed, capacity = Some(cap)).count()
       println(f"PROBE knn_skew capped knnGraph: " +
         f"${(System.nanoTime() - t0) / 1e9}%5.1f s  edges=$edges%d")
+    }
+
+    if (which("ivf_build")) {
+      // the end-to-end IVF build (IvfBuild: k-means‖ seeds → Lloyd →
+      // strict balanced cells → serving table) at REAL nlist — the
+      // inverted-file sizing rule nlist ≈ √n — plus the recall/probe
+      // ladder over the BUILT index. Build wall should grow mildly
+      // with nlist (seeding scans are nlist-independent; Lloyd's
+      // broadcast and the balancer's rounds are the nlist terms).
+      import graft.streaming.{CdcMerge, IvfBuild}
+      val embs = Tables.load(spark, "/root/testdata/sf0.1",
+        "embeddings").localCheckpoint()
+      val n = embs.count() // 2000 → √n ≈ 45
+      Seq(8, 45, 90).foreach { nlist =>
+        val tab = s"r11probe_ivf_$nlist"
+        Seq(tab, s"${tab}_centroids")
+          .foreach(CdcMerge.dropStateTable(spark, _))
+        val (rep, wall, _) = measured {
+          IvfBuild.build(spark, tab, embs, nlist = nlist,
+            oversample = math.max(16, nlist), capacitySlack = 1.3)
+        }
+        assert(rep.maxCell <= rep.capacity, s"cap violated: $rep")
+        println(f"PROBE ivf_build n=$n%6d nlist=$nlist%3d  " +
+          f"build: $wall%6.1f s  cap=${rep.capacity}%4d " +
+          f"maxcell=${rep.maxCell}%4d cells=${rep.nCells}%3d " +
+          f"spilled=${rep.spilled}%4d")
+      }
+      val queries = embs.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))
+      Seq(1, 2, 4, 8, 16, 45).foreach { p =>
+        val r = IvfBuild.recallAt(spark, "r11probe_ivf_45", embs,
+          queries, nProbe = p, k = 10).head()
+        println(f"PROBE ivf_recall nlist=45 nProbe=$p%2d  " +
+          f"recall_ppm=${r.getLong(1)}%7d")
+      }
+      Seq(8, 45, 90).foreach { nlist =>
+        val tab = s"r11probe_ivf_$nlist"
+        Seq(tab, s"${tab}_centroids")
+          .foreach(graft.streaming.CdcMerge.dropStateTable(spark, _))
+      }
+    }
+
+    if (which("view_soak")) {
+      // maintained JOIN / NEAREST-join views (the cdc26/cdc27 family)
+      // soaked at 10× state with a CONSTANT trickle batch: marginal
+      // batch wall and scan bytes must stay flat while the view grows
+      // 10× — the dirty-key discipline measured, not asserted.
+      // nBuckets scales ∝ corpus (constant bucket size, the CdcMerge
+      // rebucket doctrine).
+      import graft.streaming.{CdcMerge, IncrementalJoin,
+        IncrementalNearestJoin}
+      val epoch = 1600000000000000L
+
+      // --- cdc26 shape: latest purchase ⋈ latest click per user
+      Seq((50000L, 64), (500000L, 640)).foreach { case (nUsers, nb) =>
+        val (lt, rt, vt) =
+          (s"r11soak_p_$nb", s"r11soak_c_$nb", s"r11soak_v_$nb")
+        val all = Seq(lt, rt, vt) ++
+          Seq(lt, rt, vt).map(t => s"${t}_stage")
+        all.foreach(CdcMerge.dropStateTable(spark, _))
+        def purch(ids: org.apache.spark.sql.DataFrame) = ids.select(
+          (col("id") % nUsers).as("user_id"),
+          lit("Insert").as("p_op"), col("id").as("p_event_id"),
+          timestamp_micros(lit(epoch) + col("id") * 1000L).as("p_ts"),
+          (col("id") % 97).cast("double").as("p_value"))
+        def click(ids: org.apache.spark.sql.DataFrame) = ids.select(
+          (col("id") % nUsers).as("user_id"),
+          lit("Insert").as("c_op"), col("id").as("c_event_id"),
+          timestamp_micros(lit(epoch) + col("id") * 1000L).as("c_ts"))
+        val rows = spark.range(nUsers * 4).toDF()
+        val (_, tBuild, _) = measured {
+          (0 until 3).foreach { i =>
+            IncrementalJoin.applyBatch(spark, lt, rt, vt,
+              Some(purch(rows.filter(col("id") % 3 === i))),
+              Some(click(rows.filter(col("id") % 3 === i))),
+              "user_id", Seq("p_ts", "p_event_id"),
+              Seq("c_ts", "c_event_id"), nBuckets = nb,
+              leftOpCol = "p_op", rightOpCol = "c_op")
+          }
+        }
+        val viewBytes = spark.table(vt).inputFiles
+          .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+        // trickle: 20 users get one new purchase + click (newer ts)
+        val fresh = spark.range(20).select(
+          (col("id") * (nUsers / 20)).as("id"))
+        val late = fresh.select(col("id").as("user_id"),
+          lit("Insert").as("p_op"),
+          (col("id") + 10000000L).as("p_event_id"),
+          timestamp_micros(lit(epoch) + lit(999999999999L)).as("p_ts"),
+          lit(1.0).as("p_value"))
+        val lateC = fresh.select(col("id").as("user_id"),
+          lit("Insert").as("c_op"),
+          (col("id") + 10000000L).as("c_event_id"),
+          timestamp_micros(lit(epoch) + lit(999999999999L)).as("c_ts"))
+        val (_, tTrickle, scanned) = measured {
+          IncrementalJoin.applyBatch(spark, lt, rt, vt,
+            Some(late), Some(lateC), "user_id",
+            Seq("p_ts", "p_event_id"), Seq("c_ts", "c_event_id"),
+            nBuckets = nb, leftOpCol = "p_op", rightOpCol = "c_op")
+        }
+        val vrows = spark.table(vt).count()
+        assert(vrows == nUsers, s"view incomplete: $vrows")
+        println(f"PROBE join_soak    users=$nUsers%7d nBuckets=$nb%4d  " +
+          f"build: $tBuild%6.1f s  view: ${viewBytes / 1e6}%7.1f MB  " +
+          f"trickle: $tTrickle%5.1f s  scanned: ${scanned / 1e6}%7.1f MB")
+        all.foreach(CdcMerge.dropStateTable(spark, _))
+      }
+
+      // --- cdc27 shape: events enriched with nearest order-day agg
+      Seq((200000L, 64), (2000000L, 640)).foreach { case (nEv, nb) =>
+        val nUsers = nEv / 10
+        val (lt, rt, vt) =
+          (s"r11soak_e_$nb", s"r11soak_o_$nb", s"r11soak_nv_$nb")
+        val all = Seq(lt, rt, vt) ++
+          Seq(lt, rt, vt).map(t => s"${t}_stage")
+        all.foreach(CdcMerge.dropStateTable(spark, _))
+        def ev(ids: org.apache.spark.sql.DataFrame) = ids.select(
+          (col("id") % nUsers).as("user_id"),
+          lit("Insert").as("e_op"), col("id").as("event_id"),
+          timestamp_micros(lit(epoch) + col("id") * 1000L).as("ts"))
+        def ord(ids: org.apache.spark.sql.DataFrame) = ids.select(
+          (col("id") % nUsers).as("user_id"),
+          lit("Insert").as("o_op"), col("id").as("o_orderkey"),
+          date_add(lit(java.sql.Date.valueOf("2020-09-13")),
+            (col("id") % 200).cast("int")).as("o_orderdate"))
+        val evRows = spark.range(nEv).toDF()
+        val ordRows = spark.range(nEv / 5).toDF()
+        def prep(r: org.apache.spark.sql.DataFrame) =
+          r.groupBy(col("user_id"), col("o_orderdate"))
+            .agg(count(lit(1)).as("n_orders"))
+        val (_, tBuild, _) = measured {
+          (0 until 3).foreach { i =>
+            IncrementalNearestJoin.applyBatch(spark, lt, rt, vt,
+              Some(ev(evRows.filter(col("id") % 3 === i))),
+              Some(ord(ordRows.filter(col("id") % 3 === i))),
+              "user_id", "event_id", "o_orderkey",
+              Seq("ts", "event_id"), Seq("o_orderdate", "o_orderkey"),
+              "ts", "o_orderdate", Seq("o_orderdate", "n_orders"),
+              rightPrep = prep, nBuckets = nb,
+              leftOpCol = "e_op", rightOpCol = "o_op")
+          }
+        }
+        val viewBytes = spark.table(vt).inputFiles
+          .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+        // trickle: 2 new orders for 2 users — invalidates those
+        // users' events only
+        val lateOrd = spark.range(2).select(
+          (col("id") * (nUsers / 2)).as("user_id"),
+          lit("Insert").as("o_op"),
+          (col("id") + 20000000L).as("o_orderkey"),
+          lit(java.sql.Date.valueOf("2021-06-01")).as("o_orderdate"))
+        val (_, tTrickle, scanned) = measured {
+          IncrementalNearestJoin.applyBatch(spark, lt, rt, vt,
+            None, Some(lateOrd),
+            "user_id", "event_id", "o_orderkey",
+            Seq("ts", "event_id"), Seq("o_orderdate", "o_orderkey"),
+            "ts", "o_orderdate", Seq("o_orderdate", "n_orders"),
+            rightPrep = prep, nBuckets = nb,
+            leftOpCol = "e_op", rightOpCol = "o_op")
+        }
+        val vrows = spark.table(vt).count()
+        assert(vrows == nEv, s"view incomplete: $vrows")
+        println(f"PROBE nearest_soak events=$nEv%7d nBuckets=$nb%4d  " +
+          f"build: $tBuild%6.1f s  view: ${viewBytes / 1e6}%7.1f MB  " +
+          f"trickle: $tTrickle%5.1f s  scanned: ${scanned / 1e6}%7.1f MB")
+        all.foreach(CdcMerge.dropStateTable(spark, _))
+      }
     }
 
     spark.stop()
