@@ -846,16 +846,29 @@ object OpsQueries {
   // same recursive CTE, then the emb29/emb27 logic verbatim on the
   // capped members. Green here = the capped path is not a separate
   // code fork but the same operators with the guard engaged.
-  private def strictMembersCtes(nCells: Int): String = s"""
-      cent AS (
+  /** Deferred-acceptance (strict capacity-bounded) assignment CTEs —
+    * `cent`/`base`/`cap`/`sim`/`assign`/`st`/`fin`/`members`.
+    * `centSql` overrides the centroid CTE body (default: first-k
+    * corpus vectors); `capSql` overrides the capacity expression
+    * evaluated over `base` (default: minimal ceil(n/nCells)). Both
+    * let emb34 replay the pipeline against TRAINED centroids. */
+  private def strictMembersCtes(nCells: Int, centSql: String = "",
+      capSql: String = ""): String = {
+    val cent = if (centSql.nonEmpty) centSql else s"""
         SELECT vec_id AS cid, embedding AS ce,
           ${normSql("embedding", 64)} AS cn
-        FROM embeddings WHERE vec_id < $nCells),
+        FROM embeddings WHERE vec_id < $nCells"""
+    val cap = if (capSql.nonEmpty) capSql
+      else s"CAST((COUNT(*) + ${nCells - 1}) // $nCells AS BIGINT)"
+    s"""
+      cent AS ($cent),""" + strictTailCtes(cap)
+  }
+
+  private def strictTailCtes(capSql: String): String = s"""
       base AS (
         SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
         FROM embeddings),
-      cap AS (SELECT CAST((COUNT(*) + ${nCells - 1}) // $nCells
-          AS BIGINT) AS c FROM base),
+      cap AS (SELECT $capSql AS c FROM base),
       sim AS (
         SELECT b.vec_id, c.cid,
           (${dotSql("b.embedding", "c.ce", 64)}) / (b.en * c.cn)
@@ -951,8 +964,111 @@ object OpsQueries {
         ON best.cid = r.cid AND best.vec_id = r.vec_id
       ORDER BY r.vec_id"""))
 
+  // -------------------------------------------------------------- emb34
+  // The IVF BUILD PIPELINE'S trainable half, oracle-pinned end to
+  // end: k-means‖ seeding (emb23's gate arithmetic, verbatim) → the
+  // top-8 coverage reduction → ONE Lloyd update on the fixed-point
+  // grid (emb09's integer sums, here carried through the float32
+  // centroid reconstitution both engines round identically: exact
+  // BIGINT sums → identical double divides → identical
+  // round-to-nearest-even REAL cast) → strict deferred-acceptance
+  // assignment against the TRAINED centroids at the build's
+  // ceil(1.3·n/8) capacity. This is IvfBuild.trainCentroids +
+  // balancedAssignStrictTo composed — what build() writes as the
+  // serving table, minus the table write SQL cannot observe.
+  private def ivfTrainCtes: String = {
+    val r = 4; val l = 16; val k = 8
+    val gate = l.toLong * (1L << 40)
+    val rounds = (1 to r).map { i =>
+      val prev = s"kc${i - 1}"
+      s"""ka$i AS (
+        SELECT b.vec_id,
+          MAX((${dotSql("b.embedding", "c.embedding", 64)})
+            / (b.n * c.n)) AS mx
+        FROM bset b CROSS JOIN (
+          SELECT bb.embedding, bb.n FROM bset bb
+          JOIN $prev cd ON bb.vec_id = cd.vec_id) c
+        GROUP BY b.vec_id),
+      kd$i AS (
+        SELECT vec_id,
+          CAST(floor((1.0 - mx) * (1.0 - mx) * 1000000000.0)
+            AS BIGINT) AS d2i
+        FROM ka$i),
+      kp$i AS (SELECT SUM(d2i) AS phi FROM kd$i),
+      kc$i AS (
+        SELECT vec_id FROM $prev
+        UNION
+        SELECT d.vec_id FROM kd$i d, kp$i
+        WHERE CAST(CAST(('0x' ||
+            substring(md5(CAST(d.vec_id AS VARCHAR) || ':$i'), 1, 10))
+            AS BIGINT) AS HUGEINT) * kp$i.phi
+          < CAST(d.d2i AS HUGEINT) * $gate)"""
+    }.mkString(",\n      ")
+    val comps = (1 to 64).map(d =>
+      s"""CAST((CAST(SUM(CAST(FLOOR(CAST(a.embedding[$d] AS DOUBLE)
+         | * 1000000.0) AS BIGINT)) AS DOUBLE)
+         | / CAST(COUNT(*) AS DOUBLE)) / 1000000.0 AS REAL)"""
+        .stripMargin.replaceAll("\n", ""))
+      .mkString(",\n          ")
+    s"""bset AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS n
+        FROM embeddings),
+      kc0 AS (SELECT vec_id FROM bset ORDER BY vec_id LIMIT 1),
+      $rounds,
+      kcemb AS (
+        SELECT bb.vec_id AS cid, bb.embedding AS ce, bb.n AS cn
+        FROM bset bb JOIN kc$r cd ON bb.vec_id = cd.vec_id),
+      ksim AS (
+        SELECT b.vec_id, c.cid,
+          (${dotSql("b.embedding", "c.ce", 64)}) / (b.n * c.cn)
+            AS ccos
+        FROM bset b CROSS JOIN kcemb c),
+      kasg AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, cid) AS rn FROM ksim),
+      kw AS (
+        SELECT cid FROM (
+          SELECT cid, COUNT(*) AS w FROM kasg WHERE rn = 1
+          GROUP BY cid ORDER BY w DESC, cid LIMIT $k)),
+      seedc AS (
+        SELECT bb.vec_id AS cid, bb.embedding AS ce, bb.n AS cn
+        FROM bset bb JOIN kw ON bb.vec_id = kw.cid),
+      lsim AS (
+        SELECT b.vec_id, b.embedding, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            (${dotSql("b.embedding", "c.ce", 64)}) / (b.n * c.cn)
+              DESC, c.cid) AS rn
+        FROM bset b CROSS JOIN seedc c),
+      upd AS (
+        SELECT cid, list_value(
+          $comps) AS ce
+        FROM lsim a WHERE rn = 1 GROUP BY cid)"""
+  }
+
+  private val emb34 = GraftQuery(
+    "emb34_ivf_pipeline",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val n = embs.count()
+      val cents = graft.streaming.IvfBuild.trainCentroids(embs,
+        nlist = 8, seedRounds = 4, oversample = 16, lloydIters = 2)
+      SimilarityOps.balancedAssignStrictTo(embs, cents,
+          capacity = (13 * n + 79) / 80, nCentroidsHint = Some(8))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $ivfTrainCtes,
+      ${strictMembersCtes(8,
+        centSql = s"""SELECT cid, ce, ${normSql("ce", 64)} AS cn
+          FROM upd""",
+        capSql = "CAST((13 * COUNT(*) + 79) // 80 AS BIGINT)")}
+      SELECT f.vec_id, a.cid, CAST(f.rnk AS BIGINT) AS rank
+      FROM fin f JOIN assign a
+        ON a.vec_id = f.vec_id AND a.rn = f.rnk
+      ORDER BY f.vec_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
-      emb33)
+      emb33, emb34)
 }
