@@ -854,6 +854,94 @@ object CurationOps {
     (assigned.select(col("vec_id"), col("cid"), col("ccos")), cents)
   }
 
+  /** BPE (byte-pair-encoding) merge-table training over the corpus
+    * vocabulary — the tokenizer-training step of an LLM data
+    * platform, distributed: repeatedly find the most frequent
+    * adjacent symbol pair (weighted by word occurrence count) and
+    * merge it, recording the merge table a tokenizer replays at
+    * encode time. Ref behavior class: stream-cdc has no text
+    * surface; this is part of the LLM-pipeline extension the engine
+    * adds (SURVEY §2.3).
+    *
+    * Semantics (classic Sennrich BPE on the word vocabulary): pair
+    * counts sum `tf` over every adjacent OCCURRENCE in every word;
+    * the winning pair merges greedily left-to-right within each word
+    * ("aaa" + merge (a,a) → "aa","a" — a merged symbol cannot
+    * re-merge with its right neighbor in the same round). Ties break
+    * on (count DESC, left, right) — binary UTF-8 string order on
+    * both engines, so training is deterministic with no RNG.
+    *
+    * Shape at scale: the state is the VOCABULARY (corpus-sublinear —
+    * Heaps' law), not the corpus; one pass builds it, and each merge
+    * round is (a) one map-side-combined pair-count aggregate over
+    * vocab symbol arrays, (b) a 1-row TakeOrdered driver read (the
+    * control-plane scalar, like the NN-descent gain), (c) one narrow
+    * per-word fold (higher-order `aggregate`, no shuffle) applying
+    * the merge. Rounds are inherently sequential (merge i+1's counts
+    * depend on merge i) — that is BPE, not an implementation choice;
+    * at production merge counts (30-50k) batch variants that apply
+    * the top-m non-interacting pairs per round amortize the round
+    * count, at identical per-round cost shape. Per-round state
+    * localCheckpoints with immediate free of the superseded round.
+    * Returns the merge table (merge_rank, lhs, rhs, pair_count),
+    * rank-ordered — nMerges rows, metadata-sized. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    require(nMerges >= 1, "need at least one merge round")
+    val spark = docs.sparkSession
+    var ck = DedupOps.vocab(docs)
+      .select(col("tf"), split(col("word"), "").as("syms"))
+      .localCheckpoint()
+    var state = ck
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val best = state.filter(size(col("syms")) >= 2)
+        .select(col("tf"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          j => struct(element_at(col("syms"), j).as("l"),
+            element_at(col("syms"), j + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("tf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // no pairs left anywhere
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+        merges += ((round.toLong, l, r, c))
+        val (lm, rm, m) = (lit(l), lit(r), lit(l + r))
+        val init = struct(
+          expr("cast(array() as array<string>)").as("out"),
+          lit(null).cast("string").as("prev"))
+        val folded = aggregate(col("syms"), init,
+          (acc, sym) => {
+            val out = acc.getField("out")
+            val prev = acc.getField("prev")
+            when(prev.isNull, struct(out.as("out"), sym.as("prev")))
+              .when(prev === lm && sym === rm,
+                struct(concat(out, array(m)).as("out"),
+                  lit(null).cast("string").as("prev")))
+              .otherwise(struct(concat(out, array(prev)).as("out"),
+                sym.as("prev")))
+          },
+          acc => when(acc.getField("prev").isNull, acc.getField("out"))
+            .otherwise(concat(acc.getField("out"),
+              array(acc.getField("prev")))))
+        val next = state.select(col("tf"), folded.as("syms"))
+          .localCheckpoint()
+        CheckpointBridge.freeLocalCheckpoint(ck)
+        ck = next
+        state = next
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
   /** Bigram language-model fluency score — the perplexity-filter step
     * of a CCNet-style curation pipeline (train an n-gram LM, keep the
     * documents the model finds predictable), with the LM trained on

@@ -1045,6 +1045,62 @@ object OpsQueries {
         FROM lsim a WHERE rn = 1 GROUP BY cid)"""
   }
 
+  // -------------------------------------------------------------- doc40
+  // BPE merge-table training (CurationOps.bpeTrain), FOUR unrolled
+  // rounds: the oracle carries each round's vocabulary as a
+  // SELF-DELIMITED token encoding (chr(2)·tok·chr(3) per symbol) so
+  // one `replace` applies the winning merge with exactly BPE's
+  // greedy left-to-right non-overlap semantics — adjacent matches
+  // share no characters, and "aaa" under (a,a) becomes "aa","a" on
+  // both engines. Ties break (count DESC, l, r) in binary UTF-8
+  // order on both engines; counts are BIGINT-exact.
+  private def bpeRoundCtes(i: Int): String = {
+    val prev = s"e${i - 1}"
+    s"""t$i AS (
+        SELECT tf, string_split(substring(enc, 2, length(enc) - 2),
+          chr(3) || chr(2)) AS syms
+        FROM $prev),
+      p$i AS (
+        SELECT l, r, CAST(SUM(tf) AS BIGINT) AS cnt FROM (
+          SELECT tf,
+            UNNEST(list_slice(syms, 1, len(syms) - 1)) AS l,
+            UNNEST(list_slice(syms, 2, len(syms))) AS r
+          FROM t$i WHERE len(syms) >= 2) q
+        GROUP BY l, r),
+      b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r
+        LIMIT 1),
+      e$i AS (
+        SELECT tf, replace(enc,
+          chr(2) || b.l || chr(3) || chr(2) || b.r || chr(3),
+          chr(2) || b.l || b.r || chr(3)) AS enc
+        FROM $prev, b$i b)"""
+  }
+
+  private val doc40 = GraftQuery(
+    "doc40_bpe_merges",
+    (s, dir) =>
+      CurationOps.bpeTrain(t(s, dir, "documents"), nMerges = 4)
+        .orderBy(col("merge_rank")),
+    Some(s"""
+      WITH w AS (
+        SELECT UNNEST(string_split(text, ' ')) AS word
+        FROM documents),
+      v AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS tf FROM w
+        WHERE length(word) > 0 GROUP BY word),
+      e0 AS (
+        SELECT tf, chr(2) || array_to_string(string_split(word, ''),
+          chr(3) || chr(2)) || chr(3) AS enc
+        FROM v),
+      ${(1 to 4).map(bpeRoundCtes).mkString(",\n      ")}
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
+          cnt AS pair_count FROM b1
+        UNION ALL SELECT 2, l, r, cnt FROM b2
+        UNION ALL SELECT 3, l, r, cnt FROM b3
+        UNION ALL SELECT 4, l, r, cnt FROM b4)
+      ORDER BY merge_rank"""))
+
   private val emb34 = GraftQuery(
     "emb34_ivf_pipeline",
     (s, dir) => {
@@ -1070,5 +1126,5 @@ object OpsQueries {
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
-      emb33, emb34)
+      emb33, emb34, doc40)
 }

@@ -565,6 +565,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(lrec >= 0.95, s"converged recall on structured corpus: $lrec")
   }
 
+  test("bpeTrain: greedy non-overlap, merged symbols chain, ties") {
+    import spark.implicits._
+    // "aaaa" ×3: round 1 pair (a,a) counts 3 occurrences/word ×3
+    // words = 9; greedy left-to-right merge gives "aa","aa" (the
+    // middle overlap is NOT merged), so round 2's best pair is
+    // (aa,aa) — the merged symbol participates in later rounds
+    val aaaa = Seq.fill(3)("aaaa").toDF("text")
+    val m1 = CurationOps.bpeTrain(aaaa, nMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m1.toSeq == Seq((1L, "a", "a", 9L), (2L, "aa", "aa", 3L)))
+    // odd length: "aaa" under (a,a) → "aa","a"; round 2 merges
+    // (aa,a), count = word count
+    val aaa = Seq.fill(2)("aaa").toDF("text")
+    val m2 = CurationOps.bpeTrain(aaa, nMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m2.toSeq == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)))
+    // tie-break: "ab" and "cd" tie at count 1 each; (a,b) < (c,d)
+    // in binary order wins round 1
+    val tie = Seq("ab cd").toDF("text")
+    val m3 = CurationOps.bpeTrain(tie, nMerges = 2).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(m3.toSeq == Seq(("a", "b"), ("c", "d")))
+    // exhaustion: fewer pairs than requested merges stops early
+    val tiny = Seq("xy").toDF("text")
+    assert(CurationOps.bpeTrain(tiny, nMerges = 5).count() == 1)
+    // weighting is by OCCURRENCE (tf), not distinct word: "zz" seen
+    // 5 times beats "qr" seen once
+    val wt = Seq("zz zz zz zz zz qr").toDF("text")
+    val m4 = CurationOps.bpeTrain(wt, nMerges = 1).collect()
+    assert((m4(0).getString(1), m4(0).getString(2),
+      m4(0).getLong(3)) == ("z", "z", 5L))
+  }
+
   test("deletionVariants: exact variant set, count bound holds") {
     import spark.implicits._
     val v = Seq("abc").toDF("word")
