@@ -912,25 +912,8 @@ object CurationOps {
           (best(0).getString(0), best(0).getString(1),
             best(0).getLong(2))
         merges += ((round.toLong, l, r, c))
-        val (lm, rm, m) = (lit(l), lit(r), lit(l + r))
-        val init = struct(
-          expr("cast(array() as array<string>)").as("out"),
-          lit(null).cast("string").as("prev"))
-        val folded = aggregate(col("syms"), init,
-          (acc, sym) => {
-            val out = acc.getField("out")
-            val prev = acc.getField("prev")
-            when(prev.isNull, struct(out.as("out"), sym.as("prev")))
-              .when(prev === lm && sym === rm,
-                struct(concat(out, array(m)).as("out"),
-                  lit(null).cast("string").as("prev")))
-              .otherwise(struct(concat(out, array(prev)).as("out"),
-                sym.as("prev")))
-          },
-          acc => when(acc.getField("prev").isNull, acc.getField("out"))
-            .otherwise(concat(acc.getField("out"),
-              array(acc.getField("prev")))))
-        val next = state.select(col("tf"), folded.as("syms"))
+        val next = state
+          .select(col("tf"), bpeMergeFold(col("syms"), l, r).as("syms"))
           .localCheckpoint()
         CheckpointBridge.freeLocalCheckpoint(ck)
         ck = next
@@ -940,6 +923,70 @@ object CurationOps {
     }
     import spark.implicits._
     merges.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** One BPE merge applied to a symbol array — the greedy
+    * left-to-right fold shared by [[bpeTrain]] (one winning pair per
+    * round) and [[bpeEncode]] (the learned table in rank order): a
+    * merged symbol never re-merges with its right neighbor within
+    * the same pass. Narrow (higher-order `aggregate`) — no shuffle,
+    * no UDF. */
+  private def bpeMergeFold(syms: Column, l: String, r: String)
+      : Column = {
+    val (lm, rm, m) = (lit(l), lit(r), lit(l + r))
+    val init = struct(
+      expr("cast(array() as array<string>)").as("out"),
+      lit(null).cast("string").as("prev"))
+    aggregate(syms, init,
+      (acc, sym) => {
+        val out = acc.getField("out")
+        val prev = acc.getField("prev")
+        when(prev.isNull, struct(out.as("out"), sym.as("prev")))
+          .when(prev === lm && sym === rm,
+            struct(concat(out, array(m)).as("out"),
+              lit(null).cast("string").as("prev")))
+          .otherwise(struct(concat(out, array(prev)).as("out"),
+            sym.as("prev")))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"),
+          array(acc.getField("prev")))))
+  }
+
+  /** Tokenize the corpus with a TRAINED BPE merge table
+    * ([[bpeTrain]]'s output, or any (merge_rank, lhs, rhs) frame) and
+    * report per-document token statistics — the sizing statistic
+    * every training-data pipeline needs before packing
+    * ([[packSequences]] consumes token counts): how many TOKENS is
+    * this corpus under MY tokenizer, not under a whitespace proxy.
+    *
+    * Scale shape: merges apply to the VOCABULARY (corpus-sublinear),
+    * one narrow fold per merge rank — never to the corpus text; the
+    * corpus then equi-joins its word occurrences to the encoded
+    * vocab (plain keyed shuffle, AQE-replannable) and aggregates per
+    * doc. The merge table itself is driver-collected — it is
+    * metadata-sized BY DEFINITION (30-50k rows at production vocab),
+    * the same class as a broadcast centroid set.
+    * Returns (doc_id, n_words, n_tokens). */
+  def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val table = merges.select(col("merge_rank"), col("lhs"),
+        col("rhs")).orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var enc = DedupOps.vocab(docs)
+      .select(col("word"), split(col("word"), "").as("syms"))
+    table.foreach { case (l, r) =>
+      enc = enc.select(col("word"),
+        bpeMergeFold(col("syms"), l, r).as("syms"))
+    }
+    val counts = enc.select(col("word"),
+      size(col("syms")).cast("long").as("n_toks"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("word"))
+      .filter(length(col("word")) > 0)
+      .join(counts, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_tokens"))
   }
 
   /** Bigram language-model fluency score — the perplexity-filter step

@@ -1070,11 +1070,28 @@ object OpsQueries {
       b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r
         LIMIT 1),
       e$i AS (
-        SELECT tf, replace(enc,
+        SELECT word, tf, replace(enc,
           chr(2) || b.l || chr(3) || chr(2) || b.r || chr(3),
           chr(2) || b.l || b.r || chr(3)) AS enc
         FROM $prev, b$i b)"""
   }
+
+  /** Shared BPE oracle chain: vocabulary → self-delimited encoding →
+    * four unrolled merge rounds (`b1`..`b4` = the merge table, `e4` =
+    * the fully-encoded vocabulary). doc40 reads the table; doc41
+    * reads the encoding. */
+  private def bpeCtes: String = s"""
+      w AS (
+        SELECT UNNEST(string_split(text, ' ')) AS word
+        FROM documents),
+      v AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS tf FROM w
+        WHERE length(word) > 0 GROUP BY word),
+      e0 AS (
+        SELECT word, tf, chr(2) || array_to_string(
+          string_split(word, ''), chr(3) || chr(2)) || chr(3) AS enc
+        FROM v),
+      ${(1 to 4).map(bpeRoundCtes).mkString(",\n      ")}"""
 
   private val doc40 = GraftQuery(
     "doc40_bpe_merges",
@@ -1082,17 +1099,7 @@ object OpsQueries {
       CurationOps.bpeTrain(t(s, dir, "documents"), nMerges = 4)
         .orderBy(col("merge_rank")),
     Some(s"""
-      WITH w AS (
-        SELECT UNNEST(string_split(text, ' ')) AS word
-        FROM documents),
-      v AS (
-        SELECT word, CAST(COUNT(*) AS BIGINT) AS tf FROM w
-        WHERE length(word) > 0 GROUP BY word),
-      e0 AS (
-        SELECT tf, chr(2) || array_to_string(string_split(word, ''),
-          chr(3) || chr(2)) || chr(3) AS enc
-        FROM v),
-      ${(1 to 4).map(bpeRoundCtes).mkString(",\n      ")}
+      WITH $bpeCtes
       SELECT * FROM (
         SELECT CAST(1 AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
           cnt AS pair_count FROM b1
@@ -1100,6 +1107,40 @@ object OpsQueries {
         UNION ALL SELECT 3, l, r, cnt FROM b3
         UNION ALL SELECT 4, l, r, cnt FROM b4)
       ORDER BY merge_rank"""))
+
+  // -------------------------------------------------------------- doc41
+  // BPE ENCODE with the trained table (CurationOps.bpeEncode): the
+  // tokenizer applied back to the corpus — per-document token counts
+  // under the learned merges, the sizing statistic sequence packing
+  // (doc12) consumes. Scale-honest: merges apply to the VOCABULARY
+  // (corpus-sublinear), the corpus only equi-joins word occurrences
+  // to the encoded vocab. The oracle reuses the training chain's e4
+  // (fully-encoded vocabulary) — training and encoding MUST agree on
+  // the merge semantics, and sharing the CTEs pins exactly that.
+  private val doc41 = GraftQuery(
+    "doc41_bpe_encode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      CurationOps.bpeEncode(docs,
+          CurationOps.bpeTrain(docs, nMerges = 4))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $bpeCtes,
+      tc AS (
+        SELECT word, CAST(len(string_split(
+          substring(enc, 2, length(enc) - 2), chr(3) || chr(2)))
+          AS BIGINT) AS n_toks
+        FROM e4),
+      occ AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+        FROM documents)
+      SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(tc.n_toks) AS BIGINT) AS n_tokens
+      FROM occ o JOIN tc ON o.word = tc.word
+      WHERE length(o.word) > 0
+      GROUP BY o.doc_id
+      ORDER BY o.doc_id"""))
 
   private val emb34 = GraftQuery(
     "emb34_ivf_pipeline",
@@ -1126,5 +1167,5 @@ object OpsQueries {
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
-      emb33, emb34, doc40)
+      emb33, emb34, doc40, doc41)
 }

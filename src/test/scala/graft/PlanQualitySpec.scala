@@ -104,7 +104,17 @@ class PlanQualitySpec extends SparkSpec {
       // emb29: kNN graph — the emb04/emb08-class ≤8-row centroid
       // broadcast for cell assignment; candidate generation is a cid
       // equi-join, ranking a per-vector window
-      "emb29_knn_graph")
+      "emb29_knn_graph",
+      // emb32/emb33: the capped variants of emb29/emb27 — the same
+      // ≤8-row centroid broadcast, now through balancedAssignStrict's
+      // ranked-choice pass (the emb25 class); the pairwise stages
+      // stay cid equi-joins
+      "emb32_knn_graph_capped", "emb33_semdedup_capped",
+      // emb34: the IVF training pipeline — the emb23-class candidate
+      // broadcast (seeding), the emb08-class ≤8-row centroid
+      // broadcasts (Lloyd + the strict ranked-choice pass); nothing
+      // corpus-sized ever builds a nested loop
+      "emb34_ivf_pipeline")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
