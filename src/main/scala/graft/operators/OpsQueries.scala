@@ -964,6 +964,96 @@ object OpsQueries {
         ON best.cid = r.cid AND best.vec_id = r.vec_id
       ORDER BY r.vec_id"""))
 
+  // ---------------------------------------------------- doc42 / cdc35
+  // Bloom membership filter — the MEMBERSHIP member of the sketch
+  // family (q57 HLL, q58 KMV, doc39 CMS): d=3 seeded hashes into
+  // m=1024 bits over the EVAL vocabulary (the doc13 decontamination
+  // gate, doc_id % 97), probed by the full corpus vocabulary. The
+  // no-false-negative guarantee is pinned per word (fn_ok), and the
+  // false positives themselves hash-match because both engines
+  // replay the same seeded bits. cdc35 serves the same report from
+  // the INCREMENTALLY maintained bit table — set union is
+  // associative/commutative/idempotent, so batched == one-shot
+  // bit-exactly (the cdc30 HLL argument, at membership grain).
+  private val bloomOracle = s"""
+      WITH ${LlmQueries.bigramShCtes},
+      vocab AS (SELECT DISTINCT shingle FROM sh),
+      mem AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      bits AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(
+            CAST(t.j AS VARCHAR) || ':' || shingle), 1, 10))
+          AS BIGINT) % 1024 AS bit
+        FROM mem, range(0, 3) t(j)),
+      probes AS (
+        SELECT v.shingle, t.j,
+          CAST(('0x' || substring(md5(
+              CAST(t.j AS VARCHAR) || ':' || v.shingle), 1, 10))
+            AS BIGINT) % 1024 AS bit
+        FROM vocab v, range(0, 3) t(j)),
+      mc AS (
+        SELECT p.shingle, COUNT(b.bit) = 3 AS might_contain
+        FROM probes p LEFT JOIN bits b ON b.bit = p.bit
+        GROUP BY p.shingle)
+      SELECT v.shingle, m.shingle IS NOT NULL AS is_member,
+        mc.might_contain,
+        (m.shingle IS NULL OR mc.might_contain) AS fn_ok
+      FROM vocab v
+      LEFT JOIN mem m ON m.shingle = v.shingle
+      JOIN mc ON mc.shingle = v.shingle
+      ORDER BY v.shingle"""
+
+  private def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions
+        .bigramShingles(col("text"))).as("shingle"))
+
+  private def bloomReport(docs: DataFrame, bits: DataFrame)
+      : DataFrame = {
+    val sh = docShingles(docs)
+    val vocab = sh.select("shingle").distinct()
+    val mem = sh.filter(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+    val mc = SketchOps.bloomMightContain(bits, vocab, "shingle")
+    vocab
+      .join(mem.withColumn("_m", lit(1L)), Seq("shingle"),
+        "left_outer")
+      .select(col("shingle"), col("_m").isNotNull.as("is_member"))
+      .join(mc, col("shingle") === mc("item"))
+      .select(col("shingle"), col("is_member"), col("might_contain"),
+        (!col("is_member") || col("might_contain")).as("fn_ok"))
+      .orderBy(col("shingle"))
+  }
+
+  private val doc42 = GraftQuery(
+    "doc42_bloom_membership",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mem = docShingles(docs.filter(col("doc_id") % 97 === 0))
+      bloomReport(docs, SketchOps.bloomBits(mem, "shingle"))
+    },
+    Some(bloomOracle))
+
+  private val cdc35 = GraftQuery(
+    "cdc35_incremental_bloom",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc35_bits"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docShingles(
+        docs.filter($"doc_id" % 97 === 0 && pmod($"doc_id", lit(3)) === i))
+      Seq(0, 1, 1, 2).zipWithIndex.foreach { case (p, bid) =>
+        // the replayed batch re-sends p=1 under its ORIGINAL id 1
+        val id = if (bid == 2) 1L else bid.toLong
+        graft.streaming.IncrementalBloom.applyBatch(s, table, part(p),
+          "shingle", id)
+      }
+      bloomReport(docs,
+        graft.streaming.IncrementalBloom.readBits(s, table))
+    },
+    Some(bloomOracle))
+
   // -------------------------------------------------------------- emb34
   // The IVF BUILD PIPELINE'S trainable half, oracle-pinned end to
   // end: k-means‖ seeding (emb23's gate arithmetic, verbatim) → the
@@ -1167,5 +1257,5 @@ object OpsQueries {
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
-      emb33, emb34, doc40, doc41)
+      emb33, emb34, doc40, doc41, doc42, cdc35)
 }

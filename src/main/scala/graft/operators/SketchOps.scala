@@ -92,6 +92,49 @@ object SketchOps {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Bloom filter bit set over a member stream — the MEMBERSHIP
+    * member of the sketch family (q57 HLL = distinct counts, q58 KMV
+    * = set algebra, doc39 CMS = frequencies, this = "have I seen this
+    * item?"): `d` seeded hashes (the CMS seed discipline — u40 of
+    * "j:item") map each member into an `m`-bit array; the state is
+    * the DISTINCT set bits, ≤ m rows forever whatever the stream —
+    * the cross-snapshot dedup / decontamination primitive at 100 TB,
+    * where the exact member set is a join nobody wants to ship.
+    * Built by one map-side-combined distinct over the exploded
+    * probes. Returns the set bits as a (bit) frame. */
+  def bloomBits(items: DataFrame, itemCol: String, d: Int = 3,
+      m: Int = 1024): DataFrame = {
+    require(d >= 1 && m >= 2, "need d >= 1 hashes and m >= 2 bits")
+    items
+      .select(posexplode(array((0 until d).map(j =>
+        pmod(u40(concat(lit(s"$j:"), col(itemCol).cast("string"))),
+          lit(m.toLong))): _*)).as(Seq("j", "bit")))
+      .select(col("bit")).distinct()
+  }
+
+  /** Membership probe: an item MIGHT be a member iff all `d` of its
+    * bits are set. No false negatives ever (a member's bits were all
+    * set at build time — the guarantee the doc42 oracle pins
+    * structurally); false positives at the classic (1−e^(−dn/m))^d
+    * rate, and both engines replay the same hashes so even the FP
+    * rows hash-match. The bit frame is ≤ m rows — broadcast-sized at
+    * any corpus. Returns (item, might_contain). */
+  def bloomMightContain(bits: DataFrame, queries: DataFrame,
+      itemCol: String, d: Int = 3, m: Int = 1024): DataFrame = {
+    val probes = queries
+      .select(col(itemCol).as("item"))
+      .distinct()
+      .select(col("item"), posexplode(array((0 until d).map(j =>
+        pmod(u40(concat(lit(s"$j:"), col("item").cast("string"))),
+          lit(m.toLong))): _*)).as(Seq("j", "bit")))
+      .select(col("item"), col("bit"))
+    probes
+      .join(broadcast(bits.withColumn("_hit", lit(1L))), Seq("bit"),
+        "left_outer")
+      .groupBy("item")
+      .agg((count(col("_hit")) === d).as("might_contain"))
+  }
+
   /** KMV sketch: the `k` smallest 40-bit hashes of the column's
     * DISTINCT values, as a k-row (h) frame. Plans as distinct →
     * TakeOrderedAndProject — no global sort, no single-task window. */
