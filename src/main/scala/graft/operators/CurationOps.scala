@@ -854,6 +854,52 @@ object CurationOps {
     (assigned.select(col("vec_id"), col("cid"), col("ccos")), cents)
   }
 
+  /** Label-margin audit — noisy-label detection over a labeled
+    * embedding corpus (confident-learning-lite): build one centroid
+    * per LABEL on the [[centroidSums]] fixed-point grid, then score
+    * every labeled vector by its cosine margin between its OWN
+    * label's centroid and the best RIVAL centroid. A negative margin
+    * = the vector sits closer to another label's mass than its own —
+    * the standard shortlist for relabeling/review before a training
+    * run trusts the labels. Margins ship as truncating integer ppm
+    * (the float-free reporting doctrine); the centroid float32
+    * reconstitution is cross-engine exact (the emb34 argument:
+    * BIGINT sums → identical double divides → identical RTNE casts).
+    *
+    * Shape at scale: one map-side-combined k·dim aggregate builds
+    * the label centroids (label-count-sized — broadcast), one corpus
+    * scan scores all labels per vector, two per-vector windows pick
+    * own/rival. No pairwise work anywhere.
+    * Returns (vec_id, label, rival_label, margin_ppm, suspect). */
+  def labelMarginAudit(embs: DataFrame, dim: Int = 64,
+      scale: Long = 1000000L): DataFrame = {
+    val cents = updateCentroids(
+      embs.select(col("label").cast("long").as("cid"),
+        col("embedding")), dim, scale)
+      .select(col("cid"), col("ce"))
+    val scored = SimilarityOps.assignToCentroids(embs, cents, dim)
+    val lab = embs.select(col("vec_id"),
+      col("label").cast("long").as("label"))
+    val sc = scored.join(lab, Seq("vec_id"))
+    val own = sc.filter(col("cid") === col("label"))
+      .select(col("vec_id"), col("label"), col("ccos").as("own_cos"))
+    val wRival = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val rival = sc.filter(col("cid") =!= col("label"))
+      .withColumn("orn",
+        org.apache.spark.sql.functions.row_number().over(wRival))
+      .filter(col("orn") === 1)
+      .select(col("vec_id"), col("cid").as("rival_label"),
+        col("ccos").as("rival_cos"))
+    own.join(rival, Seq("vec_id"))
+      .withColumn("margin_ppm",
+        floor((col("own_cos") - col("rival_cos")) * 1000000)
+          .cast("long"))
+      .select(col("vec_id"), col("label"), col("rival_label"),
+        col("margin_ppm"), (col("margin_ppm") < 0).as("suspect"))
+  }
+
   /** BPE (byte-pair-encoding) merge-table training over the corpus
     * vocabulary — the tokenizer-training step of an LLM data
     * platform, distributed: repeatedly find the most frequent

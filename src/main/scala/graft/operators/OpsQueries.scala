@@ -1066,6 +1066,18 @@ object OpsQueries {
   // ceil(1.3·n/8) capacity. This is IvfBuild.trainCentroids +
   // balancedAssignStrictTo composed — what build() writes as the
   // serving table, minus the table write SQL cannot observe.
+  /** The 64 fixed-point-mean centroid components of
+    * [[CurationOps.updateCentroids]] in SQL — BIGINT sums → double
+    * divide → RTNE REAL cast, bit-exact cross-engine (shared by
+    * emb34's Lloyd update and emb36's per-label centroids). */
+  private def fpMeanComps(alias: String): String =
+    (1 to 64).map(d =>
+      s"""CAST((CAST(SUM(CAST(FLOOR(CAST($alias.embedding[$d] AS DOUBLE)
+         | * 1000000.0) AS BIGINT)) AS DOUBLE)
+         | / CAST(COUNT(*) AS DOUBLE)) / 1000000.0 AS REAL)"""
+        .stripMargin.replaceAll("\n", ""))
+      .mkString(",\n          ")
+
   private def ivfTrainCtes: String = {
     val r = 4; val l = 16; val k = 8
     val gate = l.toLong * (1L << 40)
@@ -1094,12 +1106,7 @@ object OpsQueries {
             AS BIGINT) AS HUGEINT) * kp$i.phi
           < CAST(d.d2i AS HUGEINT) * $gate)"""
     }.mkString(",\n      ")
-    val comps = (1 to 64).map(d =>
-      s"""CAST((CAST(SUM(CAST(FLOOR(CAST(a.embedding[$d] AS DOUBLE)
-         | * 1000000.0) AS BIGINT)) AS DOUBLE)
-         | / CAST(COUNT(*) AS DOUBLE)) / 1000000.0 AS REAL)"""
-        .stripMargin.replaceAll("\n", ""))
-      .mkString(",\n          ")
+    val comps = fpMeanComps("a")
     s"""bset AS (
         SELECT vec_id, embedding, ${normSql("embedding", 64)} AS n
         FROM embeddings),
@@ -1254,8 +1261,123 @@ object OpsQueries {
         ON a.vec_id = f.vec_id AND a.rn = f.rnk
       ORDER BY f.vec_id"""))
 
+  // -------------------------------------------------------------- emb35
+  // kNN LABEL PROPAGATION (SimilarityOps.knnClassify) — auto-labeling
+  // at corpus scale: the 20% of vectors gated "unlabeled"
+  // (vec_id % 5 = 0) receive the majority label of their 5 nearest
+  // LABELED neighbors through the emb29 cell-bounded candidate shape
+  // (probes rank nProbe=2 cells, members are labeled rank-1
+  // occupants, cid equi-join — never n²). The oracle replays
+  // assignment, probing, top-k and the vote with its deterministic
+  // tie chain (count DESC, label; cos DESC, nbr_id). correct grades
+  // the propagation against the held-back truth per row.
+  private val emb35 = GraftQuery(
+    "emb35_knn_classify",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      SimilarityOps.knnClassify(embs,
+          labeledFilter = col("vec_id") % 5 =!= 0)
+        .join(embs.select(col("vec_id"),
+          col("label").cast("long").as("true_label")), Seq("vec_id"))
+        .select(col("vec_id"), col("true_label"), col("pred_label"),
+          col("n_votes"),
+          (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+          ${normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding, label,
+          ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      sim AS (
+        SELECT b.vec_id, b.embedding, b.en, b.label, c.cid,
+          (${dotSql("b.embedding", "c.ce", 64)}) / (b.en * c.cn)
+            AS ccos
+        FROM base b CROSS JOIN cent c),
+      asg AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, cid) AS rn
+        FROM sim),
+      members AS (
+        SELECT cid, vec_id AS nbr_id, embedding AS m_emb,
+          en AS m_en, label
+        FROM asg WHERE rn = 1 AND vec_id % 5 <> 0),
+      probes AS (
+        SELECT vec_id, embedding, en, cid
+        FROM asg WHERE rn <= 2 AND vec_id % 5 = 0),
+      cand AS (
+        SELECT p.vec_id, m.nbr_id, m.label,
+          (${dotSql("p.embedding", "m.m_emb", 64)})
+            / (p.en * m.m_en) AS cos
+        FROM probes p JOIN members m ON m.cid = p.cid),
+      topk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, nbr_id) AS rnk
+        FROM cand),
+      votes AS (
+        SELECT vec_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM topk WHERE rnk <= 5 GROUP BY vec_id, label),
+      win AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS pred_label, n_votes,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY n_votes DESC, label) AS vr
+        FROM votes)
+      SELECT w.vec_id, CAST(e.label AS BIGINT) AS true_label,
+        w.pred_label, w.n_votes,
+        w.pred_label = CAST(e.label AS BIGINT) AS correct
+      FROM win w JOIN embeddings e ON e.vec_id = w.vec_id
+      WHERE w.vr = 1
+      ORDER BY w.vec_id"""))
+
+  // -------------------------------------------------------------- emb36
+  // LABEL-MARGIN AUDIT (CurationOps.labelMarginAudit) — noisy-label
+  // detection: one fixed-point centroid PER LABEL (the emb34 float32
+  // reconstitution, bit-exact cross-engine), every labeled vector
+  // scored by own-centroid cosine minus best-rival cosine, shipped
+  // as truncating integer ppm. Negative margin = the relabel/review
+  // shortlist a training run wants before trusting labels.
+  private val emb36 = GraftQuery(
+    "emb36_label_margin",
+    (s, dir) =>
+      CurationOps.labelMarginAudit(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id")),
+    Some(s"""
+      WITH cent AS (
+        SELECT CAST(a.label AS BIGINT) AS cid, list_value(
+          ${fpMeanComps("a")}) AS ce
+        FROM embeddings a GROUP BY a.label),
+      centn AS (
+        SELECT cid, ce, ${normSql("ce", 64)} AS cn FROM cent),
+      base AS (
+        SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
+          ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      sim AS (
+        SELECT b.vec_id, b.label, c.cid,
+          (${dotSql("b.embedding", "c.ce", 64)}) / (b.en * c.cn)
+            AS ccos
+        FROM base b CROSS JOIN centn c),
+      own AS (
+        SELECT vec_id, label, ccos AS own_cos
+        FROM sim WHERE cid = label),
+      riv AS (
+        SELECT vec_id, cid AS rival_label, ccos AS rival_cos,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY ccos DESC, cid) AS orn
+        FROM sim WHERE cid <> label)
+      SELECT o.vec_id, o.label, r.rival_label,
+        CAST(FLOOR((o.own_cos - r.rival_cos) * 1000000) AS BIGINT)
+          AS margin_ppm,
+        FLOOR((o.own_cos - r.rival_cos) * 1000000) < 0 AS suspect
+      FROM own o JOIN riv r ON r.vec_id = o.vec_id AND r.orn = 1
+      ORDER BY o.vec_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
-      emb33, emb34, doc40, doc41, doc42, cdc35)
+      emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36)
 }

@@ -1068,6 +1068,50 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
   }
 
+  /** kNN LABEL PROPAGATION — auto-labeling / weak supervision at
+    * corpus scale: vectors matching `labeledFilter` keep their
+    * `label`; every OTHER vector receives the majority label of its
+    * `k` nearest labeled neighbors (cosine), found through the same
+    * cell-bounded candidate generation as [[knnGraph]] (probes rank
+    * their `nProbe` nearest cells; members are the LABELED rank-1
+    * cell occupants — a cid equi-join, never n²). Vote ties break
+    * (count DESC, label ASC); neighbor ties (cos DESC, nbr_id) — no
+    * RNG anywhere. A probe whose probed cells hold no labeled member
+    * gets no row (raise nProbe to cover it). The standard first pass
+    * of a labeling pipeline: propagate cheap labels, then audit the
+    * disagreements. Returns (vec_id, pred_label, n_votes). */
+  def knnClassify(embs: DataFrame, labeledFilter: Column,
+      dim: Int = 64, nCentroids: Int = 8, nProbe: Int = 2,
+      k: Int = 5): DataFrame = {
+    val ranked = rankedCellAssignments(embs, dim, nCentroids)
+    val members = ranked.filter(col("rn") === 1)
+      .join(embs.filter(labeledFilter)
+        .select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("nbr_id"),
+        col("embedding").as("m_emb"), col("en").as("m_en"),
+        col("label"))
+    val probes = ranked.filter(col("rn") <= nProbe)
+      .join(embs.filter(!labeledFilter).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"), col("en"), col("cid"))
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    val topk = probes.join(members, Seq("cid"))
+      .select(col("vec_id"), col("nbr_id"), col("label"),
+        (dot(col("embedding"), col("m_emb"), dim) /
+          (col("en") * col("m_en"))).as("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+    val wVote = Window.partitionBy(col("vec_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    topk.groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("vec_id"),
+        col("label").cast("long").as("pred_label"), col("n_votes"))
+  }
+
   /** One NN-DESCENT refinement step over a k-NN graph: candidates =
     * the undirected neighborhood (graph ∪ reversed graph) plus its
     * one-hop expansion ("my neighbor's neighbors are probably my

@@ -600,6 +600,31 @@ class LlmOpsSpec extends SparkSpec {
       m4(0).getLong(3)) == ("z", "z", 5L))
   }
 
+  test("labelMarginAudit flags the planted flip; knnClassify " +
+      "recovers held-back labels") {
+    import spark.implicits._
+    // two tight clusters in 64-d; vector 17 carries the WRONG label
+    def vec(base: Int, i: Int) = Array.tabulate(64)(d =>
+      (if (d == base) 10f else 0f) + ((i * 7 + d) % 5) * 0.01f)
+    val rows = (0L until 40L).map { i =>
+      val cluster = (i % 2).toInt
+      val label = if (i == 17L) 1 - cluster else cluster
+      (i, vec(cluster, i.toInt), label)
+    }
+    val embs = rows.toDF("vec_id", "embedding", "label")
+    val audit = CurationOps.labelMarginAudit(embs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(audit(17L), "planted flip not flagged")
+    assert(audit.count(_._2) <= 3,
+      s"suspect list too long: ${audit.filter(_._2).keys.toSeq.sorted}")
+    // propagate labels to the held-back 20%: every one recovers its
+    // cluster despite the one polluted vote vector 17 contributes
+    val pred = SimilarityOps.knnClassify(embs, $"vec_id" % 5 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pred.size == 8)
+    pred.foreach { case (v, p) => assert(p == v % 2, s"vec $v") }
+  }
+
   test("deletionVariants: exact variant set, count bound holds") {
     import spark.implicits._
     val v = Seq("abc").toDF("word")
