@@ -117,10 +117,16 @@ object SketchOps {
     * set at build time — the guarantee the doc42 oracle pins
     * structurally); false positives at the classic (1−e^(−dn/m))^d
     * rate, and both engines replay the same hashes so even the FP
-    * rows hash-match. The bit frame is ≤ m rows — broadcast-sized at
-    * any corpus. Returns (item, might_contain). */
+    * rows hash-match. Sizing honesty: the bit frame is ≤ m rows, and
+    * `broadcastBits` (default) is right while m fits an executor —
+    * a 10⁹-member set at 1% FP wants m ≈ 10¹⁰, where the probe must
+    * instead run as the plain keyed equi-join on `bit` (pass
+    * `broadcastBits = false` and let AQE pick), ideally over a
+    * word-packed (bit div 64 → OR mask) representation that cuts the
+    * frame 64×. Returns (item, might_contain). */
   def bloomMightContain(bits: DataFrame, queries: DataFrame,
-      itemCol: String, d: Int = 3, m: Int = 1024): DataFrame = {
+      itemCol: String, d: Int = 3, m: Int = 1024,
+      broadcastBits: Boolean = true): DataFrame = {
     val probes = queries
       .select(col(itemCol).as("item"))
       .distinct()
@@ -128,9 +134,10 @@ object SketchOps {
         pmod(u40(concat(lit(s"$j:"), col("item").cast("string"))),
           lit(m.toLong))): _*)).as(Seq("j", "bit")))
       .select(col("item"), col("bit"))
+    val hitSide = bits.withColumn("_hit", lit(1L))
     probes
-      .join(broadcast(bits.withColumn("_hit", lit(1L))), Seq("bit"),
-        "left_outer")
+      .join(if (broadcastBits) broadcast(hitSide) else hitSide,
+        Seq("bit"), "left_outer")
       .groupBy("item")
       .agg((count(col("_hit")) === d).as("might_contain"))
   }

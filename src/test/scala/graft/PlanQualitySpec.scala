@@ -114,7 +114,12 @@ class PlanQualitySpec extends SparkSpec {
       // broadcast (seeding), the emb08-class ≤8-row centroid
       // broadcasts (Lloyd + the strict ranked-choice pass); nothing
       // corpus-sized ever builds a nested loop
-      "emb34_ivf_pipeline")
+      "emb34_ivf_pipeline",
+      // emb35/emb36: label propagation / label-margin audit — the
+      // emb08-class centroid broadcast (8 cell seeds; 10 per-label
+      // centroids); candidates and margins flow through equi-joins
+      // and per-vector windows only
+      "emb35_knn_classify", "emb36_label_margin")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
