@@ -1077,14 +1077,18 @@ object SimilarityOps {
     * cell occupants — a cid equi-join, never n²). Vote ties break
     * (count DESC, label ASC); neighbor ties (cos DESC, nbr_id) — no
     * RNG anywhere. A probe whose probed cells hold no labeled member
-    * gets no row (raise nProbe to cover it). The standard first pass
-    * of a labeling pipeline: propagate cheap labels, then audit the
+    * gets no row (raise nProbe to cover it). `capacity` engages the
+    * same skew guard the other cell-quadratic operators carry
+    * ([[cellMembers]] → strict deferred acceptance): per-cell
+    * member count ≤ cap, so a hot cluster cannot make one cell's
+    * probe×member term the straggler. The standard first pass of a
+    * labeling pipeline: propagate cheap labels, then audit the
     * disagreements. Returns (vec_id, pred_label, n_votes). */
   def knnClassify(embs: DataFrame, labeledFilter: Column,
       dim: Int = 64, nCentroids: Int = 8, nProbe: Int = 2,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, capacity: Option[Long] = None): DataFrame = {
     val ranked = rankedCellAssignments(embs, dim, nCentroids)
-    val members = ranked.filter(col("rn") === 1)
+    val members = cellMembers(embs, dim, nCentroids, capacity)
       .join(embs.filter(labeledFilter)
         .select(col("vec_id"), col("label")), Seq("vec_id"))
       .select(col("cid"), col("vec_id").as("nbr_id"),

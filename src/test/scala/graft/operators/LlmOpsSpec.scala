@@ -623,6 +623,12 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(pred.size == 8)
     pred.foreach { case (v, p) => assert(p == v % 2, s"vec $v") }
+    // the capacity skew guard at a non-binding cap changes nothing
+    // (20 per cluster ≤ cap → strict assignment = nearest assignment)
+    val predCap = SimilarityOps.knnClassify(embs,
+        $"vec_id" % 5 =!= 0, capacity = Some(20L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(predCap == pred)
   }
 
   test("deletionVariants: exact variant set, count bound holds") {
