@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over corpus-derived graphs (the emb29 kNN graph,
+  * the doc17 duplicate graph): PageRank centrality for
+  * REPRESENTATIVENESS-aware selection — pick the documents/vectors
+  * the rest of the corpus points at, the graph-native complement of
+  * the doc30 DSIR importance weights — and triangle counting /
+  * clustering coefficients, the local-density audit that separates
+  * "this vector sits in a tight near-dup clump" from "this vector
+  * bridges unrelated regions" (reference has no graph surface; these
+  * are the standard corpus-graph curation primitives).
+  *
+  * Determinism doctrine (the doc23 float-free rule for every
+  * aggregated value): PageRank mass is BIGINT fixed-point at
+  * `scale` parts (default 10¹²); per-edge contributions are
+  * TRUNCATING integer divisions, so partial-aggregated BIGINT sums
+  * associate — partition order cannot flip a digit, and DuckDB
+  * replays the identical arithmetic. Truncation leaks ≤ outdeg-1
+  * parts per vertex per round — a bias of ~10⁻¹² of total mass,
+  * bought for cross-engine bit-equality.
+  *
+  * Scale shape: one iteration of PageRank = one equi-join
+  * (edges ⋈ rank on src; edges pre-carry outdeg) + one map-side-
+  * combined sum by dst — the classic sparse mat-vec; edges can be
+  * bucketed by src so the join side never reshuffles across
+  * iterations. Triangle counting uses the degree-ordered
+  * orientation (each undirected edge directed toward the higher
+  * (deg, id) endpoint), which bounds every vertex's oriented
+  * out-degree by O(√m) — wedge volume Σ outdeg² stays
+  * O(m^{3/2}) on ANY degree distribution (the power-law corpus
+  * case), where the naive all-wedges count explodes on hubs. All
+  * joins are equi-joins on vertex ids.
+  */
+object GraphOps {
+
+  /** PageRank with `iters` unrolled iterations over a directed edge
+    * list, in exact BIGINT fixed-point.
+    *
+    * @param edges    (src, dst) BIGINT pairs; parallel edges count
+    *                 once each (dedupe upstream if unwanted).
+    * @param vertices one (vid) row per vertex (vertices with no
+    *                 out-edge are DANGLING: their mass leaks rather
+    *                 than redistributing — documented trade; the kNN
+    *                 graph has none, every vector emits k edges).
+    * @param dampPct  damping in percent (classic 85).
+    * @param scale    fixed-point denominator: rank is "parts of
+    *                 `scale`", initialized at scale div n.
+    * @return (vid, deg_out, pr) — pr after `iters` rounds.
+    */
+  def pageRank(edges: DataFrame, vertices: DataFrame, iters: Int = 3,
+      dampPct: Long = 85L, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val n1 = vertices.agg(count(lit(1)).as("n"))
+    val verts = vertices.crossJoin(broadcast(n1))
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg_out"))
+    // teleport term: ((scale·(100−damp)) div 100) div n — fixed per
+    // vertex across rounds
+    val base = verts.select(col("vid"), col("n"),
+      expr(s"((${scale}L * ${100 - dampPct}L) div 100L) div n")
+        .as("tele"))
+    // edges pre-joined with outdeg once; reused every round
+    val ed = edges.join(outdeg, Seq("src"))
+    var pr = base.select(col("vid"),
+      expr(s"${scale}L div n").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(pr.select(col("vid").as("src"), col("pr")), Seq("src"))
+        .select(col("dst").as("vid"),
+          expr("pr div deg_out").as("c"))
+        .groupBy("vid").agg(sum(col("c")).as("s"))
+      pr = base.join(contrib, Seq("vid"), "left_outer")
+        .select(col("vid"),
+          (col("tele") +
+            expr(s"(${dampPct}L * coalesce(s, 0L)) div 100L"))
+            .as("pr"))
+    }
+    pr.join(outdeg.select(col("src").as("vid"), col("deg_out")),
+        Seq("vid"), "left_outer")
+      .select(col("vid"), coalesce(col("deg_out"), lit(0L))
+        .as("deg_out"), col("pr"))
+  }
+
+  /** Per-vertex triangle count + clustering coefficient over the
+    * UNDIRECTED closure of a directed edge list (edges symmetrized,
+    * self-loops dropped, each unordered pair kept once).
+    *
+    * Orientation: every undirected edge {u,v} is directed toward the
+    * endpoint with the larger (degree, id) key; a triangle {a,b,c}
+    * is counted exactly once as the wedge (a→b, a→c) with ord(b) <
+    * ord(c) closed by the oriented edge (b→c). Join work: wedge
+    * generation is a self-equi-join on the wedge apex, Σ outdeg²
+    * with outdeg ≤ O(√m) by the orientation; the closing probe is an
+    * equi-join on (b,c).
+    *
+    * Clustering coefficient in truncating ppm:
+    * cc = (2·10⁶·tri) div (deg·(deg−1)) for deg ≥ 2, else 0.
+    * Output has one row per vertex WITH at least one edge (isolated
+    * vertices have no triangles and no coefficient to report).
+    * Returns (vid, deg, n_tri, cc_ppm). */
+  def triangles(edges: DataFrame): DataFrame = {
+    // undirected edge set: {u,v} once, u < v
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    // undirected degree
+    val deg = und.select(col("u").as("vid"))
+      .unionByName(und.select(col("v").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("deg"))
+    // total order key ord = (deg, vid); orient low → high
+    val du = deg.select(col("vid").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("vid").as("v"), col("deg").as("dv"))
+    val oriented = und.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+    // wedge (a→b, a→c), ord(b) < ord(c): both endpoints carry their
+    // (deg, id) key so the wedge dedup needs no extra join
+    val ob = oriented.join(
+      deg.select(col("vid").as("b"), col("deg").as("db")), Seq("b"))
+    val w1 = ob.select(col("a"), col("b"), col("db"))
+    val w2 = ob.select(col("a"), col("b").as("c"), col("db").as("dc"))
+    val wedges = w1.join(w2, Seq("a"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("a"), col("b"), col("c"))
+    // close the wedge: oriented edge (b→c) must exist
+    val closing = oriented.select(col("a").as("b"), col("b").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+    // each triangle credits all three corners
+    val perVertex = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vid"))
+      .groupBy("vid").agg(count(lit(1)).as("n_tri"))
+    deg.join(perVertex, Seq("vid"), "left_outer")
+      .select(col("vid"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_ppm",
+        when(col("deg") >= 2,
+          expr("(2000000L * n_tri) div (deg * (deg - 1L))"))
+          .otherwise(lit(0L)))
+  }
+}

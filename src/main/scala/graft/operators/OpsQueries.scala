@@ -1376,8 +1376,125 @@ object OpsQueries {
       FROM own o JOIN riv r ON r.vec_id = o.vec_id AND r.orn = 1
       ORDER BY o.vec_id"""))
 
+  // -------------------------------------------------------------- emb37
+  // PAGERANK over the emb29 kNN graph (GraphOps.pageRank) —
+  // representativeness-aware selection: rank each vector by how much
+  // of the corpus points AT it through nearest-neighbor edges, the
+  // graph-native complement of DSIR importance (doc30). Mass is
+  // BIGINT fixed-point (10¹² parts) with truncating per-edge
+  // divisions, so the sums associate and DuckDB replays the
+  // identical arithmetic — three unrolled sparse mat-vec rounds,
+  // each one edges⋈rank equi-join + one map-side-combined sum.
+  private def pageRankIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      val prev = s"pr${i - 1}"
+      s"""c$i AS (
+        SELECT e.dst AS vid, CAST(SUM(p.pr // e.deg_out) AS BIGINT) AS s
+        FROM ed e JOIN $prev p ON p.vid = e.src
+        GROUP BY e.dst),
+      pr$i AS (
+        SELECT b.vid, b.tele + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        FROM prb b LEFT JOIN c$i c ON c.vid = b.vid)"""
+    }.mkString(",\n      ")
+
+  private val emb37 = GraftQuery(
+    "emb37_graph_pagerank",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.pageRank(edges,
+          embs.select(col("vec_id").as("vid")), iters = 3)
+        .orderBy(col("vid"))
+    },
+    Some(s"""
+      WITH ${knnGraphCtes(nProbe = 2)},
+      edges AS (
+        SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
+      verts AS (SELECT vec_id AS vid FROM embeddings),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
+      outdeg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg_out
+        FROM edges GROUP BY src),
+      prb AS (
+        SELECT v.vid,
+          ((1000000000000 * 15) // 100) // nn.n AS tele,
+          1000000000000 // nn.n AS p0
+        FROM verts v, nn),
+      ed AS (
+        SELECT e.src, e.dst, o.deg_out
+        FROM edges e JOIN outdeg o ON o.src = e.src),
+      pr0 AS (SELECT vid, p0 AS pr FROM prb),
+      ${pageRankIterCtes(3)}
+      SELECT p.vid, COALESCE(o.deg_out, 0) AS deg_out, p.pr
+      FROM pr3 p LEFT JOIN outdeg o ON o.src = p.vid
+      ORDER BY p.vid"""))
+
+  // -------------------------------------------------------------- emb38
+  // TRIANGLE COUNT + clustering coefficient over the emb29 kNN graph
+  // (GraphOps.triangles) — the local-density audit: high cc = the
+  // vector sits in a tight near-dup clump (dedup harder there), low
+  // cc at high degree = a hub bridging unrelated regions. Edges are
+  // symmetrized and DEGREE-ORIENTED (toward the higher (deg, id)
+  // endpoint) so wedge volume is O(m^{3/2}) on any degree
+  // distribution — the hub-safe plan at corpus scale; every join is
+  // an equi-join. cc is truncating integer ppm.
+  private val emb38 = GraftQuery(
+    "emb38_triangle_count",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.triangles(edges).orderBy(col("vid"))
+    },
+    Some(s"""
+      WITH ${knnGraphCtes(nProbe = 2)},
+      edges AS (
+        SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
+      und AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM edges WHERE src <> dst),
+      deg AS MATERIALIZED (
+        SELECT vid, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS vid FROM und
+              UNION ALL SELECT v AS vid FROM und)
+        GROUP BY vid),
+      ore AS MATERIALIZED (
+        SELECT
+          CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+            THEN u ELSE v END AS a,
+          CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+            THEN v ELSE u END AS b
+        FROM und
+        JOIN deg d1 ON d1.vid = u
+        JOIN deg d2 ON d2.vid = v),
+      ob AS MATERIALIZED (
+        SELECT o.a, o.b, d.deg AS db
+        FROM ore o JOIN deg d ON d.vid = o.b),
+      wedges AS MATERIALIZED (
+        SELECT w1.a, w1.b, w2.b AS c
+        FROM ob w1 JOIN ob w2 ON w1.a = w2.a
+        WHERE w1.db < w2.db OR (w1.db = w2.db AND w1.b < w2.b)),
+      tris AS (
+        SELECT w.a, w.b, w.c
+        FROM wedges w JOIN ore o ON o.a = w.b AND o.b = w.c),
+      pv AS (
+        SELECT vid, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (SELECT a AS vid FROM tris
+              UNION ALL SELECT b AS vid FROM tris
+              UNION ALL SELECT c AS vid FROM tris)
+        GROUP BY vid)
+      SELECT d.vid, d.deg, COALESCE(pv.n_tri, 0) AS n_tri,
+        CASE WHEN d.deg >= 2
+          THEN (2000000 * COALESCE(pv.n_tri, 0))
+            // (d.deg * (d.deg - 1))
+          ELSE 0 END AS cc_ppm
+      FROM deg d LEFT JOIN pv ON pv.vid = d.vid
+      ORDER BY d.vid"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
-      emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36)
+      emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
+      emb37, emb38)
 }

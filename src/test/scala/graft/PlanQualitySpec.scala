@@ -119,7 +119,13 @@ class PlanQualitySpec extends SparkSpec {
       // emb08-class centroid broadcast (8 cell seeds; 10 per-label
       // centroids); candidates and margins flow through equi-joins
       // and per-vector windows only
-      "emb35_knn_classify", "emb36_label_margin")
+      "emb35_knn_classify", "emb36_label_margin",
+      // emb37/emb38: graph analytics whose EDGE LIST comes from
+      // knnGraph (the emb29-class ≤8-row centroid broadcast); emb37
+      // additionally broadcasts the 1-row vertex count for the
+      // teleport term (q20 class). The PageRank mat-vec rounds and
+      // the triangle wedge/closure joins are vertex-id equi-joins
+      "emb37_graph_pagerank", "emb38_triangle_count")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

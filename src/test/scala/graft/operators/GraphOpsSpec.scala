@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Graph analytics: PageRank fixed-point arithmetic (mass accounting,
+  * sink behavior, partition-order independence) and degree-oriented
+  * triangle counting (known graphs, hub wedge bound). */
+class GraphOpsSpec extends SparkSpec {
+
+  private val Scale = 1000000000000L
+
+  test("pageRank: 3-cycle stays exactly uniform") {
+    import spark.implicits._
+    // a -> b -> c -> a: permutation graph, uniform is a fixed point
+    // and the integer arithmetic preserves it EXACTLY (deg_out = 1,
+    // no truncation loss inside the cycle)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L).toDF("vid")
+    val got = GraphOps.pageRank(edges, verts, iters = 5)
+      .collect().map(r => r.getAs[Long]("vid") -> r.getAs[Long]("pr"))
+      .toMap
+    val p0 = Scale / 3
+    val expected = (1 to 5).foldLeft(p0)((p, _) =>
+      (Scale * 15L / 100L) / 3L + 85L * p / 100L)
+    assert(got == Map(1L -> expected, 2L -> expected, 3L -> expected))
+  }
+
+  test("pageRank: star center accumulates, leaves hold teleport floor") {
+    import spark.implicits._
+    // leaves 2..5 all point at 1; 1 points back at 2 only
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val verts = (1L to 5L).toDF("vid")
+    val rows = GraphOps.pageRank(edges, verts, iters = 3)
+      .collect().map(r => r.getAs[Long]("vid") ->
+        (r.getAs[Long]("deg_out"), r.getAs[Long]("pr"))).toMap
+    val tele = (Scale * 15L / 100L) / 5L
+    // center strictly dominates every leaf; unpointed-at leaves 3..5
+    // sit exactly on the teleport floor
+    assert(rows(1L)._2 > rows(2L)._2)
+    Seq(3L, 4L, 5L).foreach { v =>
+      assert(rows(v) == ((1L, tele)), s"leaf $v off the teleport floor")
+    }
+    assert(rows(1L)._1 == 1L && rows(2L)._1 == 1L)
+  }
+
+  test("pageRank: mass conserved up to truncation, partition-invariant") {
+    import spark.implicits._
+    // kNN-ish random-ish but FIXED graph: vid -> (vid*7+3) mod n, vid+1 mod n
+    val n = 97L
+    val verts = (0L until n).toDF("vid")
+    val edges = (0L until n).flatMap(v =>
+      Seq((v, (v * 7 + 3) % n), (v, (v + 1) % n))).toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, verts, iters = 3)
+    val total = pr.agg(sum("pr")).collect()(0).getLong(0)
+    // every vertex has out-edges: loss is only integer truncation,
+    // bounded by (deg_out-1 per contribution + div-100 + div-n) per
+    // vertex per round — generously < 200·n·iters parts of 10^12
+    assert(total <= Scale)
+    assert(total > Scale - 200L * n * 3L, s"total=$total")
+    // partition order cannot flip a digit: exact integer arithmetic
+    val pr2 = GraphOps.pageRank(edges.repartition(13), verts.repartition(5),
+      iters = 3)
+    assert(pr.orderBy("vid").collect().toSeq ==
+      pr2.orderBy("vid").collect().toSeq)
+  }
+
+  test("triangles: known graph counts and cc") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4 attached to 3 (directed input with
+    // a duplicate and a reverse edge: symmetrization dedupes)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (1L, 2L)).toDF("src", "dst")
+    val got = GraphOps.triangles(edges).collect()
+      .map(r => r.getAs[Long]("vid") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+          r.getAs[Long]("cc_ppm")))).toMap
+    // deg: 1->2, 2->2, 3->3, 4->1; one triangle credits 1,2,3
+    assert(got(1L) == ((2L, 1L, 1000000L)))
+    assert(got(2L) == ((2L, 1L, 1000000L)))
+    assert(got(3L) == ((3L, 1L, 2000000L / 6L)))
+    assert(got(4L) == ((1L, 0L, 0L)))
+  }
+
+  test("triangles: hub generates zero wedges (orientation bound)") {
+    import spark.implicits._
+    // star K_{1,50}: every edge orients leaf -> hub (deg 1 < deg 50),
+    // so the hub's oriented out-degree is 0 and the wedge join
+    // produces nothing — the Σ outdeg² hub-safety this operator buys
+    val edges = (2L to 51L).map(l => (1L, l)).toDF("src", "dst")
+    val got = GraphOps.triangles(edges)
+    assert(got.filter(col("n_tri") =!= 0L).count() == 0L)
+    val hub = got.filter(col("vid") === 1L).collect().head
+    assert(hub.getAs[Long]("deg") == 50L)
+    assert(hub.getAs[Long]("cc_ppm") == 0L)
+  }
+
+  test("triangles: K4 — every vertex in 3 triangles, cc = 1") {
+    import spark.implicits._
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val edges = (for (a <- vs; b <- vs if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val got = GraphOps.triangles(edges).collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getAs[Long]("deg") == 3L)
+      assert(r.getAs[Long]("n_tri") == 3L)
+      assert(r.getAs[Long]("cc_ppm") == 1000000L)
+    }
+  }
+}
