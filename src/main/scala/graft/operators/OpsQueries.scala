@@ -1492,9 +1492,98 @@ object OpsQueries {
       FROM deg d LEFT JOIN pv ON pv.vid = d.vid
       ORDER BY d.vid"""))
 
+  // ---------------------------------------------------- q62 / cdc36
+  // Histogram QUANTILE sketch (SketchOps.histSketch/histQuantiles) —
+  // the order-statistics member of the sketch family (q57 HLL, q58
+  // KMV, doc39 CMS, doc42 Bloom): w=64 BIGINT bin counters per
+  // l_returnflag over the registered price-cents domain [0, 10.5M),
+  // answering p50/p90/p99 from ≤ 64 rows of state per group with the
+  // equi-width guarantee |est − truth| < bin width. All arithmetic
+  // is integer (ceil-rank, truncating interpolation), replayed
+  // verbatim by the oracle. cdc36 serves the same report from the
+  // INCREMENTALLY maintained bin table — counters are pure sums, so
+  // batched == one-shot bit-exactly (the cdc33 argument at
+  // order-statistics grain).
+  private val histLo = 0L
+  private val histHi = 10500000L
+  private val histW = 64
+  private val histQs = Seq(500000L, 900000L, 990000L)
+
+  private val histOracle = s"""
+      WITH vals AS (
+        SELECT l_returnflag AS grp,
+          CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem),
+      hist AS (
+        SELECT grp,
+          LEAST(63, GREATEST(0, (v * 64) // 10500000)) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY 1, 2),
+      cum AS (
+        SELECT grp, bin, cnt,
+          CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY bin)
+            AS BIGINT) AS cum
+        FROM hist),
+      tg AS (
+        SELECT h.grp, CAST(SUM(cnt) AS BIGINT) AS n,
+          CAST(q.q_ppm AS BIGINT) AS q_ppm,
+          GREATEST(1, (CAST(SUM(cnt) AS BIGINT) * q.q_ppm + 999999)
+            // 1000000) AS target_rank
+        FROM hist h, (VALUES (500000), (900000), (990000)) q(q_ppm)
+        GROUP BY h.grp, q.q_ppm),
+      hit AS (
+        SELECT t.grp, t.q_ppm, t.n, t.target_rank, c.bin, c.cnt, c.cum,
+          (c.bin * 10500000) // 64 AS bin_lo,
+          ((c.bin + 1) * 10500000) // 64 AS bin_hi
+        FROM tg t JOIN cum c ON c.grp = t.grp
+        WHERE c.cum - c.cnt < t.target_rank AND t.target_rank <= c.cum)
+      SELECT grp, q_ppm, n, target_rank, bin, bin_lo, bin_hi,
+        bin_lo + ((bin_hi - bin_lo) * (target_rank - (cum - cnt)))
+          // (cnt + 1) AS est
+      FROM hit
+      ORDER BY grp, q_ppm"""
+
+  private def priceVals(li: DataFrame): DataFrame =
+    li.select(col("l_returnflag").as("grp"),
+      floor(col("l_extendedprice") * 100).cast("long").as("v"))
+
+  private def histReport(hist: DataFrame): DataFrame =
+    SketchOps.histQuantiles(hist, "grp", histQs, histLo, histHi, histW)
+      .orderBy(col("grp"), col("q_ppm"))
+
+  private val q62 = GraftQuery(
+    "q62_quantile_sketch",
+    (s, dir) => {
+      val vals = priceVals(t(s, dir, "lineitem"))
+      histReport(SketchOps.histSketch(vals, "grp", "v",
+        histLo, histHi, histW))
+    },
+    Some(histOracle))
+
+  private val cdc36 = GraftQuery(
+    "cdc36_incremental_quantile",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc36_hist"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val li = t(s, dir, "lineitem")
+      def part(i: Int) =
+        priceVals(li.filter(pmod($"l_orderkey", lit(3)) === i))
+      Seq(0, 1, 1, 2).zipWithIndex.foreach { case (p, bid) =>
+        // the replayed batch re-sends p=1 under its ORIGINAL id 1
+        val id = if (bid == 2) 1L else bid.toLong
+        graft.streaming.IncrementalHist.applyBatch(s, table, part(p),
+          "grp", "v", id, histLo, histHi, histW)
+      }
+      histReport(
+        graft.streaming.IncrementalHist.readHist(s, table, "grp"))
+    },
+    Some(histOracle))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
-      emb37, emb38)
+      emb37, emb38, q62, cdc36)
 }

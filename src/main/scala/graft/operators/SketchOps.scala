@@ -142,6 +142,69 @@ object SketchOps {
       .agg((count(col("_hit")) === d).as("might_contain"))
   }
 
+  /** Fixed-domain equi-width HISTOGRAM sketch — the QUANTILE member
+    * of the sketch family (q57 HLL distinct, q58 KMV set algebra,
+    * doc39 CMS frequency, doc42 Bloom membership, this = order
+    * statistics): `w` BIGINT counters per group over the REGISTERED
+    * integer domain [lo, hi). The counters are pure sums, so
+    * sketches merge (and maintain incrementally —
+    * [[graft.streaming.IncrementalHist]]) by bin-wise addition;
+    * state is ≤ w rows per group forever. Quantile estimates from
+    * the sketch carry the classic equi-width guarantee: the estimate
+    * lands in the bin containing the true quantile, so
+    * |est − truth| < bin width = (hi−lo)/w — at 100 TB that answers
+    * p50/p99 latency/price/length questions from KBs of state while
+    * the exact answer needs a global sort.
+    *
+    * The domain is REGISTERED UP FRONT (the incremental contract: a
+    * bin's meaning can never change once batches fold in);
+    * out-of-domain values clamp into the edge bins, degrading the
+    * edge estimates but never the count. All arithmetic is BIGINT
+    * (requires (hi−lo)·w < 2⁶³). Returns (grpCol, bin, cnt). */
+  def histSketch(df: DataFrame, grpCol: String, valCol: String,
+      lo: Long, hi: Long, w: Int): DataFrame = {
+    require(hi > lo && w >= 2, "need hi > lo and w >= 2 bins")
+    df.select(col(grpCol),
+        least(lit(w - 1L), greatest(lit(0L),
+          expr(s"(($valCol - ${lo}L) * ${w}L) div ${hi - lo}L")))
+          .as("bin"))
+      .groupBy(grpCol, "bin")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[histSketch]] frame, one row per
+    * (group, quantile): rank r = ceil(n·q) located by the per-group
+    * cumulative bin counts (a window PARTITIONED by group, ≤ w rows
+    * each), then linear interpolation inside the bin on the
+    * truncating integer grid — est = bin_lo +
+    * ((bin_hi−bin_lo)·p) div (cnt+1) with p = r − cum_before, which
+    * stays inside [bin_lo, bin_hi) and is replayable on any engine.
+    * Returns (grpCol, q_ppm, n, target_rank, bin, bin_lo, bin_hi,
+    * est). */
+  def histQuantiles(hist: DataFrame, grpCol: String, qsPpm: Seq[Long],
+      lo: Long, hi: Long, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col(grpCol)).orderBy(col("bin"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(win))
+    val targets = hist.groupBy(col(grpCol))
+      .agg(sum(col("cnt")).as("n"))
+      .select(col(grpCol), col("n"),
+        explode(array(qsPpm.map(lit(_)): _*)).as("q_ppm"))
+      .withColumn("target_rank",
+        greatest(lit(1L), expr("(n * q_ppm + 999999L) div 1000000L")))
+    targets.join(cum, Seq(grpCol))
+      .filter(col("cum") - col("cnt") < col("target_rank") &&
+        col("target_rank") <= col("cum"))
+      .withColumn("bin_lo", expr(s"${lo}L + (bin * ${hi - lo}L) div ${w}L"))
+      .withColumn("bin_hi",
+        expr(s"${lo}L + ((bin + 1L) * ${hi - lo}L) div ${w}L"))
+      .select(col(grpCol), col("q_ppm"), col("n"), col("target_rank"),
+        col("bin"), col("bin_lo"), col("bin_hi"),
+        expr("""bin_lo + ((bin_hi - bin_lo) *
+          (target_rank - (cum - cnt))) div (cnt + 1L)""").as("est"))
+  }
+
   /** KMV sketch: the `k` smallest 40-bit hashes of the column's
     * DISTINCT values, as a k-row (h) frame. Plans as distinct →
     * TakeOrderedAndProject — no global sort, no single-task window. */
