@@ -1581,9 +1581,55 @@ object OpsQueries {
     },
     Some(histOracle))
 
+  // -------------------------------------------------------------- doc43
+  // PARETO FRONTIER (SkylineOps.skyline) — multi-objective curation:
+  // the documents nothing else beats simultaneously on (more tokens,
+  // more distinct types, fewer bytes) — optimal under SOME monotone
+  // preference, so the frontier is the scalarization-free keep-set.
+  // The engine runs the two-phase grid skyline (lossless cell-corner
+  // prune → exact test on the surviving shell only — the n²
+  // dominance join never forms); the oracle brute-forces NOT EXISTS
+  // over all pairs, pinning the LOSSLESSNESS of the prune, which is
+  // the entire claim.
+  private val doc43 = GraftQuery(
+    "doc43_pareto_frontier",
+    (s, dir) => {
+      val m = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "n_chars")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("word")).as("n_types"))
+      SkylineOps.skyline(m, "doc_id",
+          maxCols = Seq("n_tokens", "n_types"),
+          minCols = Seq("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH wtok AS (
+        SELECT doc_id, n_chars,
+          UNNEST(string_split(TRIM(text), ' ')) AS w
+        FROM documents),
+      m AS (
+        SELECT doc_id, n_chars,
+          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+        FROM wtok WHERE w <> '' GROUP BY doc_id, n_chars)
+      SELECT a.doc_id, a.n_tokens, a.n_types, a.n_chars
+      FROM m a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM m b
+        WHERE b.n_tokens >= a.n_tokens AND b.n_types >= a.n_types
+          AND b.n_chars <= a.n_chars
+          AND (b.n_tokens > a.n_tokens OR b.n_types > a.n_types
+            OR b.n_chars < a.n_chars))
+      ORDER BY a.doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
-      emb37, emb38, q62, cdc36)
+      emb37, emb38, q62, cdc36, doc43)
 }

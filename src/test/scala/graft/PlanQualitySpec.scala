@@ -125,7 +125,12 @@ class PlanQualitySpec extends SparkSpec {
       // additionally broadcasts the 1-row vertex count for the
       // teleport term (q20 class). The PageRank mat-vec rounds and
       // the triangle wedge/closure joins are vertex-id equi-joins
-      "emb37_graph_pagerank", "emb38_triangle_count")
+      "emb37_graph_pagerank", "emb38_triangle_count",
+      // doc43: grid skyline — the q59-class 1-row corpus-extremes
+      // broadcast, the ≤g^d-row cell-corner prune join, and the
+      // final dominance test whose operands are the PRUNED shell
+      // (the n² join on the raw corpus never forms)
+      "doc43_pareto_frontier")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
