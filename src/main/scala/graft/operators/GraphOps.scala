@@ -51,21 +51,42 @@ object GraphOps {
     * @return (vid, deg_out, pr) — pr after `iters` rounds.
     */
   def pageRank(edges: DataFrame, vertices: DataFrame, iters: Int = 3,
-      dampPct: Long = 85L, scale: Long = 1000000000000L): DataFrame = {
+      dampPct: Long = 85L, scale: Long = 1000000000000L): DataFrame =
+    rankLoop(edges, vertices.select(col("vid"), lit(true).as("seed")),
+      iters, dampPct, scale)
+
+  /** PERSONALIZED PageRank (TrustRank): identical dynamics but the
+    * teleport mass lands only on the SEED vertices (`vertices` must
+    * carry a boolean `seed` column) — rank becomes "how reachable is
+    * this vertex from the trusted seeds", the corpus-trust /
+    * topic-affinity propagation primitive: seed a small vetted set,
+    * keep what the graph pulls close to it. Non-seeds can still rank
+    * high (mass flows to them through edges); an unreachable vertex
+    * ranks exactly 0 — integer arithmetic, no epsilon fog. */
+  def personalizedPageRank(edges: DataFrame, vertices: DataFrame,
+      iters: Int = 3, dampPct: Long = 85L,
+      scale: Long = 1000000000000L): DataFrame =
+    rankLoop(edges, vertices, iters, dampPct, scale)
+
+  private def rankLoop(edges: DataFrame, vertices: DataFrame,
+      iters: Int, dampPct: Long, scale: Long): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
-    val n1 = vertices.agg(count(lit(1)).as("n"))
+    val n1 = vertices.agg(sum(when(col("seed"), 1L).otherwise(0L))
+      .as("n"))
     val verts = vertices.crossJoin(broadcast(n1))
     val outdeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("deg_out"))
-    // teleport term: ((scale·(100−damp)) div 100) div n — fixed per
-    // vertex across rounds
+    // teleport term: ((scale·(100−damp)) div 100) div n_seeds on the
+    // seeds, 0 elsewhere — fixed per vertex across rounds
     val base = verts.select(col("vid"), col("n"),
-      expr(s"((${scale}L * ${100 - dampPct}L) div 100L) div n")
-        .as("tele"))
+      when(col("seed"),
+        expr(s"((${scale}L * ${100 - dampPct}L) div 100L) div n"))
+        .otherwise(lit(0L)).as("tele"))
     // edges pre-joined with outdeg once; reused every round
     val ed = edges.join(outdeg, Seq("src"))
-    var pr = base.select(col("vid"),
-      expr(s"${scale}L div n").as("pr"))
+    var pr = verts.select(col("vid"),
+      when(col("seed"), expr(s"${scale}L div n")).otherwise(lit(0L))
+        .as("pr"))
     for (_ <- 1 to iters) {
       val contrib = ed
         .join(pr.select(col("vid").as("src"), col("pr")), Seq("src"))

@@ -1492,6 +1492,66 @@ object OpsQueries {
       FROM deg d LEFT JOIN pv ON pv.vid = d.vid
       ORDER BY d.vid"""))
 
+  // -------------------------------------------------------------- emb39
+  // PERSONALIZED PageRank / TrustRank (GraphOps.personalizedPageRank)
+  // — corpus-trust propagation: teleport mass lands only on a vetted
+  // SEED set (vec_id % 10 = 0 here), so rank measures reachability
+  // from the seeds through nearest-neighbor edges — "keep what the
+  // graph pulls close to what we trust". Same exact BIGINT
+  // fixed-point dynamics as emb37; an unreachable vector ranks
+  // exactly 0 (integer arithmetic, no epsilon fog).
+  private def pprIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      val prev = s"ppr${i - 1}"
+      s"""pc$i AS (
+        SELECT e.dst AS vid, CAST(SUM(p.pr // e.deg_out) AS BIGINT) AS s
+        FROM ed e JOIN $prev p ON p.vid = e.src
+        GROUP BY e.dst),
+      ppr$i AS (
+        SELECT b.vid, b.tele + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        FROM prb b LEFT JOIN pc$i c ON c.vid = b.vid)"""
+    }.mkString(",\n      ")
+
+  private val emb39 = GraftQuery(
+    "emb39_trustrank",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.personalizedPageRank(edges,
+          embs.select(col("vec_id").as("vid"),
+            (col("vec_id") % 10 === 0).as("seed")), iters = 3)
+        .orderBy(col("vid"))
+    },
+    Some(s"""
+      WITH ${knnGraphCtes(nProbe = 2)},
+      edges AS (
+        SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
+      verts AS (
+        SELECT vec_id AS vid, vec_id % 10 = 0 AS seed
+        FROM embeddings),
+      nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts WHERE seed),
+      outdeg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg_out
+        FROM edges GROUP BY src),
+      prb AS (
+        SELECT v.vid,
+          CASE WHEN v.seed
+            THEN ((1000000000000 * 15) // 100) // nn.n
+            ELSE 0 END AS tele,
+          CASE WHEN v.seed THEN 1000000000000 // nn.n
+            ELSE 0 END AS p0
+        FROM verts v, nn),
+      ed AS (
+        SELECT e.src, e.dst, o.deg_out
+        FROM edges e JOIN outdeg o ON o.src = e.src),
+      ppr0 AS (SELECT vid, p0 AS pr FROM prb),
+      ${pprIterCtes(3)}
+      SELECT p.vid, COALESCE(o.deg_out, 0) AS deg_out, p.pr
+      FROM ppr3 p LEFT JOIN outdeg o ON o.src = p.vid
+      ORDER BY p.vid"""))
+
   // ---------------------------------------------------- q62 / cdc36
   // Histogram QUANTILE sketch (SketchOps.histSketch/histQuantiles) —
   // the order-statistics member of the sketch family (q57 HLL, q58
@@ -1591,23 +1651,17 @@ object OpsQueries {
   // dominance join never forms); the oracle brute-forces NOT EXISTS
   // over all pairs, pinning the LOSSLESSNESS of the prune, which is
   // the entire claim.
-  private val doc43 = GraftQuery(
-    "doc43_pareto_frontier",
-    (s, dir) => {
-      val m = t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"),
-          explode(graft.functions.TextFunctions.tokens(col("text")))
-            .as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("doc_id", "n_chars")
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct(col("word")).as("n_types"))
-      SkylineOps.skyline(m, "doc_id",
-          maxCols = Seq("n_tokens", "n_types"),
-          minCols = Seq("n_chars"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""
+  private def docMetrics(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "n_chars")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_types"))
+
+  private val skylineOracle = """
       WITH wtok AS (
         SELECT doc_id, n_chars,
           UNNEST(string_split(TRIM(text), ' ')) AS w
@@ -1625,11 +1679,53 @@ object OpsQueries {
           AND b.n_chars <= a.n_chars
           AND (b.n_tokens > a.n_tokens OR b.n_types > a.n_types
             OR b.n_chars < a.n_chars))
-      ORDER BY a.doc_id"""))
+      ORDER BY a.doc_id"""
+
+  private val doc43 = GraftQuery(
+    "doc43_pareto_frontier",
+    (s, dir) =>
+      SkylineOps.skyline(docMetrics(t(s, dir, "documents")), "doc_id",
+          maxCols = Seq("n_tokens", "n_types"),
+          minCols = Seq("n_chars"))
+        .orderBy(col("doc_id")),
+    Some(skylineOracle))
+
+  // -------------------------------------------------------------- cdc37
+  // Incrementally-maintained Pareto frontier (IncrementalSkyline) —
+  // doc43's skyline under APPEND-ONLY ingest, with the FRONTIER as
+  // the only state: a point dominated once is dominated forever, so
+  // frontier(S∪B) = skyline(frontier(S)∪B) and each batch folds
+  // against frontier-sized state while the corpus is never
+  // revisited. Idempotent by construction (the HLL/Bloom camp: ties
+  // never dominate each other and the fold dedupes ids), so the
+  // REPLAYED batch needs no watermark — the spec pins the
+  // double-fold no-op. Served frontier must equal one-shot doc43;
+  // doc43's brute-force oracle is the gate.
+  private val cdc37 = GraftQuery(
+    "cdc37_incremental_skyline",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc37_frontier"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) =
+        docMetrics(docs.filter(pmod($"doc_id", lit(3)) === i))
+      // batch 1 is REDELIVERED verbatim: idempotent fold, no-op
+      Seq(0, 1, 1, 2).foreach { p =>
+        graft.streaming.IncrementalSkyline.applyBatch(s, table,
+          part(p), "doc_id", Seq("n_tokens", "n_types"),
+          Seq("n_chars"))
+      }
+      graft.streaming.IncrementalSkyline.readFrontier(s, table,
+          "doc_id", Seq("n_tokens", "n_types"), Seq("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(skylineOracle))
 
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
-      emb37, emb38, q62, cdc36, doc43)
+      emb37, emb38, q62, cdc36, doc43, emb39, cdc37)
 }

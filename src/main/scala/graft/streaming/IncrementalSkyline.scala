@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkylineOps
+
+/** Incrementally-maintained Pareto frontier — the skyline (doc43)
+  * under APPEND-ONLY ingest. The state is the frontier itself, never
+  * the corpus: a point dominated once is dominated forever (adding
+  * points only adds dominators), so
+  * frontier(S ∪ B) = skyline(frontier(S) ∪ B) — each batch folds
+  * against frontier-sized state, work ∝ |frontier| + |batch| through
+  * the same lossless grid prune, while the corpus itself can be
+  * 100 TB and is never revisited.
+  *
+  * Replay safety: IDEMPOTENT BY CONSTRUCTION (the HLL/KMV/Bloom camp
+  * of the family, not the CMS/Hist camp) — the fold dedupes on the
+  * id column and re-folding any already-seen point leaves the
+  * frontier unchanged (ties never dominate each other), so
+  * at-least-once delivery needs no watermark. The spec pins a
+  * double-fold no-op. Contract: append-only ids — an UPDATE to a
+  * previously-folded point's metrics is out of scope (the frontier
+  * no longer holds the dominated history to re-judge against).
+  */
+object IncrementalSkyline {
+
+  /** Fold one metrics batch (idCol ++ maxCols ++ minCols) into the
+    * frontier table. */
+  def applyBatch(spark: SparkSession, frontierTable: String,
+      batch: DataFrame, idCol: String, maxCols: Seq[String],
+      minCols: Seq[String], g: Int = 8): Unit = {
+    TableSwap.recover(spark, frontierTable, s"${frontierTable}_stage")
+    val cols = (idCol +: (maxCols ++ minCols)).map(col)
+    val pool =
+      (if (spark.catalog.tableExists(frontierTable))
+         spark.table(frontierTable).select(cols: _*)
+           .unionByName(batch.select(cols: _*))
+       else batch.select(cols: _*))
+        .dropDuplicates(idCol)
+    val updated = SkylineOps.skyline(pool, idCol, maxCols, minCols, g)
+    TableSwap.writeStaged(spark, updated, frontierTable)
+  }
+
+  /** The maintained frontier as a (idCol ++ dims) frame. */
+  def readFrontier(spark: SparkSession, frontierTable: String,
+      idCol: String, maxCols: Seq[String],
+      minCols: Seq[String]): DataFrame =
+    spark.table(frontierTable)
+      .select((idCol +: (maxCols ++ minCols)).map(col): _*)
+
+  /** Continuous maintenance: foreachBatch [[applyBatch]]. */
+  def startIngestStream(df: DataFrame, frontierTable: String,
+      idCol: String, maxCols: Seq[String], minCols: Seq[String],
+      checkpointDir: String, g: Int = 8, availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch.sparkSession, frontierTable, batch, idCol,
+          maxCols, minCols, g)
+      }
+    (if (availableNow)
+       writer.trigger(
+         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+}

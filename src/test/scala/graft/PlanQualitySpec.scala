@@ -130,7 +130,13 @@ class PlanQualitySpec extends SparkSpec {
       // broadcast, the ≤g^d-row cell-corner prune join, and the
       // final dominance test whose operands are the PRUNED shell
       // (the n² join on the raw corpus never forms)
-      "doc43_pareto_frontier")
+      "doc43_pareto_frontier",
+      // emb39: TrustRank — the emb37 plan with a seed-gated teleport
+      // (same knnGraph centroid broadcast + 1-row seed count)
+      "emb39_trustrank",
+      // cdc37: the doc43 grid skyline folded per batch (same
+      // control-plane-sized corner-prune joins, frontier-sized shell)
+      "cdc37_incremental_skyline")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -67,6 +67,38 @@ class GraphOpsSpec extends SparkSpec {
       pr2.orderBy("vid").collect().toSeq)
   }
 
+  test("personalizedPageRank: all-seeds degenerates to pageRank") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L).toDF("vid")
+    val plain = GraphOps.pageRank(edges, verts, iters = 3)
+      .orderBy("vid").collect().toSeq
+    val ppr = GraphOps.personalizedPageRank(edges,
+        verts.withColumn("seed", lit(true)), iters = 3)
+      .orderBy("vid").collect().toSeq
+    assert(plain == ppr)
+  }
+
+  test("personalizedPageRank: unreachable vertex ranks exactly 0") {
+    import spark.implicits._
+    // seed 1 feeds 2 feeds 3; vertex 4 only points INTO the chain
+    // and nothing reaches it — rank exactly 0, no epsilon fog
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("vid")
+      .withColumn("seed", col("vid") === 1L)
+    val got = GraphOps.personalizedPageRank(edges, verts, iters = 4)
+      .collect().map(r => r.getAs[Long]("vid") -> r.getAs[Long]("pr"))
+      .toMap
+    assert(got(4L) == 0L)
+    // everything reachable from the seed is strictly positive, and
+    // the seed never drops below its own teleport floor
+    assert(got(1L) > 0L && got(2L) > 0L && got(3L) > 0L)
+    val tele = (1000000000000L * 15L / 100L) / 1L
+    assert(got(1L) >= tele)
+  }
+
   test("triangles: known graph counts and cc") {
     import spark.implicits._
     // triangle {1,2,3} + pendant 4 attached to 3 (directed input with

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.SkylineOps
+import org.apache.spark.sql.functions._
+
+/** IncrementalSkyline: batched fold == one-shot skyline exactly;
+  * replay is a NO-OP without any watermark (idempotent camp of the
+  * maintained-sketch family); the state held is the frontier, not
+  * the corpus. */
+class IncrementalSkylineSpec extends SparkSpec {
+
+  private val table = "skyspec_frontier"
+  private val maxCols = Seq("x", "y")
+  private val minCols = Seq("z")
+
+  private def freshTable(): Unit =
+    Seq(table, s"${table}_stage", s"${table}_old")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+
+  private def pts = {
+    import spark.implicits._
+    (0L until 300L).map(i =>
+      (i, (i * 7919) % 97, (i * 104729) % 89, (i * 1299709) % 83))
+      .toDF("id", "x", "y", "z")
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("batched fold == one-shot skyline") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = pts.filter(pmod($"id", lit(3)) === i)
+    (0 to 2).foreach(i => IncrementalSkyline.applyBatch(spark, table,
+      part(i), "id", maxCols, minCols))
+    val got = ids(IncrementalSkyline.readFrontier(spark, table, "id",
+      maxCols, minCols))
+    val oneShot = ids(SkylineOps.skyline(pts, "id", maxCols, minCols))
+    assert(got == oneShot)
+    assert(got.nonEmpty)
+  }
+
+  test("replayed batch is a no-op WITHOUT a watermark (idempotent)") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = pts.filter(pmod($"id", lit(3)) === i)
+    IncrementalSkyline.applyBatch(spark, table, part(0), "id",
+      maxCols, minCols)
+    IncrementalSkyline.applyBatch(spark, table, part(1), "id",
+      maxCols, minCols)
+    val before = IncrementalSkyline.readFrontier(spark, table, "id",
+      maxCols, minCols).collect().map(_.toSeq).toSet
+    // fold batch 1 AGAIN, verbatim — dominance can't change: ties
+    // never dominate, dominated points get re-dominated
+    IncrementalSkyline.applyBatch(spark, table, part(1), "id",
+      maxCols, minCols)
+    val after = IncrementalSkyline.readFrontier(spark, table, "id",
+      maxCols, minCols).collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
+  test("state is frontier-sized, not corpus-sized") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = pts.filter(pmod($"id", lit(3)) === i)
+    (0 to 2).foreach(i => IncrementalSkyline.applyBatch(spark, table,
+      part(i), "id", maxCols, minCols))
+    val stateRows = spark.table(table).count()
+    val frontierRows =
+      SkylineOps.skyline(pts, "id", maxCols, minCols).count()
+    assert(stateRows == frontierRows)
+    assert(stateRows < pts.count())
+  }
+}
