@@ -105,6 +105,80 @@ object GraphOps {
         .as("deg_out"), col("pr"))
   }
 
+  /** Synchronous LABEL PROPAGATION (LPA) community detection over
+    * the UNDIRECTED closure of the edge list — community structure
+    * for corpus analysis: near-dup cliques, topical clusters, and
+    * the diversity-balancing unit ("sample per community, not per
+    * document"). Every vertex starts as its own label; each round it
+    * adopts the MAJORITY label among its neighbors, ties broken by
+    * smallest label — fully deterministic (the async/random-order
+    * variants converge faster but are irreproducible; a data
+    * pipeline wants replayable communities). `rounds` is fixed and
+    * unrolled: one edges⋈labels equi-join + one (vid, label) count
+    * + one per-vid argmax window (groups bounded by degree) per
+    * round. Returns (vid, community, csize). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1)
+    val und = undirected(edges)
+    val adj = und.unionByName(
+      und.select(col("u").as("v"), col("v").as("u")))
+      .select(col("u").as("vid"), col("v").as("nbr"))
+    var labels = adj.select(col("vid")).distinct()
+      .select(col("vid"), col("vid").as("label"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("votes").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("vid").as("nbr"), col("label")),
+          Seq("nbr"))
+        .groupBy("vid", "label").agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vid"), col("label"))
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("csize"))
+    labels.join(sizes, Seq("label"))
+      .select(col("vid"), col("label").as("community"), col("csize"))
+  }
+
+  /** Multi-source BFS HOP DISTANCE from a seed set through the
+    * undirected closure — "how many nearest-neighbor hops from the
+    * trusted corpus is this document": the exact-hop complement of
+    * [[personalizedPageRank]]'s mass view. `vertices` carries a
+    * boolean `seed` column. Fixed `rounds` of min-propagation
+    * (dist(v) = min(dist(v), min over nbrs + 1) — min is idempotent
+    * and order-free, so the result is exact BFS up to `rounds` hops);
+    * vertices unreached within `rounds` report dist = −1. One
+    * equi-join + one min-aggregate per round. Returns (vid, dist). */
+  def hopDistance(edges: DataFrame, vertices: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    val und = undirected(edges)
+    val adj = und.unionByName(
+      und.select(col("u").as("v"), col("v").as("u")))
+      .select(col("u").as("vid"), col("v").as("nbr"))
+    var dist = vertices.select(col("vid"),
+      when(col("seed"), lit(0L)).as("dist"))
+    for (_ <- 1 to rounds) {
+      val viaNbr = adj
+        .join(dist.select(col("vid").as("nbr"), col("dist")),
+          Seq("nbr"))
+        .filter(col("dist").isNotNull)
+        .groupBy("vid").agg(min(col("dist") + 1L).as("nd"))
+      dist = dist.join(viaNbr, Seq("vid"), "left_outer")
+        .select(col("vid"), least(col("dist"), col("nd")).as("dist"))
+    }
+    dist.select(col("vid"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
+  private def undirected(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+
   /** Per-vertex triangle count + clustering coefficient over the
     * UNDIRECTED closure of a directed edge list (edges symmetrized,
     * self-loops dropped, each unordered pair kept once).

@@ -1552,6 +1552,106 @@ object OpsQueries {
       FROM ppr3 p LEFT JOIN outdeg o ON o.src = p.vid
       ORDER BY p.vid"""))
 
+  // -------------------------------------------------------------- emb40
+  // Synchronous LPA COMMUNITIES (GraphOps.labelPropagation) over the
+  // kNN graph — the diversity-balancing unit for sampling ("per
+  // community, not per document") and the clump detector near-dup
+  // pipelines consume. Deterministic by construction: synchronous
+  // rounds, majority vote, ties to the smallest label — the
+  // async/random-order LPA variants converge faster but are
+  // irreproducible, which a data pipeline cannot accept. The oracle
+  // unrolls the same three rounds.
+  private val lpaUndCtes = s"""
+      und AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM edges WHERE src <> dst),
+      adj AS MATERIALIZED (
+        SELECT u AS vid, v AS nbr FROM und
+        UNION ALL SELECT v AS vid, u AS nbr FROM und)"""
+
+  private def lpaIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""vt$i AS (
+        SELECT a.vid, l.label, CAST(COUNT(*) AS BIGINT) AS votes
+        FROM adj a JOIN l${i - 1} l ON l.vid = a.nbr
+        GROUP BY a.vid, l.label),
+      l$i AS MATERIALIZED (
+        SELECT vid, label FROM (
+          SELECT vid, label, ROW_NUMBER() OVER (PARTITION BY vid
+            ORDER BY votes DESC, label) AS rn
+          FROM vt$i) WHERE rn = 1)"""
+    }.mkString(",\n      ")
+
+  private val emb40 = GraftQuery(
+    "emb40_community_lpa",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.labelPropagation(edges, rounds = 3)
+        .orderBy(col("vid"))
+    },
+    Some(s"""
+      WITH ${knnGraphCtes(nProbe = 2)},
+      edges AS (
+        SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
+      ${lpaUndCtes},
+      l0 AS (SELECT DISTINCT vid, vid AS label FROM adj),
+      ${lpaIterCtes(3)},
+      sizes AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+        FROM l3 GROUP BY label)
+      SELECT l.vid, l.label AS community, s.csize
+      FROM l3 l JOIN sizes s ON s.label = l.label
+      ORDER BY l.vid"""))
+
+  // -------------------------------------------------------------- emb41
+  // Multi-source BFS HOP DISTANCE (GraphOps.hopDistance) from the
+  // emb39 seed set — the exact-hop complement of TrustRank's mass
+  // view: "how many nearest-neighbor hops from the trusted corpus is
+  // this document" (a curation radius gate). Min-propagation is
+  // idempotent and order-free, so 3 unrolled rounds give exact BFS
+  // ≤ 3 hops; unreached vertices report −1 exactly.
+  private def bfsIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""nx$i AS (
+        SELECT a.vid, MIN(d.dist + 1) AS nd
+        FROM adj a JOIN d${i - 1} d ON d.vid = a.nbr
+        WHERE d.dist IS NOT NULL
+        GROUP BY a.vid),
+      d$i AS MATERIALIZED (
+        SELECT v.vid,
+          CASE WHEN v.dist IS NULL THEN n.nd
+               WHEN n.nd IS NULL THEN v.dist
+               ELSE LEAST(v.dist, n.nd) END AS dist
+        FROM d${i - 1} v LEFT JOIN nx$i n ON n.vid = v.vid)"""
+    }.mkString(",\n      ")
+
+  private val emb41 = GraftQuery(
+    "emb41_hop_distance",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.hopDistance(edges,
+          embs.select(col("vec_id").as("vid"),
+            (col("vec_id") % 10 === 0).as("seed")), rounds = 3)
+        .orderBy(col("vid"))
+    },
+    Some(s"""
+      WITH ${knnGraphCtes(nProbe = 2)},
+      edges AS (
+        SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
+      ${lpaUndCtes},
+      d0 AS (
+        SELECT vec_id AS vid,
+          CASE WHEN vec_id % 10 = 0 THEN CAST(0 AS BIGINT) END AS dist
+        FROM embeddings),
+      ${bfsIterCtes(3)}
+      SELECT vid, COALESCE(dist, -1) AS dist
+      FROM d3
+      ORDER BY vid"""))
+
   // ---------------------------------------------------- q62 / cdc36
   // Histogram QUANTILE sketch (SketchOps.histSketch/histQuantiles) —
   // the order-statistics member of the sketch family (q57 HLL, q58
@@ -1727,5 +1827,5 @@ object OpsQueries {
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
-      emb37, emb38, q62, cdc36, doc43, emb39, cdc37)
+      emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41)
 }

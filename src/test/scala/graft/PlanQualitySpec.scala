@@ -136,7 +136,11 @@ class PlanQualitySpec extends SparkSpec {
       "emb39_trustrank",
       // cdc37: the doc43 grid skyline folded per batch (same
       // control-plane-sized corner-prune joins, frontier-sized shell)
-      "cdc37_incremental_skyline")
+      "cdc37_incremental_skyline",
+      // emb40/emb41: LPA communities / BFS hop distance — the same
+      // knnGraph edge-list provenance as emb37 (centroid broadcast);
+      // every propagation round is a vertex-id equi-join
+      "emb40_community_lpa", "emb41_hop_distance")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -129,6 +129,48 @@ class GraphOpsSpec extends SparkSpec {
     assert(hub.getAs[Long]("cc_ppm") == 0L)
   }
 
+  test("labelPropagation: two cliques bridged converge to two communities") {
+    import spark.implicits._
+    // K4 on {1..4} + K4 on {11..14} + one bridge 4-11
+    val k4a = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val k4b = for (a <- 11L to 14L; b <- 11L to 14L if a < b) yield (a, b)
+    val edges = (k4a ++ k4b :+ (4L, 11L)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getAs[Long]("vid") ->
+        (r.getAs[Long]("community"), r.getAs[Long]("csize"))).toMap
+    // each clique collapses to its smallest label; the bridge does
+    // not merge them (majority inside each clique wins)
+    val cliqueA = Seq(1L, 2L, 3L, 4L).map(got(_)._1).distinct
+    val cliqueB = Seq(11L, 12L, 13L, 14L).map(got(_)._1).distinct
+    assert(cliqueA.length == 1 && cliqueB.length == 1)
+    assert(cliqueA.head != cliqueB.head)
+    assert(got(1L)._2 == 4L && got(11L)._2 == 4L)
+  }
+
+  test("labelPropagation: deterministic under repartitioning") {
+    import spark.implicits._
+    val edges = (0L until 60L).flatMap(v =>
+      Seq((v, (v * 7 + 3) % 60), (v, (v + 1) % 60))).toDF("src", "dst")
+    val a = GraphOps.labelPropagation(edges, rounds = 3)
+      .orderBy("vid").collect().toSeq
+    val b = GraphOps.labelPropagation(edges.repartition(7), rounds = 3)
+      .orderBy("vid").collect().toSeq
+    assert(a == b)
+  }
+
+  test("hopDistance: exact BFS hops within the round budget, -1 beyond") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6, seed = 1; rounds = 3 reaches hop 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val verts = (1L to 6L).toDF("vid")
+      .withColumn("seed", col("vid") === 1L)
+    val got = GraphOps.hopDistance(edges, verts, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> -1L, 6L -> -1L))
+  }
+
   test("triangles: K4 — every vertex in 3 triangles, cc = 1") {
     import spark.implicits._
     val vs = Seq(1L, 2L, 3L, 4L)
