@@ -110,6 +110,28 @@ object GraphSkylineProbe {
         f"wall: $tTri%6.1f s")
     }
 
+    // emb40/emb41: LPA communities + BFS — per-round join volume is
+    // the edge list; community count tracks graph structure
+    {
+      val edges = SimilarityOps.knnGraph(embs, nCentroids = nCents)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val comm = GraphOps.labelPropagation(edges, rounds = 3)
+      val nComm = comm.select("community").distinct().count()
+      val tLpa = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val reach = GraphOps.hopDistance(edges,
+          embs.select(col("vec_id").as("vid"),
+            (col("vec_id") % 10 === 0).as("seed")), rounds = 3)
+        .filter(col("dist") >= 0).count()
+      val tBfs = (System.nanoTime() - t1) / 1e9
+      CheckpointBridge.freeLocalCheckpoint(edges)
+      println(f"PROBE emb40_41_graph   $n%8d vecs  communities: " +
+        f"$nComm%6d ($tLpa%5.1f s)  reached<=3hops: $reach%8d " +
+        f"(${100.0 * reach / n}%.1f%%, $tBfs%5.1f s)")
+    }
+
     // doc43: skyline — survivor shell vs corpus
     {
       val nDocs = docs.count()
