@@ -64,6 +64,36 @@ object CurationOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Two-stage BLOOM-GATED [[contamination]]: the eval vocabulary is
+    * summarized as a doc42 bit array (KB-sized, shippable where the
+    * eval set itself is not — the cross-cluster / privacy-bounded
+    * decontamination pattern), the corpus prefilters against it, and
+    * the exact overlap join runs on SUSPECT documents only. Lossless
+    * by the no-false-negative guarantee: every truly overlapping
+    * shingle is bloom-positive, so bloom-positive count ≥ true
+    * overlap count and no contaminated doc can fail the gate —
+    * output EQUALS plain [[contamination]] (doc44 pins this against
+    * doc13's oracle). Size `m` for the eval vocabulary (a saturated
+    * filter stays lossless but stops pruning). */
+  def contaminationBloomGated(shingles: DataFrame, isEval: Column,
+      minOverlap: Int = 3, d: Int = 3, m: Int = 4096): DataFrame = {
+    val evalSh = shingles.filter(isEval).select("shingle").distinct()
+    val train = shingles.filter(!isEval)
+    val bits = SketchOps.bloomBits(evalSh, "shingle", d, m)
+    val positive = SketchOps
+      .bloomMightContain(bits, train.select("shingle"), "shingle", d, m)
+      .filter(col("might_contain"))
+      .select(col("item").as("shingle"))
+    val suspects = train.join(positive, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pos"))
+      .filter(col("n_pos") >= minOverlap)
+      .select("doc_id")
+    contamination(
+      shingles.join(suspects, Seq("doc_id"), "left_semi")
+        .unionByName(shingles.filter(isEval)),
+      isEval, minOverlap)
+  }
+
   /** Deterministic mixture sampling: per-stratum inclusion rates (out
     * of 256) keyed on a content-independent hash of the id — the
     * training-mixture knob ("keep 25% of en, all of de, ...") with the

@@ -61,16 +61,7 @@ object TrainingQueries {
   // shingles with it are flagged with their overlap count. The eval
   // shingle vocab is benchmark-sized -> one equi-join against it, work
   // proportional to true overlaps.
-  private val doc13 = GraftQuery(
-    "doc13_decontaminate",
-    (s, dir) => {
-      import s.implicits._
-      CurationOps.contamination(
-          DedupOps.docShingles(t(s, dir, "documents")),
-          isEval = col("doc_id") % 97 === 0, minOverlap = 3)
-        .orderBy($"doc_id")
-    },
-    Some("""
+  private val decontOracle = """
       WITH toks AS (
         SELECT doc_id, string_split(TRIM(text), ' ') AS ws
         FROM documents),
@@ -85,7 +76,40 @@ object TrainingQueries {
       FROM tr JOIN ev USING (shingle)
       GROUP BY tr.doc_id
       HAVING COUNT(*) >= 3
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""
+
+  private val doc13 = GraftQuery(
+    "doc13_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.contamination(
+          DedupOps.docShingles(t(s, dir, "documents")),
+          isEval = col("doc_id") % 97 === 0, minOverlap = 3)
+        .orderBy($"doc_id")
+    },
+    Some(decontOracle))
+
+  // -------------------------------------------------------------- doc44
+  // Two-stage BLOOM-GATED decontamination: the doc42 bit set built
+  // over the eval vocabulary prefilters the corpus — a doc reaches
+  // the exact overlap join only if ≥ 3 of its distinct shingles are
+  // bloom-POSITIVE, which is a lossless gate (no false negatives, so
+  // bloom-positive count ≥ true overlap count: every truly
+  // contaminated doc passes). The pattern this pins is the
+  // cross-cluster / privacy-bounded decontamination at 100 TB: the
+  // eval set never ships, only its KB-sized bit array does, and the
+  // exact join touches suspect docs alone. Output must EQUAL plain
+  // doc13 — doc13's oracle is the gate (losslessness is the claim).
+  private val doc44 = GraftQuery(
+    "doc44_bloom_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      CurationOps.contaminationBloomGated(
+          DedupOps.docShingles(t(s, dir, "documents")),
+          isEval = col("doc_id") % 97 === 0, minOverlap = 3)
+        .orderBy($"doc_id")
+    },
+    Some(decontOracle))
 
   // -------------------------------------------------------------- doc14
   // Training-mixture sampling: per-language inclusion rates (en 25%,
@@ -820,5 +844,6 @@ object TrainingQueries {
 
   val all: Seq[GraftQuery] =
     Seq(doc12, doc13, doc14, doc15, doc16, doc20, doc21, doc22, doc23,
-      doc24, doc25, doc26, doc27, emb08, emb09, emb10, emb14, emb15)
+      doc24, doc25, doc26, doc27, emb08, emb09, emb10, emb14, emb15,
+      doc44)
 }

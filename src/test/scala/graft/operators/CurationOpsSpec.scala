@@ -67,6 +67,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L)))
   }
 
+  test("bloom-gated contamination == plain contamination (lossless gate)") {
+    import spark.implicits._
+    // eval doc 0; doc 1 truly contaminated (3 shared bigrams); docs
+    // 2-40 share NOTHING with the eval vocabulary (per-doc minted
+    // tokens) — exactly what the bloom gate exists to skip
+    val docs = (Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d x")) ++
+      (2L to 40L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d")))
+      .toDF("doc_id", "text")
+    val sh = DedupOps.docShingles(docs)
+    val plain = CurationOps.contamination(sh,
+      col("doc_id") === 0L, minOverlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gated = CurationOps.contaminationBloomGated(sh,
+      col("doc_id") === 0L, minOverlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated == plain)
+    assert(plain == Set((1L, 3L)))
+  }
+
   test("mixtureSample: deterministic, rate-bounded, unknown strata out") {
     import spark.implicits._
     val docs = (0L until 200L).map { i =>
