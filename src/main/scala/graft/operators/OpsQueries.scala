@@ -1392,7 +1392,7 @@ object OpsQueries {
         SELECT e.dst AS vid, CAST(SUM(p.pr // e.deg_out) AS BIGINT) AS s
         FROM ed e JOIN $prev p ON p.vid = e.src
         GROUP BY e.dst),
-      pr$i AS (
+      pr$i AS MATERIALIZED (
         SELECT b.vid, b.tele + (85 * COALESCE(c.s, 0)) // 100 AS pr
         FROM prb b LEFT JOIN c$i c ON c.vid = b.vid)"""
     }.mkString(",\n      ")
@@ -1409,19 +1409,19 @@ object OpsQueries {
     },
     Some(s"""
       WITH ${knnGraphCtes(nProbe = 2)},
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
       verts AS (SELECT vec_id AS vid FROM embeddings),
       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
-      outdeg AS (
+      outdeg AS MATERIALIZED (
         SELECT src, CAST(COUNT(*) AS BIGINT) AS deg_out
         FROM edges GROUP BY src),
-      prb AS (
+      prb AS MATERIALIZED (
         SELECT v.vid,
           ((1000000000000 * 15) // 100) // nn.n AS tele,
           1000000000000 // nn.n AS p0
         FROM verts v, nn),
-      ed AS (
+      ed AS MATERIALIZED (
         SELECT e.src, e.dst, o.deg_out
         FROM edges e JOIN outdeg o ON o.src = e.src),
       pr0 AS (SELECT vid, p0 AS pr FROM prb),
@@ -1507,7 +1507,7 @@ object OpsQueries {
         SELECT e.dst AS vid, CAST(SUM(p.pr // e.deg_out) AS BIGINT) AS s
         FROM ed e JOIN $prev p ON p.vid = e.src
         GROUP BY e.dst),
-      ppr$i AS (
+      ppr$i AS MATERIALIZED (
         SELECT b.vid, b.tele + (85 * COALESCE(c.s, 0)) // 100 AS pr
         FROM prb b LEFT JOIN pc$i c ON c.vid = b.vid)"""
     }.mkString(",\n      ")
@@ -1525,17 +1525,17 @@ object OpsQueries {
     },
     Some(s"""
       WITH ${knnGraphCtes(nProbe = 2)},
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
       verts AS (
         SELECT vec_id AS vid, vec_id % 10 = 0 AS seed
         FROM embeddings),
       nn AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts WHERE seed),
-      outdeg AS (
+      outdeg AS MATERIALIZED (
         SELECT src, CAST(COUNT(*) AS BIGINT) AS deg_out
         FROM edges GROUP BY src),
-      prb AS (
+      prb AS MATERIALIZED (
         SELECT v.vid,
           CASE WHEN v.seed
             THEN ((1000000000000 * 15) // 100) // nn.n
@@ -1543,7 +1543,7 @@ object OpsQueries {
           CASE WHEN v.seed THEN 1000000000000 // nn.n
             ELSE 0 END AS p0
         FROM verts v, nn),
-      ed AS (
+      ed AS MATERIALIZED (
         SELECT e.src, e.dst, o.deg_out
         FROM edges e JOIN outdeg o ON o.src = e.src),
       ppr0 AS (SELECT vid, p0 AS pr FROM prb),
