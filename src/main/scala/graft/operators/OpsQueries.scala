@@ -268,6 +268,41 @@ object OpsQueries {
       FROM c LEFT JOIN c p ON p.step = c.step - 1
       ORDER BY c.step"""))
 
+  // -------------------------------------------------------------- q63
+  // Retention cohorts (TemporalOps.retentionCohorts) — the classic
+  // product-analytics matrix: first-activity epoch-week cohorts ×
+  // week offsets, retention as truncating ppm of cohort size. One
+  // (user, week) distinct + two map-side-combined aggregations; the
+  // epoch-week (days div 7) is calendar-free so both engines replay
+  // it exactly.
+  private val q63 = GraftQuery(
+    "q63_retention_cohorts",
+    (s, dir) =>
+      TemporalOps.retentionCohorts(t(s, dir, "events"), maxOffset = 3)
+        .orderBy(col("cohort_wk"), col("k")),
+    Some("""
+      WITH weeks AS (
+        SELECT DISTINCT user_id,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+            AS wk
+        FROM events),
+      cohort AS (
+        SELECT user_id, CAST(MIN(wk) AS BIGINT) AS cohort_wk
+        FROM weeks GROUP BY user_id),
+      sizes AS (
+        SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        FROM cohort GROUP BY cohort_wk),
+      cells AS (
+        SELECT c.cohort_wk, CAST(w.wk - c.cohort_wk AS BIGINT) AS k,
+          CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM cohort c JOIN weeks w ON w.user_id = c.user_id
+        WHERE w.wk - c.cohort_wk <= 3
+        GROUP BY 1, 2)
+      SELECT s.cohort_wk, cells.k, cells.n_active, s.n_cohort,
+        (cells.n_active * 1000000) // s.n_cohort AS retention_ppm
+      FROM cells JOIN sizes s ON s.cohort_wk = cells.cohort_wk
+      ORDER BY s.cohort_wk, cells.k"""))
+
   // -------------------------------------------------------------- mm06
   // Media near-dup via banded perceptual hash: 32-bit byte-4-gram
   // SimHash (similarity-preserving, the pHash stand-in — mm02's
@@ -1827,5 +1862,6 @@ object OpsQueries {
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
-      emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41)
+      emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
+      q63)
 }

@@ -204,4 +204,35 @@ object TemporalOps {
           .otherwise(expr("(n_users * 1000000) div n_prev"))
           .as("conv_ppm"))
   }
+
+  /** RETENTION COHORTS — the classic product-analytics matrix at
+    * event-log scale: users grouped by first-activity epoch-week
+    * (days-since-1970 div 7 — calendar-system-free, replayable on
+    * any engine), retention(k) = users of the cohort active again in
+    * cohort-week + k, as a truncating ppm of the cohort size.
+    * Shuffle story: one distinct over (user, week) — the same user
+    * key every later stage reuses — then two map-side-combined
+    * aggregations (per-user min for the cohort, per-(cohort, k)
+    * count for the matrix); nothing is ever windowed or collected.
+    * Only observed (cohort, k ≤ maxOffset) cells are emitted.
+    * Returns (cohort_wk, k, n_active, n_cohort, retention_ppm). */
+  def retentionCohorts(events: DataFrame,
+      maxOffset: Int = 3): DataFrame = {
+    val weeks = events.select(col("user_id"),
+      expr("CAST(datediff(to_date(ts), date'1970-01-01') div 7 AS LONG)")
+        .as("wk")).distinct()
+    val cohort = weeks.groupBy("user_id")
+      .agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy("cohort_wk")
+      .agg(count(lit(1)).as("n_cohort"))
+    val cells = cohort.join(weeks, Seq("user_id"))
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("k"))
+      .filter(col("k") <= maxOffset)
+      .groupBy("cohort_wk", "k")
+      .agg(count(lit(1)).as("n_active"))
+    cells.join(sizes, Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("k"), col("n_active"),
+        col("n_cohort"),
+        expr("(n_active * 1000000) div n_cohort").as("retention_ppm"))
+  }
 }

@@ -110,4 +110,28 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 2L, 1000000L), (1L, 0L, 0L),
       (2L, 0L, 0L)))
   }
+
+  test("retentionCohorts: planted cohort matrix") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday; epoch-week w0 = datediff/7 of that week.
+    // cohort A (w0): u1 active w0+w1+w2, u2 active w0 only.
+    // cohort B (w1): u3 active w1+w3 (offset 2 skipped).
+    def d(s: String) = ts(s + " 12:00:00")
+    val ev = Seq(
+      (1L, d("2024-01-01")), (1L, d("2024-01-08")), (1L, d("2024-01-15")),
+      (2L, d("2024-01-02")),
+      (3L, d("2024-01-10")), (3L, d("2024-01-24")))
+      .toDF("user_id", "ts")
+    val got = TemporalOps.retentionCohorts(ev, maxOffset = 3)
+      .orderBy($"cohort_wk", $"k").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // cohorts normalize to relative weeks by construction of the data
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 1000000L),  // A week 0: both users
+      (1L, 1L, 2L, 500000L),   // A week 1: u1 only
+      (2L, 1L, 2L, 500000L),   // A week 2: u1 only
+      (0L, 1L, 1L, 1000000L),  // B week 0: u3
+      (2L, 1L, 1L, 1000000L))) // B week 2: u3 (skipped week 1)
+  }
 }
