@@ -275,12 +275,7 @@ object OpsQueries {
   // (user, week) distinct + two map-side-combined aggregations; the
   // epoch-week (days div 7) is calendar-free so both engines replay
   // it exactly.
-  private val q63 = GraftQuery(
-    "q63_retention_cohorts",
-    (s, dir) =>
-      TemporalOps.retentionCohorts(t(s, dir, "events"), maxOffset = 3)
-        .orderBy(col("cohort_wk"), col("k")),
-    Some("""
+  private val retentionOracle = """
       WITH weeks AS (
         SELECT DISTINCT user_id,
           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
@@ -301,7 +296,45 @@ object OpsQueries {
       SELECT s.cohort_wk, cells.k, cells.n_active, s.n_cohort,
         (cells.n_active * 1000000) // s.n_cohort AS retention_ppm
       FROM cells JOIN sizes s ON s.cohort_wk = cells.cohort_wk
-      ORDER BY s.cohort_wk, cells.k"""))
+      ORDER BY s.cohort_wk, cells.k"""
+
+  private val q63 = GraftQuery(
+    "q63_retention_cohorts",
+    (s, dir) =>
+      TemporalOps.retentionCohorts(t(s, dir, "events"), maxOffset = 3)
+        .orderBy(col("cohort_wk"), col("k")),
+    Some(retentionOracle))
+
+  // -------------------------------------------------------------- cdc38
+  // Incrementally-maintained retention cohorts (IncrementalRetention)
+  // — q63's matrix under event ingest via the COMPACTED-STATE
+  // pattern: the state is the distinct (user, week) activity grid
+  // (the minimal sufficient statistic, far below the event log),
+  // folded by set union — idempotent, so the REDELIVERED batch needs
+  // no watermark; the matrix recomputes grid-sized on read through
+  // byte-shared retentionFromGrid. Served report must equal one-shot
+  // q63 — q63's oracle is the gate. Batches are date-sliced OUT OF
+  // ORDER (2,0,0,1) to pin that late events only add cells and min
+  // week is order-free.
+  private val cdc38 = GraftQuery(
+    "cdc38_incremental_retention",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc38_grid"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val ev = t(s, dir, "events")
+      def part(i: Int) =
+        ev.filter(pmod(dayofmonth($"ts"), lit(3)) === i)
+      Seq(2, 0, 0, 1).foreach { p =>
+        graft.streaming.IncrementalRetention.applyBatch(s, table,
+          part(p))
+      }
+      graft.streaming.IncrementalRetention
+        .retentionReport(s, table, maxOffset = 3)
+        .orderBy(col("cohort_wk"), col("k"))
+    },
+    Some(retentionOracle))
 
   // -------------------------------------------------------------- mm06
   // Media near-dup via banded perceptual hash: 32-bit byte-4-gram
@@ -1863,5 +1896,5 @@ object OpsQueries {
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
-      q63)
+      q63, cdc38)
 }

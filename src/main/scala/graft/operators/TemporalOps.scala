@@ -217,10 +217,25 @@ object TemporalOps {
     * Only observed (cohort, k ≤ maxOffset) cells are emitted.
     * Returns (cohort_wk, k, n_active, n_cohort, retention_ppm). */
   def retentionCohorts(events: DataFrame,
-      maxOffset: Int = 3): DataFrame = {
-    val weeks = events.select(col("user_id"),
+      maxOffset: Int = 3): DataFrame =
+    retentionFromGrid(activityGrid(events), maxOffset)
+
+  /** The distinct (user_id, wk) ACTIVITY GRID — the compacted state
+    * retention needs: a pure SET (≤ users × active-weeks rows, far
+    * below the event log), idempotent under re-adding any slice of
+    * the log, which is what makes the maintained form
+    * ([[graft.streaming.IncrementalRetention]], cdc38) replay-safe
+    * without a watermark. */
+  def activityGrid(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
       expr("CAST(datediff(to_date(ts), date'1970-01-01') div 7 AS LONG)")
         .as("wk")).distinct()
+
+  /** The cohort × offset matrix served from an [[activityGrid]] —
+    * byte-shared by the one-shot (q63) and maintained (cdc38)
+    * forms, so maintained == one-shot is structural. */
+  def retentionFromGrid(weeks: DataFrame,
+      maxOffset: Int = 3): DataFrame = {
     val cohort = weeks.groupBy("user_id")
       .agg(min(col("wk")).as("cohort_wk"))
     val sizes = cohort.groupBy("cohort_wk")
