@@ -1720,6 +1720,68 @@ object OpsQueries {
       FROM d3
       ORDER BY vid"""))
 
+  // -------------------------------------------------------------- emb42
+  // Greedy BEAM SEARCH over the kNN graph
+  // (SimilarityOps.graphBeamSearch) — the graph-traversal ANN family
+  // (HNSW/NSG class) completing the ladder next to LSH/IVF/PQ:
+  // search WALKS the emb29 graph from a fixed entry instead of
+  // probing quantizer cells, so per-query cost is
+  // rounds·beam·degree lookups, never a corpus scan. The oracle
+  // unrolls the three expand-score-prune rounds exactly.
+  private def beamIterCtes(iters: Int, beam: Int): String =
+    (1 to iters).map { i =>
+      val prev = s"bm${i - 1}"
+      s"""cd$i AS (
+        SELECT DISTINCT query_id, vec_id FROM (
+          SELECT p.query_id, a.nbr AS vec_id
+          FROM $prev p JOIN adj a ON a.vid = p.vec_id
+          UNION ALL SELECT query_id, vec_id FROM $prev)),
+      sc$i AS (
+        SELECT c.query_id, c.vec_id,
+          (${dotSql("q.q_emb", "e.embedding", 64)})
+            / (q.q_en * e.en) AS cos
+        FROM cd$i c
+        JOIN base e ON e.vec_id = c.vec_id
+        JOIN qs q ON q.query_id = c.query_id),
+      bm$i AS MATERIALIZED (
+        SELECT query_id, vec_id, cos FROM (
+          SELECT sc$i.*, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id) AS rn
+          FROM sc$i) WHERE rn <= $beam)"""
+    }.mkString(",\n      ")
+
+  private val emb42 = GraftQuery(
+    "emb42_graph_beam_search",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      SimilarityOps.graphBeamSearch(embs,
+          SimilarityOps.knnGraph(embs))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${knnGraphCtes(nProbe = 2)},
+      edges AS MATERIALIZED (
+        SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
+      adj AS MATERIALIZED (
+        SELECT src AS vid, dst AS nbr FROM edges
+        UNION
+        SELECT dst AS vid, src AS nbr FROM edges),
+      qs AS MATERIALIZED (
+        SELECT vec_id AS query_id, embedding AS q_emb, en AS q_en
+        FROM base WHERE vec_id < 8),
+      bm0 AS MATERIALIZED (
+        SELECT q.query_id, CAST(0 AS BIGINT) AS vec_id,
+          (${dotSql("q.q_emb", "b.embedding", 64)})
+            / (q.q_en * b.en) AS cos
+        FROM qs q JOIN base b ON b.vec_id = 0),
+      ${beamIterCtes(3, 8)}
+      SELECT query_id, vec_id AS neighbor_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk, cos
+      FROM bm3 WHERE vec_id <> query_id
+      QUALIFY rnk <= 4
+      ORDER BY query_id, rnk"""))
+
   // ---------------------------------------------------- q62 / cdc36
   // Histogram QUANTILE sketch (SketchOps.histSketch/histQuantiles) —
   // the order-statistics member of the sketch family (q57 HLL, q58
@@ -1896,5 +1958,5 @@ object OpsQueries {
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
-      q63, cdc38)
+      q63, cdc38, emb42)
 }

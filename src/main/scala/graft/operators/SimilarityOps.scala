@@ -1222,4 +1222,65 @@ object SimilarityOps {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Greedy BEAM SEARCH over a prebuilt kNN graph — the
+    * graph-traversal ANN family (HNSW/NSG class) at flat-graph
+    * grain, completing the ladder next to the bucketed families
+    * (LSH/IVF/PQ): search walks the graph instead of probing cells,
+    * so recall depends on graph connectivity and `rounds`·`beam`,
+    * not on a quantizer. Every query starts at the fixed `entryId`
+    * (the HNSW fixed-entry convention); each round expands the
+    * current beam through the UNDIRECTED closure of the graph's
+    * edges, scores the candidates exactly, and keeps the `beam`
+    * best per query — one vertex-id equi-join + one bounded
+    * per-query window per round, never a corpus scan after the
+    * first lookup. The query's own row may ride in the beam (it
+    * navigates) but is excluded from the returned top-k, matching
+    * [[bruteForceTopK]]. Returns (query_id, neighbor_id, rnk, cos).
+    *
+    * 100 TB note: beam state is queries·beam rows — the corpus
+    * appears only through the (bucketable) adjacency and embedding
+    * lookups, so a navigable graph makes per-query search cost
+    * rounds·beam·degree lookups, the property that lets
+    * graph ANN serve interactive queries over billions of vectors. */
+  def graphBeamSearch(embs: DataFrame, graph: DataFrame,
+      nQueries: Int = 8, entryId: Long = 0L, beam: Int = 8,
+      rounds: Int = 3, k: Int = 4, dim: Int = 64): DataFrame = {
+    require(rounds >= 1 && beam >= 1 && k >= 1)
+    val fwd = graph.select(col("vec_id"), col("nbr_id"))
+    val adj = fwd.unionByName(
+        fwd.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .distinct()
+    val base = embs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding"), dim).as("en"))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("en").as("q_en"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(base, Seq("vec_id"))
+      .join(queries, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q_emb"), col("embedding"), dim) /
+          (col("q_en") * col("en"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    var beamDf = score(queries.select(col("query_id"))
+      .withColumn("vec_id", lit(entryId)))
+    for (_ <- 1 to rounds) {
+      val expanded = beamDf.select(col("query_id"), col("vec_id"))
+        .join(adj, Seq("vec_id"))
+        .select(col("query_id"), col("nbr_id").as("vec_id"))
+        .unionByName(beamDf.select(col("query_id"), col("vec_id")))
+        .distinct()
+      beamDf = score(expanded)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .drop("rn")
+    }
+    beamDf.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("cos"))
+  }
 }

@@ -140,7 +140,11 @@ class PlanQualitySpec extends SparkSpec {
       // emb40/emb41: LPA communities / BFS hop distance — the same
       // knnGraph edge-list provenance as emb37 (centroid broadcast);
       // every propagation round is a vertex-id equi-join
-      "emb40_community_lpa", "emb41_hop_distance")
+      "emb40_community_lpa", "emb41_hop_distance",
+      // emb42: graph beam search — knnGraph edge-list provenance
+      // (centroid broadcast); the search rounds are vertex-id
+      // equi-joins with per-query bounded windows
+      "emb42_graph_beam_search")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

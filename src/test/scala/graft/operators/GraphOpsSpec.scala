@@ -171,6 +171,53 @@ class GraphOpsSpec extends SparkSpec {
       5L -> -1L, 6L -> -1L))
   }
 
+  test("graphBeamSearch: navigable ring graph reaches exact top-k") {
+    import spark.implicits._
+    // 1-D manifold: vec i = (cos θi, sin θi, 0...) with θ spaced so
+    // cosine similarity decays with index distance — the exact kNN
+    // graph is (i±1, i±2) and greedy search can WALK from entry 0 to
+    // any query's neighborhood
+    val n = 40
+    val dim = 8
+    def emb(i: Int): Array[Float] = {
+      val th = 2.0 * math.Pi * i / n
+      Array.tabulate(dim)(d =>
+        if (d == 0) math.cos(th).toFloat
+        else if (d == 1) math.sin(th).toFloat else 0f)
+    }
+    val embs = (0 until n).map(i => (i.toLong, emb(i)))
+      .toDF("vec_id", "embedding")
+    val edges = (0 until n).flatMap(i => Seq(1, 2, n - 1, n - 2).map(d =>
+      (i.toLong, ((i + d) % n).toLong))).toDF("vec_id", "nbr_id")
+    val got = SimilarityOps.graphBeamSearch(embs, edges,
+        nQueries = 8, entryId = 0L, beam = 6, rounds = 6, k = 4,
+        dim = dim)
+      .select("query_id", "neighbor_id", "rnk")
+      .orderBy("query_id", "rnk").collect().toSeq
+    // navigability claim: after enough rounds the walk from entry 0
+    // lands on the EXACT top-4 — same arithmetic and tie-break as
+    // brute force, so compare against it directly
+    val want = SimilarityOps.bruteForceTopK(embs, dim = dim,
+        nQueries = 8, k = 4)
+      .select("query_id", "neighbor_id", "rnk")
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(got == want && got.size == 32)
+  }
+
+  test("graphBeamSearch: deterministic under repartitioning") {
+    import spark.implicits._
+    val embs = graft.sources.Tables.load(spark, sf("sf0.001"),
+      "embeddings")
+    val edges = SimilarityOps.knnGraph(embs)
+      .select(col("vec_id"), col("nbr_id")).localCheckpoint()
+    val a = SimilarityOps.graphBeamSearch(embs, edges)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val b = SimilarityOps.graphBeamSearch(embs.repartition(7),
+        edges.repartition(5))
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("triangles: K4 — every vertex in 3 triangles, cc = 1") {
     import spark.implicits._
     val vs = Seq(1L, 2L, 3L, 4L)
