@@ -1245,6 +1245,26 @@ object SimilarityOps {
     * graph ANN serve interactive queries over billions of vectors. */
   def graphBeamSearch(embs: DataFrame, graph: DataFrame,
       nQueries: Int = 8, entryId: Long = 0L, beam: Int = 8,
+      rounds: Int = 3, k: Int = 4, dim: Int = 64): DataFrame =
+    graphBeamSearchFrom(embs, graph,
+      embs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          lit(entryId).as("vec_id")),
+      nQueries, beam, rounds, k, dim)
+
+  /** [[graphBeamSearch]] with CALLER-SUPPLIED entry points — one or
+    * more (query_id, vec_id) starting rows per query. A single fixed
+    * entry only navigates the entry's own connected component; on a
+    * clustered/multi-sheet corpus the walk stalls at the component
+    * boundary (measured: recall stuck at 13% on the 10-sheet derived
+    * corpus where the fixed-entry form saturates at 100% on the
+    * connected one). The production remedy is exactly this hook:
+    * seed the beam per query from the quantizer — e.g. the rank-1
+    * member of the query's nearest IVF cells ([[cellMembers]]) or
+    * one entry per LPA community — and the walk starts inside the
+    * right component (the IVF→graph hybrid / HNSW-layer role). */
+  def graphBeamSearchFrom(embs: DataFrame, graph: DataFrame,
+      entries: DataFrame, nQueries: Int = 8, beam: Int = 8,
       rounds: Int = 3, k: Int = 4, dim: Int = 64): DataFrame = {
     require(rounds >= 1 && beam >= 1 && k >= 1)
     val fwd = graph.select(col("vec_id"), col("nbr_id"))
@@ -1264,8 +1284,8 @@ object SimilarityOps {
           (col("q_en") * col("en"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    var beamDf = score(queries.select(col("query_id"))
-      .withColumn("vec_id", lit(entryId)))
+    var beamDf = score(entries.select(col("query_id"), col("vec_id"))
+      .distinct())
     for (_ <- 1 to rounds) {
       val expanded = beamDf.select(col("query_id"), col("vec_id"))
         .join(adj, Seq("vec_id"))

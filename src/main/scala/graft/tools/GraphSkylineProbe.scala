@@ -132,6 +132,47 @@ object GraphSkylineProbe {
         f"(${100.0 * reach / n}%.1f%%, $tBfs%5.1f s)")
     }
 
+    // emb42: graph beam search — recall vs brute force as rounds
+    // grow (the navigability trade: walk length buys recall; cost is
+    // rounds·beam·degree lookups, corpus-size-free)
+    {
+      val edges = SimilarityOps.knnGraph(embs, nCentroids = nCents)
+        .select(col("vec_id"), col("nbr_id"))
+        .localCheckpoint()
+      val truth = SimilarityOps.bruteForceTopK(embs, nQueries = 8,
+          k = 4)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recalls = Seq(2, 4, 8).map { r =>
+        val got = SimilarityOps.graphBeamSearch(embs, edges,
+            rounds = r, beam = 8, k = 4)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+        f"r$r=${100.0 * (got & truth).size / truth.size}%.0f%%"
+      }.mkString(" ")
+      // cell-seeded entries: the IVF→graph hybrid — the walk starts
+      // inside the query's own component, the fix for multi-sheet
+      // corpora where a single fixed entry cannot cross components
+      val ranked = SimilarityOps.rankedCellAssignments(embs,
+        nCentroids = nCents)
+      val cellRep = ranked.filter(col("rn") === 1)
+        .groupBy("cid").agg(min("vec_id").as("entry"))
+      val entries = ranked
+        .filter(col("vec_id") < 8 && col("rn") <= 2)
+        .join(cellRep, Seq("cid"))
+        .select(col("vec_id").as("query_id"),
+          col("entry").as("vec_id"))
+      val gotSeeded = SimilarityOps.graphBeamSearchFrom(embs, edges,
+          entries, rounds = 8, beam = 8, k = 4)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+      val seeded =
+        f"${100.0 * (gotSeeded & truth).size / truth.size}%.0f%%"
+      CheckpointBridge.freeLocalCheckpoint(edges)
+      println(f"PROBE emb42_beam       $n%8d vecs  recall@4 vs brute: " +
+        f"$recalls  cell-seeded r8: $seeded")
+    }
+
     // doc43: skyline — survivor shell vs corpus
     {
       val nDocs = docs.count()
