@@ -336,6 +336,41 @@ object OpsQueries {
     },
     Some(retentionOracle))
 
+  // -------------------------------------------------------------- q64
+  // Windowed count-anomaly audit (TemporalOps.anomalyWindows) — the
+  // event-stream health check: hourly counts per type, each hour
+  // judged against its own trailing-24h window with an EXACT
+  // cross-multiplied integer 3σ test (no sqrt, no floats — both
+  // engines replay the same booleans); hours without a ≥12-hour
+  // baseline make no claim. One (type, hour) count + a window
+  // partitioned by type, groups bounded by the time range.
+  private val q64 = GraftQuery(
+    "q64_anomaly_windows",
+    (s, dir) =>
+      TemporalOps.anomalyWindows(t(s, dir, "events"))
+        .orderBy(col("event_type"), col("hr")),
+    Some("""
+      WITH hourly AS (
+        SELECT event_type,
+          date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts)
+            AS hr,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      tr AS (
+        SELECT event_type, hr, cnt,
+          CAST(COUNT(cnt) OVER w AS BIGINT) AS n_trail,
+          CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS s,
+          CAST(COALESCE(SUM(cnt * cnt) OVER w, 0) AS BIGINT) AS ss
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, hr, cnt, n_trail,
+        (n_trail >= 12 AND n_trail * cnt > s AND
+         (n_trail * cnt - s) * (n_trail * cnt - s) >
+           9 * (n_trail * ss - s * s)) AS is_anomaly
+      FROM tr
+      ORDER BY event_type, hr"""))
+
   // -------------------------------------------------------------- mm06
   // Media near-dup via banded perceptual hash: 32-bit byte-4-gram
   // SimHash (similarity-preserving, the pHash stand-in — mm02's
@@ -1958,5 +1993,5 @@ object OpsQueries {
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
-      q63, cdc38, emb42)
+      q63, cdc38, emb42, q64)
 }

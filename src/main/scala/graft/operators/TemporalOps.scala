@@ -250,4 +250,42 @@ object TemporalOps {
         col("n_cohort"),
         expr("(n_active * 1000000) div n_cohort").as("retention_ppm"))
   }
+
+  /** Windowed COUNT-ANOMALY detection — the event-stream health
+    * audit: hourly event counts per type, each hour judged against
+    * its own trailing `trail`-hour window; an hour is anomalous when
+    * it sits more than 3 standard deviations ABOVE the trailing
+    * mean. The 3σ test is exact cross-multiplied integer arithmetic
+    * (no sqrt, no floats — flag iff n·cnt > s AND
+    * (n·cnt − s)² > 9·(n·sumsq − s²), algebraically identical to
+    * (cnt − μ)² > 9σ² with μ = s/n, σ² = (n·sumsq − s²)/n²), so both
+    * engines replay the same booleans. Hours with fewer than
+    * `minTrail` trailing observations report flag = false (no
+    * baseline, no claim). Shuffle story: one map-side-combined
+    * (type, hour) count, then a window PARTITIONED BY type — groups
+    * bounded by the time range, never by event volume.
+    * Returns (event_type, hr, cnt, n_trail, is_anomaly). */
+  def anomalyWindows(events: DataFrame, trail: Int = 24,
+      minTrail: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // epoch-hour: timestamp→long is epoch seconds (UTC session),
+    // truncating div buckets the hour — calendar-free, replayable
+    val hourly = events.select(col("event_type"),
+        expr("CAST(ts AS LONG) div 3600").as("hr"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(-trail, -1)
+    hourly
+      .withColumn("n_trail", count(col("cnt")).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+      .select(col("event_type"), col("hr"), col("cnt"), col("n_trail"),
+        (col("n_trail") >= minTrail &&
+          col("n_trail") * col("cnt") > col("s") &&
+          (col("n_trail") * col("cnt") - col("s")) *
+            (col("n_trail") * col("cnt") - col("s")) >
+            lit(9L) * (col("n_trail") * col("ss") -
+              col("s") * col("s"))).as("is_anomaly"))
+  }
 }

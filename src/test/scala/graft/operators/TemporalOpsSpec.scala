@@ -134,4 +134,29 @@ class TemporalOpsSpec extends SparkSpec {
       (0L, 1L, 1L, 1000000L),  // B week 0: u3
       (2L, 1L, 1L, 1000000L))) // B week 2: u3 (skipped week 1)
   }
+
+  test("anomalyWindows: planted spike flagged, steady hours clean") {
+    import spark.implicits._
+    // 30 hours at ~10 events/hour with a tiny deterministic wobble,
+    // then hour 30 spikes to 60 — far beyond 3σ of the trailing 24
+    val ev = (0 until 31).flatMap { h =>
+      val cnt = if (h == 30) 60 else 10 + (h % 3) // 10,11,12 wobble
+      (0 until cnt).map(i =>
+        (1L, Timestamp.valueOf(f"2024-03-0${1 + h / 24}%d " +
+          f"${h % 24}%02d:0${i % 6}%d:00")))
+    }.toDF("user_id", "ts").withColumn("event_type",
+        org.apache.spark.sql.functions.lit("view"))
+    val got = TemporalOps.anomalyWindows(ev)
+      .orderBy($"hr").collect()
+      .map(r => (r.getAs[Long]("hr"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("n_trail"), r.getAs[Boolean]("is_anomaly")))
+    // first 12 hours: no baseline, never flagged
+    assert(got.take(12).forall(!_._4))
+    // steady wobble hours with a full baseline: clean
+    assert(got.slice(12, 30).forall(!_._4))
+    // the spike: flagged against its trailing 24
+    val spike = got.last
+    assert(spike._2 == 60L && spike._3 == 24L && spike._4,
+      s"spike row $spike")
+  }
 }
