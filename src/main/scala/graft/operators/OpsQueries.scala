@@ -1817,6 +1817,64 @@ object OpsQueries {
       QUALIFY rnk <= 4
       ORDER BY query_id, rnk"""))
 
+  // -------------------------------------------------------------- emb43
+  // CELL-SEEDED beam search (SimilarityOps.graphBeamSearchFrom) —
+  // the IVF→graph HYBRID, the production configuration the
+  // GraphSkylineProbe measured (fixed entry stalls at its own
+  // connected component — 13% recall on the 10-sheet corpus; cell
+  // seeding recovers 100%): each query's beam starts at a
+  // representative (min vec_id) of the rank-1 members of its 2
+  // nearest cells, then walks the graph. The oracle replays seeding
+  // and the unrolled rounds exactly.
+  private val emb43 = GraftQuery(
+    "emb43_beam_cell_seeded",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val ranked = SimilarityOps.rankedCellAssignments(embs)
+      val cellRep = ranked.filter(col("rn") === 1)
+        .groupBy("cid").agg(min("vec_id").as("entry"))
+      val entries = ranked
+        .filter(col("vec_id") < 8 && col("rn") <= 2)
+        .join(cellRep, Seq("cid"))
+        .select(col("vec_id").as("query_id"),
+          col("entry").as("vec_id"))
+      SimilarityOps.graphBeamSearchFrom(embs,
+          SimilarityOps.knnGraph(embs), entries)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${knnGraphCtes(nProbe = 2)},
+      edges AS MATERIALIZED (
+        SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
+      adj AS MATERIALIZED (
+        SELECT src AS vid, dst AS nbr FROM edges
+        UNION
+        SELECT dst AS vid, src AS nbr FROM edges),
+      qs AS MATERIALIZED (
+        SELECT vec_id AS query_id, embedding AS q_emb, en AS q_en
+        FROM base WHERE vec_id < 8),
+      cellrep AS (
+        SELECT cid, CAST(MIN(vec_id) AS BIGINT) AS entry
+        FROM assign WHERE rn = 1 GROUP BY cid),
+      ent AS (
+        SELECT DISTINCT a.vec_id AS query_id, r.entry AS vec_id
+        FROM assign a JOIN cellrep r ON r.cid = a.cid
+        WHERE a.vec_id < 8 AND a.rn <= 2),
+      bm0 AS MATERIALIZED (
+        SELECT e.query_id, e.vec_id,
+          (${dotSql("q.q_emb", "b.embedding", 64)})
+            / (q.q_en * b.en) AS cos
+        FROM ent e
+        JOIN base b ON b.vec_id = e.vec_id
+        JOIN qs q ON q.query_id = e.query_id),
+      ${beamIterCtes(3, 8)}
+      SELECT query_id, vec_id AS neighbor_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk, cos
+      FROM bm3 WHERE vec_id <> query_id
+      QUALIFY rnk <= 4
+      ORDER BY query_id, rnk"""))
+
   // ---------------------------------------------------- q62 / cdc36
   // Histogram QUANTILE sketch (SketchOps.histSketch/histQuantiles) —
   // the order-statistics member of the sketch family (q57 HLL, q58
@@ -1993,5 +2051,5 @@ object OpsQueries {
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
-      q63, cdc38, emb42, q64)
+      q63, cdc38, emb42, q64, emb43)
 }

@@ -144,7 +144,10 @@ class PlanQualitySpec extends SparkSpec {
       // emb42: graph beam search — knnGraph edge-list provenance
       // (centroid broadcast); the search rounds are vertex-id
       // equi-joins with per-query bounded windows
-      "emb42_graph_beam_search")
+      "emb42_graph_beam_search",
+      // emb43: the cell-seeded hybrid — same provenance, plus the
+      // emb04-class centroid broadcast for the seeding assignment
+      "emb43_beam_cell_seeded")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
