@@ -1245,12 +1245,18 @@ object SimilarityOps {
     * graph ANN serve interactive queries over billions of vectors. */
   def graphBeamSearch(embs: DataFrame, graph: DataFrame,
       nQueries: Int = 8, entryId: Long = 0L, beam: Int = 8,
-      rounds: Int = 3, k: Int = 4, dim: Int = 64): DataFrame =
+      rounds: Int = 3, k: Int = 4, dim: Int = 64): DataFrame = {
+    // the entry rides in as a SCANNED 1-row broadcast, not a literal:
+    // a lit() join key constant-folds and the scoring equi-join
+    // degrades to a CartesianProduct (the registry-wide ban)
+    val entry = embs.filter(col("vec_id") === entryId)
+      .select(col("vec_id"))
     graphBeamSearchFrom(embs, graph,
       embs.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"),
-          lit(entryId).as("vec_id")),
+        .select(col("vec_id").as("query_id"))
+        .crossJoin(broadcast(entry)),
       nQueries, beam, rounds, k, dim)
+  }
 
   /** [[graphBeamSearch]] with CALLER-SUPPLIED entry points — one or
     * more (query_id, vec_id) starting rows per query. A single fixed
