@@ -344,12 +344,7 @@ object OpsQueries {
   // engines replay the same booleans); hours without a ≥12-hour
   // baseline make no claim. One (type, hour) count + a window
   // partitioned by type, groups bounded by the time range.
-  private val q64 = GraftQuery(
-    "q64_anomaly_windows",
-    (s, dir) =>
-      TemporalOps.anomalyWindows(t(s, dir, "events"))
-        .orderBy(col("event_type"), col("hr")),
-    Some("""
+  private val anomalyOracle = """
       WITH hourly AS (
         SELECT event_type,
           date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts)
@@ -369,7 +364,44 @@ object OpsQueries {
          (n_trail * cnt - s) * (n_trail * cnt - s) >
            9 * (n_trail * ss - s * s)) AS is_anomaly
       FROM tr
-      ORDER BY event_type, hr"""))
+      ORDER BY event_type, hr"""
+
+  private val q64 = GraftQuery(
+    "q64_anomaly_windows",
+    (s, dir) =>
+      TemporalOps.anomalyWindows(t(s, dir, "events"))
+        .orderBy(col("event_type"), col("hr")),
+    Some(anomalyOracle))
+
+  // -------------------------------------------------------------- cdc39
+  // Incrementally-maintained anomaly audit (IncrementalHourly) —
+  // q64's report under event ingest via the compacted-state pattern
+  // (cdc38's sibling, additive camp): state is the (type, hour)
+  // count table, folded by addition per batch (watermarked — counts
+  // are not idempotent), report recomputed state-sized through
+  // byte-shared anomalyFromHourly. Batches are date-sliced OUT OF
+  // ORDER (2,0,1) plus a REDELIVERED batch; served report must equal
+  // one-shot q64 — q64's oracle is the gate.
+  private val cdc39 = GraftQuery(
+    "cdc39_incremental_anomaly",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc39_hourly"
+      Seq(table, s"${table}_stage", s"${table}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val ev = t(s, dir, "events")
+      def part(i: Int) =
+        ev.filter(pmod(dayofmonth($"ts"), lit(3)) === i)
+      Seq(2, 0, 0, 1).zipWithIndex.foreach { case (p, bid) =>
+        // the replayed batch re-sends p=0 under its ORIGINAL id 1
+        val id = if (bid == 2) 1L else bid.toLong
+        graft.streaming.IncrementalHourly.applyBatch(s, table,
+          part(p), id)
+      }
+      graft.streaming.IncrementalHourly.anomalyReport(s, table)
+        .orderBy(col("event_type"), col("hr"))
+    },
+    Some(anomalyOracle))
 
   // -------------------------------------------------------------- mm06
   // Media near-dup via banded perceptual hash: 32-bit byte-4-gram
@@ -2051,5 +2083,5 @@ object OpsQueries {
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
-      q63, cdc38, emb42, q64, emb43)
+      q63, cdc38, emb42, q64, emb43, cdc39)
 }

@@ -266,14 +266,28 @@ object TemporalOps {
     * bounded by the time range, never by event volume.
     * Returns (event_type, hr, cnt, n_trail, is_anomaly). */
   def anomalyWindows(events: DataFrame, trail: Int = 24,
-      minTrail: Int = 12): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // epoch-hour: timestamp→long is epoch seconds (UTC session),
-    // truncating div buckets the hour — calendar-free, replayable
-    val hourly = events.select(col("event_type"),
+      minTrail: Int = 12): DataFrame =
+    anomalyFromHourly(hourlyCounts(events), trail, minTrail)
+
+  /** The per-(type, epoch-hour) count table — the compacted state
+    * the anomaly audit needs (time-bounded rows, far below the event
+    * log); counts are pure sums, so the maintained form
+    * ([[graft.streaming.IncrementalHourly]], cdc39) folds batches by
+    * addition. Epoch-hour: timestamp→long is epoch seconds (UTC
+    * session), truncating div buckets the hour — calendar-free,
+    * replayable. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
         expr("CAST(ts AS LONG) div 3600").as("hr"))
       .groupBy("event_type", "hr")
       .agg(count(lit(1)).as("cnt"))
+
+  /** The anomaly report served from an [[hourlyCounts]] frame —
+    * byte-shared by the one-shot (q64) and maintained (cdc39)
+    * forms. */
+  def anomalyFromHourly(hourly: DataFrame, trail: Int = 24,
+      minTrail: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
       .rowsBetween(-trail, -1)
     hourly
