@@ -173,6 +173,39 @@ object GraphOps {
     dist.select(col("vid"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
+  /** COMMUNITY-BALANCED SAMPLING — `k` deterministic representatives
+    * per community from a (vid, community) labeling (e.g.
+    * [[labelPropagation]]): the diversity knob of a curation
+    * pipeline ("sample per community, not per document" — a corpus
+    * that is 90% one clump contributes k docs from it, same as every
+    * niche clump). Selection ranks by the content-independent doc08
+    * hash (stable under reprocessing, no RNG), ties by vid.
+    *
+    * Skew-proof shape: a giant community would make a single
+    * community-partitioned window a one-task straggler, so the top-k
+    * runs TWO-LEVEL — per (community, salt) top-k over 16 hash
+    * salts (groups bounded at |community|/16), then a merge window
+    * over ≤ 16·k rows per community. Lossless: the global top-k by
+    * (h, vid) is contained in the per-salt top-k's. Returns
+    * (vid, community, rnk). */
+  def communitySample(labels: DataFrame, k: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val h = graft.operators.SketchOps.u40(col("vid"))
+    val salted = labels.select(col("vid"), col("community"),
+      h.as("h"), pmod(h, lit(16L)).as("salt"))
+    val w1 = Window.partitionBy(col("community"), col("salt"))
+      .orderBy(col("h"), col("vid"))
+    val w2 = Window.partitionBy(col("community"))
+      .orderBy(col("h"), col("vid"))
+    salted
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k)
+      .withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vid"), col("community"), col("rnk"))
+  }
+
   private def undirected(edges: DataFrame): DataFrame =
     edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),

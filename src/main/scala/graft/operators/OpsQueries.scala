@@ -1907,6 +1907,47 @@ object OpsQueries {
       QUALIFY rnk <= 4
       ORDER BY query_id, rnk"""))
 
+  // -------------------------------------------------------------- emb44
+  // Community-balanced sampling (GraphOps.communitySample) — k=2
+  // deterministic representatives per emb40 community: the diversity
+  // knob ("sample per clump, not per document"); selection by the
+  // content-independent doc08 hash, stable under reprocessing. The
+  // engine runs the skew-proof two-level top-k (per-salt then
+  // merge — a giant community never funnels through one task); the
+  // oracle takes the direct single-window top-k, pinning the
+  // two-level reduction LOSSLESS.
+  private val emb44 = GraftQuery(
+    "emb44_community_sample",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.communitySample(
+          GraphOps.labelPropagation(edges, rounds = 3)
+            .select(col("vid"), col("community")), k = 2)
+        .orderBy(col("community"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${knnGraphCtes(nProbe = 2)},
+      edges AS (
+        SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
+      ${lpaUndCtes},
+      l0 AS (SELECT DISTINCT vid, vid AS label FROM adj),
+      ${lpaIterCtes(3)},
+      hashed AS (
+        SELECT vid, label AS community,
+          CAST(('0x' || substring(md5(CAST(vid AS VARCHAR)), 1, 10))
+            AS BIGINT) AS h
+        FROM l3),
+      rk AS (
+        SELECT vid, community,
+          CAST(ROW_NUMBER() OVER (PARTITION BY community
+            ORDER BY h, vid) AS BIGINT) AS rnk
+        FROM hashed)
+      SELECT vid, community, rnk FROM rk
+      WHERE rnk <= 2
+      ORDER BY community, rnk"""))
+
   // ---------------------------------------------------- q62 / cdc36
   // Histogram QUANTILE sketch (SketchOps.histSketch/histQuantiles) —
   // the order-statistics member of the sketch family (q57 HLL, q58
@@ -2083,5 +2124,5 @@ object OpsQueries {
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
-      q63, cdc38, emb42, q64, emb43, cdc39)
+      q63, cdc38, emb42, q64, emb43, cdc39, emb44)
 }

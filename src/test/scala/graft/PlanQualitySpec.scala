@@ -147,7 +147,10 @@ class PlanQualitySpec extends SparkSpec {
       "emb42_graph_beam_search",
       // emb43: the cell-seeded hybrid — same provenance, plus the
       // emb04-class centroid broadcast for the seeding assignment
-      "emb43_beam_cell_seeded")
+      "emb43_beam_cell_seeded",
+      // emb44: community sampling over emb40's LPA labels — same
+      // knnGraph provenance; the two-level top-k is windows only
+      "emb44_community_sample")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -204,6 +204,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == want && got.size == 32)
   }
 
+  test("communitySample: two-level top-k == direct top-k, k-bounded") {
+    import spark.implicits._
+    // one giant community (900 members) + two niche ones — the skew
+    // case the two-level reduction exists for
+    val labels = ((0L until 900L).map(v => (v, 1L)) ++
+      (900L until 905L).map(v => (v, 2L)) ++
+      Seq((905L, 3L))).toDF("vid", "community")
+    val got = GraphOps.communitySample(labels, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bounded: ≤ k per community; the singleton community keeps its
+    // one member
+    val per = got.groupBy(_._2).map { case (c, xs) => c -> xs.length }
+    assert(per == Map(1L -> 2, 2L -> 2, 3L -> 1))
+    // equals the direct single-window top-k by (hash, vid)
+    val h = graft.operators.SketchOps.u40(col("vid"))
+    val direct = labels.select($"vid", $"community", h.as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap { case (c, xs) =>
+        xs.sortBy(x => (x._3, x._1)).take(2).zipWithIndex
+          .map { case (x, i) => (x._1, c, i + 1L) }
+      }.toSet
+    assert(got.toSet == direct)
+    // deterministic under repartitioning
+    val again = GraphOps.communitySample(labels.repartition(7), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == got.toSet)
+  }
+
   test("graphBeamSearch: deterministic under repartitioning") {
     import spark.implicits._
     val embs = graft.sources.Tables.load(spark, sf("sf0.001"),
