@@ -312,10 +312,13 @@ object OpsQueries {
   // (the minimal sufficient statistic, far below the event log),
   // folded by set union — idempotent, so the REDELIVERED batch needs
   // no watermark; the matrix recomputes grid-sized on read through
-  // byte-shared retentionFromGrid. Served report must equal one-shot
-  // q63 — q63's oracle is the gate. Batches are date-sliced OUT OF
-  // ORDER (2,0,0,1) to pin that late events only add cells and min
-  // week is order-free.
+  // byte-shared retentionFromGrid. The grid is CORPUS-KEYED state,
+  // so it lives in a CdcMerge-bucketed table partitioned on
+  // hash(user_id) — a batch upserts only its users' buckets, never a
+  // whole-grid (let alone single-task) rewrite. Served report must
+  // equal one-shot q63 — q63's oracle is the gate. Batches are
+  // date-sliced OUT OF ORDER (2,0,0,1) to pin that late events only
+  // add cells and min week is order-free.
   private val cdc38 = GraftQuery(
     "cdc38_incremental_retention",
     (s, dir) => {

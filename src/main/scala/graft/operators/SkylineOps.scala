@@ -36,6 +36,15 @@ import org.apache.spark.sql.functions._
   * dominates a iff b is ≥ on every maximize-dim, ≤ on every
   * minimize-dim, and strictly better on at least one. Ties (equal
   * on every dim) dominate in neither direction: both stay.
+  *
+  * RANGE PRECONDITION (the histSketch-style overflow contract): the
+  * bucket and champion-score expressions multiply a per-dim offset
+  * (value − min) by up to 4g·10⁶ in BIGINT, so each dim's range
+  * (max − min) must satisfy range · 4g · 10⁶ < 2⁶³ — i.e. range
+  * below ~2.8·10¹¹ at the default g=8. Token/type/byte curation
+  * metrics sit many orders below that; a caller with astronomical
+  * metric ranges must rescale (divide) them first, exactly as
+  * histSketch requires (hi − lo)·w < 2⁶³ of its domain.
   */
 object SkylineOps {
 

@@ -284,7 +284,21 @@ object TemporalOps {
 
   /** The anomaly report served from an [[hourlyCounts]] frame —
     * byte-shared by the one-shot (q64) and maintained (cdc39)
-    * forms. */
+    * forms.
+    *
+    * Baseline semantics — OBSERVED hours, not wall-clock: the
+    * trailing window is ROWS-based over the hours the type actually
+    * emitted events (`rowsBetween(-trail, -1)`), so for a type with
+    * gap hours the baseline spans MORE than `trail` wall-clock hours
+    * (it reaches back to the last `trail` active ones), and
+    * zero-event hours are never judged — a silent outage is not an
+    * "anomalously low" row, it is absent. That is the deliberate
+    * choice for sparse/bursty types, where a wall-clock rangeBetween
+    * baseline would often be empty and the 3σ test vacuous; callers
+    * that need gap detection should densify hours upstream (join
+    * against a generated hour spine) before calling this. The oracle
+    * replays the same ROWS window, so engine and oracle agree by
+    * construction. */
   def anomalyFromHourly(hourly: DataFrame, trail: Int = 24,
       minTrail: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window

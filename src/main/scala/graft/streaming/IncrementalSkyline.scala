@@ -21,7 +21,15 @@ import graft.operators.SkylineOps
   * at-least-once delivery needs no watermark. The spec pins a
   * double-fold no-op. Contract: append-only ids — an UPDATE to a
   * previously-folded point's metrics is out of scope (the frontier
-  * no longer holds the dominated history to re-judge against).
+  * no longer holds the dominated history to re-judge against). The
+  * fold enforces the contract DETERMINISTICALLY: an already-folded
+  * id arriving again (even with changed metrics — the out-of-scope
+  * update) is dropped by an anti-join against the frontier ids, so
+  * the state row always survives; redelivery can never silently
+  * replace state with an arbitrary pool survivor. Duplicate ids
+  * WITHIN one batch collapse to the per-id max metric struct —
+  * deterministic under any partitioning, unlike a dropDuplicates
+  * pick.
   */
 object IncrementalSkyline {
 
@@ -31,13 +39,23 @@ object IncrementalSkyline {
       batch: DataFrame, idCol: String, maxCols: Seq[String],
       minCols: Seq[String], g: Int = 8): Unit = {
     TableSwap.recover(spark, frontierTable, s"${frontierTable}_stage")
-    val cols = (idCol +: (maxCols ++ minCols)).map(col)
+    val dims = maxCols ++ minCols
+    val cols = (idCol +: dims).map(col)
+    // within-batch dedup by max metric struct (deterministic under
+    // any partitioning); cross-batch dedup prefers the STATE row via
+    // an anti-join on frontier ids — a redelivered id, even with
+    // changed metrics, can never displace what was already folded
+    val batchDedup = batch.select(cols: _*)
+      .groupBy(col(idCol))
+      .agg(max(struct(dims.map(col): _*)).as("_m"))
+      .select(col(idCol) +: dims.map(d => col(s"_m.$d").as(d)): _*)
     val pool =
-      (if (spark.catalog.tableExists(frontierTable))
-         spark.table(frontierTable).select(cols: _*)
-           .unionByName(batch.select(cols: _*))
-       else batch.select(cols: _*))
-        .dropDuplicates(idCol)
+      if (spark.catalog.tableExists(frontierTable)) {
+        val frontier = spark.table(frontierTable).select(cols: _*)
+        frontier.unionByName(
+          batchDedup.join(frontier.select(col(idCol)), Seq(idCol),
+            "left_anti"))
+      } else batchDedup
     val updated = SkylineOps.skyline(pool, idCol, maxCols, minCols, g)
     TableSwap.writeStaged(spark, updated, frontierTable)
   }

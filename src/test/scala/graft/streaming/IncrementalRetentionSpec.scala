@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
 
 /** IncrementalRetention: out-of-order batched fold == one-shot
   * matrix; replay is a no-op without a watermark (set state); the
-  * state is the activity grid, not the event log. */
+  * state is the activity grid, not the event log — held in a
+  * CdcMerge-bucketed table (corpus-keyed state: no whole-grid
+  * rewrite, upserts prune to the batch's user buckets). */
 class IncrementalRetentionSpec extends SparkSpec {
 
   private val table = "retspec_grid"
@@ -50,12 +52,34 @@ class IncrementalRetentionSpec extends SparkSpec {
     def part(i: Int) = ev.filter(pmod(dayofmonth($"ts"), lit(3)) === i)
     Seq(0, 1).foreach(i =>
       IncrementalRetention.applyBatch(spark, table, part(i)))
-    val before = spark.table(table).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def grid() = IncrementalRetention.readGrid(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = grid()
     IncrementalRetention.applyBatch(spark, table, part(1))
-    val after = spark.table(table).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(after == before)
+    assert(grid() == before)
+  }
+
+  test("a trickle batch rewrites ONLY its users' buckets") {
+    import spark.implicits._
+    freshTable()
+    IncrementalRetention.applyBatch(spark, table, ev, nBuckets = 16)
+    val filesBefore = spark.table(table).inputFiles.toSet
+    // one user, one new week — touches exactly user 7's bucket
+    val trickle = Seq((7L,
+      java.sql.Timestamp.valueOf("2024-06-01 10:00:00")))
+      .toDF("user_id", "ts")
+    IncrementalRetention.applyBatch(spark, table, trickle,
+      nBuckets = 16)
+    val filesAfter = spark.table(table).inputFiles.toSet
+    // untouched buckets keep their exact files; only the trickle
+    // user's bucket was rewritten
+    val untouched = filesBefore.intersect(filesAfter)
+    assert(untouched.size >= filesBefore.size - 1,
+      s"expected <=1 bucket rewritten, kept ${untouched.size} of " +
+        s"${filesBefore.size}")
+    assert(IncrementalRetention.readGrid(spark, table)
+      .filter($"user_id" === 7L).count() >
+      TemporalOps.activityGrid(ev).filter($"user_id" === 7L).count())
   }
 
   test("state is the activity grid, far below the event count") {

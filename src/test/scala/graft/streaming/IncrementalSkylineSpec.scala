@@ -60,6 +60,44 @@ class IncrementalSkylineSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("redelivery with CHANGED metrics keeps the state row " +
+      "(deterministic survivor, not an arbitrary pool pick)") {
+    import spark.implicits._
+    freshTable()
+    IncrementalSkyline.applyBatch(spark, table, pts, "id",
+      maxCols, minCols)
+    val before = IncrementalSkyline.readFrontier(spark, table, "id",
+      maxCols, minCols).collect().map(_.toSeq).toSet
+    // violate the append-only contract: re-send every frontier id
+    // with strictly better metrics — the fold must prefer state
+    val mutated = IncrementalSkyline.readFrontier(spark, table, "id",
+        maxCols, minCols)
+      .select($"id", ($"x" + 1000).as("x"), ($"y" + 1000).as("y"),
+        ($"z" - 1000).as("z"))
+    IncrementalSkyline.applyBatch(spark, table, mutated, "id",
+      maxCols, minCols)
+    val after = IncrementalSkyline.readFrontier(spark, table, "id",
+      maxCols, minCols).collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
+  test("duplicate ids WITHIN a batch collapse deterministically " +
+      "(max metric struct)") {
+    import spark.implicits._
+    freshTable()
+    // two rows of id=0: (5,5,5) and (5,6,5) — max struct = (5,6,5)
+    val b = Seq((0L, 5L, 5L, 5L), (0L, 5L, 6L, 5L), (1L, 9L, 1L, 9L))
+      .toDF("id", "x", "y", "z")
+    IncrementalSkyline.applyBatch(spark, table, b, "id",
+      maxCols, minCols)
+    val rows = IncrementalSkyline.readFrontier(spark, table, "id",
+        maxCols, minCols)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows.contains((0L, 5L, 6L, 5L)))
+    assert(!rows.exists(t => t._1 == 0L && t._3 == 5L))
+  }
+
   test("state is frontier-sized, not corpus-sized") {
     import spark.implicits._
     freshTable()
