@@ -750,7 +750,7 @@ object OpsQueries {
       import s.implicits._
       val steps = Seq("view", "click", "purchase")
       val table = "cdc34_funnel"
-      Seq(table, s"${table}_stage", s"${table}_old")
+      graft.streaming.IncrementalFunnel.tables(table)
         .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
       val ev = t(s, dir, "events")
       // time-ordered slices (the contract): Jan 1-10, 11-20, 21-31

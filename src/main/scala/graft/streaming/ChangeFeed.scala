@@ -311,6 +311,8 @@ object ChangeFeed {
       // drained groups stay as watermark carriers (readAggregate
       // filters), the IncrementalAgg invariant
       .withColumn("_batch", lit(effUpTo))
+    // bound: groups-ever-seen (enum-like group key — caller
+    // contract); corpus-keyed groups belong in CdcMerge
     TableSwap.writeStaged(spark, updated, aggTable)
   }
 

@@ -116,7 +116,9 @@ object IncrementalAgg {
       // replay instead of skipping it. readAgg filters them out; the
       // table stays groups-ever-seen-sized (still metadata-scale).
       .withColumn("_batch", lit(batchId))
-    // groups-sized table: stage the full next version, then a
+    // bound: groups-ever-seen — the group key must be enum-like
+    // (caller contract); corpus-keyed groups belong in CdcMerge.
+    // Stage the full next version, then a
     // rename-chain swap (TableSwap) — a whole-table insertInto
     // overwrite deletes the files BEFORE its job commits, so a crash
     // mid-overwrite would destroy the table AND its watermark row,

@@ -39,6 +39,7 @@ object IncrementalBloom {
           .distinct()
       else deltas)
       .withColumn("_batch", lit(batchId))
+    // bound: <= m set-bit rows (fixed Bloom array, KBs)
     TableSwap.writeStaged(spark, updated, bitsTable)
   }
 

@@ -43,6 +43,7 @@ object IncrementalCms {
           .agg(sum("cnt").as("cnt"))
       else deltas)
       .withColumn("_batch", lit(batchId))
+    // bound: d x w fixed counter grid (CMS dimensions)
     TableSwap.writeStaged(spark, updated, gridTable)
   }
 

@@ -31,6 +31,7 @@ object IncrementalDrift {
   def freezeReference(spark: SparkSession, refTable: String,
       embs: DataFrame): Unit = {
     TableSwap.recover(spark, refTable, s"${refTable}_stage")
+    // bound: dim x 16 fixed histogram bins
     TableSwap.writeStaged(spark,
       CurationOps.embeddingHistogram(embs), refTable)
   }
@@ -60,6 +61,7 @@ object IncrementalDrift {
               coalesce(col("dv"), lit(0L))).as("vsum"))
       else deltas)
       .withColumn("_batch", lit(batchId))
+    // bound: dim x 16 fixed histogram bins
     TableSwap.writeStaged(spark, updated, histTable)
   }
 

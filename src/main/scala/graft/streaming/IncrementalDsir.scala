@@ -68,6 +68,8 @@ object IncrementalDsir {
         deltas.select(col("bucket"), col("dc").as("corpus_cnt"),
           col("dt").as("target_cnt")))
       .withColumn("_batch", lit(batchId))
+    // bound: <= nBuckets hashed n-gram rows (fixed grid, never
+    // vocab- or corpus-keyed) — DsirBoundsSpec pins it
     TableSwap.writeStaged(spark, updated, bucketTable)
   }
 

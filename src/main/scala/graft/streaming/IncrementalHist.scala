@@ -42,6 +42,7 @@ object IncrementalHist {
           .agg(sum("cnt").as("cnt"))
       else deltas)
       .withColumn("_batch", lit(batchId))
+    // bound: groups x w fixed bins (enum group key contract)
     TableSwap.writeStaged(spark, updated, histTable)
   }
 

@@ -62,6 +62,7 @@ object IncrementalHll {
           .agg(expr("hll_union_agg(sk)").as("sk"))
       else deltas)
       .withColumn("_batch", lit(batchId))
+    // bound: one register blob per (type, day) — enum x time-bounded
     TableSwap.writeStaged(spark, updated, sketchTable)
   }
 

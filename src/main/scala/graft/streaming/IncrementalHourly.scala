@@ -41,6 +41,8 @@ object IncrementalHourly {
           .agg(sum("cnt").as("cnt"))
       else deltas)
       .withColumn("_batch", lit(batchId))
+    // bound: (event_type, hour) rows — enum types x time-bounded
+    // hours, never corpus-keyed (TableSwap size contract)
     TableSwap.writeStaged(spark, updated, hourlyTable)
   }
 

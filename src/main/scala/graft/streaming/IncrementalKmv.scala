@@ -53,6 +53,7 @@ object IncrementalKmv {
       .withColumn("_r", row_number().over(w))
       .filter(col("_r") <= k).drop("_r")
       .withColumn("_batch", lit(batchId))
+    // bound: <= k rows per segment (KMV sketch size, fixed k)
     TableSwap.writeStaged(spark, updated, sketchTable)
   }
 

@@ -57,6 +57,11 @@ object IncrementalSkyline {
             "left_anti"))
       } else batchDedup
     val updated = SkylineOps.skyline(pool, idCol, maxCols, minCols, g)
+    // bound: the frontier itself — the operator's OUTPUT, held
+    // because it IS the sufficient state; a strongly anti-correlated
+    // corpus grows it (the documented skyline cost honesty), at
+    // which point the maintained form inherits skyline's partitioned
+    // exact stage but the whole-frontier rewrite stops being cheap
     TableSwap.writeStaged(spark, updated, frontierTable)
   }
 

@@ -201,6 +201,8 @@ object IncrementalStats {
       // IncrementalAgg invariant); readStats filters them
       .withColumn("_batch", lit(batchId))
 
+    // bound: groups-ever-seen (enum-like group key — caller
+    // contract); corpus-keyed groups belong in CdcMerge
     TableSwap.writeStaged(spark, updated, aggTable)
   }
 }

@@ -108,7 +108,8 @@ object StreamingKmeans {
         batchSums.select(col("cid"), col("bs").as("s"), col("bn").as("n"))
     val out = merged.withColumn("_batch", lit(batchId))
 
-    // k-row table: stage the full next version, then the rename-chain
+    // bound: k centroid rows (StreamingKmeansSpec pins it).
+    // Stage the full next version, then the rename-chain
     // swap — same crash-window reasoning as IncrementalAgg (a
     // whole-table overwrite deletes files before its job commits)
     TableSwap.writeStaged(spark, out, table)

@@ -6,6 +6,21 @@ import org.apache.spark.sql.SparkSession
   * managed tables the consumer layer maintains (incremental
   * aggregates, streaming-k-means centroids — groups/k-sized).
   *
+  * SIZE CONTRACT — bounded state only: [[writeStaged]] rewrites the
+  * WHOLE table through a single-task `coalesce(1)` write (one file =
+  * atomic swap unit), so per-batch cost ∝ state size and the write
+  * never parallelizes. That is the right shape exactly when the
+  * state is CONTROL-PLANE BOUNDED — sketch registers, fixed
+  * histogram/CMS grids, k centroids, enum-keyed aggregates,
+  * time-bounded (type, hour) counts, a 1-row watermark. It is the
+  * WRONG shape for corpus-keyed state (per-user, per-doc, per-vector
+  * rows): those grow with the data and belong in a [[CdcMerge]]
+  * hash-bucketed table whose upserts prune to touched buckets
+  * ([[IncrementalRetention]]'s activity grid and
+  * [[IncrementalFunnel]]'s per-user state are the worked examples —
+  * both migrated off this path). Every caller carries a one-line
+  * bound justification at its call site; a new caller must too.
+  *
   * Why not `insertInto(overwrite)`: a static whole-table overwrite
   * deletes the existing files BEFORE the write job commits, so a crash
   * mid-overwrite destroys the table — including the `_batch` watermark

@@ -43,6 +43,18 @@ class IncrementalDsirSpec extends SparkSpec {
     assert(inc == oneShot)
   }
 
+  test("state stays <= nBuckets rows — the TableSwap size bound") {
+    import spark.implicits._
+    freshTable()
+    val docs = corpus
+    def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+    (0 to 2).foreach(i =>
+      IncrementalDsir.applyBatch(spark, table, part(i), "tgt", i.toLong,
+        buckets = 16))
+    assert(spark.table(table).count() <= 16L)
+    freshTable()
+  }
+
   test("maintained counts equal the one-shot bucket aggregation") {
     import spark.implicits._
     freshTable()

@@ -16,7 +16,7 @@ class IncrementalFunnelSpec extends SparkSpec {
   private val steps = Seq("view", "click", "purchase")
 
   private def freshTable(): Unit =
-    Seq(table, s"${table}_stage", s"${table}_old")
+    IncrementalFunnel.tables(table)
       .foreach(CdcMerge.dropStateTable(spark, _))
 
   private def ts(m: Int) = Timestamp.valueOf(f"2024-06-01 00:$m%02d:00")
@@ -77,6 +77,30 @@ class IncrementalFunnelSpec extends SparkSpec {
     val before = report()
     IncrementalFunnel.applyBatch(spark, table, batch1, steps, 1L)
     assert(report() == before)
+    freshTable()
+  }
+
+  test("a trickle batch rewrites ONLY its users' buckets " +
+      "(corpus-keyed state lives in CdcMerge, not TableSwap)") {
+    import spark.implicits._
+    freshTable()
+    // seed many users so the state spans several buckets
+    val seed = (0L until 64L).map(u => (u, "view", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    IncrementalFunnel.applyBatch(spark, table, seed, steps, 0L,
+      nBuckets = 16)
+    val filesBefore = spark.table(table).inputFiles.toSet
+    // one user converts — exactly one bucket should rewrite
+    val trickle = Seq((5L, "click", ts(11)))
+      .toDF("user_id", "event_type", "ts")
+    IncrementalFunnel.applyBatch(spark, table, trickle, steps, 1L,
+      nBuckets = 16)
+    val filesAfter = spark.table(table).inputFiles.toSet
+    val untouched = filesBefore.intersect(filesAfter)
+    assert(untouched.size >= filesBefore.size - 1,
+      s"expected <=1 bucket rewritten, kept ${untouched.size} of " +
+        s"${filesBefore.size}")
+    assert(report()(1)._3 == 1L) // the click landed
     freshTable()
   }
 
