@@ -24,9 +24,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one iteration of PageRank = one equi-join
   * (edges ⋈ rank on src; edges pre-carry outdeg) + one map-side-
-  * combined sum by dst — the classic sparse mat-vec; edges can be
-  * bucketed by src so the join side never reshuffles across
-  * iterations. Triangle counting uses the degree-ordered
+  * combined sum by dst — the classic sparse mat-vec. The corpus-
+  * sized edge side is hash-repartitioned on its join key ONCE and
+  * persisted, so iterations never reshuffle it (only the n-row rank
+  * vector moves per round), and every round's state is
+  * localCheckpoint-ed with immediate free of the superseded round
+  * (the nnDescent / balancedAssignStrict discipline) — plan depth,
+  * Catalyst analysis time and lineage stay O(1) in `iters` instead
+  * of unrolling, which is what a real 20–50-round PageRank/LPA run
+  * needs. Triangle counting uses the degree-ordered
   * orientation (each undirected edge directed toward the higher
   * (deg, id) endpoint), which bounds every vertex's oriented
   * out-degree by O(√m) — wedge volume Σ outdeg² stays
@@ -36,24 +42,32 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** PageRank with `iters` unrolled iterations over a directed edge
-    * list, in exact BIGINT fixed-point.
+  /** PageRank with `iters` iterations over a directed edge list, in
+    * exact BIGINT fixed-point.
     *
     * @param edges    (src, dst) BIGINT pairs; parallel edges count
     *                 once each (dedupe upstream if unwanted).
-    * @param vertices one (vid) row per vertex (vertices with no
-    *                 out-edge are DANGLING: their mass leaks rather
-    *                 than redistributing — documented trade; the kNN
-    *                 graph has none, every vector emits k edges).
+    * @param vertices one (vid) row per vertex. Vertices with no
+    *                 out-edge are DANGLING: by default their mass
+    *                 leaks (exact for the kNN graph, which has none —
+    *                 every vector emits k edges); pass
+    *                 `redistributeDangling = true` for general edge
+    *                 lists (e.g. the doc17 dup graph after
+    *                 filtering), where each round the dangling
+    *                 vertices' damped mass is redistributed over the
+    *                 teleport distribution — the standard convention
+    *                 (dangling mass follows teleport), conserving
+    *                 total mass to the truncation bound.
     * @param dampPct  damping in percent (classic 85).
     * @param scale    fixed-point denominator: rank is "parts of
     *                 `scale`", initialized at scale div n.
     * @return (vid, deg_out, pr) — pr after `iters` rounds.
     */
   def pageRank(edges: DataFrame, vertices: DataFrame, iters: Int = 3,
-      dampPct: Long = 85L, scale: Long = 1000000000000L): DataFrame =
+      dampPct: Long = 85L, scale: Long = 1000000000000L,
+      redistributeDangling: Boolean = false): DataFrame =
     rankLoop(edges, vertices.select(col("vid"), lit(true).as("seed")),
-      iters, dampPct, scale)
+      iters, dampPct, scale, redistributeDangling)
 
   /** PERSONALIZED PageRank (TrustRank): identical dynamics but the
     * teleport mass lands only on the SEED vertices (`vertices` must
@@ -62,47 +76,97 @@ object GraphOps {
     * topic-affinity propagation primitive: seed a small vetted set,
     * keep what the graph pulls close to it. Non-seeds can still rank
     * high (mass flows to them through edges); an unreachable vertex
-    * ranks exactly 0 — integer arithmetic, no epsilon fog. */
+    * ranks exactly 0 — integer arithmetic, no epsilon fog. With
+    * `redistributeDangling`, sink mass returns to the seeds (the
+    * teleport distribution), as in classic TrustRank. */
   def personalizedPageRank(edges: DataFrame, vertices: DataFrame,
       iters: Int = 3, dampPct: Long = 85L,
-      scale: Long = 1000000000000L): DataFrame =
-    rankLoop(edges, vertices, iters, dampPct, scale)
+      scale: Long = 1000000000000L,
+      redistributeDangling: Boolean = false): DataFrame =
+    rankLoop(edges, vertices, iters, dampPct, scale,
+      redistributeDangling)
 
   private def rankLoop(edges: DataFrame, vertices: DataFrame,
-      iters: Int, dampPct: Long, scale: Long): DataFrame = {
+      iters: Int, dampPct: Long, scale: Long,
+      redistributeDangling: Boolean): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    import org.apache.spark.storage.StorageLevel
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
-    val n1 = vertices.agg(sum(when(col("seed"), 1L).otherwise(0L))
-      .as("n"))
-    val verts = vertices.crossJoin(broadcast(n1))
+    // seed count: a 1-value control-plane read — also the fail-fast
+    // guard (an empty seed set would null every div-n expression and
+    // silently return all-null ranks)
+    val n = vertices.agg(
+        coalesce(sum(when(col("seed"), 1L).otherwise(0L)), lit(0L)))
+      .head().getLong(0)
+    require(n >= 1, "pageRank needs at least one (seed) vertex — " +
+      "an empty seed set has no teleport distribution")
+    val verts = vertices.select(col("vid"), col("seed"))
     val outdeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("deg_out"))
     // teleport term: ((scale·(100−damp)) div 100) div n_seeds on the
     // seeds, 0 elsewhere — fixed per vertex across rounds
-    val base = verts.select(col("vid"), col("n"),
+    val base = verts.select(col("vid"), col("seed"),
       when(col("seed"),
-        expr(s"((${scale}L * ${100 - dampPct}L) div 100L) div n"))
+        lit(((scale * (100 - dampPct)) / 100) / n))
         .otherwise(lit(0L)).as("tele"))
-    // edges pre-joined with outdeg once; reused every round
+    // corpus-sized side: edges ⋈ outdeg, repartitioned on the join
+    // key ONCE and persisted — rounds reshuffle only the n-row rank
     val ed = edges.join(outdeg, Seq("src"))
-    var pr = verts.select(col("vid"),
-      when(col("seed"), expr(s"${scale}L div n")).otherwise(lit(0L))
-        .as("pr"))
-    for (_ <- 1 to iters) {
-      val contrib = ed
-        .join(pr.select(col("vid").as("src"), col("pr")), Seq("src"))
-        .select(col("dst").as("vid"),
-          expr("pr div deg_out").as("c"))
-        .groupBy("vid").agg(sum(col("c")).as("s"))
-      pr = base.join(contrib, Seq("vid"), "left_outer")
-        .select(col("vid"),
-          (col("tele") +
-            expr(s"(${dampPct}L * coalesce(s, 0L)) div 100L"))
-            .as("pr"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // dangling vertices (no out-edge): vertex-keyed, fixed per run
+    val dang =
+      if (redistributeDangling)
+        verts.select(col("vid"))
+          .join(outdeg.select(col("src").as("vid")), Seq("vid"),
+            "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      else null
+    var ck = verts.select(col("vid"),
+      when(col("seed"), lit(scale / n)).otherwise(lit(0L)).as("pr"))
+      .localCheckpoint()
+    var pr = ck
+    try {
+      for (_ <- 1 to iters) {
+        val contrib = ed
+          .join(pr.select(col("vid").as("src"), col("pr")), Seq("src"))
+          .select(col("dst").as("vid"),
+            expr("pr div deg_out").as("c"))
+          .groupBy("vid").agg(sum(col("c")).as("s"))
+        val stepped = base.join(contrib, Seq("vid"), "left_outer")
+        val next =
+          (if (redistributeDangling) {
+             // damped sink mass back onto the teleport distribution:
+             // share = ((damp·D) div 100) div n per seed — a 1-row
+             // broadcast per round, re-checkpointed away immediately
+             val d1 = pr.join(dang, Seq("vid"), "left_semi")
+               .agg(coalesce(sum(col("pr")), lit(0L)).as("d"))
+             stepped.crossJoin(broadcast(d1))
+               .select(col("vid"),
+                 (col("tele") +
+                   expr(s"(${dampPct}L * coalesce(s, 0L)) div 100L") +
+                   when(col("seed"),
+                     expr(s"((${dampPct}L * d) div 100L) div ${n}L"))
+                     .otherwise(lit(0L))).as("pr"))
+           } else
+             stepped.select(col("vid"),
+               (col("tele") +
+                 expr(s"(${dampPct}L * coalesce(s, 0L)) div 100L"))
+                 .as("pr")))
+            .localCheckpoint()
+        CheckpointBridge.freeLocalCheckpoint(ck)
+        ck = next
+        pr = next
+      }
+      pr.join(outdeg.select(col("src").as("vid"), col("deg_out")),
+          Seq("vid"), "left_outer")
+        .select(col("vid"), coalesce(col("deg_out"), lit(0L))
+          .as("deg_out"), col("pr"))
+    } finally {
+      ed.unpersist()
+      if (dang != null) dang.unpersist()
+      ()
     }
-    pr.join(outdeg.select(col("src").as("vid"), col("deg_out")),
-        Seq("vid"), "left_outer")
-      .select(col("vid"), coalesce(col("deg_out"), lit(0L))
-        .as("deg_out"), col("pr"))
   }
 
   /** Synchronous LABEL PROPAGATION (LPA) community detection over
@@ -119,28 +183,45 @@ object GraphOps {
     * round. Returns (vid, community, csize). */
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    import org.apache.spark.storage.StorageLevel
     require(rounds >= 1)
     val und = undirected(edges)
+    // corpus-sized side: repartitioned on the per-round join key
+    // once and persisted — rounds reshuffle only the label vector
     val adj = und.unionByName(
       und.select(col("u").as("v"), col("v").as("u")))
       .select(col("u").as("vid"), col("v").as("nbr"))
-    var labels = adj.select(col("vid")).distinct()
+      .repartition(col("nbr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ck = adj.select(col("vid")).distinct()
       .select(col("vid"), col("vid").as("label"))
+      .localCheckpoint()
+    var labels = ck
     val w = Window.partitionBy(col("vid"))
       .orderBy(col("votes").desc, col("label"))
-    for (_ <- 1 to rounds) {
-      labels = adj
-        .join(labels.select(col("vid").as("nbr"), col("label")),
-          Seq("nbr"))
-        .groupBy("vid", "label").agg(count(lit(1)).as("votes"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vid"), col("label"))
+    try {
+      for (_ <- 1 to rounds) {
+        val next = adj
+          .join(labels.select(col("vid").as("nbr"), col("label")),
+            Seq("nbr"))
+          .groupBy("vid", "label").agg(count(lit(1)).as("votes"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vid"), col("label"))
+          .localCheckpoint()
+        CheckpointBridge.freeLocalCheckpoint(ck)
+        ck = next
+        labels = next
+      }
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("csize"))
+      labels.join(sizes, Seq("label"))
+        .select(col("vid"), col("label").as("community"), col("csize"))
+    } finally {
+      adj.unpersist()
+      ()
     }
-    val sizes = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("csize"))
-    labels.join(sizes, Seq("label"))
-      .select(col("vid"), col("label").as("community"), col("csize"))
   }
 
   /** Multi-source BFS HOP DISTANCE from a seed set through the
@@ -154,23 +235,39 @@ object GraphOps {
     * equi-join + one min-aggregate per round. Returns (vid, dist). */
   def hopDistance(edges: DataFrame, vertices: DataFrame,
       rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    import org.apache.spark.storage.StorageLevel
     require(rounds >= 1)
     val und = undirected(edges)
     val adj = und.unionByName(
       und.select(col("u").as("v"), col("v").as("u")))
       .select(col("u").as("vid"), col("v").as("nbr"))
-    var dist = vertices.select(col("vid"),
+      .repartition(col("nbr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ck = vertices.select(col("vid"),
       when(col("seed"), lit(0L)).as("dist"))
-    for (_ <- 1 to rounds) {
-      val viaNbr = adj
-        .join(dist.select(col("vid").as("nbr"), col("dist")),
-          Seq("nbr"))
-        .filter(col("dist").isNotNull)
-        .groupBy("vid").agg(min(col("dist") + 1L).as("nd"))
-      dist = dist.join(viaNbr, Seq("vid"), "left_outer")
-        .select(col("vid"), least(col("dist"), col("nd")).as("dist"))
+      .localCheckpoint()
+    var dist = ck
+    try {
+      for (_ <- 1 to rounds) {
+        val viaNbr = adj
+          .join(dist.select(col("vid").as("nbr"), col("dist")),
+            Seq("nbr"))
+          .filter(col("dist").isNotNull)
+          .groupBy("vid").agg(min(col("dist") + 1L).as("nd"))
+        val next = dist.join(viaNbr, Seq("vid"), "left_outer")
+          .select(col("vid"), least(col("dist"), col("nd")).as("dist"))
+          .localCheckpoint()
+        CheckpointBridge.freeLocalCheckpoint(ck)
+        ck = next
+        dist = next
+      }
+      dist.select(col("vid"),
+        coalesce(col("dist"), lit(-1L)).as("dist"))
+    } finally {
+      adj.unpersist()
+      ()
     }
-    dist.select(col("vid"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
   /** COMMUNITY-BALANCED SAMPLING — `k` deterministic representatives

@@ -1951,6 +1951,74 @@ object OpsQueries {
       WHERE rnk <= 2
       ORDER BY community, rnk"""))
 
+  // -------------------------------------------------------------- emb45
+  // PAGERANK WITH DANGLING-MASS REDISTRIBUTION (GraphOps.pageRank,
+  // redistributeDangling = true) — the general-edge-list form: the
+  // kNN graph has no sinks (every vector emits k edges), but a
+  // filtered graph (the doc17 dup graph, a pruned web graph) does,
+  // and there the default leak loses their mass every round. Here
+  // every 7th vector's out-edges are dropped (the vectors keep their
+  // IN-edges, so they still accumulate rank — true sinks), and each
+  // round the sinks' damped mass is redistributed over the teleport
+  // distribution (the standard convention), conserving total mass to
+  // the truncation bound (GraphOpsSpec pins conservation). Same
+  // BIGINT fixed-point arithmetic; the oracle replays the per-round
+  // dangling sum and the ((85·D) div 100) div n share exactly.
+  private def pageRankDanglingIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      val prev = s"pr${i - 1}"
+      s"""dg$i AS (
+        SELECT CAST(COALESCE(SUM(p.pr), 0) AS BIGINT) AS d
+        FROM $prev p JOIN dgl ON dgl.vid = p.vid),
+      c$i AS (
+        SELECT e.dst AS vid, CAST(SUM(p.pr // e.deg_out) AS BIGINT) AS s
+        FROM ed e JOIN $prev p ON p.vid = e.src
+        GROUP BY e.dst),
+      pr$i AS MATERIALIZED (
+        SELECT b.vid, b.tele + (85 * COALESCE(c.s, 0)) // 100
+          + ((85 * dg$i.d) // 100) // b.n AS pr
+        FROM prb b LEFT JOIN c$i c ON c.vid = b.vid, dg$i)"""
+    }.mkString(",\n      ")
+
+  private val emb45 = GraftQuery(
+    "emb45_pagerank_dangling",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        .filter(col("src") % 7 =!= 0)
+      GraphOps.pageRank(edges,
+          embs.select(col("vec_id").as("vid")), iters = 3,
+          redistributeDangling = true)
+        .orderBy(col("vid"))
+    },
+    Some(s"""
+      WITH ${knnGraphCtes(nProbe = 2)},
+      edges AS MATERIALIZED (
+        SELECT vec_id AS src, nbr_id AS dst FROM g
+        WHERE rnk <= 4 AND vec_id % 7 <> 0),
+      verts AS (SELECT vec_id AS vid FROM embeddings),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
+      outdeg AS MATERIALIZED (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg_out
+        FROM edges GROUP BY src),
+      dgl AS MATERIALIZED (
+        SELECT v.vid FROM verts v
+        WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = v.vid)),
+      prb AS MATERIALIZED (
+        SELECT v.vid, nn.n,
+          ((1000000000000 * 15) // 100) // nn.n AS tele,
+          1000000000000 // nn.n AS p0
+        FROM verts v, nn),
+      ed AS MATERIALIZED (
+        SELECT e.src, e.dst, o.deg_out
+        FROM edges e JOIN outdeg o ON o.src = e.src),
+      pr0 AS (SELECT vid, p0 AS pr FROM prb),
+      ${pageRankDanglingIterCtes(3)}
+      SELECT p.vid, COALESCE(o.deg_out, 0) AS deg_out, p.pr
+      FROM pr3 p LEFT JOIN outdeg o ON o.src = p.vid
+      ORDER BY p.vid"""))
+
   // ---------------------------------------------------- q62 / cdc36
   // Histogram QUANTILE sketch (SketchOps.histSketch/histQuantiles) —
   // the order-statistics member of the sketch family (q57 HLL, q58
@@ -2127,5 +2195,5 @@ object OpsQueries {
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
-      q63, cdc38, emb42, q64, emb43, cdc39, emb44)
+      q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45)
 }

@@ -67,6 +67,40 @@ class GraphOpsSpec extends SparkSpec {
       pr2.orderBy("vid").collect().toSeq)
   }
 
+  test("pageRank: sinks leak mass by default; redistributeDangling " +
+      "conserves it to the truncation bound") {
+    import spark.implicits._
+    // vertices 0..9 in a line 0->1->...->8->9; 9 is a SINK
+    val n = 10L
+    val verts = (0L until n).toDF("vid")
+    val edges = (0L until n - 1).map(v => (v, v + 1)).toDF("src", "dst")
+    val leaky = GraphOps.pageRank(edges, verts, iters = 4)
+      .agg(sum("pr")).collect()(0).getLong(0)
+    val kept = GraphOps.pageRank(edges, verts, iters = 4,
+        redistributeDangling = true)
+      .agg(sum("pr")).collect()(0).getLong(0)
+    // default: the sink's damped mass (~85%·pr(9) per round) is gone
+    assert(leaky < Scale - Scale / 100L, s"leaky=$leaky")
+    // redistribution: loss is integer truncation only — generously
+    // < 300 parts per vertex per round of 10^12
+    assert(kept <= Scale)
+    assert(kept > Scale - 300L * n * 4L, s"kept=$kept")
+  }
+
+  test("pageRank: empty vertex/seed set fails fast, not all-null") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val none = Seq.empty[Long].toDF("vid")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, none, iters = 2)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(edges,
+        Seq(1L, 2L).toDF("vid").withColumn("seed", lit(false)),
+        iters = 2)
+    }
+  }
+
   test("personalizedPageRank: all-seeds degenerates to pageRank") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
