@@ -80,6 +80,7 @@ object Bench {
         catch { case NonFatal(e) =>
           System.err.println(s"warm pass: ${q.name} failed: $e") }
         graft.operators.DedupOps.unpersistShingleCaches()
+        graft.operators.SkylineOps.unpersistShellCaches()
       }
       // the warm pass leaves a full registry's worth of residue (final
       // loop checkpoints, dead broadcasts, state-table listings); GC
@@ -164,6 +165,7 @@ object Bench {
         // while the next timed run starts (doc17's run2 measured
         // slower than run1 from exactly this contention)
         graft.operators.DedupOps.unpersistShingleCaches(blocking = true)
+        graft.operators.SkylineOps.unpersistShellCaches(blocking = true)
         Thread.sleep(50) // let straggler task-end events land
         val s1 = probe.snapshot
         (sec, s1.zip(s0).map { case (a, b) => a - b })

@@ -32,6 +32,7 @@ object Verify {
       // release any per-query shingle caches (dedup queries persist
       // their exploded shingles for intra-plan reuse)
       graft.operators.DedupOps.unpersistShingleCaches()
+      graft.operators.SkylineOps.unpersistShellCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -63,6 +63,10 @@ object IncrementalSkyline {
     // which point the maintained form inherits skyline's partitioned
     // exact stage but the whole-frontier rewrite stops being cheap
     TableSwap.writeStaged(spark, updated, frontierTable)
+    // the fold's action is done — drain the shell cache skyline()
+    // registered (it recomputes transparently if ever re-read)
+    SkylineOps.unpersistShellCaches()
+    ()
   }
 
   /** The maintained frontier as a (idCol ++ dims) frame. */

@@ -38,7 +38,8 @@ object Sf1ProbeR12 {
 
   def main(args: Array[String]): Unit = {
     val which =
-      if (args.isEmpty) Set("retention_scan", "graph_iters")
+      if (args.isEmpty) Set("retention_scan", "graph_iters",
+        "skyline_bigshell")
       else args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -131,6 +132,33 @@ object Sf1ProbeR12 {
           f"wall: $wall%6.1f s  per-round: ${wall / iters}%5.2f s  " +
           f"mass: $total%14d / 1000000000000")
       }
+    }
+
+    if (which("skyline_bigshell")) {
+      // ADVERSARIALLY ANTI-CORRELATED corpus: 150k points on the
+      // x + y = 10^7 diagonal (nothing dominates anything — the
+      // frontier IS the corpus half) + 150k strictly-dominated noise.
+      // |shell| ≈ 150k > the 100k broadcast gate → the exact stage
+      // must take the grid-partitioned path and still return exactly
+      // the diagonal. The old code would broadcast a 150k-row build
+      // side into a |shell|² nested loop.
+      val nF = 150000L
+      val diag = spark.range(nF).select(col("id"),
+        (col("id") * 66).as("x"), (lit(10000000L) - col("id") * 66)
+          .as("y"))
+      val noise = spark.range(nF).select((col("id") + nF).as("id"),
+        (col("id") * 66 - col("id") % 7 - 1).as("x"),
+        (lit(10000000L) - col("id") * 66 - col("id") % 5 - 1).as("y"))
+      val pts = diag.unionByName(noise)
+      val (nFront, wall, _, _) = measured {
+        graft.operators.SkylineOps
+          .skyline(pts, "id", Seq("x", "y"), Nil).count()
+      }
+      graft.operators.SkylineOps.unpersistShellCaches(blocking = true)
+      assert(nFront == nF, s"frontier $nFront != $nF")
+      println(f"PROBE skyline_bigshell n=${2 * nF}%7d frontier=" +
+        f"$nFront%7d  wall: $wall%6.1f s  (partitioned exact stage, " +
+        "no broadcast)")
     }
 
     spark.stop()

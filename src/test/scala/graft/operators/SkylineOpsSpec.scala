@@ -55,6 +55,36 @@ class SkylineOpsSpec extends SparkSpec {
     assert(got3 == brute(pts))
   }
 
+  test("partitioned exact stage == broadcast exact stage " +
+      "(big-shell fallback forced via broadcastShellLimit = 1)") {
+    import spark.implicits._
+    val pts = (0L until 400L).map { i =>
+      (i, (i * 7919) % 97, (i * 104729) % 89, (i * 1299709) % 83)
+    }
+    val df = pts.toDF("id", "x", "y", "z")
+    val part = SkylineOps.skyline(df, "id", Seq("x", "y"), Seq("z"),
+      broadcastShellLimit = 1L).collect().map(_.getLong(0)).toSet
+    assert(part == brute(pts))
+    SkylineOps.unpersistShellCaches()
+  }
+
+  test("fallback on an ANTI-CORRELATED corpus (frontier ~ n): " +
+      "every diagonal point survives, noise dies") {
+    import spark.implicits._
+    // diagonal x + y = 10000: nothing dominates anything; noise
+    // points sit strictly inside and are all dominated
+    val n = 2000L
+    val diag = (0L until n).map(i => (i, i * 5, 10000L - i * 5))
+    val noise = (0L until n).map(i => (n + i, i * 5 - i % 7 - 1,
+      10000L - i * 5 - i % 5 - 1))
+    val df = (diag ++ noise).toDF("id", "x", "y")
+    val got = SkylineOps.skyline(df, "id", Seq("x", "y"), Nil,
+      broadcastShellLimit = 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == diag.map(_._1).toSet)
+    SkylineOps.unpersistShellCaches()
+  }
+
   test("degenerate dim (all equal) neither prunes nor crashes") {
     import spark.implicits._
     val df = Seq((1L, 5L, 7L), (2L, 3L, 7L), (3L, 9L, 7L))
