@@ -1824,7 +1824,7 @@ object OpsQueries {
     "emb42_graph_beam_search",
     (s, dir) => {
       val embs = t(s, dir, "embeddings")
-      SimilarityOps.graphBeamSearch(embs,
+      SimilarityOps.graphBeamSearchFixedEntry(embs,
           SimilarityOps.knnGraph(embs))
         .orderBy(col("query_id"), col("rnk"))
     },

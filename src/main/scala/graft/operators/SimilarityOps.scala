@@ -1228,15 +1228,22 @@ object SimilarityOps {
     * grain, completing the ladder next to the bucketed families
     * (LSH/IVF/PQ): search walks the graph instead of probing cells,
     * so recall depends on graph connectivity and `rounds`·`beam`,
-    * not on a quantizer. Every query starts at the fixed `entryId`
-    * (the HNSW fixed-entry convention); each round expands the
-    * current beam through the UNDIRECTED closure of the graph's
-    * edges, scores the candidates exactly, and keeps the `beam`
-    * best per query — one vertex-id equi-join + one bounded
-    * per-query window per round, never a corpus scan after the
-    * first lookup. The query's own row may ride in the beam (it
-    * navigates) but is excluded from the returned top-k, matching
-    * [[bruteForceTopK]]. Returns (query_id, neighbor_id, rnk, cos).
+    * not on a quantizer. THE DEFAULT IS CELL-SEEDED (the IVF→graph
+    * hybrid, emb43): each query's beam starts at a representative of
+    * the rank-1 members of its `nProbe` nearest quantizer cells, so
+    * the walk begins inside the query's own connected component — a
+    * single fixed entry only navigates ITS component, and on a
+    * clustered/multi-sheet corpus stalls at the boundary (measured:
+    * 13% recall on the 10-sheet corpus, 100% cell-seeded —
+    * GraphSkylineProbe + the multi-component spec). Callers that
+    * specifically want the HNSW fixed-entry convention use
+    * [[graphBeamSearchFixedEntry]] (emb42 pins those semantics); no
+    * caller inherits the stall by default. Per round: one vertex-id
+    * equi-join + one bounded per-query window — never a corpus scan
+    * after the seed lookup. The query's own row may ride in the beam
+    * (it navigates) but is excluded from the returned top-k,
+    * matching [[bruteForceTopK]].
+    * Returns (query_id, neighbor_id, rnk, cos).
     *
     * 100 TB note: beam state is queries·beam rows — the corpus
     * appears only through the (bucketable) adjacency and embedding
@@ -1244,6 +1251,25 @@ object SimilarityOps {
     * rounds·beam·degree lookups, the property that lets
     * graph ANN serve interactive queries over billions of vectors. */
   def graphBeamSearch(embs: DataFrame, graph: DataFrame,
+      nQueries: Int = 8, beam: Int = 8,
+      rounds: Int = 3, k: Int = 4, dim: Int = 64,
+      nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val ranked = rankedCellAssignments(embs, dim, nCentroids)
+    val cellRep = ranked.filter(col("rn") === 1)
+      .groupBy("cid").agg(min("vec_id").as("entry"))
+    val entries = ranked
+      .filter(col("vec_id") < nQueries && col("rn") <= nProbe)
+      .join(cellRep, Seq("cid"))
+      .select(col("vec_id").as("query_id"), col("entry").as("vec_id"))
+    graphBeamSearchFrom(embs, graph, entries, beam, rounds, k, dim)
+  }
+
+  /** [[graphBeamSearch]] with the HNSW FIXED-ENTRY convention: every
+    * query starts at `entryId`. Correct on a connected graph;
+    * documented stall on a multi-component one (the walk cannot
+    * leave the entry's component — prefer the cell-seeded default).
+    * Fails fast if `entryId` is not a vector id. */
+  def graphBeamSearchFixedEntry(embs: DataFrame, graph: DataFrame,
       nQueries: Int = 8, entryId: Long = 0L, beam: Int = 8,
       rounds: Int = 3, k: Int = 4, dim: Int = 64): DataFrame = {
     // the entry rides in as a SCANNED 1-row broadcast, not a literal:
@@ -1251,11 +1277,14 @@ object SimilarityOps {
     // degrades to a CartesianProduct (the registry-wide ban)
     val entry = embs.filter(col("vec_id") === entryId)
       .select(col("vec_id"))
+    require(entry.count() == 1L,
+      s"entryId $entryId is not a vector id — the beam would be " +
+        "silently empty")
     graphBeamSearchFrom(embs, graph,
       embs.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"))
         .crossJoin(broadcast(entry)),
-      nQueries, beam, rounds, k, dim)
+      beam, rounds, k, dim)
   }
 
   /** [[graphBeamSearch]] with CALLER-SUPPLIED entry points — one or
@@ -1270,7 +1299,7 @@ object SimilarityOps {
     * one entry per LPA community — and the walk starts inside the
     * right component (the IVF→graph hybrid / HNSW-layer role). */
   def graphBeamSearchFrom(embs: DataFrame, graph: DataFrame,
-      entries: DataFrame, nQueries: Int = 8, beam: Int = 8,
+      entries: DataFrame, beam: Int = 8,
       rounds: Int = 3, k: Int = 4, dim: Int = 64): DataFrame = {
     require(rounds >= 1 && beam >= 1 && k >= 1)
     val fwd = graph.select(col("vec_id"), col("nbr_id"))
@@ -1279,7 +1308,13 @@ object SimilarityOps {
       .distinct()
     val base = embs.select(col("vec_id"), col("embedding"),
       norm(col("embedding"), dim).as("en"))
-    val queries = base.filter(col("vec_id") < nQueries)
+    // the query set IS the entries' query ids — no separate gate that
+    // could silently drop a caller-supplied query (the old
+    // vec_id < nQueries filter returned empty results for any entry
+    // row whose query id fell outside it)
+    val queries = base
+      .join(entries.select(col("query_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"), col("en").as("q_en"))
     def score(cand: DataFrame): DataFrame = cand
@@ -1292,6 +1327,15 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("vec_id"))
     var beamDf = score(entries.select(col("query_id"), col("vec_id"))
       .distinct())
+    // fail fast instead of silently returning an empty/partial
+    // result: every entry row's query_id AND vec_id must resolve to
+    // an embedding row (entries-sized counts — control-plane)
+    val nWanted = entries.select(col("query_id"), col("vec_id"))
+      .distinct().count()
+    val nSeeded = beamDf.count()
+    require(nSeeded == nWanted,
+      s"beam seeding dropped ${nWanted - nSeeded} of $nWanted " +
+        "entry rows — a query_id or entry vec_id is not a vector id")
     for (_ <- 1 to rounds) {
       val expanded = beamDf.select(col("query_id"), col("vec_id"))
         .join(adj, Seq("vec_id"))

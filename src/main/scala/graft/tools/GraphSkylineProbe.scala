@@ -144,8 +144,8 @@ object GraphSkylineProbe {
         .select(col("query_id"), col("neighbor_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recalls = Seq(2, 4, 8).map { r =>
-        val got = SimilarityOps.graphBeamSearch(embs, edges,
-            rounds = r, beam = 8, k = 4)
+        val got = SimilarityOps.graphBeamSearchFixedEntry(embs,
+            edges, rounds = r, beam = 8, k = 4)
           .select(col("query_id"), col("neighbor_id")).collect()
           .map(rw => (rw.getLong(0), rw.getLong(1))).toSet
         f"r$r=${100.0 * (got & truth).size / truth.size}%.0f%%"

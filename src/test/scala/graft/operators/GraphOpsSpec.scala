@@ -223,7 +223,7 @@ class GraphOpsSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val edges = (0 until n).flatMap(i => Seq(1, 2, n - 1, n - 2).map(d =>
       (i.toLong, ((i + d) % n).toLong))).toDF("vec_id", "nbr_id")
-    val got = SimilarityOps.graphBeamSearch(embs, edges,
+    val got = SimilarityOps.graphBeamSearchFixedEntry(embs, edges,
         nQueries = 8, entryId = 0L, beam = 6, rounds = 6, k = 4,
         dim = dim)
       .select("query_id", "neighbor_id", "rnk")
@@ -264,6 +264,73 @@ class GraphOpsSpec extends SparkSpec {
     val again = GraphOps.communitySample(labels.repartition(7), k = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSet == got.toSet)
+  }
+
+  test("graphBeamSearch default is CELL-SEEDED: full recall on a " +
+      "multi-component corpus where the fixed entry stalls") {
+    import spark.implicits._
+    // 4 disconnected "sheets": sheet s lives on axis pair
+    // (2s, 2s+1) — cross-sheet cosine is exactly 0, so the kNN
+    // graph splits into 4 components. Ids interleave sheets
+    // (i % 4 = sheet), so queries 0..7 span ALL sheets while a
+    // fixed entry 0 can only ever walk sheet 0.
+    val n = 80
+    val dim = 8
+    def emb(i: Int): Array[Float] = {
+      val s = i % 4
+      val th = 2.0 * math.Pi * (i / 4) / (n / 4)
+      Array.tabulate(dim)(d =>
+        if (d == 2 * s) math.cos(th).toFloat
+        else if (d == 2 * s + 1) math.sin(th).toFloat else 0f)
+    }
+    val embs = (0 until n).map(i => (i.toLong, emb(i)))
+      .toDF("vec_id", "embedding")
+    // intra-sheet ring edges (id steps of 4 and 8 = ring steps 1, 2)
+    val edges = (0 until n).flatMap(i => Seq(4, 8, n - 4, n - 8)
+      .map(d => (i.toLong, ((i + d) % n).toLong)))
+      .toDF("vec_id", "nbr_id")
+    val truth = SimilarityOps.bruteForceTopK(embs, dim = dim,
+        nQueries = 8, k = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixed entry: only sheet-0 queries can succeed — the stall
+    val fixed = SimilarityOps.graphBeamSearchFixedEntry(embs, edges,
+        nQueries = 8, entryId = 0L, beam = 8, rounds = 8, k = 4,
+        dim = dim)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixedRecall = (fixed & truth).size.toDouble / truth.size
+    assert(fixedRecall <= 0.30, s"fixed-entry recall $fixedRecall " +
+      "should stall at the component boundary")
+    // the DEFAULT path (cell-seeded; centroids = vecs 0..7 cover all
+    // sheets) starts each walk inside the query's own component
+    val dflt = SimilarityOps.graphBeamSearch(embs, edges,
+        nQueries = 8, beam = 8, rounds = 8, k = 4, dim = dim)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((dflt & truth).size == truth.size,
+      s"default-path recall ${(dflt & truth).size}/${truth.size}")
+  }
+
+  test("graphBeamSearchFrom fails fast on entries that resolve to " +
+      "no vector (no silent empty result)") {
+    import spark.implicits._
+    val embs = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == 0) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val edges = (0 until 16).map(i => (i.toLong, ((i + 1) % 16).toLong))
+      .toDF("vec_id", "nbr_id")
+    // query id 99 is not a vector; the old gate silently returned
+    // an empty frame
+    val bad = Seq((99L, 0L)).toDF("query_id", "vec_id")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.graphBeamSearchFrom(embs, edges, bad, dim = 8)
+    }
+    // entry vec_id 99 is not a vector either
+    val bad2 = Seq((0L, 99L)).toDF("query_id", "vec_id")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.graphBeamSearchFrom(embs, edges, bad2, dim = 8)
+    }
   }
 
   test("graphBeamSearch: deterministic under repartitioning") {
