@@ -1164,6 +1164,58 @@ object CurationOps {
         coalesce(col("avg_ppm"), lit(0L)).as("avg_ppm"))
   }
 
+  /** CROSS-VALIDATED held-out bigram-LM scoring — the full CCNet-style
+    * self-exclusion [[bigramLmScoreHeldOut]] stops short of: docs are
+    * split into `folds` deterministic md5 folds, and every document
+    * scores against the model trained on the COMPLEMENT of its own
+    * fold — no document's tokens are ever in the model that scores it
+    * (doc38 left ~80% of docs scoring against a model containing
+    * themselves), and a dup cluster can no longer certify itself
+    * fluent unless it spans folds. K model builds collapse into ONE
+    * counting pass by subtraction: complement counts are
+    * total − own-fold (c2_t − c2_f per bigram, c1_t − c1_f per
+    * prefix), so the cost over [[bigramLmScoreHeldOut]] is one extra
+    * fold-keyed aggregate, never k corpus scans. Out-of-vocabulary
+    * (complement count 0) contributes 0 ppm and increments `n_oov`,
+    * as in doc38. Same integer-ppm determinism doctrine; model joins
+    * stay keyed shuffles (fold × vocab² bounded, never broadcast).
+    * Returns (doc_id, n_bigrams, n_oov, avg_ppm). */
+  def bigramLmScoreCv(docs: DataFrame, folds: Int = 8): DataFrame = {
+    require(folds >= 2, "cross-validation needs >= 2 folds")
+    val foldOf = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("long") % folds
+    val bgf = bigramOccurrences(docs).withColumn("_f", foldOf)
+    val c2f = bgf.groupBy("_f", "w1", "w2")
+      .agg(count(lit(1)).as("c2f"))
+    val c2t = c2f.groupBy("w1", "w2").agg(sum("c2f").as("c2t"))
+    val c1f = c2f.groupBy("_f", "w1").agg(sum("c2f").as("c1f"))
+    val c1t = c2t.groupBy("w1").agg(sum("c2t").as("c1t"))
+    // every occurrence's own (fold, bigram) row exists (it counted
+    // itself), so all four joins are inner and lossless
+    val occ = bgf
+      .join(c2t, Seq("w1", "w2"))
+      .join(c2f, Seq("_f", "w1", "w2"))
+      .join(c1t, Seq("w1"))
+      .join(c1f, Seq("_f", "w1"))
+      .select(col("doc_id"),
+        when(col("c2t") === col("c2f") || col("c1t") === col("c1f"),
+          lit(null))
+          .otherwise(expr(
+            "((c2t - c2f) * 1000000) div (c1t - c1f)")).as("p_ppm"))
+    val scored = occ.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("p_ppm"), lit(0L))).as("sum_ppm"),
+        sum(col("p_ppm").isNull.cast("long")).as("n_oov"))
+      .withColumn("avg_ppm", expr("sum_ppm div n_bigrams"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("avg_ppm"), lit(0L)).as("avg_ppm"))
+  }
+
   /** Sliding-window token chunking — the context-window prep step for
     * RAG indexing and fixed-length pretraining examples: each document
     * becomes overlapping chunks of `window` tokens advancing by

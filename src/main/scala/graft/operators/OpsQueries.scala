@@ -647,6 +647,66 @@ object OpsQueries {
       FROM documents d LEFT JOIN sc USING (doc_id)
       ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- doc45
+  // CROSS-VALIDATED held-out LM scoring — doc38 without the residual
+  // self-grading (there, ~80% of docs score against a model that
+  // contains them): every doc scores against the model trained on
+  // the COMPLEMENT of its own md5 fold, computed by subtraction
+  // (total − own-fold counts) in one counting pass instead of k
+  // model builds. No document's tokens are in its scoring model.
+  private val doc45 = GraftQuery(
+    "doc45_cv_heldout_lm",
+    (s, dir) =>
+      CurationOps.bigramLmScoreCv(t(s, dir, "documents"), folds = 8)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+          i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+        FROM toks WHERE len(ws) >= 2),
+      bgf AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+            1, 2)) AS BIGINT) % 8 AS f
+        FROM bg),
+      c2f AS MATERIALIZED (
+        SELECT f, w1, w2, CAST(COUNT(*) AS BIGINT) AS c2f
+        FROM bgf GROUP BY f, w1, w2),
+      c2t AS MATERIALIZED (
+        SELECT w1, w2, CAST(SUM(c2f) AS BIGINT) AS c2t
+        FROM c2f GROUP BY w1, w2),
+      c1f AS (
+        SELECT f, w1, CAST(SUM(c2f) AS BIGINT) AS c1f
+        FROM c2f GROUP BY f, w1),
+      c1t AS (
+        SELECT w1, CAST(SUM(c2t) AS BIGINT) AS c1t
+        FROM c2t GROUP BY w1),
+      occ AS (
+        SELECT b.doc_id,
+          CASE WHEN t2.c2t = f2.c2f OR t1.c1t = f1.c1f THEN NULL
+            ELSE ((t2.c2t - f2.c2f) * 1000000) // (t1.c1t - f1.c1f)
+          END AS p_ppm
+        FROM bgf b
+        JOIN c2t t2 ON t2.w1 = b.w1 AND t2.w2 = b.w2
+        JOIN c2f f2 ON f2.f = b.f AND f2.w1 = b.w1 AND f2.w2 = b.w2
+        JOIN c1t t1 ON t1.w1 = b.w1
+        JOIN c1f f1 ON f1.f = b.f AND f1.w1 = b.w1),
+      sc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          SUM(COALESCE(p_ppm, 0)) AS sum_ppm,
+          SUM(CASE WHEN p_ppm IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM occ GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov,
+        CAST(COALESCE(sc.sum_ppm // sc.n_bigrams, 0) AS BIGINT)
+          AS avg_ppm
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------- doc39 / cdc33
   // Count-Min frequency sketch: d=4 seeded hash rows × w=256 BIGINT
   // counters over the corpus word stream; estimate = min over rows —
@@ -2195,5 +2255,5 @@ object OpsQueries {
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
-      q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45)
+      q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45)
 }

@@ -410,6 +410,38 @@ class CurationOpsSpec extends SparkSpec {
     evalIds.foreach(i => assert(got(i) == ((3L, 3L, 0L))))
   }
 
+  test("bigramLmScoreCv: a doc's own tokens are NEVER in its scoring " +
+      "model (fold-unique bigrams are OOV); cross-fold mass scores") {
+    import spark.implicits._
+    val folds = 4
+    val ids = (0L until 40L)
+    val foldOf = ids.toDF("doc_id")
+      .withColumn("f", (conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2),
+        16, 10).cast("long") % folds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc says "a b" (cross-fold, scorable from the complement)
+    // plus a FOLD-UNIQUE bigram "u<f> v<f>": under doc38-style
+    // training ~80% of docs would score their own fold's bigram;
+    // under CV it is absent from the complement model -> OOV
+    val docs = ids.map(i => (i, s"a b u${foldOf(i)} v${foldOf(i)}"))
+      .toDF("doc_id", "text")
+    val got = CurationOps.bigramLmScoreCv(docs, folds).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // occupied folds only (md5 may leave a fold empty over 40 ids)
+    val occupied = ids.groupBy(foldOf).filter(_._2.nonEmpty)
+    assert(occupied.size >= 2)
+    ids.foreach { i =>
+      val (nBg, nOov, _) = got(i)
+      assert(nBg == 3L, s"doc $i bigrams")
+      // "u<f> v<f>" and "b u<f>" exist only in doc i's own fold ->
+      // both OOV; "a b" is certified by the other folds
+      assert(nOov == 2L, s"doc $i oov=$nOov — own-fold tokens " +
+        "leaked into the scoring model")
+    }
+  }
+
   test("embeddingDrift: zero drift vs self; planted shift detected") {
     val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
     // identical distributions: every dim at TVD 0, identical means
