@@ -150,7 +150,11 @@ class PlanQualitySpec extends SparkSpec {
       "emb43_beam_cell_seeded",
       // emb44: community sampling over emb40's LPA labels — same
       // knnGraph provenance; the two-level top-k is windows only
-      "emb44_community_sample")
+      "emb44_community_sample",
+      // emb45: dangling-mass PageRank — emb37's knnGraph provenance
+      // (centroid broadcast) plus a 1-row dangling-sum broadcast per
+      // round (control-plane scalar, the intended bounded build)
+      "emb45_pagerank_dangling")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

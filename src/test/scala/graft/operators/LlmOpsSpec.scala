@@ -214,6 +214,9 @@ class LlmOpsSpec extends SparkSpec {
   test("shingle caches drain: no residual cached blocks after release") {
     import spark.implicits._
     DedupOps.unpersistShingleCaches(blocking = true) // start clean
+    // skyline shells registered by earlier suites in the shared
+    // session follow the same drain lifecycle
+    graft.operators.SkylineOps.unpersistShellCaches(blocking = true)
     val twins = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),
       (3L, "p q r m n o k j")).toDF("doc_id", "text")
     (1 to 3).foreach { _ =>
