@@ -590,4 +590,93 @@ object DedupOps {
       .select(col("word_a"), col("word_b"), col("dist"),
         col("tf_a"), col("tf_b"))
   }
+
+  /** EXACT REPEATED-SPAN detection — the exact-substring dedup of
+    * Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499), at token grain: every `spanLen`-token
+    * window that occurs in ≥ 2 DISTINCT documents is reported at
+    * every occurrence (doc_id, pos) — the deletion-candidate list an
+    * exact-substring dedup pass consumes. This is the memorization
+    * killer the doc-level ladder (doc01 exact, doc04 MinHash, doc36
+    * containment) cannot express: two documents sharing one
+    * boilerplate paragraph are NOT near-dups, but the paragraph
+    * itself is still trained on twice.
+    *
+    * Span identity is the md5 of the space-joined window (exact,
+    * cross-engine replayable — the suffix-array construction of the
+    * paper is a single-machine algorithm; hashed windows are the
+    * shuffle-native equivalent, exact up to md5 collisions).
+    *
+    * Shape at scale: one token projection → one window explosion
+    * (∝ corpus tokens, the same budget every shingle operator pays)
+    * → one map-side-combined (key → n_docs, n_occ) aggregate → one
+    * keyed semi-join back. No windows, no broadcast, no driver
+    * materialization; output ∝ repeated mass only.
+    * Returns (doc_id, pos, span_key, n_docs, n_occ). */
+  def repeatedSpans(docs: DataFrame, spanLen: Int = 8): DataFrame = {
+    require(spanLen >= 2, "a 1-token span is vocabulary, not a span")
+    val spans = docs
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= spanLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ts")) - (spanLen - 1)))
+          .as("pos"), col("ts"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ",
+          slice(col("ts"), col("pos"), lit(spanLen))).cast("binary"))
+          .as("span_key"))
+    val repeated = spans.groupBy("span_key")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+    spans.join(repeated, Seq("span_key"))
+      .select(col("doc_id"), col("pos"), col("span_key"),
+        col("n_docs"), col("n_occ"))
+  }
+
+  /** Per-document REPEATED-SPAN COVERAGE — how much of each document
+    * is boilerplate that also occurs elsewhere: the [[repeatedSpans]]
+    * occurrences of a doc, merged as intervals [pos, pos+spanLen)
+    * (the classic islands pattern: a span starting at or before the
+    * running max end extends the island), reported as covered tokens
+    * and truncating-ppm coverage of the doc's token count. The
+    * quality gate this feeds: a 95%-covered document is a template
+    * instance even though no single whole-doc fingerprint matches.
+    *
+    * Shape: [[repeatedSpans]] + one per-doc ordered window (groups
+    * bounded by tokens/doc) + two aggregates; docs with no repeated
+    * span report coverage 0 (left join keeps them).
+    * Returns (doc_id, n_spans, n_islands, covered_tok, n_tok,
+    * coverage_ppm). */
+  def spanCoverage(docs: DataFrame, spanLen: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val islands = repeatedSpans(docs, spanLen)
+      .select(col("doc_id"), col("pos"))
+      .withColumn("prev_end", max(col("pos") + spanLen).over(prevEnd))
+      .withColumn("flag",
+        (col("prev_end").isNull || col("pos") > col("prev_end"))
+          .cast("long"))
+      .withColumn("g", sum(col("flag")).over(w))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + spanLen).as("e"),
+        count(lit(1)).as("n_sp"))
+    val perDoc = islands.groupBy("doc_id")
+      .agg(sum(col("n_sp")).as("n_spans"),
+        count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("covered_tok"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("covered_tok"), lit(0L)).as("covered_tok"),
+        col("n_tok"),
+        when(col("n_tok") === 0, lit(0L))
+          .otherwise(expr("(coalesce(covered_tok, 0L) * 1000000) " +
+            "div n_tok")).as("coverage_ppm"))
+  }
 }

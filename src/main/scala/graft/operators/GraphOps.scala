@@ -158,10 +158,20 @@ object GraphOps {
         ck = next
         pr = next
       }
-      pr.join(outdeg.select(col("src").as("vid"), col("deg_out")),
+      // final deg_out from the CACHED edge side (deg_out is
+      // functionally dependent on src), materialized BEFORE the
+      // finally unpersists it — the lazy form would recompute the
+      // whole edge pipeline (for the kNN graph: the full ANN build)
+      // once more at first consumption
+      val result = pr.join(
+          ed.select(col("src").as("vid"), col("deg_out"))
+            .dropDuplicates("vid"),
           Seq("vid"), "left_outer")
         .select(col("vid"), coalesce(col("deg_out"), lit(0L))
           .as("deg_out"), col("pr"))
+        .localCheckpoint()
+      CheckpointBridge.freeLocalCheckpoint(ck) // superseded by result
+      result
     } finally {
       ed.unpersist()
       if (dang != null) dang.unpersist()

@@ -707,6 +707,100 @@ object OpsQueries {
       FROM documents d LEFT JOIN sc USING (doc_id)
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------- doc46 / doc47
+  // EXACT REPEATED-SPAN dedup (DedupOps.repeatedSpans) — the
+  // exact-substring method of Lee et al. (arXiv:2107.06499) at token
+  // grain: every 8-token window occurring in >= 2 distinct docs,
+  // reported at every (doc_id, pos) — the deletion-candidate list.
+  // The doc-level ladder cannot express this: two docs sharing one
+  // boilerplate paragraph are not near-dups, but the paragraph still
+  // trains twice. doc47 merges each doc's repeated spans as
+  // intervals (the islands window pattern) into covered-token
+  // counts and truncating-ppm coverage — the template-instance gate.
+  private val doc46 = GraftQuery(
+    "doc46_repeated_spans",
+    (s, dir) =>
+      DedupOps.repeatedSpans(t(s, dir, "documents"), spanLen = 8)
+        .orderBy(col("span_key"), col("doc_id"), col("pos")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      sp AS (
+        SELECT doc_id, unnest(range(1, len(ws) - 8 + 2)) AS pos, ws
+        FROM toks WHERE len(ws) >= 8),
+      spk AS MATERIALIZED (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          md5(array_to_string(ws[pos:pos+7], ' ')) AS span_key
+        FROM sp),
+      rep AS (
+        SELECT span_key,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM spk GROUP BY span_key
+        HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT s.doc_id, s.pos, s.span_key, r.n_docs, r.n_occ
+      FROM spk s JOIN rep r USING (span_key)
+      ORDER BY s.span_key, s.doc_id, s.pos"""))
+
+  private val doc47 = GraftQuery(
+    "doc47_span_coverage",
+    (s, dir) =>
+      DedupOps.spanCoverage(t(s, dir, "documents"), spanLen = 8)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      sp AS (
+        SELECT doc_id, unnest(range(1, len(ws) - 8 + 2)) AS pos, ws
+        FROM toks WHERE len(ws) >= 8),
+      spk AS MATERIALIZED (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          md5(array_to_string(ws[pos:pos+7], ' ')) AS span_key
+        FROM sp),
+      rep AS (
+        SELECT span_key FROM spk GROUP BY span_key
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+      occ AS MATERIALIZED (
+        SELECT s.doc_id, s.pos FROM spk s JOIN rep r
+        USING (span_key)),
+      pe AS (
+        SELECT doc_id, pos,
+          MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_end
+        FROM occ),
+      fl AS (
+        SELECT doc_id, pos,
+          CASE WHEN prev_end IS NULL OR pos > prev_end
+            THEN 1 ELSE 0 END AS flag
+        FROM pe),
+      grp AS (
+        SELECT doc_id, pos,
+          SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS g
+        FROM fl),
+      ext AS (
+        SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 8 AS e,
+          CAST(COUNT(*) AS BIGINT) AS n_sp
+        FROM grp GROUP BY doc_id, g),
+      perdoc AS (
+        SELECT doc_id, CAST(SUM(n_sp) AS BIGINT) AS n_spans,
+          CAST(COUNT(*) AS BIGINT) AS n_islands,
+          CAST(SUM(e - s) AS BIGINT) AS covered_tok
+        FROM ext GROUP BY doc_id)
+      SELECT t.doc_id,
+        COALESCE(p.n_spans, 0) AS n_spans,
+        COALESCE(p.n_islands, 0) AS n_islands,
+        COALESCE(p.covered_tok, 0) AS covered_tok,
+        CAST(len(t.ws) AS BIGINT) AS n_tok,
+        CASE WHEN len(t.ws) = 0 THEN 0
+          ELSE (COALESCE(p.covered_tok, 0) * 1000000) // len(t.ws)
+        END AS coverage_ppm
+      FROM toks t LEFT JOIN perdoc p USING (doc_id)
+      ORDER BY t.doc_id"""))
+
   // ---------------------------------------------------- doc39 / cdc33
   // Count-Min frequency sketch: d=4 seeded hash rows × w=256 BIGINT
   // counters over the corpus word stream; estimate = min over rows —
@@ -2255,5 +2349,6 @@ object OpsQueries {
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
-      q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45)
+      q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
+      doc46, doc47)
 }

@@ -1301,13 +1301,23 @@ object SimilarityOps {
   def graphBeamSearchFrom(embs: DataFrame, graph: DataFrame,
       entries: DataFrame, beam: Int = 8,
       rounds: Int = 3, k: Int = 4, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    import org.apache.spark.storage.StorageLevel
     require(rounds >= 1 && beam >= 1 && k >= 1)
     val fwd = graph.select(col("vec_id"), col("nbr_id"))
+    // both round-invariant operands persist for the loop: adj is
+    // typically a BUILT kNN graph (re-deriving it per round would
+    // re-run the whole ANN build inside one fused plan — measured as
+    // the dominant cost of the unrolled form) and base is the scored
+    // corpus projection every round's exact scoring joins
     val adj = fwd.unionByName(
         fwd.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
       .distinct()
+      .repartition(col("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = embs.select(col("vec_id"), col("embedding"),
       norm(col("embedding"), dim).as("en"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // the query set IS the entries' query ids — no separate gate that
     // could silently drop a caller-supplied query (the old
     // vec_id < nQueries filter returned empty results for any entry
@@ -1325,32 +1335,51 @@ object SimilarityOps {
           (col("q_en") * col("en"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    var beamDf = score(entries.select(col("query_id"), col("vec_id"))
-      .distinct())
-    // fail fast instead of silently returning an empty/partial
-    // result: every entry row's query_id AND vec_id must resolve to
-    // an embedding row (entries-sized counts — control-plane)
-    val nWanted = entries.select(col("query_id"), col("vec_id"))
-      .distinct().count()
-    val nSeeded = beamDf.count()
-    require(nSeeded == nWanted,
-      s"beam seeding dropped ${nWanted - nSeeded} of $nWanted " +
-        "entry rows — a query_id or entry vec_id is not a vector id")
-    for (_ <- 1 to rounds) {
-      val expanded = beamDf.select(col("query_id"), col("vec_id"))
-        .join(adj, Seq("vec_id"))
-        .select(col("query_id"), col("nbr_id").as("vec_id"))
-        .unionByName(beamDf.select(col("query_id"), col("vec_id")))
-        .distinct()
-      beamDf = score(expanded)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= beam)
-        .drop("rn")
+    var ck = score(entries.select(col("query_id"), col("vec_id"))
+      .distinct()).localCheckpoint()
+    var beamDf = ck
+    try {
+      // fail fast instead of silently returning an empty/partial
+      // result: every entry row's query_id AND vec_id must resolve
+      // to an embedding row (entries-sized counts off the already-
+      // materialized seed checkpoint — control-plane)
+      val nWanted = entries.select(col("query_id"), col("vec_id"))
+        .distinct().count()
+      val nSeeded = beamDf.count()
+      if (nSeeded != nWanted) {
+        CheckpointBridge.freeLocalCheckpoint(ck) // don't leak the seed
+        throw new IllegalArgumentException(
+          s"beam seeding dropped ${nWanted - nSeeded} of $nWanted " +
+            "entry rows — a query_id or entry vec_id is not a vector id")
+      }
+      for (_ <- 1 to rounds) {
+        val expanded = beamDf.select(col("query_id"), col("vec_id"))
+          .join(adj, Seq("vec_id"))
+          .select(col("query_id"), col("nbr_id").as("vec_id"))
+          .unionByName(beamDf.select(col("query_id"), col("vec_id")))
+          .distinct()
+        // per-round checkpoint + free of the superseded round (the
+        // rankLoop discipline): beam state is queries·beam rows
+        val next = score(expanded)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= beam)
+          .drop("rn")
+          .localCheckpoint()
+        CheckpointBridge.freeLocalCheckpoint(ck)
+        ck = next
+        beamDf = next
+      }
+      // the final top-k reads only the last checkpoint — safe to
+      // release the loop operands in finally
+      beamDf.filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rnk"), col("cos"))
+    } finally {
+      adj.unpersist()
+      base.unpersist()
+      ()
     }
-    beamDf.filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rnk"), col("cos"))
   }
 }

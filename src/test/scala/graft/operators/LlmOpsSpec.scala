@@ -211,6 +211,62 @@ class LlmOpsSpec extends SparkSpec {
     assert(one.n_bytes == text.getBytes("UTF-8").length)
   }
 
+  test("repeatedSpans: cross-doc spans at every occurrence; " +
+      "intra-doc-only repeats excluded") {
+    import spark.implicits._
+    // docs 1 and 2 share the 4-token span "a b c d" (doc 2 twice);
+    // doc 3 repeats "p q r s" twice WITHIN itself only — not
+    // cross-doc, so it must not be reported
+    val d = Seq(
+      (1L, "a b c d x y z w"),
+      (2L, "u a b c d v a b c d"),
+      (3L, "p q r s p q r s")).toDF("doc_id", "text")
+    val got = DedupOps.repeatedSpans(d, spanLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4))).toSet
+    // occurrences of "a b c d": doc1 pos1, doc2 pos2 and pos7
+    assert(got == Set((1L, 1L, 2L, 3L), (2L, 2L, 2L, 3L),
+      (2L, 7L, 2L, 3L)))
+  }
+
+  test("spanCoverage: overlapping spans merge into islands; " +
+      "uncovered docs report 0") {
+    import spark.implicits._
+    // doc1 and doc2 are near-identical 10-token docs: doc1 positions
+    // 1..6 all start repeated 4-spans (one island covering 1..9 =
+    // 9 tokens); doc3 shares nothing
+    val d = Seq(
+      (1L, "a b c d e f g h i x"),
+      (2L, "a b c d e f g h i y"),
+      (3L, "m n o p q r s t u v")).toDF("doc_id", "text")
+    val got = DedupOps.spanCoverage(d, spanLen = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // spans 1..6 of doc1 repeat in doc2 -> one island [1, 10) = 9
+    // covered tokens of 10 -> 900000 ppm
+    assert(got(1L) == ((6L, 1L, 9L, 10L, 900000L)))
+    assert(got(2L) == ((6L, 1L, 9L, 10L, 900000L)))
+    assert(got(3L) == ((0L, 0L, 0L, 10L, 0L)))
+  }
+
+  test("spanCoverage: disjoint islands count separately") {
+    import spark.implicits._
+    // the shared spans sit at both ENDS of a 14-token doc with a
+    // 2-token unique gap in the middle -> two islands of 6 tokens
+    val d = Seq(
+      (1L, "a b c d e f g1 h1 p q r s t u"),
+      (2L, "a b c d e f g2 h2 p q r s t u")).toDF("doc_id", "text")
+    val got = DedupOps.spanCoverage(d, spanLen = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // spans at pos 1,2,3 (island [1,7) = 6) and pos 9,10,11
+    // (island [9,15) = 6): 12 of 14 tokens -> 857142 ppm
+    assert(got(1L) == ((6L, 2L, 12L, 14L, 857142L)))
+    assert(got(2L) == ((6L, 2L, 12L, 14L, 857142L)))
+  }
+
   test("shingle caches drain: no residual cached blocks after release") {
     import spark.implicits._
     DedupOps.unpersistShingleCaches(blocking = true) // start clean
