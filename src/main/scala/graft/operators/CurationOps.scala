@@ -1216,6 +1216,76 @@ object CurationOps {
         coalesce(col("avg_ppm"), lit(0L)).as("avg_ppm"))
   }
 
+  /** DETERMINISTIC WEIGHTED PRIORITY SAMPLING — the weighted subset
+    * selector of the curation toolkit (priority-sampling family,
+    * Duffield–Lund–Thorup class): each document draws the
+    * content-independent doc08 hash u40(doc_id) as its uniform and
+    * is ranked by the integer priority u40 div w (w = token count +
+    * 1), so heavier documents systematically draw smaller priorities
+    * and the bottom-k is a weight-tilted sample — deterministic
+    * under reprocessing and repartitioning (no RNG, the doc08
+    * doctrine), replayable on any engine. Honesty note: the integer
+    * div tilts selection monotonically in w but is not the exact
+    * A-ES exponential-keys distribution (which needs log); for a
+    * curation pipeline the properties that matter are monotone
+    * weight preference + determinism + one pass, all of which hold.
+    *
+    * Shape at scale: one corpus projection, NO shuffle beyond the
+    * global bottom-k — Spark plans orderBy().limit(k) as
+    * TakeOrderedAndProject (per-partition heap of k, then a k-sized
+    * driver merge), the same plan every top-k query in the registry
+    * is gated on; k is control-plane sized.
+    * Returns (doc_id, w, priority), the k selected docs. */
+  def prioritySample(docs: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 1)
+    docs.select(col("doc_id"),
+        (size(TextFunctions.tokens(col("text"))).cast("long") + 1L)
+          .as("w"),
+        graft.operators.SketchOps.u40(col("doc_id")).as("u"))
+      .select(col("doc_id"), col("w"),
+        expr("u div w").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** RARITY-WEIGHTED KEYWORD EXTRACTION — TF·rarity per document,
+    * the tagging/routing primitive (what is this document about?):
+    * rarity is the integer-exact stand-in for idf — (N·10⁶) div df,
+    * the inverse document-frequency RATIO in truncating ppm, no
+    * log/libm (the doc23 doctrine; the log only compresses the
+    * ranking, it does not change within-doc keyword ORDER for fixed
+    * N... it can across very different df — documented trade for
+    * bit-identical cross-engine replay). Top-`m` words per doc by
+    * (tf·rarity, word) — a per-doc window bounded by the doc's
+    * distinct words.
+    *
+    * Shape at scale: one token explosion → one (doc, word) count +
+    * one word→df count (both map-side-combined) → one equi-join on
+    * word + the 1-row corpus-count broadcast → per-doc top-m window.
+    * The df table is vocab-sized, an equi-shuffle join, never
+    * broadcast. Returns (doc_id, word, tf, df, score, rnk). */
+  def rarityKeywords(docs: DataFrame, m: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1)
+    val words = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = words.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n1 = docs.agg(count(lit(1)).as("n_docs"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df, Seq("word"))
+      .crossJoin(broadcast(n1))
+      .withColumn("score",
+        col("tf") * expr("(n_docs * 1000000L) div df"))
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= m)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
   /** Sliding-window token chunking — the context-window prep step for
     * RAG indexing and fixed-length pretraining examples: each document
     * becomes overlapping chunks of `window` tokens advancing by

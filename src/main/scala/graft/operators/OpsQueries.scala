@@ -801,6 +801,59 @@ object OpsQueries {
       FROM toks t LEFT JOIN perdoc p USING (doc_id)
       ORDER BY t.doc_id"""))
 
+  // ---------------------------------------------------- doc48 / doc49
+  // doc48: deterministic WEIGHTED PRIORITY SAMPLING — bottom-k by
+  // the integer priority u40(doc_id) div (tokens+1): heavier docs
+  // draw smaller priorities (weight-tilted subset), no RNG, one
+  // pass, global top-k planned as TakeOrderedAndProject. doc49:
+  // rarity-weighted keyword extraction — tf · (N·10⁶ div df), the
+  // integer-exact idf-ratio stand-in (no log/libm), top-3 per doc.
+  private val doc48 = GraftQuery(
+    "doc48_priority_sample",
+    (s, dir) =>
+      CurationOps.prioritySample(t(s, dir, "documents"), k = 64)
+        .orderBy(col("priority"), col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split(TRIM(text), ' ')) AS BIGINT) + 1 AS w,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+            1, 10)) AS BIGINT) AS u
+        FROM documents)
+      SELECT doc_id, w, u // w AS priority
+      FROM t
+      ORDER BY priority, doc_id
+      LIMIT 64"""))
+
+  private val doc49 = GraftQuery(
+    "doc49_rarity_keywords",
+    (s, dir) =>
+      CurationOps.rarityKeywords(t(s, dir, "documents"), m = 3)
+        .orderBy(col("doc_id"), col("rnk")),
+    Some("""
+      WITH words AS (
+        SELECT doc_id, w AS word FROM (
+          SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS w
+          FROM documents)
+        WHERE length(w) > 0),
+      tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word),
+      df AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY word),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      sc AS (
+        SELECT t.doc_id, t.word, t.tf, d.df,
+          t.tf * ((n.n_docs * 1000000) // d.df) AS score
+        FROM tf t JOIN df d USING (word), n)
+      SELECT doc_id, word, tf, df, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, word) AS BIGINT) AS rnk
+      FROM sc
+      QUALIFY rnk <= 3
+      ORDER BY doc_id, rnk"""))
+
   // ---------------------------------------------------- doc39 / cdc33
   // Count-Min frequency sketch: d=4 seeded hash rows × w=256 BIGINT
   // counters over the corpus word stream; estimate = min over rows —
@@ -2350,5 +2403,5 @@ object OpsQueries {
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
       q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
-      doc46, doc47)
+      doc46, doc47, doc48, doc49)
 }

@@ -154,7 +154,10 @@ class PlanQualitySpec extends SparkSpec {
       // emb45: dangling-mass PageRank — emb37's knnGraph provenance
       // (centroid broadcast) plus a 1-row dangling-sum broadcast per
       // round (control-plane scalar, the intended bounded build)
-      "emb45_pagerank_dangling")
+      "emb45_pagerank_dangling",
+      // doc49: rarity keywords — the 1-row corpus-count broadcast
+      // (the df join itself is a keyed equi-join)
+      "doc49_rarity_keywords")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -442,6 +442,59 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("prioritySample: equals the driver-side bottom-k; heavier " +
+      "docs systematically preferred; deterministic") {
+    import spark.implicits._
+    // 100 docs: even ids are 40-token docs, odd ids 2-token docs
+    val docs = (0L until 100L).map { i =>
+      val words = if (i % 2 == 0) 40 else 2
+      (i, (1 to words).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = CurationOps.prioritySample(docs, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 20)
+    // driver-side replay of the exact selection rule
+    val us = docs.select($"doc_id",
+        graft.operators.SketchOps.u40($"doc_id").as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 100L).map { i =>
+      val w = (if (i % 2 == 0) 40L else 2L) + 1L
+      (i, w, us(i) / w)
+    }.sortBy(t => (t._3, t._1)).take(20)
+    assert(got.toSeq == want)
+    // weight preference: the 20-sample from a 50/50 corpus should be
+    // dominated by the ~20x-heavier docs
+    assert(got.count(_._2 == 41L) >= 15,
+      s"heavy docs underrepresented: ${got.count(_._2 == 41L)}/20")
+    // deterministic under repartitioning
+    val again = CurationOps.prioritySample(docs.repartition(7), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("rarityKeywords: doc-unique words outrank corpus-wide ones; " +
+      "hand-checked scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the zebra the quark"),
+      (2L, "the the the lemur"),
+      (3L, "the apple apple")).toDF("doc_id", "text")
+    val got = CurationOps.rarityKeywords(docs, m = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byDoc = got.groupBy(_._1)
+    // doc1: zebra/quark df=1 -> score 1*3000000; the df=3 tf=3 ->
+    // 3*1000000 = tie at 3000000; tie-break by word asc:
+    // quark < the < zebra -> top2 = quark, the
+    assert(byDoc(1L).sortBy(_._6).map(_._2).toSeq == Seq("quark", "the"))
+    // doc2: lemur 1*3000000 beats the 3*1000000 on the word tiebreak
+    assert(byDoc(2L).sortBy(_._6).map(_._2).toSeq == Seq("lemur", "the"))
+    // doc3: apple tf=2 df=1 -> 6000000 strictly first; the tf=1 ->
+    // 1000000
+    assert(byDoc(3L).sortBy(_._6).map(t => (t._2, t._5)).toSeq ==
+      Seq(("apple", 6000000L), ("the", 1000000L)))
+  }
+
   test("embeddingDrift: zero drift vs self; planted shift detected") {
     val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
     // identical distributions: every dim at TVD 0, identical means
