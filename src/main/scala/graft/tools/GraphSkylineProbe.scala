@@ -194,6 +194,7 @@ object GraphSkylineProbe {
         Seq("n_tokens", "n_types"), Seq("n_chars")).count()
       val tSky = (System.nanoTime() - t0) / 1e9
       CheckpointBridge.freeLocalCheckpoint(m)
+      SkylineOps.unpersistShellCaches(blocking = true)
       println(f"PROBE doc43_skyline    $nDocs%8d docs  corner-prune: " +
         f"$surv%7d (${100.0 * surv / nDocs}%.1f%%)  shell: $sh%6d  " +
         f"frontier: $front%6d  wall: $tSky%6.1f s")

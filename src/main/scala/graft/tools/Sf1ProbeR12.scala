@@ -39,7 +39,7 @@ object Sf1ProbeR12 {
   def main(args: Array[String]): Unit = {
     val which =
       if (args.isEmpty) Set("retention_scan", "graph_iters",
-        "skyline_bigshell")
+        "skyline_bigshell", "span_scan")
       else args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -159,6 +159,33 @@ object Sf1ProbeR12 {
       println(f"PROBE skyline_bigshell n=${2 * nF}%7d frontier=" +
         f"$nFront%7d  wall: $wall%6.1f s  (partitioned exact stage, " +
         "no broadcast)")
+    }
+
+    if (which("span_scan")) {
+      // synthetic template corpus: each doc = 15 unique tokens + a
+      // 12-token template shared by its (doc_id % 97) group + 15 more
+      // unique tokens — exactly the 5 pure-template 8-windows per doc
+      // repeat cross-doc; every boundary window contains a unique
+      // token and must NOT be reported. Output volume ∝ docs, work ∝
+      // corpus tokens — the linearity claim measured at 10×.
+      def corpus(nDocs: Long) = spark.range(nDocs)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ",
+            expr("transform(sequence(1, 15), " +
+              "i -> concat('u', id, '_', i))"),
+            expr("transform(sequence(1, 12), " +
+              "i -> concat('g', id % 97, '_', i))"),
+            expr("transform(sequence(16, 30), " +
+              "i -> concat('u', id, '_', i))")).as("text"))
+      Seq(200000L, 2000000L).foreach { n =>
+        val (occ, wall, _, _) = measured {
+          graft.operators.DedupOps.repeatedSpans(corpus(n), 8).count()
+        }
+        assert(occ == 5L * n, s"expected ${5 * n} occurrences, $occ")
+        println(f"PROBE span_scan n=$n%8d docs  repeated-span " +
+          f"occurrences: $occ%9d (= 5/doc, boundary windows " +
+          f"excluded)  wall: $wall%6.1f s")
+      }
     }
 
     spark.stop()
