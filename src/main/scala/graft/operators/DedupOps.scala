@@ -613,9 +613,13 @@ object DedupOps {
     * keyed semi-join back. No windows, no broadcast, no driver
     * materialization; output ∝ repeated mass only.
     * Returns (doc_id, pos, span_key, n_docs, n_occ). */
-  def repeatedSpans(docs: DataFrame, spanLen: Int = 8): DataFrame = {
+  /** The raw (doc_id, pos, span_key) occurrence stream of every
+    * `spanLen`-token window — the shared projection of
+    * [[repeatedSpans]] (one-shot) and
+    * [[graft.streaming.IncrementalSpans]] (maintained). */
+  def spanOccurrences(docs: DataFrame, spanLen: Int): DataFrame = {
     require(spanLen >= 2, "a 1-token span is vocabulary, not a span")
-    val spans = docs
+    docs
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= spanLen)
       .select(col("doc_id"),
@@ -625,6 +629,10 @@ object DedupOps {
         md5(concat_ws(" ",
           slice(col("ts"), col("pos"), lit(spanLen))).cast("binary"))
           .as("span_key"))
+  }
+
+  def repeatedSpans(docs: DataFrame, spanLen: Int = 8): DataFrame = {
+    val spans = spanOccurrences(docs, spanLen)
     val repeated = spans.groupBy("span_key")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))

@@ -801,6 +801,50 @@ object OpsQueries {
       FROM toks t LEFT JOIN perdoc p USING (doc_id)
       ORDER BY t.doc_id"""))
 
+  // -------------------------------------------------------------- cdc40
+  // Incrementally-maintained repeated-span statistics
+  // (IncrementalSpans) — doc46's span-level report under document
+  // ingest via the compacted-state pattern: state is the
+  // (span_key, doc_id) → n_occ grid (the minimal sufficient
+  // statistic; n_docs = rows per key, n_occ = their sum), held in a
+  // CdcMerge-bucketed table on hash(span_key) — a batch upserts only
+  // its spans' buckets (the cdc38 doctrine on the span grid). Fold is
+  // a pure row upsert under document-disjoint ingest → idempotent,
+  // no watermark; the REDELIVERED batch pins that. The report equals
+  // the one-shot aggregation of doc46's occurrence stream.
+  private val cdc40 = GraftQuery(
+    "cdc40_incremental_spans",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc40_spans"
+      Seq(table, s"${table}_stage")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      Seq(0, 1, 1, 2).foreach { p =>
+        graft.streaming.IncrementalSpans.applyBatch(s, table, part(p))
+      }
+      graft.streaming.IncrementalSpans.spanReport(s, table)
+        .orderBy($"span_key")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      sp AS (
+        SELECT doc_id, unnest(range(1, len(ws) - 8 + 2)) AS pos, ws
+        FROM toks WHERE len(ws) >= 8),
+      spk AS (
+        SELECT doc_id,
+          md5(array_to_string(ws[pos:pos+7], ' ')) AS span_key
+        FROM sp)
+      SELECT span_key,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM spk GROUP BY span_key
+      HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY span_key"""))
+
   // ---------------------------------------------------- doc48 / doc49
   // doc48: deterministic WEIGHTED PRIORITY SAMPLING — bottom-k by
   // the integer priority u40(doc_id) div (tokens+1): heavier docs
@@ -2403,5 +2447,5 @@ object OpsQueries {
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
       q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
-      doc46, doc47, doc48, doc49)
+      doc46, doc47, doc48, doc49, cdc40)
 }
