@@ -1182,6 +1182,12 @@ object CurationOps {
     * Returns (doc_id, n_bigrams, n_oov, avg_ppm). */
   def bigramLmScoreCv(docs: DataFrame, folds: Int = 8): DataFrame = {
     require(folds >= 2, "cross-validation needs >= 2 folds")
+    // the fold id is derived from the first 2 md5 hex chars — a
+    // 256-value domain; more folds than that would silently leave
+    // folds empty and skew the held-out counts
+    require(folds <= 256,
+      "fold id derives from 2 md5 hex chars (256 values); folds must " +
+        "be <= 256")
     val foldOf = conv(substring(
       md5(col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10)
       .cast("long") % folds

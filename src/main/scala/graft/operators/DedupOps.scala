@@ -687,4 +687,59 @@ object DedupOps {
           .otherwise(expr("(coalesce(covered_tok, 0L) * 1000000) " +
             "div n_tok")).as("coverage_ppm"))
   }
+
+  /** REPEATED-SPAN REMOVAL — the final step of the Lee et al.
+    * exact-substring recipe (arXiv:2107.06499 §3: delete every
+    * duplicated substring occurrence): rewrite each document with its
+    * repeated spans CUT OUT. [[repeatedSpans]] names the deletion
+    * candidates, [[spanCoverage]] measures them; this operator
+    * actually deduplicates the training data — the kept text is the
+    * COMPLEMENT of the per-doc interval union (the same islands
+    * [[spanCoverage]] merges), reassembled from the token stream.
+    *
+    * Shape at scale: the repeatedSpans budget (∝ corpus tokens) + one
+    * per-doc ordered window (groups bounded by tokens/doc) + one
+    * islands-per-doc collect_list (bounded by tokens/doc — a doc's
+    * island list can never exceed its own token count) + one doc-keyed
+    * left join; the cut itself is per-row higher-order functions
+    * (filter/exists/transform over the token array), no explode back
+    * to token grain and nothing driver-side. Docs with no repeated
+    * span pass through verbatim (token-normalized: single-space
+    * joined, the [[graft.functions.TextFunctions.tokens]] grain all
+    * span operators share).
+    *
+    * Returns (doc_id, text_deduped, n_tok_removed). */
+  def removeRepeatedSpans(docs: DataFrame,
+      spanLen: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val islands = repeatedSpans(docs, spanLen)
+      .select(col("doc_id"), col("pos"))
+      .withColumn("prev_end", max(col("pos") + spanLen).over(prevEnd))
+      .withColumn("flag",
+        (col("prev_end").isNull || col("pos") > col("prev_end"))
+          .cast("long"))
+      .withColumn("g", sum(col("flag")).over(w))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + spanLen).as("e"))
+    val ivs = islands.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .join(ivs, Seq("doc_id"), "left_outer")
+      .withColumn("ivs", coalesce(col("ivs"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      // kept token positions = the complement of the interval union;
+      // islands are disjoint so the exists() scan is ≤ islands/doc
+      .withColumn("kp", filter(sequence(lit(1), size(col("ts"))),
+        p => !exists(col("ivs"),
+          iv => p >= iv("s") && p < iv("e"))))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          transform(col("kp"), p => element_at(col("ts"), p)))
+          .as("text_deduped"),
+        (size(col("ts")) - size(col("kp"))).cast("long")
+          .as("n_tok_removed"))
+  }
 }

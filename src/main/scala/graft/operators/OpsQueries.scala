@@ -804,25 +804,29 @@ object OpsQueries {
   // -------------------------------------------------------------- cdc40
   // Incrementally-maintained repeated-span statistics
   // (IncrementalSpans) — doc46's span-level report under document
-  // ingest via the compacted-state pattern: state is the
+  // ingest via the APPEND pattern: state is the
   // (span_key, doc_id) → n_occ grid (the minimal sufficient
-  // statistic; n_docs = rows per key, n_occ = their sum), held in a
-  // CdcMerge-bucketed table on hash(span_key) — a batch upserts only
-  // its spans' buckets (the cdc38 doctrine on the span grid). Fold is
-  // a pure row upsert under document-disjoint ingest → idempotent,
-  // no watermark; the REDELIVERED batch pins that. The report equals
-  // the one-shot aggregation of doc46's occurrence stream.
+  // statistic; n_docs = rows per key, n_occ = their sum). Span keys
+  // are uniform md5 hashes, so a merge-shaped bucketed table would
+  // rewrite EVERY bucket on any realistic batch (the r12 weak) —
+  // instead each fold appends its rows into its own _b generation
+  // (write ∝ batch), idempotent via dynamic overwrite of that
+  // generation + a batch watermark; the REDELIVERED batch (same id)
+  // pins the replay no-op. Report = one aggregate over the grid,
+  // equal to the one-shot aggregation of doc46's occurrence stream.
   private val cdc40 = GraftQuery(
     "cdc40_incremental_spans",
     (s, dir) => {
       import s.implicits._
       val table = "cdc40_spans"
-      Seq(table, s"${table}_stage")
+      graft.streaming.IncrementalSpans.tables(table)
         .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
       val docs = t(s, dir, "documents")
       def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
-      Seq(0, 1, 1, 2).foreach { p =>
-        graft.streaming.IncrementalSpans.applyBatch(s, table, part(p))
+      // (partition, batchId): batch 1 is REDELIVERED under its own id
+      Seq((0, 0L), (1, 1L), (1, 1L), (2, 2L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalSpans.applyBatch(s, table,
+          part(p), batchId = b)
       }
       graft.streaming.IncrementalSpans.spanReport(s, table)
         .orderBy($"span_key")
@@ -897,6 +901,76 @@ object OpsQueries {
       FROM sc
       QUALIFY rnk <= 3
       ORDER BY doc_id, rnk"""))
+
+  // -------------------------------------------------------------- doc50
+  // REPEATED-SPAN REMOVAL (DedupOps.removeRepeatedSpans) — the final
+  // step of the Lee et al. exact-substring recipe: each document
+  // rewritten with the doc47 islands cut out of its token stream
+  // (the complement of the per-doc interval union). doc46 names the
+  // deletion candidates, doc47 measures them, doc50 APPLIES them —
+  // the operator that actually deduplicates the training text. The
+  // oracle replays the islands-complement reconstruction in DuckDB
+  // through list lambdas over the same 1-based token positions.
+  private val doc50 = GraftQuery(
+    "doc50_remove_spans",
+    (s, dir) =>
+      DedupOps.removeRepeatedSpans(t(s, dir, "documents"), spanLen = 8)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      sp AS (
+        SELECT doc_id, unnest(range(1, len(ws) - 8 + 2)) AS pos, ws
+        FROM toks WHERE len(ws) >= 8),
+      spk AS MATERIALIZED (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          md5(array_to_string(ws[pos:pos+7], ' ')) AS span_key
+        FROM sp),
+      rep AS (
+        SELECT span_key FROM spk GROUP BY span_key
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+      occ AS MATERIALIZED (
+        SELECT s.doc_id, s.pos FROM spk s JOIN rep r
+        USING (span_key)),
+      pe AS (
+        SELECT doc_id, pos,
+          MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_end
+        FROM occ),
+      fl AS (
+        SELECT doc_id, pos,
+          CASE WHEN prev_end IS NULL OR pos > prev_end
+            THEN 1 ELSE 0 END AS flag
+        FROM pe),
+      grp AS (
+        SELECT doc_id, pos,
+          SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS g
+        FROM fl),
+      ext AS (
+        SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 8 AS e
+        FROM grp GROUP BY doc_id, g),
+      ivs AS (
+        SELECT doc_id, list({'s': s, 'e': e}) AS ivs
+        FROM ext GROUP BY doc_id),
+      base AS (
+        SELECT t.doc_id, t.ws,
+          COALESCE(i.ivs, []) AS ivs
+        FROM toks t LEFT JOIN ivs i USING (doc_id)),
+      kept AS (
+        SELECT doc_id, ws,
+          list_filter(range(1, len(ws) + 1),
+            p -> len(list_filter(ivs,
+              iv -> p >= iv.s AND p < iv.e)) = 0) AS kp
+        FROM base)
+      SELECT doc_id,
+        array_to_string(
+          list_transform(kp, p -> ws[p]), ' ') AS text_deduped,
+        CAST(len(ws) - len(kp) AS BIGINT) AS n_tok_removed
+      FROM kept
+      ORDER BY doc_id"""))
 
   // ---------------------------------------------------- doc39 / cdc33
   // Count-Min frequency sketch: d=4 seeded hash rows × w=256 BIGINT
@@ -2447,5 +2521,5 @@ object OpsQueries {
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
       q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
-      doc46, doc47, doc48, doc49, cdc40)
+      doc46, doc47, doc48, doc49, cdc40, doc50)
 }

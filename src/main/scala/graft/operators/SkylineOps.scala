@@ -79,7 +79,17 @@ object SkylineOps {
     * ([[exactPartitioned]]): equi-joins on cell keys only, work
     * Σ|A|·|B| over dominance-admissible cell pairs, spread across
     * the cluster. Same result, proven by the spec forcing both
-    * paths onto the same corpus. */
+    * paths onto the same corpus.
+    *
+    * DRAIN OBLIGATION: the gate persists the shell and registers it
+    * in a process-global cache so the returned (lazy) frontier frame
+    * reuses it instead of recomputing phases 1+2 — the caller must
+    * call [[unpersistShellCaches]] after CONSUMING the result (the
+    * [[DedupOps]] shingle-cache lifecycle; Bench/Verify and
+    * [[graft.streaming.IncrementalSkyline]] drain per query/fold). A
+    * caller that never drains accumulates cached blocks; a drain from
+    * another thread is safe but recomputes any still-in-flight
+    * query's shell (persisted frames recompute transparently). */
   def skyline(df: DataFrame, idCol: String, maxCols: Seq[String],
       minCols: Seq[String], g: Int = 8,
       broadcastShellLimit: Long = 100000L): DataFrame = {

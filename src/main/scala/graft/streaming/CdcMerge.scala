@@ -43,6 +43,41 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CdcMerge {
 
+  /** Table property recording the bucket count a state table was
+    * built with — the fail-fast guard for the "nBuckets is fixed for
+    * the table's lifetime" contract. Before it existed, a caller
+    * passing a different nBuckets than the table was created with
+    * silently read the wrong buckets ([[readStateBuckets]]) or wrote
+    * keys into fresh partitions their older versions don't live in —
+    * both produce duplicate rows per key with no error anywhere. */
+  private val NBucketsProp = "graft.nbuckets"
+
+  /** Record `nBuckets` on a freshly-created state table. */
+  def setNBuckets(spark: SparkSession, table: String,
+      nBuckets: Int): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$NBucketsProp'='$nBuckets')")
+
+  /** The bucket count `table` was created with, if recorded (tables
+    * created before the property existed return None and skip the
+    * check — they keep the caller-discipline contract). */
+  def tableNBuckets(spark: SparkSession, table: String): Option[Int] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .find(_.getString(0) == NBucketsProp)
+      .map(_.getString(1).toInt)
+
+  /** Fail fast when a caller's `nBuckets` disagrees with what the
+    * table was built with. One catalog read — control-plane cost. */
+  def requireNBuckets(spark: SparkSession, table: String,
+      nBuckets: Int): Unit =
+    tableNBuckets(spark, table).foreach { stored =>
+      require(stored == nBuckets,
+        s"$table was built with nBuckets=$stored but the caller " +
+          s"passed nBuckets=$nBuckets; the bucket count is fixed for " +
+          "the table's lifetime (re-bucket offline via CdcMerge." +
+          "rebucket, then pass the new count)")
+    }
+
   /** Drop a state table AND its warehouse location. The catalog is
     * per-session but managed-table directories persist across sessions;
     * a fresh session's `DROP TABLE IF EXISTS` alone is a no-op that
@@ -80,7 +115,8 @@ object CdcMerge {
     * table). */
   def readStateBuckets(spark: SparkSession, table: String,
       kbs: Seq[Long], opCol: String = "event_type",
-      deleteOp: String = "Delete"): DataFrame = {
+      deleteOp: String = "Delete", nBuckets: Int = -1): DataFrame = {
+    if (nBuckets > 0) requireNBuckets(spark, table, nBuckets)
     spark.catalog.refreshTable(table)
     spark.table(table).filter(col("_kb").isin(kbs: _*))
       .filter(col(opCol) =!= deleteOp).drop("_kb")
@@ -159,12 +195,33 @@ object CdcMerge {
     * never changes). A violating upsert lands in a different bucket
     * than the row it should supersede, and both survive — the same
     * rule every partitioned upsert store imposes on its partition
-    * path. */
+    * path.
+    *
+    * KEY-SHAPE DOCTRINE — merge pattern vs append pattern: this merge
+    * rewrites every TOUCHED bucket wholesale (current ∪ upserts,
+    * re-staged, dynamic-overwrite), so its per-batch cost is ∝ the
+    * touched buckets' CURRENT size. That is the right shape exactly
+    * when batches CLUSTER in key space — entity keys (user_id,
+    * order_id: a batch's users hash into few buckets) or keys whose
+    * rows genuinely need superseding (versions, tombstones). It is
+    * the WRONG shape for UNIFORM-HASH keys (md5/xxhash-derived span
+    * or shingle keys): any batch with ≳nBuckets distinct keys touches
+    * EVERY bucket, and each fold silently rewrites ~the whole table —
+    * write amplification ∝ state, not batch (the round-12 cdc40
+    * finding). Uniform-hash keys whose rows are IMMUTABLE once
+    * written belong in an APPEND-shaped table instead — per-batch
+    * appends into hash partitions, replay guarded by a batch
+    * watermark or idempotent batch-partition overwrite, compaction on
+    * cadence — see [[IncrementalSpans]] (generation-partitioned
+    * appends) and [[IncrementalDedup]] (band-index appends). Rule of
+    * thumb: if a redelivered batch would rewrite IDENTICAL rows, the
+    * rows are immutable and the append pattern wins; reach for this
+    * merge only when new versions must displace old ones. */
   def applyBatchKeyed(spark: SparkSession, table: String,
       batch: DataFrame, keyCols: Seq[String], versionCols: Seq[String],
       nBuckets: Int,
       beforeCommit: (DataFrame, DataFrame) => Unit = (_, _) => (),
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil): Unit = FoldTimer.timed {
     val pCols = if (partitionCols.isEmpty) keyCols else partitionCols
     val byVersion = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(versionCols.map(col(_).desc): _*)
@@ -198,9 +255,11 @@ object CdcMerge {
         upserts.repartition(col("_kb"))
           .write.mode("overwrite").format("parquet")
           .partitionBy("_kb").saveAsTable(table)
+        setNBuckets(spark, table, nBuckets)
         return
       }
 
+      requireNBuckets(spark, table, nBuckets)
       val current = spark.table(table)
         .filter(col("_kb").isin(touched.toSeq: _*))
       val cols = spark.table(table).columns
@@ -335,6 +394,7 @@ object CdcMerge {
         throw e
     }
     spark.sql(s"DROP TABLE $old")
+    setNBuckets(spark, table, newBuckets)
   }
 
   /** Continuous apply: foreachBatch merge of a streaming envelope

@@ -42,7 +42,7 @@ object IncrementalAnn {
     * index is created and the first `nCentroids` vectors of the batch
     * (by `vec_id`, deterministic) become the frozen coarse centroids. */
   def indexBatch(spark: SparkSession, table: String, batch: DataFrame,
-      dim: Int = 64, nCentroids: Int = 8): Unit = {
+      dim: Int = 64, nCentroids: Int = 8): Unit = FoldTimer.timed {
     // reads and writes pinned to the BATCH's session (the
     // IncrementalDedup.indexBatch session-split hazard), plus a
     // refresh so appends from other sessions are visible; the require

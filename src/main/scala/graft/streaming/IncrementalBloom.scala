@@ -24,7 +24,7 @@ object IncrementalBloom {
   /** Fold one member batch into the bit table. */
   def applyBatch(spark: SparkSession, bitsTable: String,
       batch: DataFrame, itemCol: String, batchId: Long,
-      d: Int = 3, m: Int = 1024): Unit = {
+      d: Int = 3, m: Int = 1024): Unit = FoldTimer.timed {
     TableSwap.recover(spark, bitsTable, s"${bitsTable}_stage")
     val exists = spark.catalog.tableExists(bitsTable)
     if (exists) {

@@ -94,7 +94,7 @@ object IncrementalCC {
     * CdcMerge survivor ordering); replay safety does not depend on it
     * (see scaladoc). */
   def applyBatch(spark: SparkSession, labelTable: String,
-      pairs: DataFrame, batchId: Long, nBuckets: Int = 8): Unit = {
+      pairs: DataFrame, batchId: Long, nBuckets: Int = 8): Unit = FoldTimer.timed {
     require(spark eq pairs.sparkSession,
       s"applyBatch($labelTable): `spark` must be the batch's own " +
         "session (reads/writes are pinned to pairs.sparkSession)")

@@ -26,7 +26,7 @@ object IncrementalCms {
   /** Fold one item batch into the grid table. */
   def applyBatch(spark: SparkSession, gridTable: String,
       batch: DataFrame, itemCol: String, batchId: Long,
-      d: Int = 4, w: Int = 256): Unit = {
+      d: Int = 4, w: Int = 256): Unit = FoldTimer.timed {
     TableSwap.recover(spark, gridTable, s"${gridTable}_stage")
     val exists = spark.catalog.tableExists(gridTable)
     if (exists) {

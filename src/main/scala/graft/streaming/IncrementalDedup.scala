@@ -76,7 +76,7 @@ object IncrementalDedup {
     * cannot double-count its own batch's rows through the table. */
   def indexBatch(spark: SparkSession, indexTable: String,
       batchDocs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
-      nBuckets: Int = 8): DataFrame = {
+      nBuckets: Int = 8): DataFrame = FoldTimer.timed {
     // ALL reads and writes go through the BATCH's own session: under
     // foreachBatch the batch frame belongs to a cloned session, and
     // mixing it with a long-lived outer `spark` splits the call

@@ -40,7 +40,7 @@ object IncrementalDrift {
     * must be vector-disjoint; a redelivered batchId is a watermark
     * no-op. */
   def applyBatch(spark: SparkSession, histTable: String,
-      batchEmbs: DataFrame, batchId: Long): Unit = {
+      batchEmbs: DataFrame, batchId: Long): Unit = FoldTimer.timed {
     TableSwap.recover(spark, histTable, s"${histTable}_stage")
     val exists = spark.catalog.tableExists(histTable)
     if (exists) {

@@ -42,7 +42,7 @@ object IncrementalDsir {
     * `batchId` is a watermark no-op. */
   def applyBatch(spark: SparkSession, bucketTable: String,
       batchDocs: DataFrame, targetSource: String, batchId: Long,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64): Unit = FoldTimer.timed {
     TableSwap.recover(spark, bucketTable, s"${bucketTable}_stage")
     val exists = spark.catalog.tableExists(bucketTable)
     if (exists) {

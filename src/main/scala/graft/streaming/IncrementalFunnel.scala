@@ -8,22 +8,25 @@ import org.apache.spark.sql.functions._
   * ingest, the first ORDER-DEPENDENT member of the maintained-state
   * family (sums, sets and registers fold under any batching; a
   * funnel's "first click strictly after the first view" does not).
+  * The fold is k-STEP GENERAL: `steps` may name any number ≥ 1 of
+  * ordered event types; the state schema carries one tᵢ column per
+  * step (t1..tk), fixed for the table's lifetime.
   *
   * Contract (the watermark-ordered ingest shape): batches arrive in
   * event-time order — every event in batch b+1 is later than every
-  * batch-b event. Under it the per-user state (t1, t2, t3) =
-  * (first view, first click after t1, first purchase after t2) folds
-  * exactly:
+  * batch-b event. Under it the per-user state (t1, …, tk) =
+  * (first step-1 event, first step-2 event after t1, …, first step-k
+  * event after tk−1) folds exactly by induction:
   *
-  *  - t1 is set once, by the first batch containing the user's view
-  *    (later batches cannot contain an earlier view);
-  *  - while t2 is unset, a qualifying click is either in t1's OWN
-  *    batch (the strict ts > t1 filter runs within the batch) or in
-  *    a later batch (where EVERY event is later than t1) — both
-  *    reduce to "min batch click with ts > t1";
-  *  - t3 symmetrically against t2, including the
-  *    all-three-in-one-batch chain (t2 is computed in this fold
-  *    before t3 consumes it).
+  *  - t1 is set once, by the first batch containing the user's
+  *    step-1 event (later batches cannot contain an earlier one);
+  *  - while tᵢ is unset, a qualifying step-i event is either in
+  *    tᵢ₋₁'s OWN batch (the strict ts > tᵢ₋₁ filter runs within the
+  *    batch) or in a later batch (where EVERY event is later than
+  *    tᵢ₋₁) — both reduce to "min batch step-i event with
+  *    ts > tᵢ₋₁";
+  *  - the all-k-in-one-batch chain works because tᵢ is computed in
+  *    this fold before tᵢ₊₁ consumes it.
   *
   * Storage — funnel state is one row per user who reached step 1:
   * CORPUS-KEYED (users, not groups), so it lives in a [[CdcMerge]]
@@ -32,24 +35,30 @@ import org.apache.spark.sql.functions._
   * ([[CdcMerge.readStateBuckets]] — every state row of a batch user
   * hashes into a touched bucket by construction) and upserts only
   * those buckets; scan and write ∝ touched buckets, never ∝ users.
-  * The fold is MONOTONE (t1/t2/t3 only ever fill nulls), so
-  * re-applying a batch over state that already absorbed it is a
-  * row-level no-op — which is what makes the upsert replay-safe even
-  * when a crash lands between the state upsert and the watermark
-  * write. The batch-id watermark (a 1-row [[TableSwap]] side table —
-  * bounded state, the right tool there) short-circuits clean
-  * replays.
+  * `nBuckets` is recorded in table metadata on create and every fold
+  * fails fast on mismatch — a caller-drifted bucket count would
+  * silently miss state rows and duplicate users across buckets.
+  * The fold is MONOTONE (tᵢ only ever fill nulls), so re-applying a
+  * batch over state that already absorbed it is a row-level no-op —
+  * which is what makes the upsert replay-safe even when a crash lands
+  * between the state upsert and the watermark write. The batch-id
+  * watermark (a 1-row [[TableSwap]] side table — bounded state, the
+  * right tool there) short-circuits clean replays.
   *
-  * cdc34 pins the fold against q60's own oracle over three
-  * date-sliced batches + a replay. Out-of-order ingest is the
-  * documented OUT of contract — a batch violating the order can
-  * under-count conversions (never invent one: filters only ever
+  * cdc34 pins the 3-step fold against q60's own oracle over three
+  * date-sliced batches + a replay; the spec additionally pins a
+  * 4-step fold against the one-shot
+  * [[graft.operators.TemporalOps.funnelSteps]]. Out-of-order ingest
+  * is the documented OUT of contract — a batch violating the order
+  * can under-count conversions (never invent one: filters only ever
   * require STRICTLY-later events); feed such streams through a
-  * watermark sort upstream. Each fold is three user-keyed joins
-  * against batch-grain aggregates. */
+  * watermark sort upstream. Each fold is k user-keyed joins against
+  * batch-grain aggregates. */
 object IncrementalFunnel {
 
   private def wmTable(stateTable: String) = s"${stateTable}_wm"
+
+  private def tCol(i: Int) = s"t${i + 1}" // 0-indexed step → t1..tk
 
   /** All tables the funnel maintains — for test/registration
     * cleanup. */
@@ -59,13 +68,17 @@ object IncrementalFunnel {
       s"${wmTable(stateTable)}_old")
 
   /** Fold one time-ordered event batch into the funnel state.
-    * `nBuckets` must be stable for the table's lifetime (CdcMerge
-    * contract). */
+    * `steps` and `nBuckets` must be stable for the table's lifetime
+    * (the state schema carries one column per step; the bucket count
+    * is checked against table metadata). */
   def applyBatch(spark: SparkSession, stateTable: String,
       batchEvents: DataFrame, steps: Seq[String], batchId: Long,
       userCol: String = "user_id", typeCol: String = "event_type",
-      tsCol: String = "ts", nBuckets: Int = 32): Unit = {
-    require(steps.length == 3, "funnel state schema carries 3 steps")
+      tsCol: String = "ts", nBuckets: Int = 32): Unit =
+    FoldTimer.timed {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val k = steps.length
+    val tCols = (0 until k).map(tCol)
     val wm = wmTable(stateTable)
     TableSwap.recover(spark, wm, s"${wm}_stage")
     if (spark.catalog.tableExists(wm)) {
@@ -85,39 +98,49 @@ object IncrementalFunnel {
         val kbs = batchUsers
           .select(pmod(xxhash64(col("user_id")), lit(nBuckets))
             .as("_kb")).distinct().collect().map(_.getLong(0)).toSeq
-        CdcMerge.readStateBuckets(spark, stateTable, kbs)
+        // nBuckets validated against table metadata — a drifted count
+        // would compute kbs under the wrong formula and silently skip
+        // state rows
+        CdcMerge.readStateBuckets(spark, stateTable, kbs,
+            nBuckets = nBuckets)
           .join(batchUsers, Seq("user_id"), "left_semi")
-          .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+          .select(col("user_id") +: tCols.map(col): _*)
       } else {
-        import spark.implicits._
-        Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp,
-          java.sql.Timestamp)].toDF("user_id", "t1", "t2", "t3")
+        val fields = org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType) +: tCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.TimestampType))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(fields))
       }
-      val bv = batchEvents.filter(col(typeCol) === steps(0))
-        .groupBy(user.as("user_id")).agg(min(col(tsCol)).as("bv"))
-      val s1 = state.join(bv, Seq("user_id"), "full_outer")
-        .select(col("user_id"),
-          coalesce(col("t1"), col("bv")).as("t1"),
-          col("t2"), col("t3"))
-      val bc = batchEvents.filter(col(typeCol) === steps(1))
-        .select(user.as("user_id"), col(tsCol).as("bts"))
-        .join(s1.filter(col("t1").isNotNull && col("t2").isNull)
-          .select(col("user_id"), col("t1")), Seq("user_id"))
-        .filter(col("bts") > col("t1"))
-        .groupBy("user_id").agg(min(col("bts")).as("bc"))
-      val s2 = s1.join(bc, Seq("user_id"), "left_outer")
-        .select(col("user_id"), col("t1"),
-          coalesce(col("t2"), col("bc")).as("t2"), col("t3"))
-      val bp = batchEvents.filter(col(typeCol) === steps(2))
-        .select(user.as("user_id"), col(tsCol).as("bts"))
-        .join(s2.filter(col("t2").isNotNull && col("t3").isNull)
-          .select(col("user_id"), col("t2")), Seq("user_id"))
-        .filter(col("bts") > col("t2"))
-        .groupBy("user_id").agg(min(col("bts")).as("bp"))
-      val updated = s2.join(bp, Seq("user_id"), "left_outer")
-        .select(col("user_id"), col("t1"), col("t2"),
-          coalesce(col("t3"), col("bp")).as("t3"))
-        .filter(col("t1").isNotNull) // no step 1 → no state row
+      // step 0: first step-1 event ever seen fills t1 (full outer —
+      // new users enter the state here)
+      val b0 = batchEvents.filter(col(typeCol) === steps.head)
+        .groupBy(user.as("user_id")).agg(min(col(tsCol)).as("_bt"))
+      var s = state.join(b0, Seq("user_id"), "full_outer")
+        .select(col("user_id") +:
+          (coalesce(col(tCols.head), col("_bt")).as(tCols.head) +:
+            tCols.tail.map(col)): _*)
+      // steps 1..k-1: while tᵢ unset, min batch step-i event strictly
+      // after tᵢ₋₁ fills it — tᵢ already reflects THIS fold's tᵢ₋₁,
+      // so the all-in-one-batch chain completes in one pass
+      (1 until k).foreach { i =>
+        val prevT = tCol(i - 1)
+        val thisT = tCol(i)
+        val bi = batchEvents.filter(col(typeCol) === steps(i))
+          .select(user.as("user_id"), col(tsCol).as("_bts"))
+          .join(s.filter(col(prevT).isNotNull && col(thisT).isNull)
+            .select(col("user_id"), col(prevT)), Seq("user_id"))
+          .filter(col("_bts") > col(prevT))
+          .groupBy("user_id").agg(min(col("_bts")).as("_bt"))
+        s = s.join(bi, Seq("user_id"), "left_outer")
+          .select(col("user_id") +: tCols.map(c =>
+            if (c == thisT) coalesce(col(c), col("_bt")).as(c)
+            else col(c)): _*)
+      }
+      val updated = s
+        .filter(col(tCols.head).isNotNull) // no step 1 → no state row
         .withColumn("event_type", lit("Insert"))
         .withColumn("_batch", lit(batchId))
       // state first, watermark second: a crash between the two
@@ -138,10 +161,10 @@ object IncrementalFunnel {
     * never the event log). */
   def funnelReport(spark: SparkSession, stateTable: String,
       steps: Seq[String]): DataFrame = {
-    require(steps.length == 3, "funnel state schema carries 3 steps")
+    require(steps.nonEmpty, "funnel needs at least one step")
     val st = CdcMerge.readState(spark, stateTable)
-    val counts = Seq("t1", "t2", "t3").zipWithIndex.map { case (c, i) =>
-      st.agg(sum(col(c).isNotNull.cast("long")).as("n_users"))
+    val counts = steps.indices.map { i =>
+      st.agg(sum(col(tCol(i)).isNotNull.cast("long")).as("n_users"))
         .select(lit(i.toLong).as("step"),
           lit(steps(i)).as("event_type"),
           coalesce(col("n_users"), lit(0L)).as("n_users"))

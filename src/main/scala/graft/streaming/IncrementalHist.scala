@@ -25,7 +25,7 @@ object IncrementalHist {
   /** Fold one (grpCol, valCol) batch into the sketch table. */
   def applyBatch(spark: SparkSession, histTable: String,
       batch: DataFrame, grpCol: String, valCol: String, batchId: Long,
-      lo: Long, hi: Long, w: Int): Unit = {
+      lo: Long, hi: Long, w: Int): Unit = FoldTimer.timed {
     TableSwap.recover(spark, histTable, s"${histTable}_stage")
     val exists = spark.catalog.tableExists(histTable)
     if (exists) {

@@ -45,7 +45,7 @@ object IncrementalHll {
     * anyway — see the class doc). */
   def applyBatch(spark: SparkSession, sketchTable: String,
       batchEvents: DataFrame, batchId: Long,
-      lgK: Int = DefaultLgK): Unit = {
+      lgK: Int = DefaultLgK): Unit = FoldTimer.timed {
     TableSwap.recover(spark, sketchTable, s"${sketchTable}_stage")
     val exists = spark.catalog.tableExists(sketchTable)
     if (exists) {

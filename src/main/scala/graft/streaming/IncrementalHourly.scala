@@ -24,7 +24,7 @@ object IncrementalHourly {
 
   /** Fold one (event_type, ts) batch into the hourly table. */
   def applyBatch(spark: SparkSession, hourlyTable: String,
-      batch: DataFrame, batchId: Long): Unit = {
+      batch: DataFrame, batchId: Long): Unit = FoldTimer.timed {
     TableSwap.recover(spark, hourlyTable, s"${hourlyTable}_stage")
     val exists = spark.catalog.tableExists(hourlyTable)
     if (exists) {

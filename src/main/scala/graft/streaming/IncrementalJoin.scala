@@ -48,7 +48,7 @@ object IncrementalJoin {
       keyCol: String, leftVersionCols: Seq[String],
       rightVersionCols: Seq[String], nBuckets: Int = 8,
       leftOpCol: String = "event_type", rightOpCol: String = "event_type",
-      deleteOp: String = "Delete"): Unit = {
+      deleteOp: String = "Delete"): Unit = FoldTimer.timed {
     leftBatch.foreach(b => CdcMerge.applyBatch(spark, leftTable, b,
       keyCol, leftVersionCols, nBuckets))
     rightBatch.foreach(b => CdcMerge.applyBatch(spark, rightTable, b,

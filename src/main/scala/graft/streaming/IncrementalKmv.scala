@@ -32,7 +32,7 @@ object IncrementalKmv {
     * (`segCol`, `valueCol`); k is fixed per table. */
   def applyBatch(spark: SparkSession, sketchTable: String,
       batch: DataFrame, segCol: String, valueCol: String,
-      batchId: Long, k: Int = 64): Unit = {
+      batchId: Long, k: Int = 64): Unit = FoldTimer.timed {
     TableSwap.recover(spark, sketchTable, s"${sketchTable}_stage")
     val exists = spark.catalog.tableExists(sketchTable)
     if (exists) {

@@ -69,7 +69,7 @@ object IncrementalNearestJoin {
       leftTime: String, rightTime: String, valueCols: Seq[String],
       rightPrep: DataFrame => DataFrame = identity, nBuckets: Int = 8,
       leftOpCol: String = "event_type", rightOpCol: String = "event_type",
-      deleteOp: String = "Delete"): Unit = {
+      deleteOp: String = "Delete"): Unit = FoldTimer.timed {
     // states merge on row IDENTITY but bucket on the JOIN KEY (the
     // CdcMerge partitionCols lever): a dirty key's rows — on both
     // sides — then live in the buckets its hash names, so the

@@ -43,7 +43,7 @@ object IncrementalRetention {
     * (CdcMerge contract; [[CdcMerge.rebucket]] is the resize
     * service). */
   def applyBatch(spark: SparkSession, gridTable: String,
-      batch: DataFrame, nBuckets: Int = 32): Unit = {
+      batch: DataFrame, nBuckets: Int = 32): Unit = FoldTimer.timed {
     val deltas = TemporalOps.activityGrid(batch)
       .withColumn("event_type", lit("Insert"))
       .withColumn("v", lit(1L))

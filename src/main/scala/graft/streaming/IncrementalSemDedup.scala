@@ -58,7 +58,7 @@ object IncrementalSemDedup {
     * the frozen coarse centroids. */
   def applyBatch(spark: SparkSession, table: String, batch: DataFrame,
       batchId: Long, dim: Int = 64, nCells: Int = 8,
-      tauPpm: Long = 350000L): Unit = {
+      tauPpm: Long = 350000L): Unit = FoldTimer.timed {
     require(spark eq batch.sparkSession,
       s"applyBatch($table): `spark` must be the batch's own session " +
         "(all reads/writes are pinned to batch.sparkSession)")

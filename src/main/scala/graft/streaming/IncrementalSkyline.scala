@@ -27,28 +27,49 @@ import graft.operators.SkylineOps
   * update) is dropped by an anti-join against the frontier ids, so
   * the state row always survives; redelivery can never silently
   * replace state with an arbitrary pool survivor. Duplicate ids
-  * WITHIN one batch collapse to the per-id max metric struct —
-  * deterministic under any partitioning, unlike a dropDuplicates
-  * pick.
-  */
+  * WITHIN one batch collapse to the per-id best metric struct —
+  * maximize-dims as-is, minimize-dims NEGATED inside the comparison
+  * struct so the kept representative is the per-id non-dominated
+  * pick on EVERY dim (a plain max(struct) would keep the LARGER,
+  * i.e. dominated, variant on minimize-dims) — deterministic under
+  * any partitioning, unlike a dropDuplicates pick.
+  *
+  * WRITE PATH scales with the frontier (the doc43 cost honesty,
+  * inherited): a typical frontier is hundreds of rows and the state
+  * write is a 1-file [[TableSwap]] rewrite; a strongly
+  * ANTI-CORRELATED corpus grows the frontier with n, at which point
+  * one `coalesce(1)` task would serialize the whole fold. The write
+  * is therefore gated on the SAME 100k-class threshold the compute
+  * stage gates its broadcast on: above it the staged rewrite is
+  * hash-spread across ~32k-row files ([[TableSwap.writeStagedSpread]]
+  * — same rename-chain crash safety, no single task). */
 object IncrementalSkyline {
 
   /** Fold one metrics batch (idCol ++ maxCols ++ minCols) into the
-    * frontier table. */
+    * frontier table. `bigFrontierLimit` gates the write shape: at or
+    * below it the frontier stages as one file; above it the stage
+    * write spreads across hash partitions (the anti-correlated-corpus
+    * path — aligned with [[SkylineOps.skyline]]'s broadcast gate). */
   def applyBatch(spark: SparkSession, frontierTable: String,
       batch: DataFrame, idCol: String, maxCols: Seq[String],
-      minCols: Seq[String], g: Int = 8): Unit = {
+      minCols: Seq[String], g: Int = 8,
+      bigFrontierLimit: Long = 100000L): Unit = FoldTimer.timed {
     TableSwap.recover(spark, frontierTable, s"${frontierTable}_stage")
     val dims = maxCols ++ minCols
     val cols = (idCol +: dims).map(col)
-    // within-batch dedup by max metric struct (deterministic under
-    // any partitioning); cross-batch dedup prefers the STATE row via
-    // an anti-join on frontier ids — a redelivered id, even with
+    // within-batch dedup by best metric struct (deterministic under
+    // any partitioning; minimize-dims negated so max() prefers the
+    // SMALLER value there); cross-batch dedup prefers the STATE row
+    // via an anti-join on frontier ids — a redelivered id, even with
     // changed metrics, can never displace what was already folded
+    val cmpStruct = struct(
+      maxCols.map(col) ++ minCols.map(d => (-col(d)).as(d)): _*)
     val batchDedup = batch.select(cols: _*)
       .groupBy(col(idCol))
-      .agg(max(struct(dims.map(col): _*)).as("_m"))
-      .select(col(idCol) +: dims.map(d => col(s"_m.$d").as(d)): _*)
+      .agg(max(cmpStruct).as("_m"))
+      .select(col(idCol) +:
+        (maxCols.map(d => col(s"_m.$d").as(d)) ++
+          minCols.map(d => (-col(s"_m.$d")).as(d))): _*)
     val pool =
       if (spark.catalog.tableExists(frontierTable)) {
         val frontier = spark.table(frontierTable).select(cols: _*)
@@ -56,17 +77,32 @@ object IncrementalSkyline {
           batchDedup.join(frontier.select(col(idCol)), Seq(idCol),
             "left_anti"))
       } else batchDedup
-    val updated = SkylineOps.skyline(pool, idCol, maxCols, minCols, g)
-    // bound: the frontier itself — the operator's OUTPUT, held
-    // because it IS the sufficient state; a strongly anti-correlated
-    // corpus grows it (the documented skyline cost honesty), at
-    // which point the maintained form inherits skyline's partitioned
-    // exact stage but the whole-frontier rewrite stops being cheap
-    TableSwap.writeStaged(spark, updated, frontierTable)
-    // the fold's action is done — drain the shell cache skyline()
-    // registered (it recomputes transparently if ever re-read)
-    SkylineOps.unpersistShellCaches()
-    ()
+    val updated = SkylineOps
+      .skyline(pool, idCol, maxCols, minCols, g,
+        broadcastShellLimit = bigFrontierLimit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the count both materializes the frontier once (so the staged
+      // write below reuses it instead of recomputing the skyline) and
+      // decides the write shape
+      val nFrontier = updated.count()
+      if (nFrontier <= bigFrontierLimit)
+        // bound: the frontier itself — the operator's OUTPUT, held
+        // because it IS the sufficient state; hundreds of rows on
+        // typical corpora (measured)
+        TableSwap.writeStaged(spark, updated, frontierTable)
+      else
+        // anti-correlated corpus: frontier ∝ n — spread the staged
+        // rewrite, never one task (same crash-safe rename chain)
+        TableSwap.writeStagedSpread(spark, updated, frontierTable,
+          xxhash64(col(idCol)), nRows = nFrontier)
+    } finally {
+      updated.unpersist()
+      // drain the shell cache skyline() registered (it recomputes
+      // transparently if ever re-read) — the fold's action is done
+      SkylineOps.unpersistShellCaches()
+      ()
+    }
   }
 
   /** The maintained frontier as a (idCol ++ dims) frame. */

@@ -7,69 +7,183 @@ import graft.operators.DedupOps
 
 /** Incrementally-maintained REPEATED-SPAN statistics — doc46's
   * exact-substring report (Lee et al. arXiv:2107.06499) kept current
-  * under document ingest, through the compacted-state pattern: the
-  * state is the (span_key, doc_id) → n_occ GRID — the minimal
-  * sufficient statistic for the span-level report (n_docs = grid
-  * rows per key, n_occ = their sum), far below the position-level
-  * occurrence stream it summarizes. The span-level report (which
-  * spans repeat across documents, how often) is recomputed
-  * grid-sized on read; the position-level deletion list stays the
-  * one-shot [[DedupOps.repeatedSpans]]'s job, since positions are
-  * corpus-sized by nature.
+  * under document ingest. The state is the (span_key, doc_id) → n_occ
+  * GRID — the minimal sufficient statistic for the span-level report
+  * (n_docs = grid rows per key, n_occ = their sum). HONESTY: the grid
+  * drops positions and folds per-doc multiplicity, but its
+  * cardinality is distinct (span_key, doc_id) ≈ one row per distinct
+  * corpus token window for non-repetitive text — CORPUS-SIZED, not
+  * small. The span-level report is recomputed grid-sized on read; the
+  * position-level deletion list stays the one-shot
+  * [[DedupOps.repeatedSpans]]'s job.
   *
-  * Storage — the grid is CORPUS-KEYED (∝ corpus token windows), so
-  * it lives in a [[CdcMerge]] hash-bucketed table keyed on
-  * (span_key, doc_id) and PARTITIONED on hash(span_key): a batch
-  * upserts only the buckets its spans hash into (∝ batch tokens,
-  * never ∝ corpus), through the staged dynamic-partition-overwrite —
-  * the cdc38/cdc34 doctrine applied to the span grid. Size
-  * `nBuckets` to the corpus (the rebucket discipline).
+  * Storage — the APPEND pattern, not the merge pattern (the
+  * [[CdcMerge.applyBatchKeyed]] key-shape doctrine): span keys are
+  * md5 hashes, UNIFORMLY distributed, so any batch with ≳nBuckets
+  * distinct spans (one ~40-token document already has ~33) would
+  * touch EVERY bucket of a hash-bucketed merge table — each fold
+  * would rewrite ~the whole corpus-sized grid (the round-12 finding).
+  * But grid rows are IMMUTABLE under the ingest contract below, so
+  * nothing ever needs superseding: the fold APPENDS the batch's rows
+  * as new files, per-fold write ∝ batch, never ∝ grid. Layout: a
+  * managed parquet table directory-partitioned on
+  * (_b = batch id, _kb = pmod(xxhash64(span_key), nBuckets)) —
   *
-  * Contract: DOCUMENT-DISJOINT append-only batches (the training-data
-  * ingest shape — each doc arrives once, whole). Under it a
-  * (span_key, doc_id) row's n_occ is fixed by the doc's own text, so
-  * the fold is a pure row upsert: redelivering any batch rewrites
-  * identical rows — IDEMPOTENT with a constant version, no watermark
-  * needed (the retention-grid camp). A doc re-arriving with CHANGED
-  * text is out of contract (its old spans would persist); route
-  * updates through a delete+reinsert envelope instead. */
+  *  - each fold dynamic-partition-overwrites ONLY its own `_b=<id>`
+  *    generation (∝ batch), which makes the write IDEMPOTENT through
+  *    the crash window: a replay after a crash between the grid write
+  *    and the watermark write re-overwrites the same generation with
+  *    identical rows;
+  *  - a 1-row [[TableSwap]] batch watermark (bounded state)
+  *    short-circuits clean replays before any job runs, and is what
+  *    makes [[compact]] safe — a batch folded into the compacted
+  *    generation can never be re-applied under a fresh `_b`;
+  *  - `_kb` keeps rows hash-clustered for keyed consumers and gives
+  *    [[compact]] its output partitioning; `nBuckets` is fixed for
+  *    the table's lifetime (recorded in table metadata, folds fail
+  *    fast on mismatch — [[CdcMerge.requireNBuckets]]);
+  *  - per-bucket file count grows one file per fold — run [[compact]]
+  *    on cadence (the [[IncrementalDedup]] band-index discipline) to
+  *    fold generations back to one file per bucket.
+  *
+  * Contract: DOCUMENT-DISJOINT append-only batches with
+  * MONOTONICALLY-INCREASING batch ids (the foreachBatch shape — each
+  * doc arrives once, whole). Under it a (span_key, doc_id) row's
+  * n_occ is fixed by the doc's own text and no two batches ever write
+  * the same row, so appends keep the grid's primary key exact. A doc
+  * re-arriving with CHANGED text is out of contract (its old spans
+  * would persist); route updates through a delete+reinsert envelope
+  * instead. */
 object IncrementalSpans {
 
-  /** Fold one document batch into the span grid. */
+  private def wmTable(gridTable: String) = s"${gridTable}_wm"
+
+  /** All tables the span grid maintains — for test/registration
+    * cleanup. */
+  def tables(gridTable: String): Seq[String] =
+    Seq(gridTable, s"${gridTable}_compacting", s"${gridTable}_old",
+      wmTable(gridTable), s"${wmTable(gridTable)}_stage",
+      s"${wmTable(gridTable)}_old")
+
+  /** Fold one document batch into the span grid: one occurrence
+    * aggregation (∝ batch tokens) + one append-shaped write into the
+    * batch's own `_b` generation (∝ batch). `nBuckets` must be stable
+    * for the table's lifetime. */
   def applyBatch(spark: SparkSession, gridTable: String,
-      batchDocs: DataFrame, spanLen: Int = 8,
-      nBuckets: Int = 32): Unit = {
+      batchDocs: DataFrame, batchId: Long, spanLen: Int = 8,
+      nBuckets: Int = 32): Unit = FoldTimer.timed {
+    val wm = wmTable(gridTable)
+    TableSwap.recover(spark, wm, s"${wm}_stage")
+    if (spark.catalog.tableExists(wm)) {
+      val last = spark.table(wm).agg(coalesce(max("_batch"), lit(-1L)))
+        .collect()(0).getLong(0)
+      if (batchId <= last) return
+    }
     val deltas = DedupOps.spanOccurrences(batchDocs, spanLen)
       .groupBy("span_key", "doc_id")
       .agg(count(lit(1)).as("n_occ"))
-      .withColumn("event_type", lit("Insert"))
-      .withColumn("v", lit(1L))
-    CdcMerge.applyBatchKeyed(spark, gridTable, deltas,
-      keyCols = Seq("span_key", "doc_id"), versionCols = Seq("v"),
-      nBuckets = nBuckets, partitionCols = Seq("span_key"))
+      .withColumn("_b", lit(batchId))
+      .withColumn("_kb",
+        pmod(xxhash64(col("span_key")), lit(nBuckets.toLong)))
+      .select(col("span_key"), col("doc_id"), col("n_occ"),
+        col("_b"), col("_kb"))
+    if (!spark.catalog.tableExists(gridTable)) {
+      // clear a stale directory a crashed earlier create left behind
+      // (no catalog entry, but the location blocks saveAsTable)
+      CdcMerge.dropStateTable(spark, gridTable)
+      deltas.repartition(col("_kb"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("_b", "_kb").saveAsTable(gridTable)
+      CdcMerge.setNBuckets(spark, gridTable, nBuckets)
+    } else {
+      CdcMerge.requireNBuckets(spark, gridTable, nBuckets)
+      // dynamic overwrite of the batch's OWN generation only: a fresh
+      // batch creates new partitions (pure append); a crash-window
+      // replay replaces them with identical rows (idempotent). The
+      // repartition clusters each (_b, _kb) into one task → one file
+      // per bucket per fold.
+      val prev =
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "dynamic")
+      try deltas.repartition(col("_kb"))
+        .write.mode("overwrite").insertInto(gridTable)
+      finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prev)
+      spark.catalog.refreshTable(gridTable)
+    }
+    import spark.implicits._
+    // 1-row watermark: bounded state — the TableSwap size contract
+    TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"), wm)
   }
 
   /** The doc46-shaped span-level report served from the maintained
     * grid: spans occurring in ≥ 2 distinct documents, with doc and
     * occurrence counts — one map-side-combined aggregate over the
     * grid (n_docs = rows per key, since (span_key, doc_id) is the
-    * grid's primary key). */
-  def spanReport(spark: SparkSession, gridTable: String): DataFrame =
-    CdcMerge.readState(spark, gridTable)
+    * grid's primary key — exact because distinct batches are
+    * document-disjoint and a replayed batch overwrites its own
+    * generation instead of appending twice). */
+  def spanReport(spark: SparkSession, gridTable: String): DataFrame = {
+    spark.catalog.refreshTable(gridTable)
+    spark.table(gridTable)
       .groupBy("span_key")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occ"))
       .filter(col("n_docs") >= 2)
+  }
 
-  /** Continuous maintenance: foreachBatch [[applyBatch]]. */
+  /** Fold all `_b` generations into the newest one — one file per
+    * bucket again. Full-table rewrite staged to a side table and
+    * swapped in with the crash-recoverable rename chain (the
+    * [[CdcMerge.rebucket]] machinery). Run offline on cadence, like
+    * any non-transactional table service (single-writer: the ingest
+    * stream must be paused). Safe against replays because the batch
+    * watermark — which survives compaction untouched — skips any
+    * already-folded batch id before it could re-append under a fresh
+    * generation. */
+  def compact(spark: SparkSession, gridTable: String): Unit = {
+    spark.catalog.refreshTable(gridTable)
+    val maxB = spark.table(gridTable)
+      .agg(coalesce(max("_b"), lit(0L))).collect()(0).getLong(0)
+    val nBuckets = CdcMerge.tableNBuckets(spark, gridTable)
+    val cols = spark.table(gridTable).columns
+    val tmp = s"${gridTable}_compacting"
+    val old = s"${gridTable}_old"
+    // renaming a directory-partitioned managed table drops partition
+    // metadata (the rebucket finding) — repair after every rename
+    def rename(from: String, to: String): Unit = {
+      spark.sql(s"ALTER TABLE $from RENAME TO $to")
+      spark.sql(s"MSCK REPAIR TABLE $to")
+    }
+    CdcMerge.dropStateTable(spark, tmp)
+    CdcMerge.dropStateTable(spark, old)
+    spark.table(gridTable).withColumn("_b", lit(maxB))
+      .select(cols.toSeq.map(col): _*)
+      .repartition(col("_kb"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("_b", "_kb").saveAsTable(tmp)
+    rename(gridTable, old)
+    try rename(tmp, gridTable)
+    catch {
+      case e: Throwable =>
+        rename(old, gridTable)
+        throw e
+    }
+    spark.sql(s"DROP TABLE $old")
+    nBuckets.foreach(CdcMerge.setNBuckets(spark, gridTable, _))
+  }
+
+  /** Continuous maintenance: foreachBatch [[applyBatch]] under the
+    * stream's own monotone batch ids. */
   def startIngestStream(df: DataFrame, gridTable: String,
       checkpointDir: String, spanLen: Int = 8, nBuckets: Int = 32,
       availableNow: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = df.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch.sparkSession, gridTable, batch, spanLen,
-          nBuckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch.sparkSession, gridTable, batch, batchId,
+          spanLen, nBuckets)
       }
     (if (availableNow)
        writer.trigger(

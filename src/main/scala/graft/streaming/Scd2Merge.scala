@@ -50,7 +50,7 @@ object Scd2Merge {
     * rebuilding the validity chain of every touched key. */
   def applyBatch(spark: SparkSession, table: String, batch: DataFrame,
       keyCol: String, tsCol: String, tieCol: String,
-      nBuckets: Int): Unit = {
+      nBuckets: Int): Unit = FoldTimer.timed {
     val events = batch.dropDuplicates(Seq(keyCol, tsCol, tieCol))
       .withColumn("_kb", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

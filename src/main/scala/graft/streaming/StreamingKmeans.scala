@@ -52,7 +52,7 @@ object StreamingKmeans {
     * centroid table. */
   def applyBatch(spark: SparkSession, table: String, batch: DataFrame,
       dim: Int, k: Int, batchId: Long, scale: Long = 1000000L,
-      decayNum: Long = 1L, decayDen: Long = 1L): Unit = {
+      decayNum: Long = 1L, decayDen: Long = 1L): Unit = FoldTimer.timed {
     require(decayNum >= 1 && decayDen >= decayNum,
       "decay must be a rational in (0, 1]")
     TableSwap.recover(spark, table, s"${table}_stage")

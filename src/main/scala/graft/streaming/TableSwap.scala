@@ -20,6 +20,9 @@ import org.apache.spark.sql.SparkSession
   * [[IncrementalFunnel]]'s per-user state are the worked examples —
   * both migrated off this path). Every caller carries a one-line
   * bound justification at its call site; a new caller must too.
+  * The middle ground — state that IS rewritten wholesale per fold by
+  * nature (a recomputed frontier) but can outgrow one task — takes
+  * [[writeStagedSpread]]: same rename-chain swap, hash-spread files.
   *
   * Why not `insertInto(overwrite)`: a static whole-table overwrite
   * deletes the existing files BEFORE the write job commits, so a crash
@@ -61,6 +64,29 @@ object TableSwap {
     val stage = s"${table}_stage"
     CdcMerge.dropStateTable(spark, stage)
     df.coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(stage)
+    swapIn(spark, stage, table)
+  }
+
+  /** [[writeStaged]] for state that outgrew the 1-file contract but
+    * still rewrites WHOLESALE each fold (the anti-correlated skyline
+    * frontier: the whole frontier is recomputed per batch, so
+    * bucket-pruned upserts buy nothing — the only fix the write path
+    * needs is parallelism). The stage is hash-spread on `by` across
+    * ~`rowsPerFile`-row files, so no single task ever funnels the
+    * state; the swap (rename chain, unpartitioned table) is unchanged
+    * — identical crash-safety. `nRows` is the frame's row count (the
+    * caller usually just counted it for the gate that routed here). */
+  def writeStagedSpread(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, table: String,
+      by: org.apache.spark.sql.Column, nRows: Long = -1L,
+      rowsPerFile: Long = 32768L): Unit = {
+    val stage = s"${table}_stage"
+    CdcMerge.dropStateTable(spark, stage)
+    val nFiles =
+      if (nRows > 0) ((nRows + rowsPerFile - 1) / rowsPerFile).toInt
+      else spark.sparkContext.defaultParallelism
+    df.repartition(math.max(2, nFiles), by)
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
     swapIn(spark, stage, table)
   }

@@ -267,6 +267,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(2L) == ((6L, 2L, 12L, 14L, 857142L)))
   }
 
+  test("removeRepeatedSpans: cuts the islands complement, keeps " +
+      "clean docs verbatim") {
+    import spark.implicits._
+    // doc1/doc2: ends shared (islands [1,7) and [9,15)), the 2-token
+    // unique middle survives; doc3 shares nothing and passes through
+    val d = Seq(
+      (1L, "a b c d e f g1 h1 p q r s t u"),
+      (2L, "a b c d e f g2 h2 p q r s t u"),
+      (3L, "m n o p2 q2 r2 s2 t2 u2 v2")).toDF("doc_id", "text")
+    val got = DedupOps.removeRepeatedSpans(d, spanLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("g1 h1", 12L)))
+    assert(got(2L) == (("g2 h2", 12L)))
+    assert(got(3L) == (("m n o p2 q2 r2 s2 t2 u2 v2", 0L)))
+    // conservation: removed tokens == spanCoverage's covered tokens
+    val cov = DedupOps.spanCoverage(d, spanLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got.foreach { case (id, (_, rm)) => assert(rm == cov(id)) }
+  }
+
+  test("removeRepeatedSpans: a fully-covered doc empties") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f")).toDF("doc_id", "text")
+    val got = DedupOps.removeRepeatedSpans(d, spanLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("", 6L)) && got(2L) == (("", 6L)))
+  }
+
   test("shingle caches drain: no residual cached blocks after release") {
     import spark.implicits._
     DedupOps.unpersistShingleCaches(blocking = true) // start clean

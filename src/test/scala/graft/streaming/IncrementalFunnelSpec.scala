@@ -70,6 +70,56 @@ class IncrementalFunnelSpec extends SparkSpec {
     freshTable()
   }
 
+  test("k-step generality: a 4-step fold == the one-shot 4-step funnel") {
+    import spark.implicits._
+    val t4 = "funnelspec_state4"
+    val steps4 = Seq("view", "click", "cart", "purchase")
+    IncrementalFunnel.tables(t4)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    // u1 completes all 4 across batches; u2 completes all 4 inside
+    // one batch (the within-fold induction chain); u3 stalls at cart;
+    // u4 carts before clicking (step skipped — must not count)
+    val b0 = Seq((1L, "view", ts(1)),
+      (2L, "view", ts(1)), (2L, "click", ts(2)), (2L, "cart", ts(3)),
+      (2L, "purchase", ts(4)),
+      (3L, "view", ts(2)), (3L, "click", ts(3)),
+      (4L, "view", ts(1)), (4L, "cart", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val b1 = Seq((1L, "click", ts(11)), (3L, "cart", ts(12)),
+      (4L, "purchase", ts(11))
+    ).toDF("user_id", "event_type", "ts")
+    val b2 = Seq((1L, "cart", ts(21)), (1L, "purchase", ts(22))
+    ).toDF("user_id", "event_type", "ts")
+    IncrementalFunnel.applyBatch(spark, t4, b0, steps4, 0L)
+    IncrementalFunnel.applyBatch(spark, t4, b1, steps4, 1L)
+    IncrementalFunnel.applyBatch(spark, t4, b2, steps4, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("step")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val inc = rows(IncrementalFunnel.funnelReport(spark, t4, steps4))
+    val oneShot = rows(TemporalOps.funnelSteps(
+      b0.unionByName(b1).unionByName(b2), steps4))
+    assert(inc == oneShot)
+    // views u1-u4 = 4; clicks u1,u2,u3 = 3; carts u1,u2,u3 = 3;
+    // purchases u1,u2 = 2 (u4's cart-before-click never counts)
+    assert(inc.map(_._3) == Seq(4L, 3L, 3L, 2L))
+    IncrementalFunnel.tables(t4)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+  }
+
+  test("nBuckets drift fails fast against table metadata") {
+    freshTable()
+    IncrementalFunnel.applyBatch(spark, table, batch0, steps, 0L,
+      nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalFunnel.applyBatch(spark, table, batch1, steps, 1L,
+        nBuckets = 16)
+    }
+    assert(e.getMessage.contains("nBuckets"))
+    freshTable()
+  }
+
   test("replayed batch id is a no-op") {
     freshTable()
     IncrementalFunnel.applyBatch(spark, table, batch0, steps, 0L)

@@ -98,6 +98,46 @@ class IncrementalSkylineSpec extends SparkSpec {
     assert(!rows.exists(t => t._1 == 0L && t._3 == 5L))
   }
 
+  test("within-batch dup on a MINIMIZE dim keeps the smaller value " +
+      "(the non-dominated variant)") {
+    import spark.implicits._
+    freshTable()
+    // two rows of id=0 equal on max-dims, z=5 vs z=9: the kept
+    // representative must be z=5 — a plain max(struct) would keep
+    // z=9, which (9,1,9)-class dominators could then knock out
+    val b = Seq((0L, 5L, 5L, 9L), (0L, 5L, 5L, 5L), (1L, 5L, 5L, 6L))
+      .toDF("id", "x", "y", "z")
+    IncrementalSkyline.applyBatch(spark, table, b, "id",
+      maxCols, minCols)
+    val rows = IncrementalSkyline.readFrontier(spark, table, "id",
+        maxCols, minCols)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // id=0 survives as (5,5,5) and dominates id=1's (5,5,6)
+    assert(rows == Set((0L, 5L, 5L, 5L)))
+  }
+
+  test("big-frontier write path: same frontier, no single-file " +
+      "rewrite") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = pts.filter(pmod($"id", lit(3)) === i)
+    // force the spread path with a tiny gate; fold twice so the
+    // second fold both READS the spread state and rewrites it
+    (0 to 1).foreach(i => IncrementalSkyline.applyBatch(spark, table,
+      part(i), "id", maxCols, minCols, bigFrontierLimit = 4L))
+    val spreadFiles = spark.table(table).inputFiles.length
+    val got = ids(IncrementalSkyline.readFrontier(spark, table, "id",
+      maxCols, minCols))
+    freshTable()
+    (0 to 1).foreach(i => IncrementalSkyline.applyBatch(spark, table,
+      part(i), "id", maxCols, minCols))
+    val oneFile = ids(IncrementalSkyline.readFrontier(spark, table,
+      "id", maxCols, minCols))
+    assert(got == oneFile)
+    assert(spreadFiles > 1, s"spread write produced $spreadFiles file")
+  }
+
   test("state is frontier-sized, not corpus-sized") {
     import spark.implicits._
     freshTable()

@@ -4,15 +4,18 @@ import graft.SparkSpec
 import graft.operators.DedupOps
 import org.apache.spark.sql.functions._
 
-/** IncrementalSpans: batched fold == one-shot span-level report;
-  * replay is a no-op (pure upserts, no watermark); a trickle doc
-  * rewrites only its spans' buckets. */
+/** IncrementalSpans (append-shaped fold): batched fold == one-shot
+  * span-level report; replay is a no-op (watermark) and stays
+  * idempotent through the crash window (generation overwrite); a fold
+  * APPENDS — existing files are never rewritten; compaction folds
+  * generations without changing the report; nBuckets drift fails
+  * fast. */
 class IncrementalSpansSpec extends SparkSpec {
 
   private val table = "spanspec_grid"
 
   private def freshTable(): Unit =
-    Seq(table, s"${table}_stage")
+    IncrementalSpans.tables(table)
       .foreach(CdcMerge.dropStateTable(spark, _))
 
   // groups of 4 docs share an 8-token template plus unique filler
@@ -36,34 +39,78 @@ class IncrementalSpansSpec extends SparkSpec {
     .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     .toSet
 
-  test("batched fold == one-shot span report; replay no-op") {
+  test("batched fold == one-shot span report; replay no-op; crash-" +
+      "window replay idempotent") {
     import spark.implicits._
     freshTable()
     def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
     (0 to 2).foreach(i =>
-      IncrementalSpans.applyBatch(spark, table, part(i)))
+      IncrementalSpans.applyBatch(spark, table, part(i), batchId = i))
     val before = report()
     assert(before == oneShot && before.nonEmpty)
-    // redeliver batch 1 verbatim: identical rows upsert over
-    // themselves — no watermark needed
-    IncrementalSpans.applyBatch(spark, table, part(1))
+    // clean replay: the watermark short-circuits before any job
+    IncrementalSpans.applyBatch(spark, table, part(1), batchId = 1)
+    assert(report() == before)
+    // CRASH-WINDOW replay: the watermark write was lost (simulated by
+    // dropping the _wm table), so the fold re-runs — the dynamic
+    // overwrite of the batch's own _b generation must replace, not
+    // duplicate, its rows
+    Seq(s"${table}_wm", s"${table}_wm_stage", s"${table}_wm_old")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    IncrementalSpans.applyBatch(spark, table, part(1), batchId = 1)
     assert(report() == before)
   }
 
-  test("a trickle doc rewrites only its spans' buckets") {
+  test("a fold APPENDS: existing grid files are never rewritten") {
     import spark.implicits._
     freshTable()
-    IncrementalSpans.applyBatch(spark, table, docs, nBuckets = 16)
+    IncrementalSpans.applyBatch(spark, table, docs, batchId = 0,
+      nBuckets = 16)
     val filesBefore = spark.table(table).inputFiles.toSet
-    // one new doc whose spans are all fresh (single span window)
+    // a trickle doc with MANY distinct fresh spans — the uniform-hash
+    // worst case that made the merge-shaped grid rewrite every
+    // bucket: 33 spans over 40 tokens hash across ~all 16 buckets,
+    // yet the append fold must leave every existing file untouched
     val trickle = Seq((100L,
-      (0 until 8).map(j => s"z_$j").mkString(" ")))
+      (0 until 40).map(j => s"z_$j").mkString(" ")))
       .toDF("doc_id", "text")
-    IncrementalSpans.applyBatch(spark, table, trickle, nBuckets = 16)
+    IncrementalSpans.applyBatch(spark, table, trickle, batchId = 1,
+      nBuckets = 16)
     val filesAfter = spark.table(table).inputFiles.toSet
-    val untouched = filesBefore.intersect(filesAfter)
-    assert(untouched.size >= filesBefore.size - 1,
-      s"expected <=1 bucket rewritten, kept ${untouched.size} of " +
-        s"${filesBefore.size}")
+    assert(filesBefore.subsetOf(filesAfter),
+      s"append fold rewrote ${(filesBefore -- filesAfter).size} " +
+        "existing files")
+    assert((filesAfter -- filesBefore).nonEmpty)
+    assert(report().nonEmpty)
+  }
+
+  test("compact folds generations; report unchanged") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+    (0 to 2).foreach(i =>
+      IncrementalSpans.applyBatch(spark, table, part(i), batchId = i,
+        nBuckets = 8))
+    val before = report()
+    val gensBefore = spark.table(table).select("_b").distinct().count()
+    assert(gensBefore == 3)
+    IncrementalSpans.compact(spark, table)
+    assert(spark.table(table).select("_b").distinct().count() == 1)
+    assert(report() == before)
+    // post-compaction fold still works and still skips folded batches
+    IncrementalSpans.applyBatch(spark, table, part(1), batchId = 1,
+      nBuckets = 8)
+    assert(report() == before)
+  }
+
+  test("nBuckets drift fails fast") {
+    freshTable()
+    IncrementalSpans.applyBatch(spark, table, docs, batchId = 0,
+      nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalSpans.applyBatch(spark, table,
+        docs.limit(0), batchId = 1, nBuckets = 16)
+    }
+    assert(e.getMessage.contains("nBuckets"))
   }
 }
