@@ -966,8 +966,8 @@ object OpsQueries {
               iv -> p >= iv.s AND p < iv.e)) = 0) AS kp
         FROM base)
       SELECT doc_id,
-        array_to_string(
-          list_transform(kp, p -> ws[p]), ' ') AS text_deduped,
+        COALESCE(array_to_string(
+          list_transform(kp, p -> ws[p]), ' '), '') AS text_deduped,
         CAST(len(ws) - len(kp) AS BIGINT) AS n_tok_removed
       FROM kept
       ORDER BY doc_id"""))
