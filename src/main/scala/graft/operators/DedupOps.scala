@@ -710,11 +710,24 @@ object DedupOps {
     *
     * Returns (doc_id, text_deduped, n_tok_removed). */
   def removeRepeatedSpans(docs: DataFrame,
-      spanLen: Int = 8): DataFrame = {
+      spanLen: Int = 8): DataFrame =
+    cutSpans(docs,
+      repeatedSpans(docs, spanLen).select(col("doc_id"), col("pos")),
+      spanLen)
+
+  /** The cut itself, factored so the one-shot ([[removeRepeatedSpans]])
+    * and the maintained view
+    * ([[graft.streaming.IncrementalSpans.removalView]]) share one
+    * island/complement implementation: `occurrences` is the
+    * (doc_id, pos) stream of span starts to delete — wherever it came
+    * from — merged per doc into islands and cut out of the token
+    * stream. */
+  def cutSpans(docs: DataFrame, occurrences: DataFrame,
+      spanLen: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevEnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val islands = repeatedSpans(docs, spanLen)
+    val islands = occurrences
       .select(col("doc_id"), col("pos"))
       .withColumn("prev_end", max(col("pos") + spanLen).over(prevEnd))
       .withColumn("flag",

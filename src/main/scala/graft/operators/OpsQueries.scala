@@ -972,6 +972,88 @@ object OpsQueries {
       FROM kept
       ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- cdc41
+  // MAINTAINED SPAN-DEDUP VIEW (IncrementalSpans.removalView) — doc50
+  // served from the maintained grid: the fold keeps the global
+  // which-spans-repeat statistic current (append-shaped, cdc40), and
+  // the view rewrites requested docs with every grid-repeated span
+  // cut out. The case a per-batch one-shot gets WRONG is built into
+  // the harness: batch 0's docs own spans that only become repeated
+  // when batches 1-2 arrive — the view still cuts them, because the
+  // grid remembers every owner. Requesting the full corpus must equal
+  // the one-shot doc50 rewrite exactly (same oracle).
+  private val cdc41 = GraftQuery(
+    "cdc41_span_removal_view",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc41_spans"
+      graft.streaming.IncrementalSpans.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      Seq((0, 0L), (1, 1L), (1, 1L), (2, 2L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalSpans.applyBatch(s, table,
+          part(p), batchId = b)
+      }
+      graft.streaming.IncrementalSpans.removalView(s, table, docs)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+      sp AS (
+        SELECT doc_id, unnest(range(1, len(ws) - 8 + 2)) AS pos, ws
+        FROM toks WHERE len(ws) >= 8),
+      spk AS MATERIALIZED (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          md5(array_to_string(ws[pos:pos+7], ' ')) AS span_key
+        FROM sp),
+      rep AS (
+        SELECT span_key FROM spk GROUP BY span_key
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+      occ AS MATERIALIZED (
+        SELECT s.doc_id, s.pos FROM spk s JOIN rep r
+        USING (span_key)),
+      pe AS (
+        SELECT doc_id, pos,
+          MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_end
+        FROM occ),
+      fl AS (
+        SELECT doc_id, pos,
+          CASE WHEN prev_end IS NULL OR pos > prev_end
+            THEN 1 ELSE 0 END AS flag
+        FROM pe),
+      grp AS (
+        SELECT doc_id, pos,
+          SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS g
+        FROM fl),
+      ext AS (
+        SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 8 AS e
+        FROM grp GROUP BY doc_id, g),
+      ivs AS (
+        SELECT doc_id, list({'s': s, 'e': e}) AS ivs
+        FROM ext GROUP BY doc_id),
+      base AS (
+        SELECT t.doc_id, t.ws,
+          COALESCE(i.ivs, []) AS ivs
+        FROM toks t LEFT JOIN ivs i USING (doc_id)),
+      kept AS (
+        SELECT doc_id, ws,
+          list_filter(range(1, len(ws) + 1),
+            p -> len(list_filter(ivs,
+              iv -> p >= iv.s AND p < iv.e)) = 0) AS kp
+        FROM base)
+      SELECT doc_id,
+        COALESCE(array_to_string(
+          list_transform(kp, p -> ws[p]), ' '), '') AS text_deduped,
+        CAST(len(ws) - len(kp) AS BIGINT) AS n_tok_removed
+      FROM kept
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------- doc39 / cdc33
   // Count-Min frequency sketch: d=4 seeded hash rows × w=256 BIGINT
   // counters over the corpus word stream; estimate = min over rows —
@@ -2521,5 +2603,5 @@ object OpsQueries {
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
       q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
-      doc46, doc47, doc48, doc49, cdc40, doc50)
+      doc46, doc47, doc48, doc49, cdc40, doc50, cdc41)
 }

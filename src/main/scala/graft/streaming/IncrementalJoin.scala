@@ -72,10 +72,10 @@ object IncrementalJoin {
       // dirty key's state rows hash there — same key, same formula),
       // then semi-join: scan ∝ touched buckets, never ∝ state size
       val l = CdcMerge.readStateBuckets(spark, leftTable,
-          touched.toSeq, leftOpCol, deleteOp)
+          touched.toSeq, leftOpCol, deleteOp, nBuckets = nBuckets)
         .join(broadcast(dirty), Seq(keyCol), "left_semi")
       val r = CdcMerge.readStateBuckets(spark, rightTable,
-          touched.toSeq, rightOpCol, deleteOp)
+          touched.toSeq, rightOpCol, deleteOp, nBuckets = nBuckets)
         .join(broadcast(dirty), Seq(keyCol), "left_semi")
       val fresh = l.join(r, Seq(keyCol))
         .withColumn("_kb", pmod(xxhash64(col(keyCol)), lit(nBuckets)))

@@ -101,11 +101,11 @@ object IncrementalNearestJoin {
       // dirty key's state rows hash there — same key, same formula),
       // then semi-join: scan ∝ touched buckets, never ∝ state size
       val l = CdcMerge.readStateBuckets(spark, leftTable,
-          touched.toSeq, leftOpCol, deleteOp)
+          touched.toSeq, leftOpCol, deleteOp, nBuckets = nBuckets)
         .join(broadcast(dirty), Seq(joinKey), "left_semi")
       val r = rightPrep(
         CdcMerge.readStateBuckets(spark, rightTable,
-            touched.toSeq, rightOpCol, deleteOp)
+            touched.toSeq, rightOpCol, deleteOp, nBuckets = nBuckets)
           .join(broadcast(dirty), Seq(joinKey), "left_semi"))
       val fresh = graft.operators.TemporalOps.nearestJoin(
           l, r, joinKey, joinKey, leftTime, rightTime, valueCols)

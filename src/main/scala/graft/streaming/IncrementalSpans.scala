@@ -132,6 +132,37 @@ object IncrementalSpans {
       .filter(col("n_docs") >= 2)
   }
 
+  /** MAINTAINED SPAN-DEDUP VIEW — [[DedupOps.removeRepeatedSpans]]
+    * served from the maintained grid: rewrite the REQUESTED `docs`
+    * with every span the grid knows to be repeated (≥ 2 distinct
+    * owner docs ANYWHERE in the ingested corpus) cut out. This is
+    * what a per-batch one-shot cannot do: a document ingested early,
+    * whose boilerplate only became repeated when a later batch
+    * arrived, is cut correctly here because the grid remembers every
+    * owner. Requesting the full corpus reproduces
+    * [[DedupOps.removeRepeatedSpans]] over it exactly (cdc41 pins
+    * that equality through the doc50 oracle).
+    *
+    * Cost shape: the expensive GLOBAL statistic (which spans repeat)
+    * is the maintained grid — one grid-sized map-side-combined
+    * aggregate + one keyed semi-join per read; the rewrite itself is
+    * ∝ requested docs (their token windows, their islands). Serving
+    * reads per shard of the training corpus keeps the per-read
+    * operand bounded; the grid is never shuffled per requested doc. */
+  def removalView(spark: SparkSession, gridTable: String,
+      docs: DataFrame, spanLen: Int = 8): DataFrame = {
+    spark.catalog.refreshTable(gridTable)
+    val repeated = spark.table(gridTable)
+      .groupBy("span_key")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("span_key")
+    val occ = DedupOps.spanOccurrences(docs, spanLen)
+      .join(repeated, Seq("span_key"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    DedupOps.cutSpans(docs, occ, spanLen)
+  }
+
   /** Fold all `_b` generations into the newest one — one file per
     * bucket again. Full-table rewrite staged to a side table and
     * swapped in with the crash-recoverable rename chain (the

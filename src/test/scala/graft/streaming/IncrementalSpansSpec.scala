@@ -103,6 +103,42 @@ class IncrementalSpansSpec extends SparkSpec {
     assert(report() == before)
   }
 
+  test("removalView == one-shot removeRepeatedSpans; a LATE repeat " +
+      "cuts an EARLY doc") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+    (0 to 2).foreach(i =>
+      IncrementalSpans.applyBatch(spark, table, part(i), batchId = i))
+    def viewRows(d: org.apache.spark.sql.DataFrame) =
+      IncrementalSpans.removalView(spark, table, d)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2))).toSet
+    val oneShot = DedupOps.removeRepeatedSpans(docs, spanLen = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2))).toSet
+    assert(viewRows(docs) == oneShot)
+
+    // the case a per-batch one-shot gets WRONG: the early doc's
+    // template is unique when IT arrives; only a later batch makes
+    // it repeated — the view must cut it then (the grid remembers)
+    val t2 = "spanspec_grid_late"
+    IncrementalSpans.tables(t2)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val tmpl = (0 until 8).map(j => s"T_$j").mkString(" ")
+    val early = Seq((0L, s"e_1 e_2 e_3 $tmpl")).toDF("doc_id", "text")
+    val late = Seq((1L, s"l_1 l_2 l_3 $tmpl")).toDF("doc_id", "text")
+    def earlyView() = IncrementalSpans
+      .removalView(spark, t2, early).collect()
+      .map(r => (r.getString(1), r.getLong(2))).head
+    IncrementalSpans.applyBatch(spark, t2, early, batchId = 0)
+    assert(earlyView() == ((s"e_1 e_2 e_3 $tmpl", 0L))) // nothing yet
+    IncrementalSpans.applyBatch(spark, t2, late, batchId = 1)
+    assert(earlyView() == (("e_1 e_2 e_3", 8L))) // late repeat cut
+    IncrementalSpans.tables(t2)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+  }
+
   test("nBuckets drift fails fast") {
     freshTable()
     IncrementalSpans.applyBatch(spark, table, docs, batchId = 0,
