@@ -144,20 +144,30 @@ object IncrementalSpans {
     * that equality through the doc50 oracle).
     *
     * Cost shape: the expensive GLOBAL statistic (which spans repeat)
-    * is the maintained grid — one grid-sized map-side-combined
-    * aggregate + one keyed semi-join per read; the rewrite itself is
-    * ∝ requested docs (their token windows, their islands). Serving
-    * reads per shard of the training corpus keeps the per-read
-    * operand bounded; the grid is never shuffled per requested doc. */
+    * lives in the maintained grid; per read, the grid is RESTRICTED
+    * to the requested docs' span keys BEFORE any aggregate — a
+    * semi-join the optimizer broadcasts whenever the requested key
+    * set is shard-sized (the serving pattern: reads happen per shard
+    * of the training corpus), so the grid is scanned but never
+    * shuffled, and the n_docs count shuffles only the MATCHING grid
+    * rows. The rewrite itself is ∝ requested docs (their token
+    * windows, their islands). A full-corpus request degrades
+    * gracefully to the honest one-shot cost (the key set stops being
+    * broadcastable and AQE falls back to a shuffle join). */
   def removalView(spark: SparkSession, gridTable: String,
       docs: DataFrame, spanLen: Int = 8): DataFrame = {
     spark.catalog.refreshTable(gridTable)
+    val reqOcc = DedupOps.spanOccurrences(docs, spanLen)
+    val reqKeys = reqOcc.select("span_key").distinct()
+    // n_docs per requested key, counted over ALL grid owners of that
+    // key (grid PK is (span_key, doc_id), so rows/key = n_docs)
     val repeated = spark.table(gridTable)
+      .join(reqKeys, Seq("span_key"), "left_semi")
       .groupBy("span_key")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select("span_key")
-    val occ = DedupOps.spanOccurrences(docs, spanLen)
+    val occ = reqOcc
       .join(repeated, Seq("span_key"), "left_semi")
       .select(col("doc_id"), col("pos"))
     DedupOps.cutSpans(docs, occ, spanLen)
