@@ -2597,11 +2597,51 @@ object OpsQueries {
     },
     Some(skylineOracle))
 
+  // -------------------------------------------------------------- cdc42
+  // Incrementally-maintained PRIORITY SAMPLE (IncrementalSample) —
+  // doc48's deterministic bottom-k selector kept current under
+  // document ingest. Bottom-k under the total order (priority,
+  // doc_id) is a MERGEABLE summary (any global bottom-k member is in
+  // its own batch's bottom-k), so folding per-batch bottom-ks into a
+  // ≤ k-row TableSwap state equals the one-shot sample bit-for-bit —
+  // and the fold is IDEMPOTENT (re-merging sampled rows cannot change
+  // a bottom-k), pinned by the REDELIVERED batch in the harness. The
+  // oracle is doc48's, verbatim: the maintained state must equal the
+  // one-shot bottom-k over the full corpus.
+  private val cdc42 = GraftQuery(
+    "cdc42_incremental_sample",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc42_sample"
+      graft.streaming.IncrementalSample.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      // (partition, batchId): batch 1 is REDELIVERED under its own id
+      Seq((0, 0L), (1, 1L), (1, 1L), (2, 2L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalSample.applyBatch(s, table,
+          part(p), batchId = b, k = 64)
+      }
+      graft.streaming.IncrementalSample.sample(s, table)
+        .orderBy($"priority", $"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split(TRIM(text), ' ')) AS BIGINT) + 1 AS w,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+            1, 10)) AS BIGINT) AS u
+        FROM documents)
+      SELECT doc_id, w, u // w AS priority
+      FROM t
+      ORDER BY priority, doc_id
+      LIMIT 64"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
       q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
-      doc46, doc47, doc48, doc49, cdc40, doc50, cdc41)
+      doc46, doc47, doc48, doc49, cdc40, doc50, cdc41, cdc42)
 }
