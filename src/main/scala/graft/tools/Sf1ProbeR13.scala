@@ -31,6 +31,14 @@ import graft.streaming.{CdcMerge, IncrementalSkyline, IncrementalSpans}
   * batch; assert the state table holds >1 file (no single-task
   * rewrite) and the frontier stays exact.
   *
+  * span_serve: the cdc41 removalView serving claim MEASURED. The view
+  * restricts the grid to the requested docs' span keys BEFORE the
+  * n_docs aggregate — at shard-sized requests the key set broadcasts,
+  * so the grid is scanned (unavoidable: the repeat statistic is
+  * global) but never SHUFFLED. Protocol: serve a fixed 200-doc shard
+  * from grids of n and 10n docs; shuffle-write bytes must stay ∝ the
+  * request (flat), not ∝ the grid.
+  *
   * Usage: sbt "runMain graft.tools.Sf1ProbeR13 [probe...]"
   * (no args = all probes)
   */
@@ -38,7 +46,8 @@ object Sf1ProbeR13 {
 
   def main(args: Array[String]): Unit = {
     val which =
-      if (args.isEmpty) Set("span_write", "skyline_bigwrite")
+      if (args.isEmpty) Set("span_write", "skyline_bigwrite",
+        "span_serve")
       else args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -52,12 +61,14 @@ object Sf1ProbeR13 {
 
     val inBytes = new AtomicLong
     val outBytes = new AtomicLong
+    val shufBytes = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) {
           inBytes.addAndGet(m.inputMetrics.bytesRead)
           outBytes.addAndGet(m.outputMetrics.bytesWritten)
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
         ()
       }
@@ -71,6 +82,16 @@ object Sf1ProbeR13 {
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(100)
       (r, wall, inBytes.get - b0, outBytes.get - w0)
+    }
+    def measuredS[T](f: => T): (T, Double, Long, Long) = {
+      Thread.sleep(100)
+      val b0 = inBytes.get
+      val s0 = shufBytes.get
+      val t0 = System.nanoTime()
+      val r = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(100)
+      (r, wall, inBytes.get - b0, shufBytes.get - s0)
     }
 
     if (which("span_write")) {
@@ -118,6 +139,45 @@ object Sf1ProbeR13 {
           f"scanned: ${scanned / 1e6}%7.2f MB " +
           f"(${scanned * 100.0 / math.max(tableBytes, 1)}%5.1f%% of " +
           f"table)  written: ${written / 1e6}%7.2f MB")
+        IncrementalSpans.tables(table)
+          .foreach(CdcMerge.dropStateTable(spark, _))
+      }
+    }
+
+    if (which("span_serve")) {
+      // the span_write corpus shape: ~33 windows/doc, mostly unique
+      // span keys, plus a 12-token template per (doc_id % 97) group
+      def corpus(nDocs: Long) = spark.range(nDocs)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ",
+            expr("transform(sequence(1, 15), " +
+              "i -> concat('u', id, '_', i))"),
+            expr("transform(sequence(1, 12), " +
+              "i -> concat('g', id % 97, '_', i))"),
+            expr("transform(sequence(16, 30), " +
+              "i -> concat('u', id, '_', i))")).as("text"))
+      Seq((20000L, 32), (200000L, 320)).foreach { case (n, nb) =>
+        val table = s"r13probe_serve_$nb"
+        IncrementalSpans.tables(table)
+          .foreach(CdcMerge.dropStateTable(spark, _))
+        IncrementalSpans.applyBatch(spark, table, corpus(n),
+          batchId = 0, nBuckets = nb)
+        val tableBytes = spark.table(table).inputFiles
+          .map(f => new java.io.File(
+            new java.net.URI(f)).length()).sum
+        // fixed 200-doc shard regardless of grid size — the serving
+        // pattern (reads per shard of the training corpus)
+        val req = corpus(n).filter(col("doc_id") < 200)
+          .localCheckpoint()
+        val (cut, wall, scanned, shuffled) = measuredS {
+          IncrementalSpans.removalView(spark, table, req)
+            .agg(sum("n_tok_removed")).collect()(0).getLong(0)
+        }
+        println(f"PROBE span_serve docs=$n%7d  grid " +
+          f"${tableBytes / 1e6}%7.1f MB  request: 200 docs  " +
+          f"read: $wall%5.1f s  scanned: ${scanned / 1e6}%7.1f MB  " +
+          f"shuffle-write: ${shuffled / 1e6}%7.2f MB  " +
+          f"tok_removed: $cut%6d")
         IncrementalSpans.tables(table)
           .foreach(CdcMerge.dropStateTable(spark, _))
       }
