@@ -2637,11 +2637,67 @@ object OpsQueries {
       ORDER BY priority, doc_id
       LIMIT 64"""))
 
+  // -------------------------------------------------------------- cdc43
+  // MAINTAINED RARITY-KEYWORD VIEW (IncrementalDocFreq) — doc49
+  // served from an incrementally-maintained document-frequency
+  // table. df is ADDITIVE under document-disjoint ingest, but word
+  // keys are Zipf-distributed and every realistic batch contains the
+  // common words — a merge-shaped bucketed table would touch every
+  // bucket per fold (the cdc40 finding in vocabulary clothing) — so
+  // the fold APPENDS per-batch (word, df_delta) rows into its own
+  // `_b` generation and df is summed on read; the watermark carries
+  // the additive corpus doc count N. The case a per-batch one-shot
+  // gets wrong: a batch-local df calls every batch-rare word a
+  // keyword; the maintained df knows which words are corpus-common.
+  // Requesting the full corpus must equal the one-shot doc49 exactly
+  // (same oracle), pinned through a REDELIVERED batch.
+  private val cdc43 = GraftQuery(
+    "cdc43_keyword_view",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc43_df"
+      graft.streaming.IncrementalDocFreq.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      // (partition, batchId): batch 1 is REDELIVERED under its own id
+      Seq((0, 0L), (1, 1L), (1, 1L), (2, 2L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalDocFreq.applyBatch(s, table,
+          part(p), batchId = b)
+      }
+      graft.streaming.IncrementalDocFreq.keywordView(s, table, docs,
+          m = 3)
+        .orderBy($"doc_id", $"rnk")
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, w AS word FROM (
+          SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS w
+          FROM documents)
+        WHERE length(w) > 0),
+      tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word),
+      df AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY word),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      sc AS (
+        SELECT t.doc_id, t.word, t.tf, d.df,
+          t.tf * ((n.n_docs * 1000000) // d.df) AS score
+        FROM tf t JOIN df d USING (word), n)
+      SELECT doc_id, word, tf, df, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, word) AS BIGINT) AS rnk
+      FROM sc
+      QUALIFY rnk <= 3
+      ORDER BY doc_id, rnk"""))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
       q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
-      doc46, doc47, doc48, doc49, cdc40, doc50, cdc41, cdc42)
+      doc46, doc47, doc48, doc49, cdc40, doc50, cdc41, cdc42, cdc43)
 }

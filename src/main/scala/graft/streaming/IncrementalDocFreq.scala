@@ -1,0 +1,216 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Incrementally-maintained DOCUMENT-FREQUENCY table — the corpus
+  * statistic behind doc49's rarity-weighted keywords
+  * ([[graft.operators.CurationOps.rarityKeywords]]) kept current
+  * under document ingest, so NEW documents can be keyword-tagged
+  * against the WHOLE corpus's df without rescanning it: the serving
+  * pattern of a tagging/routing stage in a streaming curation
+  * pipeline (what is this incoming document about, rare-term-wise?).
+  *
+  * State: the (word, df) table as PER-BATCH DELTAS — df is ADDITIVE
+  * under the document-disjoint contract (each batch contributes the
+  * count of ITS docs containing the word), so the fold is the
+  * additive-camp APPEND pattern, not a merge: word keys are
+  * Zipf-distributed and every realistic batch contains the common
+  * words, so a merge-shaped bucketed table would touch every bucket
+  * per fold (the cdc40 finding, in vocabulary clothing). Each fold
+  * appends its (word, df_delta) rows into its own `_b` generation
+  * (dynamic overwrite → idempotent through the crash window, write ∝
+  * batch vocabulary); read-side df = SUM(df_delta) per word; the
+  * 1-row watermark carries the additive corpus doc count N (updated
+  * exactly once per batch — a crash between grid write and watermark
+  * write replays into the same generation against the old N);
+  * [[compact]] folds generations on cadence. State cardinality is the
+  * corpus VOCABULARY — sublinear in corpus size (heaps' law), far
+  * below the spans grid.
+  *
+  * Contract: document-disjoint append-only batches with monotonically
+  * increasing batch ids; a doc re-arriving with changed text is out
+  * of contract (its old words' counts would persist). */
+object IncrementalDocFreq {
+
+  private def wmTable(table: String) = s"${table}_wm"
+
+  /** All tables the df state maintains — for test/registration
+    * cleanup. */
+  def tables(table: String): Seq[String] =
+    Seq(table, s"${table}_compacting", s"${table}_old",
+      wmTable(table), s"${wmTable(table)}_stage",
+      s"${wmTable(table)}_old")
+
+  private def batchTf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Fold one document batch: one tokenization + one map-side
+    * aggregate (∝ batch tokens) + one append-shaped write (∝ batch
+    * vocabulary). `nBuckets` is fixed for the table's lifetime. */
+  def applyBatch(spark: SparkSession, table: String,
+      batchDocs: DataFrame, batchId: Long, nBuckets: Int = 32): Unit =
+    FoldTimer.timed {
+      val wm = wmTable(table)
+      TableSwap.recover(spark, wm, s"${wm}_stage")
+      var nSoFar = 0L
+      if (spark.catalog.tableExists(wm)) {
+        val row = spark.table(wm)
+          .agg(coalesce(max("_batch"), lit(-1L)),
+            coalesce(max("_n_docs"), lit(0L))).collect()(0)
+        if (batchId <= row.getLong(0)) return
+        nSoFar = row.getLong(1)
+      }
+      val nBatch = batchDocs.count()
+      val deltas = batchTf(batchDocs)
+        .groupBy("word").agg(count(lit(1)).as("df_delta"))
+        .withColumn("_b", lit(batchId))
+        .withColumn("_kb",
+          pmod(xxhash64(col("word")), lit(nBuckets.toLong)))
+        .select(col("word"), col("df_delta"), col("_b"), col("_kb"))
+      if (!spark.catalog.tableExists(table)) {
+        CdcMerge.dropStateTable(spark, table)
+        deltas.repartition(col("_kb"))
+          .write.mode("overwrite").format("parquet")
+          .partitionBy("_b", "_kb").saveAsTable(table)
+        CdcMerge.setNBuckets(spark, table, nBuckets)
+      } else {
+        CdcMerge.requireNBuckets(spark, table, nBuckets)
+        val prev =
+          spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+          "dynamic")
+        try deltas.repartition(col("_kb"))
+          .write.mode("overwrite").insertInto(table)
+        finally spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", prev)
+        spark.catalog.refreshTable(table)
+      }
+      import spark.implicits._
+      // 1-row watermark carrying the additive corpus doc count N:
+      // bounded state — the TableSwap size contract. N updates
+      // exactly once per batch (a crash-window replay still reads the
+      // OLD N here, because this write is what advances it).
+      TableSwap.writeStaged(spark,
+        Seq((batchId, nSoFar + nBatch)).toDF("_batch", "_n_docs"), wm)
+    }
+
+  /** The maintained (word, df) statistic: SUM of the per-batch deltas
+    * — one map-side-combined aggregate over the vocabulary-sized
+    * grid. */
+  def dfReport(spark: SparkSession, table: String): DataFrame = {
+    spark.catalog.refreshTable(table)
+    spark.table(table).groupBy("word")
+      .agg(sum(col("df_delta")).as("df"))
+  }
+
+  /** The maintained corpus doc count N. */
+  def nDocs(spark: SparkSession, table: String): Long = {
+    val wm = wmTable(table)
+    TableSwap.recover(spark, wm, s"${wm}_stage")
+    spark.table(wm).agg(coalesce(max("_n_docs"), lit(0L)))
+      .collect()(0).getLong(0)
+  }
+
+  /** MAINTAINED RARITY-KEYWORD VIEW — doc49 served from the
+    * maintained statistics: the REQUESTED docs keyword-tagged with
+    * tf · ((N·10⁶) div df) against the WHOLE ingested corpus's df and
+    * N. This is what a per-batch one-shot gets wrong: a batch-local
+    * df calls every batch-rare word a keyword; the maintained df
+    * knows which words are corpus-common. Requesting the full corpus
+    * reproduces [[graft.operators.CurationOps.rarityKeywords]] over
+    * it exactly (cdc43 pins that equality through the doc49 oracle).
+    *
+    * Cost shape: the grid is RESTRICTED to the requested docs' words
+    * before the df aggregate (broadcast semi-join at shard-sized
+    * requests — the cdc41 serving trick), so the vocabulary table is
+    * scanned but only matching rows shuffle; tf and the top-m window
+    * are ∝ the requested docs.
+    *
+    * Words the table has never seen score NOTHING (inner join): the
+    * view tags against the INGESTED corpus's statistics, so fold a
+    * batch before tagging it (the cdc43 harness shape) — tagging
+    * un-ingested text would otherwise silently skip its novel
+    * words. */
+  def keywordView(spark: SparkSession, table: String,
+      docs: DataFrame, m: Int = 3): DataFrame = {
+    require(m >= 1)
+    spark.catalog.refreshTable(table)
+    val tf = batchTf(docs)
+    val reqWords = tf.select("word").distinct()
+    val df = spark.table(table)
+      .join(reqWords, Seq("word"), "left_semi")
+      .groupBy("word").agg(sum(col("df_delta")).as("df"))
+    val n = nDocs(spark, table)
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df, Seq("word"))
+      .withColumn("score",
+        col("tf") * expr(s"(${n}L * 1000000L) div df"))
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= m)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
+  /** Fold all `_b` generations into the newest one — one file per
+    * bucket again (the [[IncrementalSpans.compact]] machinery, same
+    * single-writer cadence contract), with the deltas SUMMED per word
+    * so the compacted generation is the vocabulary itself. */
+  def compact(spark: SparkSession, table: String): Unit = {
+    spark.catalog.refreshTable(table)
+    val maxB = spark.table(table)
+      .agg(coalesce(max("_b"), lit(0L))).collect()(0).getLong(0)
+    val nBuckets = CdcMerge.tableNBuckets(spark, table)
+    val tmp = s"${table}_compacting"
+    val old = s"${table}_old"
+    def rename(from: String, to: String): Unit = {
+      spark.sql(s"ALTER TABLE $from RENAME TO $to")
+      spark.sql(s"MSCK REPAIR TABLE $to")
+    }
+    CdcMerge.dropStateTable(spark, tmp)
+    CdcMerge.dropStateTable(spark, old)
+    spark.table(table)
+      .groupBy("word", "_kb")
+      .agg(sum(col("df_delta")).as("df_delta"))
+      .withColumn("_b", lit(maxB))
+      .select(col("word"), col("df_delta"), col("_b"), col("_kb"))
+      .repartition(col("_kb"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("_b", "_kb").saveAsTable(tmp)
+    rename(table, old)
+    try rename(tmp, table)
+    catch {
+      case e: Throwable =>
+        rename(old, table)
+        throw e
+    }
+    spark.sql(s"DROP TABLE $old")
+    nBuckets.foreach(CdcMerge.setNBuckets(spark, table, _))
+  }
+
+  /** Continuous maintenance: foreachBatch [[applyBatch]] under the
+    * stream's own monotone batch ids. */
+  def startIngestStream(df: DataFrame, table: String,
+      checkpointDir: String, nBuckets: Int = 32,
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch.sparkSession, table, batch, batchId,
+          nBuckets)
+      }
+    (if (availableNow)
+       writer.trigger(
+         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+}

@@ -38,7 +38,11 @@ import graft.operators.CurationOps
   * batches are welcome (idempotent, see above); a doc re-arriving
   * with CHANGED text is out of contract — its old row may already be
   * sampled and bottom-k cannot retract (deletion-capable sampling
-  * needs the CdcMerge state family, not a mergeable summary). */
+  * needs the CdcMerge state family, not a mergeable summary). `k` is
+  * FIXED for the table's lifetime — a larger k cannot be served from
+  * a smaller-k state (discarded rows are gone) and the failure would
+  * be silent, so k rides in the watermark row and folds fail fast on
+  * drift (the funnel-nBuckets doctrine). */
 object IncrementalSample {
 
   private def wmTable(table: String) = s"${table}_wm"
@@ -59,10 +63,18 @@ object IncrementalSample {
       TableSwap.recover(spark, wm, s"${wm}_stage")
       TableSwap.recover(spark, table, s"${table}_stage")
       if (spark.catalog.tableExists(wm)) {
-        val last = spark.table(wm)
-          .agg(coalesce(max("_batch"), lit(-1L))).collect()(0)
-          .getLong(0)
-        if (batchId <= last) return
+        val row = spark.table(wm)
+          .agg(coalesce(max("_batch"), lit(-1L)),
+            coalesce(max("_k"), lit(k.toLong))).collect()(0)
+        // k is fixed for the table's lifetime: a LARGER k cannot be
+        // served from a smaller-k state (rows outside the old
+        // bottom-k were discarded and cannot be recovered), and the
+        // failure would be silent — the funnel-nBuckets doctrine.
+        require(row.getLong(1) == k.toLong,
+          s"$table was built with k=${row.getLong(1)} but the " +
+            s"caller passed k=$k; k is fixed for the table's " +
+            "lifetime (rebuild the sample to change it)")
+        if (batchId <= row.getLong(0)) return
       }
       val cand = CurationOps.prioritySample(batchDocs, k)
       val merged =
@@ -78,8 +90,11 @@ object IncrementalSample {
       // TableSwap bound: ≤ k rows by construction (the limit above)
       TableSwap.writeStaged(spark, next, table)
       import spark.implicits._
-      // 1-row watermark: bounded state — the TableSwap size contract
-      TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"), wm)
+      // 1-row watermark carrying k: bounded state — the TableSwap
+      // size contract; k rides in the row because the swap rewrites
+      // the table each fold (TBLPROPERTIES would not survive)
+      TableSwap.writeStaged(spark,
+        Seq((batchId, k.toLong)).toDF("_batch", "_k"), wm)
     }
 
   /** The maintained sample — ≤ k rows (doc_id, w, priority), equal to

@@ -82,4 +82,17 @@ class IncrementalSampleSpec extends SparkSpec {
     // their priorities are smaller — pin at least one displacement
     assert(first != second)
   }
+
+  test("k drift fails fast (a larger k cannot be served from a " +
+      "smaller-k state)") {
+    import spark.implicits._
+    freshTable()
+    IncrementalSample.applyBatch(spark, table, docs, batchId = 0,
+      k = 4)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalSample.applyBatch(spark, table, docs, batchId = 1,
+        k = 8)
+    }
+    assert(e.getMessage.contains("k is fixed"))
+  }
 }
