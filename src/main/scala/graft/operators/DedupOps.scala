@@ -656,11 +656,19 @@ object DedupOps {
     * span report coverage 0 (left join keeps them).
     * Returns (doc_id, n_spans, n_islands, covered_tok, n_tok,
     * coverage_ppm). */
-  def spanCoverage(docs: DataFrame, spanLen: Int = 8): DataFrame = {
+  /** Merge a (doc_id, pos) span-start stream into per-doc ISLANDS —
+    * the interval union of [pos, pos+spanLen): a span starting at or
+    * before the running max end extends the island. One per-doc
+    * ordered window, groups bounded by tokens/doc. Shared by
+    * [[spanCoverage]] (measures the islands) and [[cutSpans]] (cuts
+    * them) so the gate and the cut can never disagree on island
+    * semantics. Returns (doc_id, g, s, e, n_sp). */
+  private def spanIslands(occurrences: DataFrame,
+      spanLen: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevEnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val islands = repeatedSpans(docs, spanLen)
+    occurrences
       .select(col("doc_id"), col("pos"))
       .withColumn("prev_end", max(col("pos") + spanLen).over(prevEnd))
       .withColumn("flag",
@@ -671,6 +679,12 @@ object DedupOps {
       .agg(min(col("pos")).as("s"),
         (max(col("pos")) + spanLen).as("e"),
         count(lit(1)).as("n_sp"))
+  }
+
+  def spanCoverage(docs: DataFrame, spanLen: Int = 8): DataFrame = {
+    val islands = spanIslands(
+      repeatedSpans(docs, spanLen).select(col("doc_id"), col("pos")),
+      spanLen)
     val perDoc = islands.groupBy("doc_id")
       .agg(sum(col("n_sp")).as("n_spans"),
         count(lit(1)).as("n_islands"),
@@ -724,19 +738,7 @@ object DedupOps {
     * stream. */
   def cutSpans(docs: DataFrame, occurrences: DataFrame,
       spanLen: Int): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val prevEnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val islands = occurrences
-      .select(col("doc_id"), col("pos"))
-      .withColumn("prev_end", max(col("pos") + spanLen).over(prevEnd))
-      .withColumn("flag",
-        (col("prev_end").isNull || col("pos") > col("prev_end"))
-          .cast("long"))
-      .withColumn("g", sum(col("flag")).over(w))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(min(col("pos")).as("s"),
-        (max(col("pos")) + spanLen).as("e"))
+    val islands = spanIslands(occurrences, spanLen)
     val ivs = islands.groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))

@@ -856,12 +856,10 @@ object OpsQueries {
   // pass, global top-k planned as TakeOrderedAndProject. doc49:
   // rarity-weighted keyword extraction — tf · (N·10⁶ div df), the
   // integer-exact idf-ratio stand-in (no log/libm), top-3 per doc.
-  private val doc48 = GraftQuery(
-    "doc48_priority_sample",
-    (s, dir) =>
-      CurationOps.prioritySample(t(s, dir, "documents"), k = 64)
-        .orderBy(col("priority"), col("doc_id")),
-    Some("""
+  // Shared with their maintained twins (cdc42 / cdc43): the
+  // fold == one-shot equality claim is only meaningful if both
+  // queries pin against the IDENTICAL oracle text.
+  private val prioritySampleOracle = """
       WITH t AS (
         SELECT doc_id,
           CAST(len(string_split(TRIM(text), ' ')) AS BIGINT) + 1 AS w,
@@ -871,14 +869,9 @@ object OpsQueries {
       SELECT doc_id, w, u // w AS priority
       FROM t
       ORDER BY priority, doc_id
-      LIMIT 64"""))
+      LIMIT 64"""
 
-  private val doc49 = GraftQuery(
-    "doc49_rarity_keywords",
-    (s, dir) =>
-      CurationOps.rarityKeywords(t(s, dir, "documents"), m = 3)
-        .orderBy(col("doc_id"), col("rnk")),
-    Some("""
+  private val rarityKeywordsOracle = """
       WITH words AS (
         SELECT doc_id, w AS word FROM (
           SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS w
@@ -900,7 +893,21 @@ object OpsQueries {
           ORDER BY score DESC, word) AS BIGINT) AS rnk
       FROM sc
       QUALIFY rnk <= 3
-      ORDER BY doc_id, rnk"""))
+      ORDER BY doc_id, rnk"""
+
+  private val doc48 = GraftQuery(
+    "doc48_priority_sample",
+    (s, dir) =>
+      CurationOps.prioritySample(t(s, dir, "documents"), k = 64)
+        .orderBy(col("priority"), col("doc_id")),
+    Some(prioritySampleOracle))
+
+  private val doc49 = GraftQuery(
+    "doc49_rarity_keywords",
+    (s, dir) =>
+      CurationOps.rarityKeywords(t(s, dir, "documents"), m = 3)
+        .orderBy(col("doc_id"), col("rnk")),
+    Some(rarityKeywordsOracle))
 
   // -------------------------------------------------------------- doc50
   // REPEATED-SPAN REMOVAL (DedupOps.removeRepeatedSpans) — the final
@@ -911,12 +918,7 @@ object OpsQueries {
   // the operator that actually deduplicates the training text. The
   // oracle replays the islands-complement reconstruction in DuckDB
   // through list lambdas over the same 1-based token positions.
-  private val doc50 = GraftQuery(
-    "doc50_remove_spans",
-    (s, dir) =>
-      DedupOps.removeRepeatedSpans(t(s, dir, "documents"), spanLen = 8)
-        .orderBy(col("doc_id")),
-    Some("""
+  private val spanRemovalOracle = """
       WITH toks AS (
         SELECT doc_id, string_split(TRIM(text), ' ') AS ws
         FROM documents),
@@ -970,7 +972,14 @@ object OpsQueries {
           list_transform(kp, p -> ws[p]), ' '), '') AS text_deduped,
         CAST(len(ws) - len(kp) AS BIGINT) AS n_tok_removed
       FROM kept
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""
+
+  private val doc50 = GraftQuery(
+    "doc50_remove_spans",
+    (s, dir) =>
+      DedupOps.removeRepeatedSpans(t(s, dir, "documents"), spanLen = 8)
+        .orderBy(col("doc_id")),
+    Some(spanRemovalOracle))
 
   // -------------------------------------------------------------- cdc41
   // MAINTAINED SPAN-DEDUP VIEW (IncrementalSpans.removalView) — doc50
@@ -998,61 +1007,7 @@ object OpsQueries {
       graft.streaming.IncrementalSpans.removalView(s, table, docs)
         .orderBy($"doc_id")
     },
-    Some("""
-      WITH toks AS (
-        SELECT doc_id, string_split(TRIM(text), ' ') AS ws
-        FROM documents),
-      sp AS (
-        SELECT doc_id, unnest(range(1, len(ws) - 8 + 2)) AS pos, ws
-        FROM toks WHERE len(ws) >= 8),
-      spk AS MATERIALIZED (
-        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-          md5(array_to_string(ws[pos:pos+7], ' ')) AS span_key
-        FROM sp),
-      rep AS (
-        SELECT span_key FROM spk GROUP BY span_key
-        HAVING COUNT(DISTINCT doc_id) >= 2),
-      occ AS MATERIALIZED (
-        SELECT s.doc_id, s.pos FROM spk s JOIN rep r
-        USING (span_key)),
-      pe AS (
-        SELECT doc_id, pos,
-          MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-            AS prev_end
-        FROM occ),
-      fl AS (
-        SELECT doc_id, pos,
-          CASE WHEN prev_end IS NULL OR pos > prev_end
-            THEN 1 ELSE 0 END AS flag
-        FROM pe),
-      grp AS (
-        SELECT doc_id, pos,
-          SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
-            ROWS UNBOUNDED PRECEDING) AS g
-        FROM fl),
-      ext AS (
-        SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 8 AS e
-        FROM grp GROUP BY doc_id, g),
-      ivs AS (
-        SELECT doc_id, list({'s': s, 'e': e}) AS ivs
-        FROM ext GROUP BY doc_id),
-      base AS (
-        SELECT t.doc_id, t.ws,
-          COALESCE(i.ivs, []) AS ivs
-        FROM toks t LEFT JOIN ivs i USING (doc_id)),
-      kept AS (
-        SELECT doc_id, ws,
-          list_filter(range(1, len(ws) + 1),
-            p -> len(list_filter(ivs,
-              iv -> p >= iv.s AND p < iv.e)) = 0) AS kp
-        FROM base)
-      SELECT doc_id,
-        COALESCE(array_to_string(
-          list_transform(kp, p -> ws[p]), ' '), '') AS text_deduped,
-        CAST(len(ws) - len(kp) AS BIGINT) AS n_tok_removed
-      FROM kept
-      ORDER BY doc_id"""))
+    Some(spanRemovalOracle))
 
   // ---------------------------------------------------- doc39 / cdc33
   // Count-Min frequency sketch: d=4 seeded hash rows × w=256 BIGINT
@@ -2625,17 +2580,7 @@ object OpsQueries {
       graft.streaming.IncrementalSample.sample(s, table)
         .orderBy($"priority", $"doc_id")
     },
-    Some("""
-      WITH t AS (
-        SELECT doc_id,
-          CAST(len(string_split(TRIM(text), ' ')) AS BIGINT) + 1 AS w,
-          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
-            1, 10)) AS BIGINT) AS u
-        FROM documents)
-      SELECT doc_id, w, u // w AS priority
-      FROM t
-      ORDER BY priority, doc_id
-      LIMIT 64"""))
+    Some(prioritySampleOracle))
 
   // -------------------------------------------------------------- cdc43
   // MAINTAINED RARITY-KEYWORD VIEW (IncrementalDocFreq) — doc49
@@ -2669,29 +2614,7 @@ object OpsQueries {
           m = 3)
         .orderBy($"doc_id", $"rnk")
     },
-    Some("""
-      WITH words AS (
-        SELECT doc_id, w AS word FROM (
-          SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS w
-          FROM documents)
-        WHERE length(w) > 0),
-      tf AS (
-        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM words GROUP BY doc_id, word),
-      df AS (
-        SELECT word, CAST(COUNT(*) AS BIGINT) AS df
-        FROM tf GROUP BY word),
-      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
-      sc AS (
-        SELECT t.doc_id, t.word, t.tf, d.df,
-          t.tf * ((n.n_docs * 1000000) // d.df) AS score
-        FROM tf t JOIN df d USING (word), n)
-      SELECT doc_id, word, tf, df, score,
-        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
-          ORDER BY score DESC, word) AS BIGINT) AS rnk
-      FROM sc
-      QUALIFY rnk <= 3
-      ORDER BY doc_id, rnk"""))
+    Some(rarityKeywordsOracle))
 
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,

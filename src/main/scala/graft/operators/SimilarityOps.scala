@@ -1058,8 +1058,11 @@ object SimilarityOps {
       // plan + every parameter; the value is localCheckpointed, so
       // consumers reuse materialized partitions. Zero effect on any
       // query's RESULT — the cached frame IS the built frame.
-      val key = embs.queryExecution.analyzed.semanticHash().toString +
-        s"|$dim|$nCentroids|$nProbe|$k|$capacity"
+      // keyed on the full canonicalized plan string (not a 32-bit
+      // hash — a collision would silently serve the wrong fixture)
+      val key =
+        embs.queryExecution.analyzed.canonicalized.toString() +
+          s"|$dim|$nCentroids|$nProbe|$k|$capacity"
       return fixtureCache.computeIfAbsent(key,
         _ => buildKnnGraph(embs, dim, nCentroids, nProbe, k, capacity)
           .localCheckpoint(true))

@@ -78,6 +78,29 @@ object CdcMerge {
           "rebucket, then pass the new count)")
     }
 
+  /** Record an arbitrary `graft.*` lifetime parameter on a state
+    * table (the [[NBucketsProp]] mechanism, generalized — e.g. the
+    * span grid's spanLen). */
+  def setTableProp(spark: SparkSession, table: String, key: String,
+      value: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$key'='$value')")
+
+  /** Read a table property, if recorded. */
+  def tableProp(spark: SparkSession, table: String,
+      key: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .find(_.getString(0) == key)
+      .map(_.getString(1))
+
+  /** All recorded `graft.*` lifetime parameters — what a staged
+    * rewrite must carry over to the replacement table. */
+  def graftProps(spark: SparkSession,
+      table: String): Seq[(String, String)] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._1.startsWith("graft.")).toSeq
+
   /** Drop a state table AND its warehouse location. The catalog is
     * per-session but managed-table directories persist across sessions;
     * a fresh session's `DROP TABLE IF EXISTS` alone is a no-op that

@@ -58,6 +58,7 @@ object IncrementalDocFreq {
   def applyBatch(spark: SparkSession, table: String,
       batchDocs: DataFrame, batchId: Long, nBuckets: Int = 32): Unit =
     FoldTimer.timed {
+      AppendGrid.recover(spark, table)
       val wm = wmTable(table)
       TableSwap.recover(spark, wm, s"${wm}_stage")
       var nSoFar = 0L
@@ -106,6 +107,7 @@ object IncrementalDocFreq {
     * — one map-side-combined aggregate over the vocabulary-sized
     * grid. */
   def dfReport(spark: SparkSession, table: String): DataFrame = {
+    AppendGrid.recover(spark, table)
     spark.catalog.refreshTable(table)
     spark.table(table).groupBy("word")
       .agg(sum(col("df_delta")).as("df"))
@@ -142,6 +144,7 @@ object IncrementalDocFreq {
   def keywordView(spark: SparkSession, table: String,
       docs: DataFrame, m: Int = 3): DataFrame = {
     require(m >= 1)
+    AppendGrid.recover(spark, table)
     spark.catalog.refreshTable(table)
     val tf = batchTf(docs)
     val reqWords = tf.select("word").distinct()
@@ -161,40 +164,19 @@ object IncrementalDocFreq {
   }
 
   /** Fold all `_b` generations into the newest one — one file per
-    * bucket again (the [[IncrementalSpans.compact]] machinery, same
-    * single-writer cadence contract), with the deltas SUMMED per word
-    * so the compacted generation is the vocabulary itself. */
-  def compact(spark: SparkSession, table: String): Unit = {
-    spark.catalog.refreshTable(table)
-    val maxB = spark.table(table)
-      .agg(coalesce(max("_b"), lit(0L))).collect()(0).getLong(0)
-    val nBuckets = CdcMerge.tableNBuckets(spark, table)
-    val tmp = s"${table}_compacting"
-    val old = s"${table}_old"
-    def rename(from: String, to: String): Unit = {
-      spark.sql(s"ALTER TABLE $from RENAME TO $to")
-      spark.sql(s"MSCK REPAIR TABLE $to")
-    }
-    CdcMerge.dropStateTable(spark, tmp)
-    CdcMerge.dropStateTable(spark, old)
-    spark.table(table)
-      .groupBy("word", "_kb")
-      .agg(sum(col("df_delta")).as("df_delta"))
-      .withColumn("_b", lit(maxB))
-      .select(col("word"), col("df_delta"), col("_b"), col("_kb"))
-      .repartition(col("_kb"))
-      .write.mode("overwrite").format("parquet")
-      .partitionBy("_b", "_kb").saveAsTable(tmp)
-    rename(table, old)
-    try rename(tmp, table)
-    catch {
-      case e: Throwable =>
-        rename(old, table)
-        throw e
-    }
-    spark.sql(s"DROP TABLE $old")
-    nBuckets.foreach(CdcMerge.setNBuckets(spark, table, _))
-  }
+    * bucket again, with the deltas SUMMED per word so the compacted
+    * generation is the vocabulary itself. Shares
+    * [[AppendGrid.compact]]: staged rewrite + crash-recoverable
+    * rename chain, graft.* properties carried, FENCED on the batch
+    * watermark (an open crash window refuses to compact — its replay
+    * would overwrite the compacted generation). Single-writer: pause
+    * the ingest stream. */
+  def compact(spark: SparkSession, table: String): Unit =
+    AppendGrid.compact(spark, table, (grid, maxB) =>
+      grid.groupBy("word", "_kb")
+        .agg(sum(col("df_delta")).as("df_delta"))
+        .withColumn("_b", lit(maxB))
+        .select(col("word"), col("df_delta"), col("_b"), col("_kb")))
 
   /** Continuous maintenance: foreachBatch [[applyBatch]] under the
     * stream's own monotone batch ids. */

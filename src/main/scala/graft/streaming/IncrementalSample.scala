@@ -26,7 +26,7 @@ import graft.operators.CurationOps
   * is load-bearing. The watermark here only short-circuits clean
   * replays before any job runs.
   *
-  * State: exactly ≤ k rows (doc_id, w, priority) — control-plane
+  * State: exactly ≤ k rows (doc_id, w, priority, _k) — control-plane
   * bounded, the [[TableSwap]] size contract's easiest citizen. Each
   * fold reads ≤ k state rows, bottom-k's the batch (planned as
   * TakeOrderedAndProject: per-partition heaps, k-row driver merge),
@@ -62,24 +62,34 @@ object IncrementalSample {
       val wm = wmTable(table)
       TableSwap.recover(spark, wm, s"${wm}_stage")
       TableSwap.recover(spark, table, s"${table}_stage")
+      val stateExists = spark.catalog.tableExists(table)
+      // k is fixed for the table's lifetime: a LARGER k cannot be
+      // served from a smaller-k state (rows outside the old bottom-k
+      // were discarded and cannot be recovered), and the failure
+      // would be silent — the funnel-nBuckets doctrine. k rides in
+      // BOTH the watermark row and a constant state column, because
+      // the first-fold crash window (state written, watermark not)
+      // must not bypass the guard.
+      def requireK(stored: Long): Unit =
+        require(stored == k.toLong,
+          s"$table was built with k=$stored but the caller passed " +
+            s"k=$k; k is fixed for the table's lifetime (rebuild " +
+            "the sample to change it)")
       if (spark.catalog.tableExists(wm)) {
         val row = spark.table(wm)
           .agg(coalesce(max("_batch"), lit(-1L)),
             coalesce(max("_k"), lit(k.toLong))).collect()(0)
-        // k is fixed for the table's lifetime: a LARGER k cannot be
-        // served from a smaller-k state (rows outside the old
-        // bottom-k were discarded and cannot be recovered), and the
-        // failure would be silent — the funnel-nBuckets doctrine.
-        require(row.getLong(1) == k.toLong,
-          s"$table was built with k=${row.getLong(1)} but the " +
-            s"caller passed k=$k; k is fixed for the table's " +
-            "lifetime (rebuild the sample to change it)")
+        requireK(row.getLong(1))
         if (batchId <= row.getLong(0)) return
+      } else if (stateExists) {
+        requireK(spark.table(table)
+          .agg(coalesce(max("_k"), lit(k.toLong))).collect()(0)
+          .getLong(0))
       }
       val cand = CurationOps.prioritySample(batchDocs, k)
+        .withColumn("_k", lit(k.toLong))
       val merged =
-        if (spark.catalog.tableExists(table))
-          spark.table(table).unionByName(cand)
+        if (stateExists) spark.table(table).unionByName(cand)
         else cand
       // ≤ 2k rows from here on. dropDuplicates is the crash-window
       // guard: a watermark-bypassing replay re-offers rows already in
@@ -91,8 +101,8 @@ object IncrementalSample {
       TableSwap.writeStaged(spark, next, table)
       import spark.implicits._
       // 1-row watermark carrying k: bounded state — the TableSwap
-      // size contract; k rides in the row because the swap rewrites
-      // the table each fold (TBLPROPERTIES would not survive)
+      // size contract; properties can't ride on the table itself
+      // because the swap rewrites it each fold
       TableSwap.writeStaged(spark,
         Seq((batchId, k.toLong)).toDF("_batch", "_k"), wm)
     }
@@ -103,7 +113,8 @@ object IncrementalSample {
   def sample(spark: SparkSession, table: String): DataFrame = {
     TableSwap.recover(spark, table, s"${table}_stage")
     spark.catalog.refreshTable(table)
-    spark.table(table)
+    // _k is the lifetime guard column, not part of the sample
+    spark.table(table).select(col("doc_id"), col("w"), col("priority"))
   }
 
   /** Continuous maintenance: foreachBatch [[applyBatch]] under the

@@ -51,12 +51,29 @@ import graft.operators.DedupOps
   * doc arrives once, whole). Under it a (span_key, doc_id) row's
   * n_occ is fixed by the doc's own text and no two batches ever write
   * the same row, so appends keep the grid's primary key exact. A doc
-  * re-arriving with CHANGED text is out of contract (its old spans
-  * would persist); route updates through a delete+reinsert envelope
-  * instead. */
+  * re-arriving with CHANGED text is out of contract — the append grid
+  * has NO delete path (rows are the immutability the pattern is built
+  * on), so a changed document means rebuilding the grid from the
+  * corrected corpus; mutable-document workloads belong in the
+  * [[CdcMerge]] merge family instead. `spanLen` is likewise fixed for
+  * the table's lifetime (a drifted spanLen would write or probe a
+  * disjoint md5 keyspace with no error anywhere): it is recorded in
+  * table metadata and every fold/read fails fast on mismatch. */
 object IncrementalSpans {
 
   private def wmTable(gridTable: String) = s"${gridTable}_wm"
+
+  private val SpanLenProp = "graft.spanlen"
+
+  private def requireSpanLen(spark: SparkSession, gridTable: String,
+      spanLen: Int): Unit =
+    CdcMerge.tableProp(spark, gridTable, SpanLenProp).foreach { s =>
+      require(s.toInt == spanLen,
+        s"$gridTable was built with spanLen=$s but the caller " +
+          s"passed spanLen=$spanLen; spanLen is fixed for the " +
+          "table's lifetime (its md5 window keys are " +
+          "length-specific) — rebuild the grid to change it")
+    }
 
   /** All tables the span grid maintains — for test/registration
     * cleanup. */
@@ -72,6 +89,7 @@ object IncrementalSpans {
   def applyBatch(spark: SparkSession, gridTable: String,
       batchDocs: DataFrame, batchId: Long, spanLen: Int = 8,
       nBuckets: Int = 32): Unit = FoldTimer.timed {
+    AppendGrid.recover(spark, gridTable)
     val wm = wmTable(gridTable)
     TableSwap.recover(spark, wm, s"${wm}_stage")
     if (spark.catalog.tableExists(wm)) {
@@ -95,8 +113,11 @@ object IncrementalSpans {
         .write.mode("overwrite").format("parquet")
         .partitionBy("_b", "_kb").saveAsTable(gridTable)
       CdcMerge.setNBuckets(spark, gridTable, nBuckets)
+      CdcMerge.setTableProp(spark, gridTable, SpanLenProp,
+        spanLen.toString)
     } else {
       CdcMerge.requireNBuckets(spark, gridTable, nBuckets)
+      requireSpanLen(spark, gridTable, spanLen)
       // dynamic overwrite of the batch's OWN generation only: a fresh
       // batch creates new partitions (pure append); a crash-window
       // replay replaces them with identical rows (idempotent). The
@@ -125,6 +146,7 @@ object IncrementalSpans {
     * document-disjoint and a replayed batch overwrites its own
     * generation instead of appending twice). */
   def spanReport(spark: SparkSession, gridTable: String): DataFrame = {
+    AppendGrid.recover(spark, gridTable)
     spark.catalog.refreshTable(gridTable)
     spark.table(gridTable)
       .groupBy("span_key")
@@ -156,7 +178,11 @@ object IncrementalSpans {
     * broadcastable and AQE falls back to a shuffle join). */
   def removalView(spark: SparkSession, gridTable: String,
       docs: DataFrame, spanLen: Int = 8): DataFrame = {
+    AppendGrid.recover(spark, gridTable)
     spark.catalog.refreshTable(gridTable)
+    // a drifted spanLen would probe a disjoint md5 keyspace and
+    // silently cut nothing — fail fast instead
+    requireSpanLen(spark, gridTable, spanLen)
     val reqOcc = DedupOps.spanOccurrences(docs, spanLen)
     val reqKeys = reqOcc.select("span_key").distinct()
     // n_docs per requested key, counted over ALL grid owners of that
@@ -174,45 +200,21 @@ object IncrementalSpans {
   }
 
   /** Fold all `_b` generations into the newest one — one file per
-    * bucket again. Full-table rewrite staged to a side table and
-    * swapped in with the crash-recoverable rename chain (the
-    * [[CdcMerge.rebucket]] machinery). Run offline on cadence, like
-    * any non-transactional table service (single-writer: the ingest
-    * stream must be paused). Safe against replays because the batch
-    * watermark — which survives compaction untouched — skips any
-    * already-folded batch id before it could re-append under a fresh
-    * generation. */
-  def compact(spark: SparkSession, gridTable: String): Unit = {
-    spark.catalog.refreshTable(gridTable)
-    val maxB = spark.table(gridTable)
-      .agg(coalesce(max("_b"), lit(0L))).collect()(0).getLong(0)
-    val nBuckets = CdcMerge.tableNBuckets(spark, gridTable)
-    val cols = spark.table(gridTable).columns
-    val tmp = s"${gridTable}_compacting"
-    val old = s"${gridTable}_old"
-    // renaming a directory-partitioned managed table drops partition
-    // metadata (the rebucket finding) — repair after every rename
-    def rename(from: String, to: String): Unit = {
-      spark.sql(s"ALTER TABLE $from RENAME TO $to")
-      spark.sql(s"MSCK REPAIR TABLE $to")
-    }
-    CdcMerge.dropStateTable(spark, tmp)
-    CdcMerge.dropStateTable(spark, old)
-    spark.table(gridTable).withColumn("_b", lit(maxB))
-      .select(cols.toSeq.map(col): _*)
-      .repartition(col("_kb"))
-      .write.mode("overwrite").format("parquet")
-      .partitionBy("_b", "_kb").saveAsTable(tmp)
-    rename(gridTable, old)
-    try rename(tmp, gridTable)
-    catch {
-      case e: Throwable =>
-        rename(old, gridTable)
-        throw e
-    }
-    spark.sql(s"DROP TABLE $old")
-    nBuckets.foreach(CdcMerge.setNBuckets(spark, gridTable, _))
-  }
+    * bucket again, via the shared [[AppendGrid.compact]] machinery:
+    * staged rewrite + crash-recoverable rename chain, graft.*
+    * lifetime properties carried on the stage, and FENCED on the
+    * batch watermark (a generation above the watermark is an open
+    * crash window whose replay would overwrite the compacted
+    * generation — compact refuses until the batch is re-delivered).
+    * Run offline on cadence, single-writer (pause the ingest
+    * stream). */
+  def compact(spark: SparkSession, gridTable: String): Unit =
+    AppendGrid.compact(spark, gridTable, (grid, maxB) => {
+      val cols = grid.columns
+      // rows are immutable — compaction only re-stamps the generation
+      grid.withColumn("_b", lit(maxB))
+        .select(cols.toSeq.map(col): _*)
+    })
 
   /** Continuous maintenance: foreachBatch [[applyBatch]] under the
     * stream's own monotone batch ids. */

@@ -84,7 +84,7 @@ class IncrementalSampleSpec extends SparkSpec {
   }
 
   test("k drift fails fast (a larger k cannot be served from a " +
-      "smaller-k state)") {
+      "smaller-k state) — even when the watermark was lost") {
     import spark.implicits._
     freshTable()
     IncrementalSample.applyBatch(spark, table, docs, batchId = 0,
@@ -94,5 +94,14 @@ class IncrementalSampleSpec extends SparkSpec {
         k = 8)
     }
     assert(e.getMessage.contains("k is fixed"))
+    // the first-fold crash window: state written, watermark never —
+    // the guard must fire off the state's _k column instead
+    Seq(s"${table}_wm", s"${table}_wm_stage", s"${table}_wm_old")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalSample.applyBatch(spark, table, docs, batchId = 1,
+        k = 8)
+    }
+    assert(e2.getMessage.contains("k is fixed"))
   }
 }

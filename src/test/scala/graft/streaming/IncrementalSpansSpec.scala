@@ -149,4 +149,80 @@ class IncrementalSpansSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nBuckets"))
   }
+
+  test("spanLen drift fails fast on fold AND on removalView (a " +
+      "drifted spanLen probes a disjoint md5 keyspace silently)") {
+    freshTable()
+    IncrementalSpans.applyBatch(spark, table, docs, batchId = 0,
+      spanLen = 8)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalSpans.applyBatch(spark, table, docs.limit(0),
+        batchId = 1, spanLen = 10)
+    }
+    assert(e.getMessage.contains("spanLen"))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalSpans.removalView(spark, table, docs, spanLen = 10)
+    }
+    assert(e2.getMessage.contains("spanLen"))
+  }
+
+  test("compact REFUSES while a batch's crash window is open (its " +
+      "replay would overwrite the compacted generation)") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+    (0 to 1).foreach(i =>
+      IncrementalSpans.applyBatch(spark, table, part(i), batchId = i))
+    val before = report()
+    // simulate the crash window: grid holds _b=1 but the watermark
+    // write was lost (rewound to batch 0)
+    TableSwap.writeStaged(spark, Seq(0L).toDF("_batch"),
+      s"${table}_wm")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalSpans.compact(spark, table)
+    }
+    assert(e.getMessage.contains("crash window"))
+    // re-deliver the in-flight batch (idempotent), then compact works
+    IncrementalSpans.applyBatch(spark, table, part(1), batchId = 1)
+    IncrementalSpans.compact(spark, table)
+    assert(report() == before)
+    // and the fenced danger is real no more: replaying batch 1 after
+    // compaction is a watermark no-op
+    IncrementalSpans.applyBatch(spark, table, part(1), batchId = 1)
+    assert(report() == before)
+  }
+
+  test("a crash between compact's renames is recovered: the grid " +
+      "comes back (with its lifetime properties) instead of being " +
+      "silently recreated one-batch-sized") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+    (0 to 1).foreach(i =>
+      IncrementalSpans.applyBatch(spark, table, part(i), batchId = i,
+        nBuckets = 8))
+    val before = report()
+    // simulate a crash after rename(grid -> old) and before
+    // rename(compacting -> grid): stage the compacted copy, then
+    // rename the grid away
+    spark.table(table)
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("_b", "_kb").saveAsTable(s"${table}_compacting")
+    CdcMerge.setNBuckets(spark, s"${table}_compacting", 8)
+    CdcMerge.setTableProp(spark, s"${table}_compacting",
+      "graft.spanlen", "8")
+    spark.sql(s"ALTER TABLE $table RENAME TO ${table}_old")
+    // any entry point recovers: the report is intact...
+    assert(report() == before)
+    // ...the lifetime guards still fire (properties survived)...
+    val e = intercept[IllegalArgumentException] {
+      IncrementalSpans.applyBatch(spark, table, docs.limit(0),
+        batchId = 2, nBuckets = 16)
+    }
+    assert(e.getMessage.contains("nBuckets"))
+    // ...and folding continues where the watermark left off
+    IncrementalSpans.applyBatch(spark, table, part(2), batchId = 2,
+      nBuckets = 8)
+    assert(report() == oneShot)
+  }
 }
