@@ -39,6 +39,10 @@ import graft.streaming.{CdcMerge, IncrementalSkyline, IncrementalSpans}
   * from grids of n and 10n docs; shuffle-write bytes must stay ∝ the
   * request (flat), not ∝ the grid.
   *
+  * df_serve: the cdc43 keywordView serving claim, same protocol — a
+  * fixed 200-doc shard keyword-tagged against df tables built from n
+  * and 10n docs; shuffle-write bytes must stay ∝ the request.
+  *
   * Usage: sbt "runMain graft.tools.Sf1ProbeR13 [probe...]"
   * (no args = all probes)
   */
@@ -47,7 +51,7 @@ object Sf1ProbeR13 {
   def main(args: Array[String]): Unit = {
     val which =
       if (args.isEmpty) Set("span_write", "skyline_bigwrite",
-        "span_serve")
+        "span_serve", "df_serve")
       else args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -179,6 +183,43 @@ object Sf1ProbeR13 {
           f"shuffle-write: ${shuffled / 1e6}%7.2f MB  " +
           f"tok_removed: $cut%6d")
         IncrementalSpans.tables(table)
+          .foreach(CdcMerge.dropStateTable(spark, _))
+      }
+    }
+
+    if (which("df_serve")) {
+      // the span_serve corpus shape — per-doc unique tokens plus a
+      // shared group template: vocabulary ∝ corpus here (the
+      // adversarial case; real text is sublinear by Heaps' law)
+      def corpus(nDocs: Long) = spark.range(nDocs)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ",
+            expr("transform(sequence(1, 15), " +
+              "i -> concat('u', id, '_', i))"),
+            expr("transform(sequence(1, 12), " +
+              "i -> concat('g', id % 97, '_', i))"),
+            expr("transform(sequence(16, 30), " +
+              "i -> concat('u', id, '_', i))")).as("text"))
+      Seq((20000L, 32), (200000L, 320)).foreach { case (n, nb) =>
+        val table = s"r13probe_df_$nb"
+        graft.streaming.IncrementalDocFreq.tables(table)
+          .foreach(CdcMerge.dropStateTable(spark, _))
+        graft.streaming.IncrementalDocFreq.applyBatch(spark, table,
+          corpus(n), batchId = 0, nBuckets = nb)
+        val tableBytes = spark.table(table).inputFiles
+          .map(f => new java.io.File(
+            new java.net.URI(f)).length()).sum
+        val req = corpus(n).filter(col("doc_id") < 200)
+          .localCheckpoint()
+        val (rows, wall, scanned, shuffled) = measuredS {
+          graft.streaming.IncrementalDocFreq
+            .keywordView(spark, table, req, m = 3).count()
+        }
+        println(f"PROBE df_serve  docs=$n%7d  df-table " +
+          f"${tableBytes / 1e6}%7.1f MB  request: 200 docs  " +
+          f"read: $wall%5.1f s  scanned: ${scanned / 1e6}%7.1f MB  " +
+          f"shuffle-write: ${shuffled / 1e6}%7.2f MB  rows: $rows%5d")
+        graft.streaming.IncrementalDocFreq.tables(table)
           .foreach(CdcMerge.dropStateTable(spark, _))
       }
     }

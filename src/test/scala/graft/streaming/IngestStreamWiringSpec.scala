@@ -90,6 +90,68 @@ class IngestStreamWiringSpec extends SparkSpec {
     drop(table)
   }
 
+  test("IncrementalSpans stream == one-shot span report") {
+    import spark.implicits._
+    val table = "wiring_spans"
+    IncrementalSpans.tables(table)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val q = IncrementalSpans.startIngestStream(
+      fileStream(docs, "spans", "doc_id", 25L), table,
+      tmpDir("spans-ck"))
+    try q.awaitTermination() finally q.stop()
+    val inc = IncrementalSpans.spanReport(spark, table).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val one = graft.operators.DedupOps.repeatedSpans(docs, 8)
+      .groupBy("span_key")
+      .agg(max("n_docs").as("n_docs"), max("n_occ").as("n_occ"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == one && inc.nonEmpty)
+    IncrementalSpans.tables(table)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+  }
+
+  test("IncrementalSample stream == one-shot bottom-k") {
+    import spark.implicits._
+    val table = "wiring_sample"
+    IncrementalSample.tables(table)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val q = IncrementalSample.startIngestStream(
+      fileStream(docs, "sample", "doc_id", 25L), table,
+      tmpDir("sample-ck"), k = 8)
+    try q.awaitTermination() finally q.stop()
+    val inc = IncrementalSample.sample(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val one = CurationOps.prioritySample(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == one && inc.size == 8)
+    IncrementalSample.tables(table)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+  }
+
+  test("IncrementalDocFreq stream == one-shot rarity keywords") {
+    import spark.implicits._
+    val table = "wiring_df"
+    IncrementalDocFreq.tables(table)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val q = IncrementalDocFreq.startIngestStream(
+      fileStream(docs, "df", "doc_id", 25L), table, tmpDir("df-ck"))
+    try q.awaitTermination() finally q.stop()
+    assert(IncrementalDocFreq.nDocs(spark, table) == docs.count())
+    val inc = IncrementalDocFreq.keywordView(spark, table, docs, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val one = CurationOps.rarityKeywords(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(inc == one && inc.nonEmpty)
+    IncrementalDocFreq.tables(table)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+  }
+
   test("IncrementalDrift stream == one-shot report") {
     import spark.implicits._
     val refT = "wiring_drift_ref"; val curT = "wiring_drift_cur"
