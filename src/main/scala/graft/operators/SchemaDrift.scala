@@ -114,11 +114,9 @@ object SchemaDrift {
   def writeBatchIdempotent(rows: DataFrame, table: String): Unit = {
     val spark = rows.sparkSession
     if (spark.catalog.tableExists(table)) {
-      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try rows.write.mode("overwrite").insertInto(table)
-      finally
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      graft.streaming.CdcMerge.withDynamicOverwrite(spark) {
+        rows.write.mode("overwrite").insertInto(table)
+      }
     } else {
       graft.streaming.CdcMerge.dropStateTable(spark, table)
       rows.write.mode("overwrite").format("parquet")

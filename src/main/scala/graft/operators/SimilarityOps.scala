@@ -1060,9 +1060,21 @@ object SimilarityOps {
       // query's RESULT — the cached frame IS the built frame.
       // keyed on the full canonicalized plan string (not a 32-bit
       // hash — a collision would silently serve the wrong fixture)
+      // PLUS a data fingerprint (file path, length, mtime per input
+      // file): the plan alone is path-based, so a parquet directory
+      // rewritten in-place between queries would otherwise serve a
+      // stale checkpointed graph with no invalidation (r13 advice).
+      // Control-plane cost: one FS status per input file, once per
+      // distinct fixture per sweep.
+      val hconf = embs.sparkSession.sparkContext.hadoopConfiguration
+      val fingerprint = embs.inputFiles.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(hconf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }.mkString(",")
       val key =
         embs.queryExecution.analyzed.canonicalized.toString() +
-          s"|$dim|$nCentroids|$nProbe|$k|$capacity"
+          s"|$dim|$nCentroids|$nProbe|$k|$capacity|$fingerprint"
       return fixtureCache.computeIfAbsent(key,
         _ => buildKnnGraph(embs, dim, nCentroids, nProbe, k, capacity)
           .localCheckpoint(true))

@@ -34,6 +34,30 @@ object AppendGrid {
     spark.sql(s"MSCK REPAIR TABLE $to")
   }
 
+  /** Replace generation `_b = batchId` of `table` with `deltas` — the
+    * ONE write path every append-grid fold shares. A static-prefix
+    * `INSERT OVERWRITE ... PARTITION (_b=<id>, _kb)` replaces exactly
+    * the batch's own generation subtree (every `_kb` under it,
+    * including partitions the new data lacks) and touches no other
+    * generation — idempotent through the crash window like the old
+    * dynamic overwrite, but with NO dependence on the session-global
+    * `partitionOverwriteMode` conf: a concurrent writer restoring
+    * that conf mid-write (two ingest streams on one session — the
+    * r13 advice) can no longer turn this into a whole-table static
+    * overwrite. The repartition clusters each bucket into one task →
+    * one file per bucket per fold. `dataCols` are the table's
+    * non-partition columns, in schema order. */
+  def writeGeneration(spark: SparkSession, table: String,
+      deltas: DataFrame, batchId: Long, dataCols: Seq[String]): Unit = {
+    val view = s"${table}_gen_src"
+    deltas.repartition(col("_kb")).createOrReplaceTempView(view)
+    try spark.sql(
+      s"INSERT OVERWRITE TABLE $table PARTITION (_b=$batchId, _kb) " +
+        s"SELECT ${dataCols.mkString(", ")}, _kb FROM $view")
+    finally spark.catalog.dropTempView(view)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Restore `table` if a crashed [[compact]] left it half-swapped:
     * prefer the fully-written compacted stage (`_compacting` —
     * complete before any rename starts, and it carries the graft.*
@@ -90,10 +114,37 @@ object AppendGrid {
     props.foreach { case (k, v) =>
       CdcMerge.setTableProp(spark, tmp, k, v)
     }
+    // partition count the swap must end up registering — verified
+    // after the repair, because an ALTER whose MSCK fails leaves the
+    // grid silently readable-as-empty (the r13 advice)
+    val expParts = spark.sql(s"SHOW PARTITIONS $tmp").count()
     rename(spark, table, old)
-    try rename(spark, tmp, table)
+    try spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     catch {
       case e: Throwable =>
+        // the ALTER failed whole — the target name is still free, so
+        // rolling the original back is safe (and cannot itself fail
+        // with TABLE_ALREADY_EXISTS, the masking bug this replaces)
+        if (!spark.catalog.tableExists(table)) rename(spark, old, table)
+        throw e
+    }
+    // the ALTER landed: the compacted data IS the grid now, and a
+    // rollback rename would collide with the taken name. Verify the
+    // repair registered every partition (retrying the MSCK once);
+    // only on verified failure demote — drop the half-registered
+    // compacted copy (derivable: `old` still holds the full grid) and
+    // restore the original, surfacing the real error unmasked.
+    try {
+      try spark.sql(s"MSCK REPAIR TABLE $table")
+      catch { case _: Throwable =>
+        spark.sql(s"MSCK REPAIR TABLE $table") }
+      val got = spark.sql(s"SHOW PARTITIONS $table").count()
+      require(got == expParts,
+        s"compact($table): swap registered $got partitions, " +
+          s"expected $expParts")
+    } catch {
+      case e: Throwable =>
+        spark.sql(s"DROP TABLE IF EXISTS $table")
         rename(spark, old, table)
         throw e
     }

@@ -101,6 +101,39 @@ object CdcMerge {
       .map(r => (r.getString(0), r.getString(1)))
       .filter(_._1.startsWith("graft.")).toSeq
 
+  // one monitor per session conf (identity-keyed, weakly held): the
+  // mutation below is session-global state, so two concurrent writers
+  // sharing a session must not interleave set/restore
+  private val overwriteLocks = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, AnyRef]())
+
+  /** Run `body` with the session's `partitionOverwriteMode` forced to
+    * dynamic, restored after — the one place that conf is ever
+    * mutated. SERIALIZED per session conf: without the lock, writer A
+    * restoring "static" while writer B's insertInto executes turns
+    * B's write into a STATIC overwrite that deletes every untouched
+    * partition of B's table (the r13 advice). The per-write
+    * DataFrameWriter option would be cleaner but is IGNORED on the
+    * catalog-table insertInto path (measured: the write went static);
+    * generation-shaped writes avoid the conf entirely via
+    * [[AppendGrid.writeGeneration]]'s static-prefix INSERT OVERWRITE —
+    * bucket-SET writes like the merge have no static prefix, so they
+    * take this locked path. Cloned sessions (foreachBatch streams)
+    * have their own conf and their own lock. */
+  def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val lock =
+      overwriteLocks.computeIfAbsent(spark.conf, _ => new Object)
+    lock.synchronized {
+      val prev =
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "dynamic")
+      try body
+      finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prev)
+    }
+  }
+
   /** Drop a state table AND its warehouse location. The catalog is
     * per-session but managed-table directories persist across sessions;
     * a fresh session's `DROP TABLE IF EXISTS` alone is a no-op that
@@ -304,12 +337,10 @@ object CdcMerge {
       // state table still holds the OLD rows here; the stage is the
       // post-merge snapshot — the hook sees a consistent before/after
       beforeCommit(current, spark.table(stage))
-      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try spark.table(stage).select(cols.toSeq.map(col): _*)
-        .write.mode("overwrite").insertInto(table)
-      finally
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      withDynamicOverwrite(spark) {
+        spark.table(stage).select(cols.toSeq.map(col): _*)
+          .write.mode("overwrite").insertInto(table)
+      }
       spark.sql(s"DROP TABLE IF EXISTS $stage")
       // same-session readers may hold a cached file listing of the
       // overwritten partitions (stale FILE_NOT_EXIST reads otherwise —
@@ -351,11 +382,10 @@ object CdcMerge {
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
     val keptKbs = spark.table(stage).select("_kb").distinct()
       .collect().map(_.getLong(0)).toSet
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try spark.table(stage).select(cols.toSeq.map(col): _*)
-      .write.mode("overwrite").insertInto(table)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    withDynamicOverwrite(spark) {
+      spark.table(stage).select(cols.toSeq.map(col): _*)
+        .write.mode("overwrite").insertInto(table)
+    }
     spark.sql(s"DROP TABLE IF EXISTS $stage")
     // fully-drained partitions have no rows in the stage, so the
     // dynamic overwrite never touched them — drop them explicitly

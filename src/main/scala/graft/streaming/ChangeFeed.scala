@@ -98,15 +98,11 @@ object ChangeFeed {
     val rows = changes.withColumn("_commit", lit(batchId))
       .coalesce(nFiles)
     if (spark.catalog.tableExists(feedTable)) {
-      val prev =
-        spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try rows
-        .select(spark.table(feedTable).columns.toSeq.map(col): _*)
-        .write.mode("overwrite").insertInto(feedTable)
-      finally spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", prev)
+      CdcMerge.withDynamicOverwrite(spark) {
+        rows
+          .select(spark.table(feedTable).columns.toSeq.map(col): _*)
+          .write.mode("overwrite").insertInto(feedTable)
+      }
     } else {
       // same stale-location hygiene as the state table's create path
       CdcMerge.dropStateTable(spark, feedTable)

@@ -18,20 +18,35 @@ package graft.streaming
   * the depth guard attributes the whole composite to the outermost
   * entry and ignores the inner spans. Measurement-only: zero effect
   * on any fold's behavior.
+  *
+  * Concurrency: the recorded value is "the LATEST-FINISHING outermost
+  * fold since [[reset]]", decided by a CAS on the fold's end
+  * timestamp — concurrent outermost folds on different threads (two
+  * ingest streams on one JVM) can no longer clobber a later-finishing
+  * fold's duration with an earlier one's. For a serial single-stream
+  * harness (the bench) this is exactly "the last fold"; for a
+  * concurrent harness it attributes whichever fold COMPLETED last,
+  * which may belong to a different stream than the caller's — per-
+  * stream attribution needs a serial harness.
   */
 object FoldTimer {
 
   private val depth = new ThreadLocal[Integer] {
     override def initialValue: Integer = 0
   }
-  @volatile private var lastNs: Long = -1L
+  // (end nanoTime, duration ns) of the latest-FINISHING outermost fold
+  private val last =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long)](
+      (Long.MinValue, -1L))
 
   /** Forget any recorded fold — call before a measured region. */
-  def reset(): Unit = lastNs = -1L
+  def reset(): Unit = last.set((Long.MinValue, -1L))
 
   /** Duration of the last OUTERMOST fold since [[reset]], if any. */
-  def lastFoldSeconds: Option[Double] =
-    if (lastNs < 0) None else Some(lastNs / 1e9)
+  def lastFoldSeconds: Option[Double] = {
+    val d = last.get._2
+    if (d < 0) None else Some(d / 1e9)
+  }
 
   /** Time `f` as a fold; only the outermost nested call records. */
   def timed[T](f: => T): T = {
@@ -41,7 +56,15 @@ object FoldTimer {
     try f
     finally {
       depth.set(d)
-      if (d == 0) lastNs = System.nanoTime() - t0
+      if (d == 0) {
+        val end = System.nanoTime()
+        val mine = (end, end - t0)
+        var done = false
+        while (!done) {
+          val cur = last.get
+          done = cur._1 >= end || last.compareAndSet(cur, mine)
+        }
+      }
     }
   }
 }

@@ -168,12 +168,10 @@ object IncrementalAnn {
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
     val keptCids = spark.table(stage).select("cid").distinct()
       .collect().map(_.getLong(0)).toSet
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try spark.table(stage).select(cols.toSeq.map(col): _*)
-      .write.mode("overwrite").insertInto(table)
-    finally
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    CdcMerge.withDynamicOverwrite(spark) {
+      spark.table(stage).select(cols.toSeq.map(col): _*)
+        .write.mode("overwrite").insertInto(table)
+    }
     spark.sql(s"DROP TABLE IF EXISTS $stage")
     cids.filterNot(keptCids).foreach { c =>
       spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cid=$c)")

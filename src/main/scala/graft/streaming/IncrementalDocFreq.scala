@@ -84,15 +84,10 @@ object IncrementalDocFreq {
         CdcMerge.setNBuckets(spark, table, nBuckets)
       } else {
         CdcMerge.requireNBuckets(spark, table, nBuckets)
-        val prev =
-          spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-          "dynamic")
-        try deltas.repartition(col("_kb"))
-          .write.mode("overwrite").insertInto(table)
-        finally spark.conf.set(
-          "spark.sql.sources.partitionOverwriteMode", prev)
-        spark.catalog.refreshTable(table)
+        // static-prefix overwrite of the batch's own generation only
+        // (conf-independent — see AppendGrid.writeGeneration)
+        AppendGrid.writeGeneration(spark, table, deltas, batchId,
+          Seq("word", "df_delta"))
       }
       import spark.implicits._
       // 1-row watermark carrying the additive corpus doc count N:

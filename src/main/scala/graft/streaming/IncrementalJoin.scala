@@ -114,14 +114,10 @@ object IncrementalJoin {
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
     val stagedKbs = spark.table(stage).select("_kb").distinct()
       .collect().map(_.getLong(0)).toSet
-    val prev =
-      spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-      "dynamic")
-    try spark.table(stage).select(cols.toSeq.map(col): _*)
-      .write.mode("overwrite").insertInto(viewTable)
-    finally spark.conf.set(
-      "spark.sql.sources.partitionOverwriteMode", prev)
+    CdcMerge.withDynamicOverwrite(spark) {
+      spark.table(stage).select(cols.toSeq.map(col): _*)
+        .write.mode("overwrite").insertInto(viewTable)
+    }
     // a touched partition with NO surviving rows is absent from the
     // stage — dynamic overwrite left its stale files; drop it
     touched.filterNot(stagedKbs).foreach { kb =>

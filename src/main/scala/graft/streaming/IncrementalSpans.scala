@@ -118,20 +118,12 @@ object IncrementalSpans {
     } else {
       CdcMerge.requireNBuckets(spark, gridTable, nBuckets)
       requireSpanLen(spark, gridTable, spanLen)
-      // dynamic overwrite of the batch's OWN generation only: a fresh
-      // batch creates new partitions (pure append); a crash-window
-      // replay replaces them with identical rows (idempotent). The
-      // repartition clusters each (_b, _kb) into one task → one file
-      // per bucket per fold.
-      val prev =
-        spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-        "dynamic")
-      try deltas.repartition(col("_kb"))
-        .write.mode("overwrite").insertInto(gridTable)
-      finally spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", prev)
-      spark.catalog.refreshTable(gridTable)
+      // static-prefix overwrite of the batch's OWN generation only
+      // (AppendGrid.writeGeneration): a fresh batch creates new
+      // partitions (pure append); a crash-window replay replaces its
+      // whole generation subtree with identical rows (idempotent).
+      AppendGrid.writeGeneration(spark, gridTable, deltas, batchId,
+        Seq("span_key", "doc_id", "n_occ"))
     }
     import spark.implicits._
     // 1-row watermark: bounded state — the TableSwap size contract

@@ -85,12 +85,10 @@ object Scd2Merge {
       merged.repartition(col("_kb"))
         .write.mode("overwrite").format("parquet").saveAsTable(stage)
       val cols = spark.table(table).columns
-      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try spark.table(stage).select(cols.toSeq.map(col): _*)
-        .write.mode("overwrite").insertInto(table)
-      finally
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      CdcMerge.withDynamicOverwrite(spark) {
+        spark.table(stage).select(cols.toSeq.map(col): _*)
+          .write.mode("overwrite").insertInto(table)
+      }
       spark.sql(s"DROP TABLE IF EXISTS $stage")
       // same-session readers may hold a cached file listing of the
       // overwritten partitions (stale FILE_NOT_EXIST reads otherwise —
@@ -183,12 +181,10 @@ object Scd2Merge {
       CdcMerge.dropStateTable(spark, stage)
     kept.repartition(col("_kb"))
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try spark.table(stage).select(cols.toSeq.map(col): _*)
-      .write.mode("overwrite").insertInto(table)
-    finally
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    CdcMerge.withDynamicOverwrite(spark) {
+      spark.table(stage).select(cols.toSeq.map(col): _*)
+        .write.mode("overwrite").insertInto(table)
+    }
     spark.sql(s"DROP TABLE IF EXISTS $stage")
     // no drained-partition handling, deliberately unlike
     // CdcMerge.vacuumTombstones: every key always retains its OPEN
