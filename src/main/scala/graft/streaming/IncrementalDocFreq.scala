@@ -45,6 +45,27 @@ object IncrementalDocFreq {
       wmTable(table), s"${wmTable(table)}_stage",
       s"${wmTable(table)}_old")
 
+  /** The committed (batch id, corpus doc count) — (-1, 0) before the
+    * first watermark write. Serve paths filter the grid to `_b <=`
+    * the committed batch AND take N from the SAME row: between a
+    * fold's grid write and its watermark write (the crash window),
+    * reading the fresh generation against the old N would transiently
+    * skew score = tf·(N·10⁶ div df) — df including a batch N excludes
+    * (the r13 finding). Snapshot-consistent reads see exactly the
+    * pre-batch state until the watermark lands. */
+  private def committed(spark: SparkSession,
+      table: String): (Long, Long) = {
+    val wm = wmTable(table)
+    TableSwap.recover(spark, wm, s"${wm}_stage")
+    if (!spark.catalog.tableExists(wm)) (-1L, 0L)
+    else {
+      val row = spark.table(wm)
+        .agg(coalesce(max("_batch"), lit(-1L)),
+          coalesce(max("_n_docs"), lit(0L))).collect()(0)
+      (row.getLong(0), row.getLong(1))
+    }
+  }
+
   private def batchTf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("word"))
@@ -59,16 +80,8 @@ object IncrementalDocFreq {
       batchDocs: DataFrame, batchId: Long, nBuckets: Int = 32): Unit =
     FoldTimer.timed {
       AppendGrid.recover(spark, table)
-      val wm = wmTable(table)
-      TableSwap.recover(spark, wm, s"${wm}_stage")
-      var nSoFar = 0L
-      if (spark.catalog.tableExists(wm)) {
-        val row = spark.table(wm)
-          .agg(coalesce(max("_batch"), lit(-1L)),
-            coalesce(max("_n_docs"), lit(0L))).collect()(0)
-        if (batchId <= row.getLong(0)) return
-        nSoFar = row.getLong(1)
-      }
+      val (lastBatch, nSoFar) = committed(spark, table)
+      if (batchId <= lastBatch) return
       val nBatch = batchDocs.count()
       val deltas = batchTf(batchDocs)
         .groupBy("word").agg(count(lit(1)).as("df_delta"))
@@ -95,26 +108,26 @@ object IncrementalDocFreq {
       // exactly once per batch (a crash-window replay still reads the
       // OLD N here, because this write is what advances it).
       TableSwap.writeStaged(spark,
-        Seq((batchId, nSoFar + nBatch)).toDF("_batch", "_n_docs"), wm)
+        Seq((batchId, nSoFar + nBatch)).toDF("_batch", "_n_docs"),
+        wmTable(table))
     }
 
   /** The maintained (word, df) statistic: SUM of the per-batch deltas
     * — one map-side-combined aggregate over the vocabulary-sized
-    * grid. */
+    * grid. Snapshot-consistent: generations above the committed
+    * watermark (an open crash window) are invisible. */
   def dfReport(spark: SparkSession, table: String): DataFrame = {
     AppendGrid.recover(spark, table)
     spark.catalog.refreshTable(table)
-    spark.table(table).groupBy("word")
+    spark.table(table)
+      .filter(col("_b") <= committed(spark, table)._1)
+      .groupBy("word")
       .agg(sum(col("df_delta")).as("df"))
   }
 
-  /** The maintained corpus doc count N. */
-  def nDocs(spark: SparkSession, table: String): Long = {
-    val wm = wmTable(table)
-    TableSwap.recover(spark, wm, s"${wm}_stage")
-    spark.table(wm).agg(coalesce(max("_n_docs"), lit(0L)))
-      .collect()(0).getLong(0)
-  }
+  /** The maintained corpus doc count N (committed batches only). */
+  def nDocs(spark: SparkSession, table: String): Long =
+    committed(spark, table)._2
 
   /** MAINTAINED RARITY-KEYWORD VIEW — doc49 served from the
     * maintained statistics: the REQUESTED docs keyword-tagged with
@@ -143,10 +156,14 @@ object IncrementalDocFreq {
     spark.catalog.refreshTable(table)
     val tf = batchTf(docs)
     val reqWords = tf.select("word").distinct()
+    // df and N from ONE committed watermark read: the crash-window
+    // skew (df including a batch that N excludes) is closed by
+    // filtering the grid to the same snapshot the N came from
+    val (wmB, n) = committed(spark, table)
     val df = spark.table(table)
+      .filter(col("_b") <= wmB)
       .join(reqWords, Seq("word"), "left_semi")
       .groupBy("word").agg(sum(col("df_delta")).as("df"))
-    val n = nDocs(spark, table)
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word"))
     tf.join(df, Seq("word"))

@@ -82,6 +82,22 @@ object IncrementalSpans {
       wmTable(gridTable), s"${wmTable(gridTable)}_stage",
       s"${wmTable(gridTable)}_old")
 
+  /** The highest COMMITTED batch id (-1 before the first watermark
+    * write). Every serve path filters the grid to `_b <=` this value:
+    * between a fold's grid write and its watermark write (the crash
+    * window) the in-flight generation exists on disk but is not yet
+    * committed, and serving it would expose a batch that a crash may
+    * still replay — snapshot-consistent reads see exactly the
+    * pre-batch state until the watermark lands. */
+  private def committedBatch(spark: SparkSession,
+      gridTable: String): Long = {
+    val wm = wmTable(gridTable)
+    TableSwap.recover(spark, wm, s"${wm}_stage")
+    if (!spark.catalog.tableExists(wm)) -1L
+    else spark.table(wm).agg(coalesce(max("_batch"), lit(-1L)))
+      .collect()(0).getLong(0)
+  }
+
   /** Fold one document batch into the span grid: one occurrence
     * aggregation (∝ batch tokens) + one append-shaped write into the
     * batch's own `_b` generation (∝ batch). `nBuckets` must be stable
@@ -90,13 +106,7 @@ object IncrementalSpans {
       batchDocs: DataFrame, batchId: Long, spanLen: Int = 8,
       nBuckets: Int = 32): Unit = FoldTimer.timed {
     AppendGrid.recover(spark, gridTable)
-    val wm = wmTable(gridTable)
-    TableSwap.recover(spark, wm, s"${wm}_stage")
-    if (spark.catalog.tableExists(wm)) {
-      val last = spark.table(wm).agg(coalesce(max("_batch"), lit(-1L)))
-        .collect()(0).getLong(0)
-      if (batchId <= last) return
-    }
+    if (batchId <= committedBatch(spark, gridTable)) return
     val deltas = DedupOps.spanOccurrences(batchDocs, spanLen)
       .groupBy("span_key", "doc_id")
       .agg(count(lit(1)).as("n_occ"))
@@ -127,7 +137,8 @@ object IncrementalSpans {
     }
     import spark.implicits._
     // 1-row watermark: bounded state — the TableSwap size contract
-    TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"), wm)
+    TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
+      wmTable(gridTable))
   }
 
   /** The doc46-shaped span-level report served from the maintained
@@ -140,7 +151,10 @@ object IncrementalSpans {
   def spanReport(spark: SparkSession, gridTable: String): DataFrame = {
     AppendGrid.recover(spark, gridTable)
     spark.catalog.refreshTable(gridTable)
+    // snapshot-consistent: an open crash window's generation (grid
+    // written, watermark not) is invisible until its batch commits
     spark.table(gridTable)
+      .filter(col("_b") <= committedBatch(spark, gridTable))
       .groupBy("span_key")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occ"))
       .filter(col("n_docs") >= 2)
@@ -178,8 +192,11 @@ object IncrementalSpans {
     val reqOcc = DedupOps.spanOccurrences(docs, spanLen)
     val reqKeys = reqOcc.select("span_key").distinct()
     // n_docs per requested key, counted over ALL grid owners of that
-    // key (grid PK is (span_key, doc_id), so rows/key = n_docs)
+    // key (grid PK is (span_key, doc_id), so rows/key = n_docs);
+    // snapshot-consistent — an open crash window's generation is
+    // invisible until its batch commits
     val repeated = spark.table(gridTable)
+      .filter(col("_b") <= committedBatch(spark, gridTable))
       .join(reqKeys, Seq("span_key"), "left_semi")
       .groupBy("span_key")
       .agg(count(lit(1)).as("n_docs"))

@@ -94,6 +94,37 @@ class IncrementalDocFreqSpec extends SparkSpec {
     assert(view(docs) == oneShot)
   }
 
+  test("serve paths are SNAPSHOT-CONSISTENT: while a crash window is " +
+      "open (grid written, watermark not), dfReport/keywordView/nDocs " +
+      "serve the pre-batch state — df can never include a batch that " +
+      "N excludes") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+    def dfRows() = IncrementalDocFreq.dfReport(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    IncrementalDocFreq.applyBatch(spark, table, part(0), batchId = 0)
+    val n0 = part(0).count()
+    val df0 = dfRows()
+    val kv0 = view(part(0))
+    IncrementalDocFreq.applyBatch(spark, table, part(1), batchId = 1)
+    val df1 = dfRows()
+    val kv1 = view(part(0))
+    assert(df1 != df0)
+    // reopen batch 1's crash window: generation on disk, watermark
+    // rewound — every serve must show exactly the post-batch-0 state
+    // (the r13 finding was df including batch 1 while N excluded it)
+    TableSwap.writeStaged(spark,
+      Seq((0L, n0)).toDF("_batch", "_n_docs"), s"${table}_wm")
+    assert(IncrementalDocFreq.nDocs(spark, table) == n0)
+    assert(dfRows() == df0)
+    assert(view(part(0)) == kv0)
+    // re-deliver (commit) batch 1: the full state serves again
+    IncrementalDocFreq.applyBatch(spark, table, part(1), batchId = 1)
+    assert(dfRows() == df1)
+    assert(view(part(0)) == kv1)
+  }
+
   test("a shard request scores against the CORPUS df — equal to the " +
       "one-shot's rows for those docs, not to a shard-local one-shot") {
     import spark.implicits._

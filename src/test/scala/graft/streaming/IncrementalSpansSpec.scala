@@ -51,13 +51,13 @@ class IncrementalSpansSpec extends SparkSpec {
     // clean replay: the watermark short-circuits before any job
     IncrementalSpans.applyBatch(spark, table, part(1), batchId = 1)
     assert(report() == before)
-    // CRASH-WINDOW replay: the watermark write was lost (simulated by
-    // dropping the _wm table), so the fold re-runs — the dynamic
-    // overwrite of the batch's own _b generation must replace, not
-    // duplicate, its rows
-    Seq(s"${table}_wm", s"${table}_wm_stage", s"${table}_wm_old")
-      .foreach(CdcMerge.dropStateTable(spark, _))
-    IncrementalSpans.applyBatch(spark, table, part(1), batchId = 1)
+    // CRASH-WINDOW replay: batch 2's grid write landed but its
+    // watermark write was lost (rewound to batch 1), so the fold
+    // re-runs — the generation overwrite of the batch's own _b
+    // subtree must replace, not duplicate, its rows
+    TableSwap.writeStaged(spark, Seq(1L).toDF("_batch"),
+      s"${table}_wm")
+    IncrementalSpans.applyBatch(spark, table, part(2), batchId = 2)
     assert(report() == before)
   }
 
@@ -135,6 +135,49 @@ class IncrementalSpansSpec extends SparkSpec {
     assert(earlyView() == ((s"e_1 e_2 e_3 $tmpl", 0L))) // nothing yet
     IncrementalSpans.applyBatch(spark, t2, late, batchId = 1)
     assert(earlyView() == (("e_1 e_2 e_3", 8L))) // late repeat cut
+    IncrementalSpans.tables(t2)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+  }
+
+  test("serve paths are SNAPSHOT-CONSISTENT: an open crash window's " +
+      "generation (grid written, watermark not) is invisible to " +
+      "spanReport and removalView until its batch commits") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+    IncrementalSpans.applyBatch(spark, table, part(0), batchId = 0)
+    val afterB0 = report()
+    IncrementalSpans.applyBatch(spark, table, part(1), batchId = 1)
+    val afterB1 = report()
+    assert(afterB1 != afterB0)
+    // reopen batch 1's crash window: its generation is on disk but
+    // the watermark is rewound to batch 0 — serves must show the
+    // PRE-batch state, not batch 1's deltas against batch 0's state
+    TableSwap.writeStaged(spark, Seq(0L).toDF("_batch"),
+      s"${table}_wm")
+    assert(report() == afterB0)
+    // re-deliver (commit) batch 1: the full state serves again
+    IncrementalSpans.applyBatch(spark, table, part(1), batchId = 1)
+    assert(report() == afterB1)
+
+    // removalView honors the same snapshot: the late-repeat cut
+    // appears only once the late batch COMMITS
+    val t2 = "spanspec_grid_snap"
+    IncrementalSpans.tables(t2)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val tmpl = (0 until 8).map(j => s"S_$j").mkString(" ")
+    val early = Seq((0L, s"e_1 e_2 e_3 $tmpl")).toDF("doc_id", "text")
+    val late = Seq((1L, s"l_1 l_2 l_3 $tmpl")).toDF("doc_id", "text")
+    def earlyCut() = IncrementalSpans
+      .removalView(spark, t2, early).collect()
+      .map(r => r.getLong(2)).head
+    IncrementalSpans.applyBatch(spark, t2, early, batchId = 0)
+    IncrementalSpans.applyBatch(spark, t2, late, batchId = 1)
+    assert(earlyCut() == 8L)
+    TableSwap.writeStaged(spark, Seq(0L).toDF("_batch"), s"${t2}_wm")
+    assert(earlyCut() == 0L) // batch 1 uncommitted → no cut yet
+    IncrementalSpans.applyBatch(spark, t2, late, batchId = 1)
+    assert(earlyCut() == 8L)
     IncrementalSpans.tables(t2)
       .foreach(CdcMerge.dropStateTable(spark, _))
   }
