@@ -991,6 +991,12 @@ object OpsQueries {
   // when batches 1-2 arrive — the view still cuts them, because the
   // grid remembers every owner. Requesting the full corpus must equal
   // the one-shot doc50 rewrite exactly (same oracle).
+  // The harness COMPACTS mid-stream (after the replayed batch 1), so
+  // the serve exercises the r14 ∝-repeated-mass path end to end: the
+  // _rep summary (repeats as of batch 1), the residual generation
+  // (batch 2), and the compacted-singleton reconciliation (spans
+  // whose second owner arrives only in batch 2 — invisible to the
+  // summary, recovered by the point-probe / semi-join fallback).
   private val cdc41 = GraftQuery(
     "cdc41_span_removal_view",
     (s, dir) => {
@@ -1000,10 +1006,13 @@ object OpsQueries {
         .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
       val docs = t(s, dir, "documents")
       def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
-      Seq((0, 0L), (1, 1L), (1, 1L), (2, 2L)).foreach { case (p, b) =>
+      Seq((0, 0L), (1, 1L), (1, 1L)).foreach { case (p, b) =>
         graft.streaming.IncrementalSpans.applyBatch(s, table,
           part(p), batchId = b)
       }
+      graft.streaming.IncrementalSpans.compact(s, table)
+      graft.streaming.IncrementalSpans.applyBatch(s, table,
+        part(2), batchId = 2L)
       graft.streaming.IncrementalSpans.removalView(s, table, docs)
         .orderBy($"doc_id")
     },

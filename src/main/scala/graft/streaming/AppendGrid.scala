@@ -80,9 +80,18 @@ object AppendGrid {
     * `_b = maxB`. The rewrite stages to `_compacting`, carries every
     * `graft.*` table property, and swaps in via the crash-recoverable
     * rename chain. Fenced: refuses while the newest generation's
-    * batch is inside the crash window (see object doc). */
+    * batch is inside the crash window (see object doc).
+    *
+    * `sortCols`: sort order WITHIN each compacted bucket file —
+    * sorting by the grid's key column gives every row group a tight
+    * parquet min/max on that key, so later point-probes
+    * ([[IncrementalSpans.removalView]]'s compacted-singleton check)
+    * can skip row groups instead of scanning the bucket.
+    *
+    * Returns the compacted generation id (`maxB`). */
   def compact(spark: SparkSession, table: String,
-      fold: (DataFrame, Long) => DataFrame): Unit = {
+      fold: (DataFrame, Long) => DataFrame,
+      sortCols: Seq[String] = Nil): Long = {
     recover(spark, table)
     spark.catalog.refreshTable(table)
     val maxB = spark.table(table)
@@ -105,8 +114,9 @@ object AppendGrid {
     val old = s"${table}_old"
     CdcMerge.dropStateTable(spark, tmp)
     CdcMerge.dropStateTable(spark, old)
-    fold(spark.table(table), maxB)
-      .repartition(col("_kb"))
+    val folded = fold(spark.table(table), maxB).repartition(col("_kb"))
+    (if (sortCols.isEmpty) folded
+     else folded.sortWithinPartitions(sortCols.map(col): _*))
       .write.mode("overwrite").format("parquet")
       .partitionBy("_b", "_kb").saveAsTable(tmp)
     // properties ride on the stage BEFORE the swap, so a recovery
@@ -149,5 +159,6 @@ object AppendGrid {
         throw e
     }
     spark.sql(s"DROP TABLE $old")
+    maxB
   }
 }

@@ -183,12 +183,15 @@ object IncrementalDocFreq {
     * watermark (an open crash window refuses to compact — its replay
     * would overwrite the compacted generation). Single-writer: pause
     * the ingest stream. */
-  def compact(spark: SparkSession, table: String): Unit =
+  def compact(spark: SparkSession, table: String): Unit = {
     AppendGrid.compact(spark, table, (grid, maxB) =>
       grid.groupBy("word", "_kb")
         .agg(sum(col("df_delta")).as("df_delta"))
         .withColumn("_b", lit(maxB))
-        .select(col("word"), col("df_delta"), col("_b"), col("_kb")))
+        .select(col("word"), col("df_delta"), col("_b"), col("_kb")),
+      sortCols = Seq("word"))
+    ()
+  }
 
   /** Continuous maintenance: foreachBatch [[applyBatch]] under the
     * stream's own monotone batch ids. */

@@ -63,7 +63,20 @@ object IncrementalSpans {
 
   private def wmTable(gridTable: String) = s"${gridTable}_wm"
 
+  private def repTable(gridTable: String) = s"${gridTable}_rep"
+
   private val SpanLenProp = "graft.spanlen"
+
+  /** Table property on the `_rep` summary recording which compacted
+    * generation it covers. Membership in the summary is MONOTONE-
+    * SOUND forever (the grid is append-only with no delete path, so a
+    * key repeated at any point stays repeated); the generation bound
+    * is what makes the summary COMPLETE for generations `_b <=` it —
+    * newer generations are reconciled at read time. A crash between
+    * the summary swap and this property write just leaves the
+    * property stale, which degrades the serve back toward the full
+    * residual count — never to a wrong answer. */
+  private val RepGenProp = "graft.repgen"
 
   private def requireSpanLen(spark: SparkSession, gridTable: String,
       spanLen: Int): Unit =
@@ -80,7 +93,9 @@ object IncrementalSpans {
   def tables(gridTable: String): Seq[String] =
     Seq(gridTable, s"${gridTable}_compacting", s"${gridTable}_old",
       wmTable(gridTable), s"${wmTable(gridTable)}_stage",
-      s"${wmTable(gridTable)}_old")
+      s"${wmTable(gridTable)}_old",
+      repTable(gridTable), s"${repTable(gridTable)}_stage",
+      s"${repTable(gridTable)}_old")
 
   /** The highest COMMITTED batch id (-1 before the first watermark
     * write). Every serve path filters the grid to `_b <=` this value:
@@ -171,37 +186,112 @@ object IncrementalSpans {
     * [[DedupOps.removeRepeatedSpans]] over it exactly (cdc41 pins
     * that equality through the doc50 oracle).
     *
-    * Cost shape: the expensive GLOBAL statistic (which spans repeat)
-    * lives in the maintained grid; per read, the grid is RESTRICTED
-    * to the requested docs' span keys BEFORE any aggregate — a
-    * semi-join the optimizer broadcasts whenever the requested key
-    * set is shard-sized (the serving pattern: reads happen per shard
-    * of the training corpus), so the grid is scanned but never
-    * shuffled, and the n_docs count shuffles only the MATCHING grid
-    * rows. The rewrite itself is ∝ requested docs (their token
-    * windows, their islands). A full-corpus request degrades
-    * gracefully to the honest one-shot cost (the key set stops being
-    * broadcastable and AQE falls back to a shuffle join). */
+    * Cost shape — the serve reads a ∝-REPEATED-MASS summary, not the
+    * corpus-sized grid (the r13 watch): [[compact]] maintains a
+    * `_rep` table of the span keys repeated as of the compacted
+    * generation (repeated mass only — a tiny subset of the grid for
+    * non-repetitive text), so a read scans
+    *
+    *  - the summary (∝ repeated mass), semi-joined to the requested
+    *    keys (broadcast at shard-sized requests),
+    *  - the POST-compaction residual generations (`_b >` the
+    *    summary's generation — partition-pruned, ∝ recent batches),
+    *  - and, ONLY for requested keys with exactly one residual owner
+    *    that the summary doesn't already know (the late-second-owner
+    *    case: first owner compacted as a singleton, second owner
+    *    arrived after), a point-probe of the compacted generation —
+    *    partition-pruned to the probe keys' `_kb` buckets and pushed
+    *    down as an `IN` filter over the bucket-sorted span_key column
+    *    (row-group skipping), with a `probeCap` fallback to a
+    *    semi-join full scan for degenerate probe sets. An empty probe
+    *    set (the common serve: requested docs ingested before the
+    *    last compaction, residual sharing nothing) reads NOTHING from
+    *    the compacted generation.
+    *
+    * Soundness of the split: the grid is append-only under document-
+    * disjoint ingest, so summary membership is monotone (repeated
+    * once = repeated forever), a non-member key has at most ONE
+    * compacted owner, and compacted vs residual owner sets are
+    * disjoint — total n_docs ≥ 2 iff member ∨ residual ≥ 2 ∨
+    * (residual = 1 ∧ compacted = 1). Before the first [[compact]]
+    * (no summary yet) the read falls back to counting owners over
+    * the whole grid restricted to the requested keys (the pre-r14
+    * shape). The rewrite itself is ∝ requested docs; a full-corpus
+    * request degrades gracefully to the honest one-shot cost. */
   def removalView(spark: SparkSession, gridTable: String,
-      docs: DataFrame, spanLen: Int = 8): DataFrame = {
+      docs: DataFrame, spanLen: Int = 8,
+      probeCap: Int = 8192): DataFrame = {
     AppendGrid.recover(spark, gridTable)
     spark.catalog.refreshTable(gridTable)
     // a drifted spanLen would probe a disjoint md5 keyspace and
     // silently cut nothing — fail fast instead
     requireSpanLen(spark, gridTable, spanLen)
+    val wmB = committedBatch(spark, gridTable)
     val reqOcc = DedupOps.spanOccurrences(docs, spanLen)
     val reqKeys = reqOcc.select("span_key").distinct()
-    // n_docs per requested key, counted over ALL grid owners of that
-    // key (grid PK is (span_key, doc_id), so rows/key = n_docs);
-    // snapshot-consistent — an open crash window's generation is
+    // snapshot-consistent: an open crash window's generation is
     // invisible until its batch commits
-    val repeated = spark.table(gridTable)
-      .filter(col("_b") <= committedBatch(spark, gridTable))
-      .join(reqKeys, Seq("span_key"), "left_semi")
-      .groupBy("span_key")
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-      .select("span_key")
+    val grid = spark.table(gridTable).filter(col("_b") <= wmB)
+    val repT = repTable(gridTable)
+    val repGen: Option[Long] =
+      if (spark.catalog.tableExists(repT))
+        CdcMerge.tableProp(spark, repT, RepGenProp).map(_.toLong)
+      else None
+    val repeated = repGen match {
+      case Some(g) =>
+        spark.catalog.refreshTable(repT)
+        // requested keys already known repeated (∝ repeated mass)
+        val repHit = spark.table(repT).select("span_key")
+          .join(reqKeys, Seq("span_key"), "left_semi")
+        // residual owner count per requested key (∝ recent batches —
+        // generation partitions above g are pruned-in, the compacted
+        // generation pruned-out)
+        val residual = grid.filter(col("_b") > g)
+          .join(reqKeys, Seq("span_key"), "left_semi")
+          .groupBy("span_key").agg(count(lit(1)).as("_r"))
+        val resRep = residual.filter(col("_r") >= 2)
+          .select("span_key")
+        // the ONLY keys whose compacted count matters: exactly one
+        // residual owner, not already known repeated — repeated iff
+        // their (≤1) compacted owner exists
+        val case2 = residual.filter(col("_r") === 1)
+          .select("span_key")
+          .join(repHit, Seq("span_key"), "left_anti")
+        val nBuckets = CdcMerge.tableNBuckets(spark, gridTable)
+          .getOrElse(32)
+        val c2 = case2
+          .withColumn("_kb",
+            pmod(xxhash64(col("span_key")), lit(nBuckets.toLong)))
+          .limit(probeCap + 1).collect()
+        val probeHit =
+          if (c2.isEmpty) reqKeys.limit(0)
+          else if (c2.length <= probeCap) {
+            // point-probe: _kb literals prune directory partitions,
+            // the span_key IN filter pushes to parquet (bucket files
+            // are span_key-sorted by compact — row groups skip)
+            val keys = c2.map(_.getString(0)).toSeq
+            val kbs = c2.map(_.getLong(1)).distinct.toSeq
+            grid.filter(col("_b") <= g &&
+                col("_kb").isin(kbs: _*) &&
+                col("span_key").isin(keys: _*))
+              .select("span_key")
+          } else
+            // degenerate probe set (≈ full-corpus request): honest
+            // semi-join scan of the compacted generation
+            grid.filter(col("_b") <= g)
+              .join(case2, Seq("span_key"), "left_semi")
+              .select("span_key")
+        repHit.union(resRep).union(probeHit).distinct()
+      case None =>
+        // no summary yet (never compacted): count owners over the
+        // whole grid restricted to the requested keys (grid PK is
+        // (span_key, doc_id), so rows/key = n_docs)
+        grid.join(reqKeys, Seq("span_key"), "left_semi")
+          .groupBy("span_key")
+          .agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .select("span_key")
+    }
     val occ = reqOcc
       .join(repeated, Seq("span_key"), "left_semi")
       .select(col("doc_id"), col("pos"))
@@ -209,21 +299,50 @@ object IncrementalSpans {
   }
 
   /** Fold all `_b` generations into the newest one — one file per
-    * bucket again, via the shared [[AppendGrid.compact]] machinery:
-    * staged rewrite + crash-recoverable rename chain, graft.*
-    * lifetime properties carried on the stage, and FENCED on the
-    * batch watermark (a generation above the watermark is an open
-    * crash window whose replay would overwrite the compacted
-    * generation — compact refuses until the batch is re-delivered).
+    * bucket again (span_key-sorted within each bucket, so the
+    * removalView point-probe can skip row groups), via the shared
+    * [[AppendGrid.compact]] machinery: staged rewrite +
+    * crash-recoverable rename chain, graft.* lifetime properties
+    * carried on the stage, and FENCED on the batch watermark (a
+    * generation above the watermark is an open crash window whose
+    * replay would overwrite the compacted generation — compact
+    * refuses until the batch is re-delivered).
+    *
+    * Additionally REBUILDS the `_rep` summary — the repeated span
+    * keys (n_docs ≥ 2) as of the compacted generation, the
+    * ∝-repeated-mass table [[removalView]] serves from. One aggregate
+    * over the grid this offline job already rewrites; written via the
+    * crash-safe [[TableSwap]] swap, generation recorded as a table
+    * property AFTER the swap (a crash in between leaves the property
+    * stale — sound, see [[RepGenProp]]).
+    *
     * Run offline on cadence, single-writer (pause the ingest
     * stream). */
-  def compact(spark: SparkSession, gridTable: String): Unit =
-    AppendGrid.compact(spark, gridTable, (grid, maxB) => {
+  def compact(spark: SparkSession, gridTable: String): Unit = {
+    val g = AppendGrid.compact(spark, gridTable, (grid, maxB) => {
       val cols = grid.columns
       // rows are immutable — compaction only re-stamps the generation
       grid.withColumn("_b", lit(maxB))
         .select(cols.toSeq.map(col): _*)
-    })
+    }, sortCols = Seq("span_key"))
+    refreshRepSummary(spark, gridTable, g)
+  }
+
+  /** Rebuild the `_rep` repeated-key summary covering generations
+    * `_b <= g`. */
+  private def refreshRepSummary(spark: SparkSession, gridTable: String,
+      g: Long): Unit = {
+    val rep = spark.table(gridTable)
+      .filter(col("_b") <= g)
+      .groupBy("span_key")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("span_key")
+    TableSwap.writeStagedSpread(spark, rep, repTable(gridTable),
+      col("span_key"))
+    CdcMerge.setTableProp(spark, repTable(gridTable), RepGenProp,
+      g.toString)
+  }
 
   /** Continuous maintenance: foreachBatch [[applyBatch]] under the
     * stream's own monotone batch ids. */

@@ -139,6 +139,57 @@ class IncrementalSpansSpec extends SparkSpec {
       .foreach(CdcMerge.dropStateTable(spark, _))
   }
 
+  test("after compact, removalView serves from the _rep summary + " +
+      "residual generations — and still catches the LATE SECOND " +
+      "OWNER of a compacted singleton (case 2: one owner compacted, " +
+      "one residual, key absent from the summary)") {
+    import spark.implicits._
+    val t3 = "spanspec_grid_rep"
+    IncrementalSpans.tables(t3)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val tmpl = (0 until 8).map(j => s"R_$j").mkString(" ")
+    val single = (0 until 8).map(j => s"Q_$j").mkString(" ")
+    // batch 0: tmpl repeated (docs 0,1) — lands in the summary;
+    // `single` owned once (doc 2) — a compacted singleton
+    val b0 = Seq(
+      (0L, s"a_1 a_2 a_3 $tmpl"),
+      (1L, s"b_1 b_2 b_3 $tmpl"),
+      (2L, s"c_1 c_2 c_3 $single")).toDF("doc_id", "text")
+    IncrementalSpans.applyBatch(spark, t3, b0, batchId = 0)
+    IncrementalSpans.compact(spark, t3)
+    assert(spark.catalog.tableExists(s"${t3}_rep"))
+    // batch 1 (post-compact, residual): doc 3 repeats `single` —
+    // repeated only ACROSS the summary boundary
+    val b1 = Seq((3L, s"d_1 d_2 d_3 $single")).toDF("doc_id", "text")
+    IncrementalSpans.applyBatch(spark, t3, b1, batchId = 1)
+    val all = b0.unionByName(b1)
+    val served = IncrementalSpans.removalView(spark, t3, all)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val oneShot = DedupOps.removeRepeatedSpans(all, spanLen = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(served == oneShot)
+    // the case-2 cuts specifically: both owners of `single` lost it
+    assert(served.contains((2L, "c_1 c_2 c_3", 8L)))
+    assert(served.contains((3L, "d_1 d_2 d_3", 8L)))
+    // and the probeCap fallback path returns the same answer
+    val servedFb = IncrementalSpans.removalView(spark, t3, all,
+        probeCap = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(servedFb == oneShot)
+    // a second compact folds the residual into the summary; the
+    // serve stays exact and the probe set empties
+    IncrementalSpans.compact(spark, t3)
+    val served2 = IncrementalSpans.removalView(spark, t3, all)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(served2 == oneShot)
+    IncrementalSpans.tables(t3)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+  }
+
   test("serve paths are SNAPSHOT-CONSISTENT: an open crash window's " +
       "generation (grid written, watermark not) is invisible to " +
       "spanReport and removalView until its batch commits") {
