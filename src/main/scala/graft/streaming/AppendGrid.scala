@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * directory-partitioned on (`_b` = batch generation, `_kb` = hash
   * bucket) where each fold dynamic-overwrites only its own `_b`
   * generation ([[IncrementalSpans]]' span grid, [[IncrementalDocFreq]]'s
-  * df deltas). Two services every such grid needs, kept in ONE place
+  * df deltas). The services every such grid needs, kept in ONE place
   * because their crash-safety subtleties are identical:
   *
   *  - [[recover]]: restore the grid's name after a crash between
@@ -20,10 +20,35 @@ import org.apache.spark.sql.functions._
   *    still inside the crash window (grid written, watermark not)
   *    would let that batch's replay dynamic-overwrite the compacted
   *    generation and silently destroy history, so compact REFUSES
-  *    until the in-flight batch is re-delivered.
+  *    until the in-flight batch is re-delivered;
+  *  - [[compactBuckets]]: the INCREMENTAL compaction path — fold only
+  *    the `_kb` buckets whose partition count exceeds a threshold,
+  *    per-bucket, cost ∝ fragmented buckets. At the 100 TB north star
+  *    this is the cadence service; [[compact]]'s whole-grid rewrite
+  *    (a corpus-sized job with a table-rename window) stays for full
+  *    rebuilds (and, for [[IncrementalSpans]], the `_rep` summary
+  *    refresh that rides it).
+  *
+  * == Negative generations (the per-bucket compaction encoding) ==
+  *
+  * A partition `(_b = -(g+1), _kb = k)` holds the FOLD of bucket k's
+  * rows with effective generation ≤ g ("coverage g"). Effective
+  * generation of a row: `_b` if `_b ≥ 0`, else `-_b - 1`. Per bucket,
+  * the partition with the MOST ADVANCED coverage (min `_b` among
+  * negatives) is live; it SHADOWS every partition it folded — positive
+  * generations ≤ its coverage and older compacted partitions. Reads go
+  * through [[resolved]], which drops shadowed partitions and re-stamps
+  * compacted rows with their coverage, so EVERY intermediate crash
+  * state of [[compactBuckets]] (merged partition written, source
+  * partitions not yet dropped) reads consistently: the write phase
+  * only ever adds a more-advanced shadow, and the drop phase only
+  * removes already-shadowed partitions. Fences stay exact because a
+  * compacted partition's coverage is ≤ the committed watermark by
+  * construction, and serve-path predicates only compare `_b` against
+  * committed-batch bounds.
   *
   * Single-writer contract (like any non-transactional table service):
-  * pause the ingest stream around [[compact]]. */
+  * pause the ingest stream around [[compact]]/[[compactBuckets]]. */
 object AppendGrid {
 
   private def rename(spark: SparkSession, from: String,
@@ -56,6 +81,62 @@ object AppendGrid {
         s"SELECT ${dataCols.mkString(", ")}, _kb FROM $view")
     finally spark.catalog.dropTempView(view)
     spark.catalog.refreshTable(table)
+  }
+
+  /** The grid's (`_b`, `_kb`) partition inventory, parsed from the
+    * catalog listing — NO data files are read. */
+  private def listPartitions(spark: SparkSession,
+      table: String): Seq[(Long, Long)] =
+    spark.sql(s"SHOW PARTITIONS $table").collect().toSeq.map { r =>
+      val kv = r.getString(0).split("/").map { p =>
+        val Array(k, v) = p.split("=", 2)
+        k -> v.toLong
+      }.toMap
+      (kv("_b"), kv("_kb"))
+    }
+
+  /** Per-bucket most-advanced compacted partition: `_kb` → min `_b`
+    * among that bucket's negative generations (empty map when the grid
+    * has never been bucket-compacted — the common case, where
+    * [[resolved]] is a zero-overhead passthrough). */
+  private def bucketBounds(spark: SparkSession,
+      table: String): Map[Long, Long] =
+    listPartitions(spark, table).filter(_._1 < 0)
+      .groupBy(_._2).map { case (kb, ps) => kb -> ps.map(_._1).min }
+
+  /** The LIVE rows of the grid: per bucket, the most-advanced
+    * compacted partition (re-stamped to its coverage generation, so
+    * downstream `_b`-vs-fence predicates stay exact) plus the positive
+    * generations above that coverage; everything a compacted partition
+    * folded is shadowed. All serve paths read through this — against a
+    * never-bucket-compacted grid it returns the raw table unchanged.
+    *
+    * Pruning shape: the bounds map comes from the partition listing
+    * (control-plane, ≤ nBuckets entries, no data read); the shadowing
+    * predicates reference only partition columns and literals, so
+    * shadowed partitions prune out of the scan. */
+  def resolved(spark: SparkSession, table: String): DataFrame = {
+    val grid = spark.table(table)
+    val bounds = bucketBounds(spark, table)
+    if (bounds.isEmpty) grid
+    else {
+      val cols = grid.columns.toSeq
+      // coverage per bucket as a literal map: live positive rows sit
+      // strictly above their bucket's coverage (never-compacted
+      // buckets look up null → -1 keeps everything)
+      val covMap = map(bounds.toSeq.flatMap { case (kb, bMin) =>
+        Seq(lit(kb), lit(-bMin - 1L))
+      }: _*)
+      val pos = grid.filter(col("_b") >= 0 &&
+        col("_b") > coalesce(element_at(covMap, col("_kb")), lit(-1L)))
+      val negKeep = bounds.toSeq.map { case (kb, bMin) =>
+        col("_kb") === kb && col("_b") === bMin
+      }.reduce(_ || _)
+      val neg = grid.filter(col("_b") < 0 && negKeep)
+        .withColumn("_b", -col("_b") - lit(1L))
+        .select(cols.map(col): _*)
+      pos.unionByName(neg)
+    }
   }
 
   /** Restore `table` if a crashed [[compact]] left it half-swapped:
@@ -94,8 +175,11 @@ object AppendGrid {
       sortCols: Seq[String] = Nil): Long = {
     recover(spark, table)
     spark.catalog.refreshTable(table)
-    val maxB = spark.table(table)
-      .agg(coalesce(max("_b"), lit(0L))).collect()(0).getLong(0)
+    // effective generations: a bucket-compacted partition counts as
+    // its coverage, and its shadowed sources don't count at all
+    val maxB = listPartitions(spark, table)
+      .map { case (b, _) => if (b >= 0) b else -b - 1 }
+      .foldLeft(0L)(math.max)
     val wmT = s"${table}_wm"
     TableSwap.recover(spark, wmT, s"${wmT}_stage")
     if (spark.catalog.tableExists(wmT)) {
@@ -114,7 +198,8 @@ object AppendGrid {
     val old = s"${table}_old"
     CdcMerge.dropStateTable(spark, tmp)
     CdcMerge.dropStateTable(spark, old)
-    val folded = fold(spark.table(table), maxB).repartition(col("_kb"))
+    val folded = fold(resolved(spark, table), maxB)
+      .repartition(col("_kb"))
     (if (sortCols.isEmpty) folded
      else folded.sortWithinPartitions(sortCols.map(col): _*))
       .write.mode("overwrite").format("parquet")
@@ -160,5 +245,99 @@ object AppendGrid {
     }
     spark.sql(s"DROP TABLE $old")
     maxB
+  }
+
+  /** INCREMENTAL compaction: fold only the buckets whose live
+    * partition count (at or below the committed-watermark fence)
+    * reaches `minParts`, each into its own negative-generation
+    * compacted partition (coverage = the fence — see the object doc's
+    * encoding), then drop the partitions it shadowed. Cost ∝
+    * fragmented buckets: untouched buckets' files are never rewritten,
+    * there is no table rename window, and no whole-table MSCK.
+    *
+    * Crash-safe without staging: the merged write is a static
+    * `INSERT OVERWRITE PARTITION (_b=-(fence+1), _kb=k)` (replaces
+    * exactly one partition, idempotent), and from the moment it lands
+    * [[resolved]] serves the bucket from it alone — a crash before,
+    * between, or mid-way through the shadowed-partition drops leaves
+    * only already-shadowed partitions behind, which the next run
+    * detects (they count toward `minParts`) and re-drops. Re-running
+    * after any crash converges.
+    *
+    * `fold(liveRows, fence)` builds the bucket's compacted rows from
+    * its resolved live rows — same callback contract as [[compact]]
+    * (stamp `_b = fence`, keep `_kb`); the `_b` stamp is dropped on
+    * write (the partition spec carries the real negative id), so the
+    * two paths share each grid's fold unchanged. `dataCols` as in
+    * [[writeGeneration]].
+    *
+    * Returns the bucket ids compacted (empty when nothing is
+    * fragmented or no batch has committed). Single-writer: pause the
+    * ingest stream. */
+  def compactBuckets(spark: SparkSession, table: String,
+      fold: (DataFrame, Long) => DataFrame, dataCols: Seq[String],
+      sortCols: Seq[String] = Nil, minParts: Int = 4): Seq[Long] = {
+    recover(spark, table)
+    spark.catalog.refreshTable(table)
+    val wmT = s"${table}_wm"
+    TableSwap.recover(spark, wmT, s"${wmT}_stage")
+    if (!spark.catalog.tableExists(wmT)) return Nil
+    val fence = spark.table(wmT)
+      .agg(coalesce(max("_batch"), lit(-1L))).collect()(0).getLong(0)
+    if (fence < 0) return Nil
+    val parts = listPartitions(spark, table)
+    def eff(b: Long): Long = if (b >= 0) b else -b - 1
+    // a bucket is fragmented when ≥ minParts of its partitions sit at
+    // or below the fence (shadowed leftovers from a crashed run
+    // count: they still need dropping). When the bucket's compacted
+    // coverage already reaches the fence (a crashed run's merged
+    // write landed), the fold is skipped but the shadowed sources are
+    // still dropped — convergence. Coverage ABOVE the fence (only
+    // reachable under a rewound watermark) skips the bucket whole.
+    val targets = parts.groupBy(_._2).toSeq.collect {
+      case (kb, ps) if {
+        val cov = ps.map(_._1).filter(_ < 0)
+          .minOption.map(b => -b - 1).getOrElse(-1L)
+        cov <= fence && ps.count(p => eff(p._1) <= fence) >= minParts
+      } =>
+        val cov = ps.map(_._1).filter(_ < 0)
+          .minOption.map(b => -b - 1).getOrElse(-1L)
+        (kb, ps.map(_._1).filter(b => eff(b) <= fence), cov)
+    }.sortBy(_._1)
+    val newB = -(fence + 1L)
+    targets.foreach { case (kb, srcBs, cov) =>
+      if (cov < fence) {
+        val live = resolved(spark, table)
+          .filter(col("_kb") === kb && col("_b") <= fence)
+        val merged = fold(live, fence).repartition(1)
+        val sorted =
+          if (sortCols.isEmpty) merged
+          else merged.sortWithinPartitions(sortCols.map(col): _*)
+        // localCheckpoint: materialize the merged bucket BEFORE the
+        // overwrite touches any of its source files — also cuts the
+        // plan's file lineage, without which Spark rejects an insert
+        // that reads the table it overwrites
+        val view = s"${table}_bkt_src"
+        sorted.localCheckpoint().createOrReplaceTempView(view)
+        // partition values quoted: a bare negative literal in a
+        // partition spec is parser-version-sensitive; the string form
+        // casts to the column type unambiguously
+        try spark.sql(
+          s"INSERT OVERWRITE TABLE $table " +
+            s"PARTITION (_b='$newB', _kb='$kb') " +
+            s"SELECT ${dataCols.mkString(", ")} FROM $view")
+        finally spark.catalog.dropTempView(view)
+      }
+      // from here the bucket serves from the merged partition; every
+      // drop below removes an already-shadowed partition (re-runs
+      // converge after a crash at any point)
+      val doomed = srcBs.filter(_ != newB)
+      if (doomed.nonEmpty) spark.sql(
+        s"ALTER TABLE $table DROP IF EXISTS " + doomed.map { b =>
+          s"PARTITION (_b='$b', _kb='$kb')"
+        }.mkString(", "))
+    }
+    spark.catalog.refreshTable(table)
+    targets.map(_._1)
   }
 }

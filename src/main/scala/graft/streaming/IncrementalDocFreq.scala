@@ -119,7 +119,7 @@ object IncrementalDocFreq {
   def dfReport(spark: SparkSession, table: String): DataFrame = {
     AppendGrid.recover(spark, table)
     spark.catalog.refreshTable(table)
-    spark.table(table)
+    AppendGrid.resolved(spark, table)
       .filter(col("_b") <= committed(spark, table)._1)
       .groupBy("word")
       .agg(sum(col("df_delta")).as("df"))
@@ -160,7 +160,7 @@ object IncrementalDocFreq {
     // skew (df including a batch that N excludes) is closed by
     // filtering the grid to the same snapshot the N came from
     val (wmB, n) = committed(spark, table)
-    val df = spark.table(table)
+    val df = AppendGrid.resolved(spark, table)
       .filter(col("_b") <= wmB)
       .join(reqWords, Seq("word"), "left_semi")
       .groupBy("word").agg(sum(col("df_delta")).as("df"))
@@ -192,6 +192,25 @@ object IncrementalDocFreq {
       sortCols = Seq("word"))
     ()
   }
+
+  /** INCREMENTAL compaction ([[AppendGrid.compactBuckets]]): fold only
+    * the buckets with ≥ `minParts` live generations — deltas SUMMED
+    * per word like [[compact]], cost ∝ fragmented buckets, no table
+    * rename, untouched buckets byte-identical. The natural cadence
+    * service for this grid: word keys are Zipf-distributed, so every
+    * fold appends to every bucket and all buckets fragment at the same
+    * rate — but each bucket's rewrite is ∝ that bucket's vocabulary
+    * slice, never the whole table, and the whole-grid rename window
+    * disappears. */
+  def compactBuckets(spark: SparkSession, table: String,
+      minParts: Int = 4): Seq[Long] =
+    AppendGrid.compactBuckets(spark, table, (live, fence) =>
+      live.groupBy("word", "_kb")
+        .agg(sum(col("df_delta")).as("df_delta"))
+        .withColumn("_b", lit(fence))
+        .select(col("word"), col("df_delta"), col("_b"), col("_kb")),
+      dataCols = Seq("word", "df_delta"),
+      sortCols = Seq("word"), minParts = minParts)
 
   /** Continuous maintenance: foreachBatch [[applyBatch]] under the
     * stream's own monotone batch ids. */

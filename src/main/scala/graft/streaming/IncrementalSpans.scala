@@ -167,8 +167,9 @@ object IncrementalSpans {
     AppendGrid.recover(spark, gridTable)
     spark.catalog.refreshTable(gridTable)
     // snapshot-consistent: an open crash window's generation (grid
-    // written, watermark not) is invisible until its batch commits
-    spark.table(gridTable)
+    // written, watermark not) is invisible until its batch commits;
+    // resolved() additionally shadows bucket-compacted sources
+    AppendGrid.resolved(spark, gridTable)
       .filter(col("_b") <= committedBatch(spark, gridTable))
       .groupBy("span_key")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occ"))
@@ -230,8 +231,15 @@ object IncrementalSpans {
     val reqOcc = DedupOps.spanOccurrences(docs, spanLen)
     val reqKeys = reqOcc.select("span_key").distinct()
     // snapshot-consistent: an open crash window's generation is
-    // invisible until its batch commits
-    val grid = spark.table(gridTable).filter(col("_b") <= wmB)
+    // invisible until its batch commits. resolved() re-stamps
+    // bucket-compacted rows to their coverage generation, which keeps
+    // every _b-vs-fence predicate below EXACT — a bucket compacted
+    // past the summary's generation g serves its folded history as
+    // "residual" (owner counts stay right, scans inflate toward the
+    // whole bucket until the next full compact() refreshes the
+    // summary; see [[compactBuckets]])
+    val grid = AppendGrid.resolved(spark, gridTable)
+      .filter(col("_b") <= wmB)
     val repT = repTable(gridTable)
     val repGen: Option[Long] =
       if (spark.catalog.tableExists(repT))
@@ -328,11 +336,35 @@ object IncrementalSpans {
     refreshRepSummary(spark, gridTable, g)
   }
 
+  /** INCREMENTAL compaction ([[AppendGrid.compactBuckets]]): fold only
+    * the buckets with ≥ `minParts` live generations, cost ∝ fragmented
+    * buckets, no table rename, untouched buckets byte-identical. Rows
+    * are immutable, so the per-bucket fold is the same identity
+    * re-stamp as [[compact]]'s (bucket files stay span_key-sorted for
+    * the removalView point-probe).
+    *
+    * Serve-cost interplay (documented trade): bucket compaction does
+    * NOT refresh the `_rep` summary — a compacted bucket's folded
+    * history re-stamps to the compaction fence, so until the next full
+    * [[compact]] the removalView residual scan for that bucket covers
+    * the whole bucket, not just post-summary generations (answers stay
+    * exact throughout). Cadence discipline: compactBuckets frequently
+    * (bounds file counts, ∝ fragmentation), full compact + summary
+    * refresh on the long cadence (grid-sized, restores the
+    * ∝-repeated-mass serve). */
+  def compactBuckets(spark: SparkSession, gridTable: String,
+      minParts: Int = 4): Seq[Long] =
+    AppendGrid.compactBuckets(spark, gridTable, (live, fence) => {
+      val cols = live.columns
+      live.withColumn("_b", lit(fence)).select(cols.toSeq.map(col): _*)
+    }, dataCols = Seq("span_key", "doc_id", "n_occ"),
+      sortCols = Seq("span_key"), minParts = minParts)
+
   /** Rebuild the `_rep` repeated-key summary covering generations
     * `_b <= g`. */
   private def refreshRepSummary(spark: SparkSession, gridTable: String,
       g: Long): Unit = {
-    val rep = spark.table(gridTable)
+    val rep = AppendGrid.resolved(spark, gridTable)
       .filter(col("_b") <= g)
       .groupBy("span_key")
       .agg(count(lit(1)).as("n_docs"))

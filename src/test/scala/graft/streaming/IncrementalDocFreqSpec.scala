@@ -94,6 +94,53 @@ class IncrementalDocFreqSpec extends SparkSpec {
     assert(view(docs) == oneShot)
   }
 
+  test("compactBuckets sums fragmented buckets in place: df/N/keyword " +
+      "view unchanged, compacted buckets drop to one partition, no " +
+      "table rename, re-run no-op, later folds append beside the " +
+      "compacted partition") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+    (0 to 2).foreach(i =>
+      IncrementalDocFreq.applyBatch(spark, table, part(i),
+        batchId = i, nBuckets = 8))
+    val dfBefore = IncrementalDocFreq.dfReport(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val kvBefore = view(docs)
+    // Zipf keys: every batch wrote every bucket → all 8 fragmented
+    val compacted = IncrementalDocFreq.compactBuckets(spark, table,
+      minParts = 2)
+    assert(compacted.nonEmpty)
+    compacted.foreach { kb =>
+      val parts = spark.sql(s"SHOW PARTITIONS $table").collect()
+        .map(_.getString(0)).count(_.endsWith(s"_kb=$kb"))
+      assert(parts == 1, s"bucket $kb holds $parts partitions")
+    }
+    assert(IncrementalDocFreq.dfReport(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == dfBefore)
+    assert(IncrementalDocFreq.nDocs(spark, table) == 24L)
+    assert(view(docs) == kvBefore)
+    assert(IncrementalDocFreq.compactBuckets(spark, table,
+      minParts = 2).isEmpty)
+    // a later fold appends a fresh positive generation beside the
+    // compacted partitions and the df stays exact
+    val extra = Seq((100L, "alpha beta nova_1")).toDF("doc_id", "text")
+    IncrementalDocFreq.applyBatch(spark, table, extra, batchId = 3,
+      nBuckets = 8)
+    val dfAfter = IncrementalDocFreq.dfReport(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(dfAfter("alpha") == dfBefore.toMap.apply("alpha") + 1)
+    assert(dfAfter("nova_1") == 1L)
+    assert(IncrementalDocFreq.nDocs(spark, table) == 25L)
+    // and the whole-grid compact still collapses everything
+    IncrementalDocFreq.compact(spark, table)
+    assert(spark.table(table).select("_b").distinct().count() == 1)
+    assert(IncrementalDocFreq.dfReport(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      == dfAfter)
+  }
+
   test("serve paths are SNAPSHOT-CONSISTENT: while a crash window is " +
       "open (grid written, watermark not), dfReport/keywordView/nDocs " +
       "serve the pre-batch state — df can never include a batch that " +

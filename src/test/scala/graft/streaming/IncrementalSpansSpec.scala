@@ -103,6 +103,118 @@ class IncrementalSpansSpec extends SparkSpec {
     assert(report() == before)
   }
 
+  test("compactBuckets folds ONLY fragmented buckets: report and " +
+      "removalView unchanged, selected buckets drop to one live " +
+      "partition, UNSELECTED buckets' files are byte-identical, " +
+      "re-run is a no-op") {
+    import spark.implicits._
+    freshTable()
+    // base batch covers every bucket; three 9-token trickle batches
+    // (2 spans each) fragment only the few buckets their spans hash to
+    IncrementalSpans.applyBatch(spark, table, docs, batchId = 0,
+      nBuckets = 16)
+    (1 to 3).foreach { i =>
+      val trickle = Seq((100L + i,
+        (0 until 9).map(j => s"t${i}_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      IncrementalSpans.applyBatch(spark, table, trickle, batchId = i,
+        nBuckets = 16)
+    }
+    val before = report()
+    val viewBefore = IncrementalSpans.removalView(spark, table, docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    def bucketFiles(): Map[Long, Set[String]] = spark.table(table)
+      .inputFiles.toSeq.groupBy(f =>
+        "_kb=([0-9]+)".r.findFirstMatchIn(f).get.group(1).toLong)
+      .map { case (k, fs) => k -> fs.toSet }
+    val filesBefore = bucketFiles()
+    // minParts=3: only buckets holding base + ≥2 trickle generations
+    val compacted = IncrementalSpans.compactBuckets(spark, table,
+      minParts = 3)
+    assert(compacted.nonEmpty &&
+      compacted.size < filesBefore.size,
+      s"expected a strict subset of buckets, got $compacted of " +
+        s"${filesBefore.size}")
+    val filesAfter = bucketFiles()
+    filesBefore.keys.filterNot(compacted.contains).foreach { kb =>
+      assert(filesAfter(kb) == filesBefore(kb),
+        s"untouched bucket $kb was rewritten")
+    }
+    compacted.foreach { kb =>
+      assert(filesAfter(kb).size == 1,
+        s"compacted bucket $kb holds ${filesAfter(kb).size} files")
+    }
+    assert(report() == before)
+    assert(IncrementalSpans.removalView(spark, table, docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet == viewBefore)
+    // convergence: nothing fragmented remains at this threshold
+    assert(IncrementalSpans.compactBuckets(spark, table,
+      minParts = 3).isEmpty)
+    // post-compaction folds and whole-grid compact still work
+    IncrementalSpans.applyBatch(spark, table,
+      Seq((200L, (0 until 9).map(j => s"p_$j").mkString(" ")))
+        .toDF("doc_id", "text"), batchId = 4, nBuckets = 16)
+    IncrementalSpans.compact(spark, table)
+    assert(spark.table(table).select("_b").distinct().count() == 1)
+  }
+
+  test("compactBuckets crash window: the merged partition lands but " +
+      "the source drops are lost — reads stay exact throughout " +
+      "(shadowing), and the next run converges") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+    (0 to 2).foreach(i =>
+      IncrementalSpans.applyBatch(spark, table, part(i), batchId = i,
+        nBuckets = 8))
+    val before = report()
+    // simulate the crash state compactBuckets can leave: bucket 0's
+    // merged partition written (coverage = fence 2), its shadowed
+    // sources NOT dropped
+    val merged = spark.table(table).filter(col("_kb") === 0)
+      .groupBy("span_key", "doc_id").agg(sum("n_occ").as("n_occ"))
+    merged.localCheckpoint().createOrReplaceTempView("spanspec_crash_src")
+    spark.sql(s"INSERT OVERWRITE TABLE $table " +
+      "PARTITION (_b='-3', _kb='0') " +
+      "SELECT span_key, doc_id, n_occ FROM spanspec_crash_src")
+    spark.catalog.dropTempView("spanspec_crash_src")
+    spark.catalog.refreshTable(table)
+    // duplicated rows exist on disk; resolved shadowing hides them
+    assert(report() == before)
+    // the next run detects the leftovers and converges
+    IncrementalSpans.compactBuckets(spark, table, minParts = 2)
+    assert(report() == before)
+    val bucket0Parts = spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0)).count(_.endsWith("_kb=0"))
+    assert(bucket0Parts == 1, s"bucket 0 holds $bucket0Parts parts")
+  }
+
+  test("compactBuckets is FENCED on the committed watermark: an open " +
+      "crash window's generation is left alone, and its re-delivery " +
+      "lands cleanly beside the compacted partition") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+    (0 to 2).foreach(i =>
+      IncrementalSpans.applyBatch(spark, table, part(i), batchId = i,
+        nBuckets = 8))
+    val committedAll = report()
+    // reopen batch 2's crash window
+    TableSwap.writeStaged(spark, Seq(1L).toDF("_batch"),
+      s"${table}_wm")
+    IncrementalSpans.compactBuckets(spark, table, minParts = 2)
+    // generation 2 must survive uncompacted (its replay will
+    // overwrite _b=2, which must not be inside a compacted partition)
+    assert(spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0)).exists(_.startsWith("_b=2/")))
+    // re-deliver the in-flight batch: full state serves again
+    IncrementalSpans.applyBatch(spark, table, part(2), batchId = 2,
+      nBuckets = 8)
+    assert(report() == committedAll)
+  }
+
   test("removalView == one-shot removeRepeatedSpans; a LATE repeat " +
       "cuts an EARLY doc") {
     import spark.implicits._
