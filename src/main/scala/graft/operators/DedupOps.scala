@@ -324,6 +324,22 @@ object DedupOps {
     val sh = exploded.join(dfreq, Seq("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     liveCaches.add(sh)
+    containmentFromKept(sh, minPpm, minShingles)
+  }
+
+  /** The prefix-filter + verify pipeline over an ALREADY df-capped
+    * kept-shingle frame (doc_id, shingle, df) — shared between the
+    * one-shot [[containmentPairs]] (which builds and caches the kept
+    * rows from raw docs) and the maintained index
+    * ([[graft.streaming.IncrementalContainment]], which serves them
+    * from its postings grid with df recomputed at read time —
+    * recomputation, not a maintained prefix table, because a doc's
+    * prefix is df-ORDER-dependent and df drifts as the corpus grows:
+    * a frozen prefix chosen under yesterday's df can silently lose
+    * the lossless-filter guarantee once shingles it skipped fall out
+    * of the kept set). */
+  private[graft] def containmentFromKept(sh: DataFrame, minPpm: Long,
+      minShingles: Int): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val wPfx = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))

@@ -783,7 +783,14 @@ object LlmQueries {
         .orderBy($"bm25".desc, $"doc_id")
         .limit(20)
     },
-    Some("""
+    Some(LlmQueries.bm25Oracle))
+
+  // Shared with the maintained twin (cdc44, OpsQueries): the
+  // fold == one-shot equality claim is only meaningful if both
+  // queries pin against the IDENTICAL oracle text. A def, not a val:
+  // doc19 above captures it during object init, before a val here
+  // would have initialized.
+  private[operators] def bm25Oracle: String = ("""
       WITH toks AS (
         SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS term
         FROM documents),
@@ -820,7 +827,7 @@ object LlmQueries {
       SELECT doc_id, n_terms_hit, bm25
       FROM agg
       ORDER BY bm25 DESC, doc_id
-      LIMIT 20"""))
+      LIMIT 20""")
 
   // -------------------------------------------------------------- emb11
   // Product quantization + asymmetric-distance search: each 64-float

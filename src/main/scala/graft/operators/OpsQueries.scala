@@ -2625,11 +2625,83 @@ object OpsQueries {
     },
     Some(rarityKeywordsOracle))
 
+  // -------------------------------------------------------------- cdc44
+  // MAINTAINED BM25 RETRIEVAL (IncrementalBm25) — doc19's ranked
+  // retrieval served from an incrementally-maintained postings grid:
+  // (word, doc_id, tf, dl) rows are immutable under document-disjoint
+  // ingest and word keys are Zipf-distributed, so the storage is the
+  // cdc43 append doctrine verbatim; N and avgdl's token total ride
+  // the watermark as additive statistics. The serving pattern a
+  // streaming curation pipeline needs: decontamination/attribution
+  // queries against the CURRENT corpus, read cost ∝ the query terms'
+  // postings (bucket-pruned, word-IN-pushed). Full-corpus query ==
+  // the one-shot doc19 exactly (same oracle), pinned through a
+  // REDELIVERED batch and a MID-STREAM incremental bucket compaction
+  // (the serve reads through the compacted layout).
+  private val cdc44 = GraftQuery(
+    "cdc44_bm25_view",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc44_postings"
+      graft.streaming.IncrementalBm25.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      // (partition, batchId): batch 1 is REDELIVERED under its own id
+      Seq((0, 0L), (1, 1L), (1, 1L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalBm25.applyBatch(s, table,
+          part(p), batchId = b)
+      }
+      graft.streaming.IncrementalBm25.compactBuckets(s, table,
+        minParts = 2)
+      graft.streaming.IncrementalBm25.applyBatch(s, table,
+        part(2), batchId = 2L)
+      graft.streaming.IncrementalBm25.queryView(s, table,
+        Seq("spark", "merge", "window"), k = 20)
+    },
+    Some(LlmQueries.bm25Oracle))
+
+  // -------------------------------------------------------------- cdc45
+  // MAINTAINED CONTAINMENT INDEX (IncrementalContainment) — doc36's
+  // near-superset detection kept current under ingest: the
+  // (shingle, doc_id) inverted index is append-shaped (immutable
+  // rows, near-uniform keys — the cdc40 doctrine), df/kept-ness and
+  // prefixes are recomputed at read time because shingle rarity
+  // DRIFTS as the corpus grows (a frozen ingest-time prefix silently
+  // loses the lossless-filter guarantee). The case a one-shot leaves
+  // open — a late-arriving near-superset of an early doc — is served
+  // per batch by batchPairs (spec-pinned); the full report over the
+  // ingested corpus must equal the one-shot doc36 exactly (same
+  // oracle), pinned through a REDELIVERED batch and a MID-STREAM
+  // incremental bucket compaction.
+  private val cdc45 = GraftQuery(
+    "cdc45_containment_index",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc45_shingles"
+      graft.streaming.IncrementalContainment.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      Seq((0, 0L), (1, 1L), (1, 1L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalContainment.applyBatch(s, table,
+          part(p), batchId = b)
+      }
+      graft.streaming.IncrementalContainment.compactBuckets(s, table,
+        minParts = 2)
+      graft.streaming.IncrementalContainment.applyBatch(s, table,
+        part(2), batchId = 2L)
+      graft.streaming.IncrementalContainment.report(s, table)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(SelectionQueries.containmentOracle))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
       emb33, emb34, doc40, doc41, doc42, cdc35, emb35, emb36,
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
       q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
-      doc46, doc47, doc48, doc49, cdc40, doc50, cdc41, cdc42, cdc43)
+      doc46, doc47, doc48, doc49, cdc40, doc50, cdc41, cdc42, cdc43,
+      cdc44, cdc45)
 }

@@ -1080,7 +1080,12 @@ object SelectionQueries {
       DedupOps.containmentPairs(t(s, dir, "documents"))
         .orderBy($"doc_a", $"doc_b")
     },
-    Some("""
+    Some(SelectionQueries.containmentOracle))
+
+  // Shared with the maintained twin (cdc45, OpsQueries) — identical
+  // oracle text for the fold == one-shot claim. A def (order-proof
+  // under object init, see LlmQueries.bm25Oracle).
+  private[operators] def containmentOracle: String = ("""
       WITH toks AS (
         SELECT doc_id, string_split(TRIM(text), ' ') AS ws
         FROM documents),
@@ -1119,7 +1124,7 @@ object SelectionQueries {
         CAST((i.n_inter * 1000000) // sa.n AS BIGINT) AS containment_ppm
       FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
       WHERE sa.n >= 3 AND (i.n_inter * 1000000) // sa.n >= 800000
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b""")
 
   // -------------------------------------------------------------- emb26
   // MMR diversity re-rank: greedy k-of-pool selection maximizing

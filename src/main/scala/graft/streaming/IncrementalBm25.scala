@@ -1,0 +1,228 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Incrementally-maintained BM25 POSTINGS — doc19's ranked retrieval
+  * (Robertson/Spärck Jones BM25, the rational-idf variant) served
+  * against the CURRENT ingested corpus. A streaming curation pipeline
+  * needs retrieval that tracks ingest — decontamination suspects,
+  * attribution queries, "what in the corpus matches this eval prompt
+  * RIGHT NOW" — without rescanning the corpus per query: the
+  * maintained inverted index is that serving surface.
+  *
+  * State: the postings grid (word, doc_id, tf, dl) — tf the term's
+  * in-doc count, dl the doc's token length DENORMALIZED onto every
+  * posting row (one long per row buys query serving that never joins
+  * a second corpus-sized table: everything BM25 needs per candidate
+  * doc rides the posting). Rows are IMMUTABLE under document-disjoint
+  * ingest (a doc's tf/dl are functions of its own text) and word keys
+  * are Zipf-distributed (every batch carries the common words), so
+  * the storage is the APPEND pattern — the [[IncrementalDocFreq]]
+  * doctrine verbatim: each fold writes its own `_b` generation
+  * (idempotent through the crash window), `_kb =
+  * pmod(xxhash64(word), nBuckets)` hash-clusters postings for
+  * query-time bucket pruning, [[compact]]/[[compactBuckets]] fold
+  * generations on cadence with buckets word-sorted (row-group
+  * skipping under the query's `word IN` pushdown). The 1-row
+  * watermark carries the two ADDITIVE corpus statistics BM25 needs —
+  * doc count N and total token count (for avgdl) — updated exactly
+  * once per batch.
+  *
+  * Serve shape ([[queryView]]): the grid is partition-pruned to the
+  * query terms' `_kb` buckets (literal bucket ids) with the
+  * `word IN (terms)` filter pushed onto the word-sorted parquet, so a
+  * query reads ∝ its terms' postings, never ∝ the corpus; df per term
+  * is the postings row count (the grid's primary key is
+  * (word, doc_id)), N and avgdl ride the same committed watermark row
+  * the `_b` fence comes from (snapshot-consistent — df can never
+  * include a batch N excludes). The per-doc score sums term partials
+  * in FIXED lexicographic term order (conditional aggregates — the
+  * doc19 float-sum rule), and top-k plans as TakeOrderedAndProject.
+  *
+  * Contract: document-disjoint append-only batches with monotonically
+  * increasing batch ids; a doc re-arriving with changed text is out
+  * of contract (its old postings would persist) — mutable-document
+  * corpora belong in the [[CdcMerge]] merge family.
+  *
+  * Reference behavior: doc19 (`graft.operators.LlmQueries`), Lee et
+  * al.-era data pipelines' decontamination retrieval; stream shape
+  * mirrors `stream_cdc/streams` sinks' flush-then-checkpoint
+  * ordering (reference `stream_cdc/stream/worker.py`). */
+object IncrementalBm25 {
+
+  private def wmTable(table: String) = s"${table}_wm"
+
+  /** All tables the postings state maintains — for test/registration
+    * cleanup. */
+  def tables(table: String): Seq[String] =
+    Seq(table, s"${table}_compacting", s"${table}_old",
+      wmTable(table), s"${wmTable(table)}_stage",
+      s"${wmTable(table)}_old")
+
+  /** The committed (batch id, corpus doc count N, corpus token count)
+    * — (-1, 0, 0) before the first watermark write. Serve paths
+    * filter the grid to `_b <=` the batch AND take N/avgdl from the
+    * SAME row: snapshot-consistent reads see exactly the pre-batch
+    * state until the watermark lands. */
+  private def committed(spark: SparkSession,
+      table: String): (Long, Long, Long) = {
+    val wm = wmTable(table)
+    TableSwap.recover(spark, wm, s"${wm}_stage")
+    if (!spark.catalog.tableExists(wm)) (-1L, 0L, 0L)
+    else {
+      val row = spark.table(wm)
+        .agg(coalesce(max("_batch"), lit(-1L)),
+          coalesce(max("_n_docs"), lit(0L)),
+          coalesce(max("_sum_dl"), lit(0L))).collect()(0)
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+  }
+
+  private def batchPostings(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"))
+  }
+
+  /** Fold one document batch: one tokenization + one map-side
+    * aggregate (∝ batch tokens) + one append-shaped write (∝ batch
+    * postings). N counts docs with ≥ 1 non-empty token (the doc19
+    * corpus-statistics contract); both watermark statistics advance
+    * exactly once per batch — a crash-window replay reads the OLD
+    * values here, because this write is what advances them. */
+  def applyBatch(spark: SparkSession, table: String,
+      batchDocs: DataFrame, batchId: Long, nBuckets: Int = 32): Unit =
+    FoldTimer.timed {
+      AppendGrid.recover(spark, table)
+      val (lastBatch, nSoFar, dlSoFar) = committed(spark, table)
+      if (batchId <= lastBatch) return
+      val postings = batchPostings(batchDocs)
+        .localCheckpoint() // read twice: stats row + generation write
+      val stats = postings.groupBy("doc_id").agg(first("dl").as("dl"))
+        .agg(coalesce(count(lit(1)), lit(0L)),
+          coalesce(sum("dl"), lit(0L))).collect()(0)
+      val (nBatch, dlBatch) = (stats.getLong(0), stats.getLong(1))
+      val deltas = postings
+        .withColumn("_b", lit(batchId))
+        .withColumn("_kb",
+          pmod(xxhash64(col("word")), lit(nBuckets.toLong)))
+      if (!spark.catalog.tableExists(table)) {
+        CdcMerge.dropStateTable(spark, table)
+        deltas.repartition(col("_kb"))
+          .write.mode("overwrite").format("parquet")
+          .partitionBy("_b", "_kb").saveAsTable(table)
+        CdcMerge.setNBuckets(spark, table, nBuckets)
+      } else {
+        CdcMerge.requireNBuckets(spark, table, nBuckets)
+        AppendGrid.writeGeneration(spark, table, deltas, batchId,
+          Seq("word", "doc_id", "tf", "dl"))
+      }
+      import spark.implicits._
+      TableSwap.writeStaged(spark,
+        Seq((batchId, nSoFar + nBatch, dlSoFar + dlBatch))
+          .toDF("_batch", "_n_docs", "_sum_dl"),
+        wmTable(table))
+    }
+
+  /** MAINTAINED BM25 RETRIEVAL — doc19's ranked top-k for `terms`
+    * served from the maintained postings: score every ingested doc
+    * containing ≥ 1 term against the WHOLE corpus's df/N/avgdl.
+    * Requesting doc19's fixed term set over the full ingested corpus
+    * reproduces doc19 exactly (cdc44 pins that equality through the
+    * doc19 oracle). Read cost ∝ the terms' postings: `_kb` literals
+    * prune directory partitions, `word IN` pushes onto the
+    * (compacted: word-sorted) parquet. Columns (doc_id, n_terms_hit,
+    * bm25) — the doc19 shape. */
+  def queryView(spark: SparkSession, table: String,
+      terms: Seq[String], k: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    AppendGrid.recover(spark, table)
+    spark.catalog.refreshTable(table)
+    val (wmB, n, sumDl) = committed(spark, table)
+    val nBuckets = CdcMerge.tableNBuckets(spark, table).getOrElse(32)
+    // term bucket ids, computed with the grid's own hash (a tiny
+    // control-plane job — terms are a handful of literals)
+    import spark.implicits._
+    val kbs = terms.toDF("word")
+      .select(pmod(xxhash64(col("word")), lit(nBuckets.toLong)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val postings = AppendGrid.resolved(spark, table)
+      .filter(col("_b") <= wmB &&
+        col("_kb").isin(kbs: _*) &&
+        col("word").isin(terms: _*))
+      .select("word", "doc_id", "tf", "dl")
+    // df per term = postings rows per word: (word, doc_id) is the
+    // grid's primary key (document-disjoint batches, replay
+    // overwrites its own generation)
+    val dfreq = postings.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = postings.join(broadcast(dfreq), "word")
+      .withColumn("idf",
+        (lit(n.toDouble) - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5))
+      .withColumn("avgdl", lit(sumDl.toDouble / math.max(n, 1L)))
+      .withColumn("score",
+        col("idf") * (col("tf").cast("double") * (k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))))
+    // per-doc total in FIXED lexicographic term order (conditional
+    // max per term, added textually — the doc19 float-sum rule: a
+    // float sum() accumulates in partition order)
+    val total = terms.distinct.sorted.map { t =>
+      coalesce(max(when(col("word") === t, col("score"))), lit(0.0))
+    }.reduce(_ + _)
+    scored.groupBy("doc_id")
+      .agg(total.as("bm25"), count(lit(1)).as("n_terms_hit"))
+      .select(col("doc_id"), col("n_terms_hit"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Fold all generations into the newest one — word-sorted buckets
+    * (row-group skipping under the query's `word IN` pushdown), rows
+    * immutable so the fold is an identity re-stamp. Shares
+    * [[AppendGrid.compact]]'s staged rewrite + fences. */
+  def compact(spark: SparkSession, table: String): Unit = {
+    AppendGrid.compact(spark, table, (grid, maxB) => {
+      val cols = grid.columns
+      grid.withColumn("_b", lit(maxB)).select(cols.toSeq.map(col): _*)
+    }, sortCols = Seq("word"))
+    ()
+  }
+
+  /** INCREMENTAL compaction ([[AppendGrid.compactBuckets]]): fold only
+    * fragmented buckets, cost ∝ fragmentation, no rename window. */
+  def compactBuckets(spark: SparkSession, table: String,
+      minParts: Int = 4): Seq[Long] =
+    AppendGrid.compactBuckets(spark, table, (live, fence) => {
+      val cols = live.columns
+      live.withColumn("_b", lit(fence)).select(cols.toSeq.map(col): _*)
+    }, dataCols = Seq("word", "doc_id", "tf", "dl"),
+      sortCols = Seq("word"), minParts = minParts)
+
+  /** Continuous maintenance: foreachBatch [[applyBatch]] under the
+    * stream's own monotone batch ids. */
+  def startIngestStream(df: DataFrame, table: String,
+      checkpointDir: String, nBuckets: Int = 32,
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch.sparkSession, table, batch, batchId,
+          nBuckets)
+      }
+    (if (availableNow)
+       writer.trigger(
+         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+}
