@@ -227,6 +227,53 @@ object Bench {
         s""""spill_mb":${mb(m(4))},"in_mb":${mb(m(5))},""" +
         s""""marginal_fold_s":$fold}""")
     })
+    // Fold-regression tracking: compare each maintained view's
+    // marginal fold against the previous round's artifact and WARN on
+    // >2x growth — fold regressions surface in the round log instead
+    // of waiting for a verdict diff. The previous artifact comes from
+    // SPARK_GRAFT_PREV_BENCH, else the newest BENCH_LOCAL_r*.json in
+    // cwd. The 0.3 s floor keeps sub-second-fold jitter out.
+    val prevArtifact: Option[java.io.File] =
+      sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
+        .filter(_.isFile)
+        .orElse {
+          Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
+            .sortBy(_.getName).lastOption
+        }
+    prevArtifact.foreach { pf =>
+      try {
+        val text = new String(
+          java.nio.file.Files.readAllBytes(pf.toPath), "UTF-8")
+        val foldRe =
+          ("\"([a-z0-9_]+)\":\\{\"task_ms\":[^{}]*" +
+            "\"marginal_fold_s\":([0-9.]+)\\}").r
+        val prevFolds = foldRe.findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val regressions = results.flatMap { r =>
+          (r.foldSec, prevFolds.get(r.name)) match {
+            case (Some(cur), Some(prev))
+                if prev > 0.0 && cur > prev * 2 && cur > 0.3 =>
+              Some((r.name, prev, cur))
+            case _ => None
+          }
+        }
+        if (regressions.nonEmpty) {
+          System.err.println(
+            s"FOLD-REGRESSION WARNING vs ${pf.getName} " +
+              s"(${regressions.size} queries, marginal fold >2x):")
+          regressions.foreach { case (n, p, c) =>
+            System.err.println(
+              f"  $n%-28s fold $p%6.2f s -> $c%6.2f s " +
+                f"(${c / p}%4.1fx)")
+          }
+        } else System.err.println(
+          s"fold-regression check vs ${pf.getName}: " +
+            s"${prevFolds.size} tracked folds, none >2x")
+      } catch { case NonFatal(e) =>
+        System.err.println(s"fold-regression check skipped: $e") }
+    }
+
     val total = if (results.nonEmpty) results.map(_.sec).sum else 0.0
     // FULL artifact (all queries + shuffle-write bytes + raw runs)
     // goes to a file, committed per round as BENCH_LOCAL.json.

@@ -166,24 +166,34 @@ object IncrementalContainment {
     val minPpm = (minContain * 1000000).round
     val grid = committedPostings(spark, table)
     val batchIds = batchDocs.select("doc_id").distinct()
-    val batchKeys = DedupOps.docWordGrams(batchDocs, shingleW)
-      .select("shingle").distinct()
+    // every restriction set below is REQUEST-sized (batch shingles,
+    // then ≤ batch-kept-shingles × maxDf candidates and their
+    // postings' keys) — broadcast them EXPLICITLY: the sets come off
+    // multi-step pipelines whose size Catalyst cannot estimate, and a
+    // fallback sort-merge semi-join would shuffle the corpus-sized
+    // grid per serve (measured: 0.14 MB → 511 MB shuffle at 10×
+    // grid without the hints, flat 0.14 MB with them)
+    val batchKeys = broadcast(
+      DedupOps.docWordGrams(batchDocs, shingleW)
+        .select("shingle").distinct())
     // (1) global df of the batch's shingles, kept only
     val dfBatch = grid.join(batchKeys, Seq("shingle"), "left_semi")
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     // (2) owners of kept batch shingles = the candidate universe
     val candDocs = grid
-      .join(dfBatch.select("shingle"), Seq("shingle"), "left_semi")
+      .join(broadcast(dfBatch.select("shingle")),
+        Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
       .unionByName(batchIds).distinct()
     // (3) the candidates' full posting rows, with GLOBAL df per key
-    val subGrid = grid.join(candDocs, Seq("doc_id"), "left_semi")
+    val subGrid = grid.join(broadcast(candDocs), Seq("doc_id"),
+      "left_semi")
     val keys = subGrid.select("shingle").distinct()
-    val dfAll = grid.join(keys, Seq("shingle"), "left_semi")
+    val dfAll = grid.join(broadcast(keys), Seq("shingle"), "left_semi")
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val kept = subGrid.join(dfAll, Seq("shingle"))
+    val kept = subGrid.join(broadcast(dfAll), Seq("shingle"))
     // (4) shared pipeline, restricted to pairs touching the batch
     val ids = broadcast(batchIds)
     DedupOps.containmentFromKept(kept, minPpm, minShingles)
