@@ -169,10 +169,16 @@ object AppendGrid {
     * ([[IncrementalSpans.removalView]]'s compacted-singleton check)
     * can skip row groups instead of scanning the bucket.
     *
+    * `wm`: the watermark table fencing this grid — defaults to the
+    * grid's own `<table>_wm`; a grid PAIR sharing one watermark (the
+    * [[IncrementalContainment]] forward/inverted twins, watermark
+    * written once after both generation writes) passes the shared
+    * name.
+    *
     * Returns the compacted generation id (`maxB`). */
   def compact(spark: SparkSession, table: String,
       fold: (DataFrame, Long) => DataFrame,
-      sortCols: Seq[String] = Nil): Long = {
+      sortCols: Seq[String] = Nil, wm: Option[String] = None): Long = {
     recover(spark, table)
     spark.catalog.refreshTable(table)
     // effective generations: a bucket-compacted partition counts as
@@ -180,7 +186,7 @@ object AppendGrid {
     val maxB = listPartitions(spark, table)
       .map { case (b, _) => if (b >= 0) b else -b - 1 }
       .foldLeft(0L)(math.max)
-    val wmT = s"${table}_wm"
+    val wmT = wm.getOrElse(s"${table}_wm")
     TableSwap.recover(spark, wmT, s"${wmT}_stage")
     if (spark.catalog.tableExists(wmT)) {
       val last = spark.table(wmT)
@@ -276,10 +282,11 @@ object AppendGrid {
     * ingest stream. */
   def compactBuckets(spark: SparkSession, table: String,
       fold: (DataFrame, Long) => DataFrame, dataCols: Seq[String],
-      sortCols: Seq[String] = Nil, minParts: Int = 4): Seq[Long] = {
+      sortCols: Seq[String] = Nil, minParts: Int = 4,
+      wm: Option[String] = None): Seq[Long] = {
     recover(spark, table)
     spark.catalog.refreshTable(table)
-    val wmT = s"${table}_wm"
+    val wmT = wm.getOrElse(s"${table}_wm")
     TableSwap.recover(spark, wmT, s"${wmT}_stage")
     if (!spark.catalog.tableExists(wmT)) return Nil
     val fence = spark.table(wmT)

@@ -16,14 +16,22 @@ import graft.operators.DedupOps
   * history" per batch ([[batchPairs]]), and reproduces the full
   * one-shot report on demand ([[report]]).
   *
-  * State: the (shingle, doc_id) postings grid — DISTINCT per doc (the
-  * docWordGrams unit), rows IMMUTABLE under document-disjoint ingest,
-  * shingle keys near-uniform (w-gram hashes of open-vocabulary text) —
-  * the APPEND pattern ([[IncrementalSpans]]' doctrine): each fold
-  * writes its own `_b` generation, `_kb = pmod(xxhash64(shingle),
-  * nBuckets)`, 1-row batch watermark, [[compact]]/[[compactBuckets]]
-  * on cadence. HONESTY: the grid is corpus-token-sized, like the span
-  * grid — it IS the inverted index a decontamination service stores.
+  * State: a forward/inverted PAIR of (shingle, doc_id) postings grids
+  * — the standard IR layout — DISTINCT per doc (the docWordGrams
+  * unit), rows IMMUTABLE under document-disjoint ingest, the APPEND
+  * pattern ([[IncrementalSpans]]' doctrine): each fold writes its own
+  * `_b` generation, [[compact]]/[[compactBuckets]] on cadence. The
+  * INVERTED grid buckets on `_kb = pmod(xxhash64(shingle), nBuckets)`
+  * (shingle→owners: df lookups, candidate discovery); the FORWARD
+  * twin `<table>_fwd` buckets on the doc_id hash (doc→shingles:
+  * candidate verification reads prune to the candidate docs' buckets
+  * instead of scanning the corpus — measured 19.5 MB → flat). ONE
+  * batch watermark fences both, written AFTER both generation writes,
+  * so every serve sees the pair at a single snapshot (a crash between
+  * the two grid writes leaves an uncommitted, invisible generation
+  * that the replay re-overwrites). HONESTY: the pair is 2× a
+  * corpus-token-sized index — exactly what a decontamination service
+  * stores.
   *
   * Why serve-time df, not a maintained prefix table: which shingles
   * are "rare" (df ≤ maxDf) DRIFTS as the corpus grows, and a doc's
@@ -42,6 +50,8 @@ object IncrementalContainment {
 
   private def wmTable(table: String) = s"${table}_wm"
 
+  private def fwdTable(table: String) = s"${table}_fwd"
+
   private val WProp = "graft.shinglew"
 
   private def requireW(spark: SparkSession, table: String,
@@ -55,10 +65,13 @@ object IncrementalContainment {
 
   /** All tables the index maintains — for test/registration
     * cleanup. */
-  def tables(table: String): Seq[String] =
+  def tables(table: String): Seq[String] = {
+    val fwd = fwdTable(table)
     Seq(table, s"${table}_compacting", s"${table}_old",
+      fwd, s"${fwd}_compacting", s"${fwd}_old",
       wmTable(table), s"${wmTable(table)}_stage",
       s"${wmTable(table)}_old")
+  }
 
   private def committedBatch(spark: SparkSession,
       table: String): Long = {
@@ -70,45 +83,76 @@ object IncrementalContainment {
   }
 
   /** Fold one document batch: one shingle explosion (∝ batch tokens)
-    * + one append-shaped write into the batch's own `_b` generation. */
+    * + one append-shaped write per twin into the batch's own `_b`
+    * generation — FORWARD first, INVERTED second, the shared
+    * watermark last, so a crash anywhere leaves only uncommitted
+    * (invisible) generations the replay re-overwrites. */
   def applyBatch(spark: SparkSession, table: String,
       batchDocs: DataFrame, batchId: Long, shingleW: Int = 3,
       nBuckets: Int = 32): Unit = FoldTimer.timed {
+    val fwd = fwdTable(table)
     AppendGrid.recover(spark, table)
+    AppendGrid.recover(spark, fwd)
     if (batchId <= committedBatch(spark, table)) return
-    val deltas = DedupOps.docWordGrams(batchDocs, shingleW)
+    val grams = DedupOps.docWordGrams(batchDocs, shingleW)
       .select(col("shingle"), col("doc_id"))
       .withColumn("_b", lit(batchId))
-      .withColumn("_kb",
-        pmod(xxhash64(col("shingle")), lit(nBuckets.toLong)))
-    if (!spark.catalog.tableExists(table)) {
-      CdcMerge.dropStateTable(spark, table)
-      deltas.repartition(col("_kb"))
-        .write.mode("overwrite").format("parquet")
-        .partitionBy("_b", "_kb").saveAsTable(table)
-      CdcMerge.setNBuckets(spark, table, nBuckets)
-      CdcMerge.setTableProp(spark, table, WProp, shingleW.toString)
-    } else {
-      CdcMerge.requireNBuckets(spark, table, nBuckets)
-      requireW(spark, table, shingleW)
-      AppendGrid.writeGeneration(spark, table, deltas, batchId,
-        Seq("shingle", "doc_id"))
+      .localCheckpoint() // one explosion feeds both twin writes
+    def writeTwin(t: String, bucketOn: org.apache.spark.sql.Column,
+        cols: Seq[String]): Unit = {
+      val deltas = grams
+        .withColumn("_kb", pmod(xxhash64(bucketOn), lit(nBuckets.toLong)))
+        .select((cols :+ "_b" :+ "_kb").map(col): _*)
+      if (!spark.catalog.tableExists(t)) {
+        CdcMerge.dropStateTable(spark, t)
+        deltas.repartition(col("_kb"))
+          .write.mode("overwrite").format("parquet")
+          .partitionBy("_b", "_kb").saveAsTable(t)
+        CdcMerge.setNBuckets(spark, t, nBuckets)
+        CdcMerge.setTableProp(spark, t, WProp, shingleW.toString)
+      } else {
+        CdcMerge.requireNBuckets(spark, t, nBuckets)
+        requireW(spark, t, shingleW)
+        AppendGrid.writeGeneration(spark, t, deltas, batchId, cols)
+      }
     }
+    writeTwin(fwd, col("doc_id"), Seq("doc_id", "shingle"))
+    writeTwin(table, col("shingle"), Seq("shingle", "doc_id"))
     import spark.implicits._
     TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
       wmTable(table))
   }
 
-  /** The committed postings (snapshot-consistent, bucket-compaction
-    * resolved). */
+  /** The committed inverted postings (snapshot-consistent,
+    * bucket-compaction resolved). Keeps `_kb` so callers can prune. */
   private def committedPostings(spark: SparkSession,
       table: String): DataFrame = {
     AppendGrid.recover(spark, table)
     spark.catalog.refreshTable(table)
     AppendGrid.resolved(spark, table)
       .filter(col("_b") <= committedBatch(spark, table))
-      .select("shingle", "doc_id")
+      .select("shingle", "doc_id", "_kb")
   }
+
+  /** The committed forward postings — same watermark, same
+    * snapshot. */
+  private def committedForward(spark: SparkSession,
+      table: String): DataFrame = {
+    val fwd = fwdTable(table)
+    AppendGrid.recover(spark, fwd)
+    spark.catalog.refreshTable(fwd)
+    AppendGrid.resolved(spark, fwd)
+      .filter(col("_b") <= committedBatch(spark, table))
+      .select("doc_id", "shingle", "_kb")
+  }
+
+  /** The distinct `_kb` bucket ids of `keys` under the grids' hash —
+    * ≤ nBuckets values, a control-plane collect that buys partition
+    * pruning on the corpus-sized twins. */
+  private def bucketIds(keys: DataFrame, on: String,
+      nBuckets: Int): Seq[Long] =
+    keys.select(pmod(xxhash64(col(on)), lit(nBuckets.toLong)).as("_kb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
 
   /** The FULL doc36 report served from the grid: identical semantics
     * to [[DedupOps.containmentPairs]] over the ingested corpus (cdc45
@@ -121,7 +165,7 @@ object IncrementalContainment {
       minContain: Double = 0.8, minShingles: Int = 3,
       maxDf: Long = 100L): DataFrame = {
     val minPpm = (minContain * 1000000).round
-    val sh0 = committedPostings(spark, table)
+    val sh0 = committedPostings(spark, table).select("shingle", "doc_id")
     val dfreq = sh0.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -136,18 +180,26 @@ object IncrementalContainment {
     * those pairs. Fold the batch before serving it (the keywordView
     * contract: the statistics must include the batch).
     *
-    * Cost shape, each step key- or doc-restricted before it
-    * aggregates:
-    *  1. the batch's shingles' GLOBAL df (semi-join on the batch's
-    *     keys — restricting keys, not owners, keeps counts exact);
-    *     kept = df ≤ maxDf, so every kept batch shingle has ≤ maxDf
+    * Cost shape — every read prunes to the buckets its keys hash
+    * into BEFORE filtering rows, and every restriction set is
+    * REQUEST-sized and broadcast EXPLICITLY (the sets come off
+    * multi-step pipelines whose size Catalyst cannot estimate; the
+    * unhinted build's fallback sort-merge semi-joins shuffled the
+    * corpus-sized grid per serve — measured 511 MB at 10×, flat
+    * 0.21 MB hinted):
+    *  1. the batch's shingles' GLOBAL df (inverted grid pruned to the
+    *     batch keys' `_kb` buckets, semi-joined on the keys —
+    *     restricting keys, not owners, keeps counts exact); kept =
+    *     df ≤ maxDf, so every kept batch shingle has ≤ maxDf
     *     postings;
     *  2. candidate docs = owners of kept batch shingles (≤ kept batch
     *     shingles × maxDf — the same bound doc36's prefix filter
-    *     enjoys, applied from the batch side);
-    *  3. the candidates' FULL posting rows (semi-join on doc_id) and
-    *     their shingles' global df → kept rows for exactly the
-    *     candidate set;
+    *     enjoys, applied from the batch side; same pruned buckets);
+    *  3. the candidates' FULL posting rows from the FORWARD twin —
+    *     pruned to the candidate docs' buckets, `doc_id IN` literals
+    *     under `idCap` (semi-join fallback above it) — and their
+    *     shingles' global df from the inverted grid pruned to those
+    *     keys' buckets → kept rows for exactly the candidate set;
     *  4. the shared prefix-filter + verify pipeline over that set,
     *     filtered to pairs touching the batch.
     *
@@ -155,42 +207,52 @@ object IncrementalContainment {
     * n_a ≥ minShingles forces ≥ ⌈t·minShingles⌉ ≥ 1 SHARED KEPT
     * shingles, so any qualifying pair touching the batch has both
     * docs in the candidate set; each candidate's kept rows and n are
-    * complete (doc-restriction keeps all its shingles, df is global),
-    * so prefix choice and verification match the full report's
-    * exactly. */
+    * complete (the forward twin holds ALL its shingles at the same
+    * watermark snapshot, df is global), so prefix choice and
+    * verification match the full report's exactly. */
   def batchPairs(spark: SparkSession, table: String,
       batchDocs: DataFrame, minContain: Double = 0.8,
       minShingles: Int = 3, maxDf: Long = 100L,
-      shingleW: Int = 3): DataFrame = {
+      shingleW: Int = 3, idCap: Int = 65536): DataFrame = {
     requireW(spark, table, shingleW)
     val minPpm = (minContain * 1000000).round
     val grid = committedPostings(spark, table)
+    val nBuckets = CdcMerge.tableNBuckets(spark, table).getOrElse(32)
     val batchIds = batchDocs.select("doc_id").distinct()
-    // every restriction set below is REQUEST-sized (batch shingles,
-    // then ≤ batch-kept-shingles × maxDf candidates and their
-    // postings' keys) — broadcast them EXPLICITLY: the sets come off
-    // multi-step pipelines whose size Catalyst cannot estimate, and a
-    // fallback sort-merge semi-join would shuffle the corpus-sized
-    // grid per serve (measured: 0.14 MB → 511 MB shuffle at 10×
-    // grid without the hints, flat 0.14 MB with them)
-    val batchKeys = broadcast(
-      DedupOps.docWordGrams(batchDocs, shingleW)
-        .select("shingle").distinct())
-    // (1) global df of the batch's shingles, kept only
-    val dfBatch = grid.join(batchKeys, Seq("shingle"), "left_semi")
+    val batchKeys0 = DedupOps.docWordGrams(batchDocs, shingleW)
+      .select("shingle").distinct().localCheckpoint()
+    val batchKeys = broadcast(batchKeys0)
+    // (1) global df of the batch's shingles, kept only — scan pruned
+    // to the batch keys' buckets (≤ nBuckets literal ids)
+    val batchKbs = bucketIds(batchKeys0, "shingle", nBuckets)
+    val invB = grid.filter(col("_kb").isin(batchKbs: _*))
+    val dfBatch = invB.join(batchKeys, Seq("shingle"), "left_semi")
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     // (2) owners of kept batch shingles = the candidate universe
-    val candDocs = grid
+    val candDocs = invB
       .join(broadcast(dfBatch.select("shingle")),
         Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
       .unionByName(batchIds).distinct()
-    // (3) the candidates' full posting rows, with GLOBAL df per key
-    val subGrid = grid.join(broadcast(candDocs), Seq("doc_id"),
-      "left_semi")
-    val keys = subGrid.select("shingle").distinct()
-    val dfAll = grid.join(broadcast(keys), Seq("shingle"), "left_semi")
+      .localCheckpoint() // bounded: ≤ batch kept-shingles × maxDf
+    // (3) the candidates' full posting rows from the FORWARD twin:
+    // bucket-pruned point reads under idCap, semi-join fallback above
+    val fwd = committedForward(spark, table)
+    val candRows = candDocs.limit(idCap + 1).collect()
+    val subGrid =
+      (if (candRows.length <= idCap) {
+         val ids = candRows.map(_.getLong(0)).toSeq
+         val candKbs = bucketIds(candDocs, "doc_id", nBuckets)
+         fwd.filter(col("_kb").isin(candKbs: _*) &&
+           col("doc_id").isin(ids: _*))
+       } else
+         fwd.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+        .select("doc_id", "shingle")
+    val keys = subGrid.select("shingle").distinct().localCheckpoint()
+    val keyKbs = bucketIds(keys, "shingle", nBuckets)
+    val dfAll = grid.filter(col("_kb").isin(keyKbs: _*))
+      .join(broadcast(keys), Seq("shingle"), "left_semi")
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val kept = subGrid.join(broadcast(dfAll), Seq("shingle"))
@@ -207,24 +269,35 @@ object IncrementalContainment {
       .select("doc_a", "doc_b", "n_inter", "n_a", "containment_ppm")
   }
 
-  /** Fold all generations into the newest one — shingle-sorted
-    * buckets, identity re-stamp (rows immutable). */
+  private def restamp(df: DataFrame, b: Long): DataFrame = {
+    val cols = df.columns
+    df.withColumn("_b", lit(b)).select(cols.toSeq.map(col): _*)
+  }
+
+  /** Fold all generations into the newest one on BOTH twins —
+    * identity re-stamp (rows immutable), inverted buckets
+    * shingle-sorted, forward buckets doc-sorted; the forward twin
+    * fences on the shared watermark. */
   def compact(spark: SparkSession, table: String): Unit = {
-    AppendGrid.compact(spark, table, (grid, maxB) => {
-      val cols = grid.columns
-      grid.withColumn("_b", lit(maxB)).select(cols.toSeq.map(col): _*)
-    }, sortCols = Seq("shingle"))
+    AppendGrid.compact(spark, table, restamp, sortCols = Seq("shingle"))
+    AppendGrid.compact(spark, fwdTable(table), restamp,
+      sortCols = Seq("doc_id"), wm = Some(wmTable(table)))
     ()
   }
 
-  /** INCREMENTAL compaction ([[AppendGrid.compactBuckets]]). */
+  /** INCREMENTAL compaction ([[AppendGrid.compactBuckets]]) on both
+    * twins. Returns the inverted grid's compacted bucket ids. */
   def compactBuckets(spark: SparkSession, table: String,
-      minParts: Int = 4): Seq[Long] =
-    AppendGrid.compactBuckets(spark, table, (live, fence) => {
-      val cols = live.columns
-      live.withColumn("_b", lit(fence)).select(cols.toSeq.map(col): _*)
-    }, dataCols = Seq("shingle", "doc_id"),
+      minParts: Int = 4): Seq[Long] = {
+    val inv = AppendGrid.compactBuckets(spark, table, restamp,
+      dataCols = Seq("shingle", "doc_id"),
       sortCols = Seq("shingle"), minParts = minParts)
+    AppendGrid.compactBuckets(spark, fwdTable(table), restamp,
+      dataCols = Seq("doc_id", "shingle"),
+      sortCols = Seq("doc_id"), minParts = minParts,
+      wm = Some(wmTable(table)))
+    inv
+  }
 
   /** Continuous maintenance: foreachBatch [[applyBatch]] under the
     * stream's own monotone batch ids. */

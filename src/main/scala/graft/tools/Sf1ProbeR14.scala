@@ -202,8 +202,16 @@ object Sf1ProbeR14 {
           IncrementalContainment.batchPairs(spark, table, batch)
             .collect().length
         }
+        // the serve's scan unit: inverted-grid buckets hit by the
+        // batch's shingles (∝ batch once nBuckets ≫ batch shingles;
+        // the 1× side of this probe is bucket-SATURATED, so the
+        // 1×→10× scan ratio understates the pruning)
+        val hitKbs = graft.operators.DedupOps.docWordGrams(batch, 3)
+          .select(pmod(xxhash64(col("shingle")), lit(nb.toLong)))
+          .distinct().count()
         println(f"PROBE containment_batch docs=$n%7d  index " +
-          f"${tableBytes / 1e6}%7.1f MB  batch: 20 docs  " +
+          f"${tableBytes / 1e6}%7.1f MB  batch: 20 docs " +
+          f"(hit $hitKbs%3d/$nb buckets)  " +
           f"serve: $wall%5.1f s  scanned: ${scanned / 1e6}%7.1f MB  " +
           f"shuffle-write: ${shuffled / 1e6}%6.2f MB  " +
           f"pairs: $pairs%3d")

@@ -121,6 +121,33 @@ class IncrementalContainmentSpec extends SparkSpec {
     assert(owners == Set(2L, 3L, 10L, 11L, 12L))
   }
 
+  test("the forward/inverted twins serve ONE snapshot: an open crash " +
+      "window (generations written, shared watermark not) is invisible " +
+      "to batchPairs and report; the replay re-commits both") {
+    import spark.implicits._
+    freshTable()
+    IncrementalContainment.applyBatch(spark, table, early, batchId = 0)
+    IncrementalContainment.applyBatch(spark, table, late, batchId = 1)
+    assert(spark.catalog.tableExists(s"${table}_fwd"))
+    val got = rows(IncrementalContainment.batchPairs(spark, table,
+      late))
+    assert(got.exists(p => p._1 == 2L && p._2 == 10L))
+    // reopen batch 1's crash window: both twins hold _b=1 on disk but
+    // the shared watermark is rewound — every serve sees the
+    // pre-batch state on BOTH grids (no torn candidate/verify split)
+    TableSwap.writeStaged(spark, Seq(0L).toDF("_batch"),
+      s"${table}_wm")
+    val pre = rows(IncrementalContainment.batchPairs(spark, table,
+      late))
+    assert(pre.isEmpty) // late docs not committed: no history pairs
+    assert(!rows(IncrementalContainment.report(spark, table))
+      .exists(p => p._1 == 2L && p._2 == 10L))
+    // re-deliver: both generations overwritten, watermark advances
+    IncrementalContainment.applyBatch(spark, table, late, batchId = 1)
+    assert(rows(IncrementalContainment.batchPairs(spark, table,
+      late)) == got)
+  }
+
   test("shingleW drift fails fast on fold and serve") {
     freshTable()
     IncrementalContainment.applyBatch(spark, table, early, batchId = 0,
