@@ -336,6 +336,66 @@ object IncrementalSpans {
     refreshRepSummary(spark, gridTable, g)
   }
 
+  /** Advance the `_rep` repeated-key summary from its recorded
+    * generation g to the committed watermark INCREMENTALLY — cost ∝
+    * residual generations + repeated mass, never grid-sized (the
+    * full-compact refresh rebuilds from the whole grid; this is the
+    * cadence-friendly path). Soundness: summary membership is
+    * monotone and owners only grow, so every key NEWLY repeated since
+    * g gained ≥ 1 owner in the residual — newly-repeated = (≥ 2
+    * residual owners) ∪ (exactly 1 residual owner, not already in the
+    * summary, whose single compacted owner exists: the removalView
+    * case-2 point-probe, `probeCap` fallback to a semi-join). The new
+    * summary = old ∪ newly-repeated, swapped crash-safe, generation
+    * property advanced to the watermark AFTER the swap (a crash
+    * between leaves it stale — monotone-sound, see [[RepGenProp]]).
+    * No-op before the first [[compact]] (no summary to advance). */
+  def advanceRepSummary(spark: SparkSession, gridTable: String,
+      probeCap: Int = 8192): Unit = {
+    AppendGrid.recover(spark, gridTable)
+    spark.catalog.refreshTable(gridTable)
+    val repT = repTable(gridTable)
+    if (!spark.catalog.tableExists(repT)) return
+    val g = CdcMerge.tableProp(spark, repT, RepGenProp)
+      .map(_.toLong).getOrElse(return)
+    val wmB = committedBatch(spark, gridTable)
+    if (wmB <= g) return
+    spark.catalog.refreshTable(repT)
+    val rep = spark.table(repT).select("span_key").localCheckpoint()
+    val grid = AppendGrid.resolved(spark, gridTable)
+      .filter(col("_b") <= wmB)
+    val residual = grid.filter(col("_b") > g)
+      .groupBy("span_key").agg(count(lit(1)).as("_r"))
+      .localCheckpoint() // ∝ recent batches; read twice below
+    val resRep = residual.filter(col("_r") >= 2).select("span_key")
+    val case2 = residual.filter(col("_r") === 1).select("span_key")
+      .join(rep, Seq("span_key"), "left_anti")
+    val nBuckets = CdcMerge.tableNBuckets(spark, gridTable)
+      .getOrElse(32)
+    val c2 = case2
+      .withColumn("_kb",
+        pmod(xxhash64(col("span_key")), lit(nBuckets.toLong)))
+      .limit(probeCap + 1).collect()
+    val probeHit =
+      if (c2.isEmpty) rep.limit(0)
+      else if (c2.length <= probeCap) {
+        val keys = c2.map(_.getString(0)).toSeq
+        val kbs = c2.map(_.getLong(1)).distinct.toSeq
+        grid.filter(col("_b") <= g &&
+            col("_kb").isin(kbs: _*) &&
+            col("span_key").isin(keys: _*))
+          .select("span_key")
+      } else
+        grid.filter(col("_b") <= g)
+          .join(case2, Seq("span_key"), "left_semi")
+          .select("span_key")
+    val newSummary = rep.unionByName(resRep).unionByName(probeHit)
+      .distinct()
+    TableSwap.writeStagedSpread(spark, newSummary, repT,
+      col("span_key"))
+    CdcMerge.setTableProp(spark, repT, RepGenProp, wmB.toString)
+  }
+
   /** INCREMENTAL compaction ([[AppendGrid.compactBuckets]]): fold only
     * the buckets with ≥ `minParts` live generations, cost ∝ fragmented
     * buckets, no table rename, untouched buckets byte-identical. Rows
@@ -343,22 +403,25 @@ object IncrementalSpans {
     * re-stamp as [[compact]]'s (bucket files stay span_key-sorted for
     * the removalView point-probe).
     *
-    * Serve-cost interplay (documented trade): bucket compaction does
-    * NOT refresh the `_rep` summary — a compacted bucket's folded
-    * history re-stamps to the compaction fence, so until the next full
-    * [[compact]] the removalView residual scan for that bucket covers
-    * the whole bucket, not just post-summary generations (answers stay
-    * exact throughout). Cadence discipline: compactBuckets frequently
-    * (bounds file counts, ∝ fragmentation), full compact + summary
-    * refresh on the long cadence (grid-sized, restores the
-    * ∝-repeated-mass serve). */
+    * The `_rep` summary is ADVANCED FIRST (incrementally —
+    * [[advanceRepSummary]], ∝ residual + repeated mass): a compacted
+    * bucket re-stamps its folded history to the compaction fence, so
+    * compacting with a stale summary would turn that bucket's whole
+    * history into removalView "residual" until the next full
+    * [[compact]]; with the summary at the fence the residual is empty
+    * and the ∝-repeated-mass serve holds through bucket compaction.
+    * (Before the first full compact there is no summary — reads use
+    * the whole-grid fallback and bucket compaction is unconditionally
+    * safe.) */
   def compactBuckets(spark: SparkSession, gridTable: String,
-      minParts: Int = 4): Seq[Long] =
+      minParts: Int = 4): Seq[Long] = {
+    advanceRepSummary(spark, gridTable)
     AppendGrid.compactBuckets(spark, gridTable, (live, fence) => {
       val cols = live.columns
       live.withColumn("_b", lit(fence)).select(cols.toSeq.map(col): _*)
     }, dataCols = Seq("span_key", "doc_id", "n_occ"),
       sortCols = Seq("span_key"), minParts = minParts)
+  }
 
   /** Rebuild the `_rep` repeated-key summary covering generations
     * `_b <= g`. */

@@ -191,6 +191,59 @@ class IncrementalSpansSpec extends SparkSpec {
     assert(bucket0Parts == 1, s"bucket 0 holds $bucket0Parts parts")
   }
 
+  test("compactBuckets ADVANCES the _rep summary incrementally first " +
+      "(∝ residual, no grid-sized job): the late second owner of a " +
+      "compacted singleton lands in the summary, the serve stays " +
+      "exact and ∝-repeated-mass through bucket compaction") {
+    import spark.implicits._
+    val t4 = "spanspec_grid_adv"
+    IncrementalSpans.tables(t4)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val tmpl = (0 until 8).map(j => s"A_$j").mkString(" ")
+    val single = (0 until 8).map(j => s"B_$j").mkString(" ")
+    val b0 = Seq(
+      (0L, s"a_1 a_2 a_3 $tmpl"),
+      (1L, s"b_1 b_2 b_3 $tmpl"),
+      (2L, s"c_1 c_2 c_3 $single")).toDF("doc_id", "text")
+    IncrementalSpans.applyBatch(spark, t4, b0, batchId = 0,
+      nBuckets = 8)
+    IncrementalSpans.compact(spark, t4) // summary born at gen 0
+    // two post-summary batches: doc 3 makes `single` repeated ACROSS
+    // the summary boundary (the case-2 shape advanceRepSummary must
+    // point-probe), doc 4 is fresh noise
+    IncrementalSpans.applyBatch(spark, t4,
+      Seq((3L, s"d_1 d_2 d_3 $single")).toDF("doc_id", "text"),
+      batchId = 1, nBuckets = 8)
+    IncrementalSpans.applyBatch(spark, t4,
+      Seq((4L, (0 until 12).map(j => s"n_$j").mkString(" ")))
+        .toDF("doc_id", "text"),
+      batchId = 2, nBuckets = 8)
+    IncrementalSpans.compactBuckets(spark, t4, minParts = 2)
+    // summary advanced to the fence without a full compact
+    assert(CdcMerge.tableProp(spark, s"${t4}_rep", "graft.repgen")
+      .contains("2"))
+    val all = b0.unionByName(
+      Seq((3L, s"d_1 d_2 d_3 $single"),
+        (4L, (0 until 12).map(j => s"n_$j").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val served = IncrementalSpans.removalView(spark, t4, all)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val oneShotAll = DedupOps.removeRepeatedSpans(all, spanLen = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(served == oneShotAll)
+    // the cross-boundary repeat specifically (both owners cut)
+    assert(served.contains((2L, "c_1 c_2 c_3", 8L)))
+    assert(served.contains((3L, "d_1 d_2 d_3", 8L)))
+    // and the summary itself holds the late repeat: the serve's
+    // residual above the advanced generation is EMPTY, so the cut
+    // can only have come from the summary
+    assert(spark.table(t4).filter(col("_b") > 2).count() == 0)
+    IncrementalSpans.tables(t4)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+  }
+
   test("compactBuckets is FENCED on the committed watermark: an open " +
       "crash window's generation is left alone, and its re-delivery " +
       "lands cleanly beside the compacted partition") {
