@@ -2683,14 +2683,18 @@ object OpsQueries {
         .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
       val docs = t(s, dir, "documents")
       def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      // nBuckets=8 at harness scale: per-bucket compaction is one
+      // write job per fragmented bucket per twin, and the oracle only
+      // needs the compacted-layout READ path exercised — the bucket
+      // count's scale behavior is the probe's job (Sf1ProbeR14)
       Seq((0, 0L), (1, 1L), (1, 1L)).foreach { case (p, b) =>
         graft.streaming.IncrementalContainment.applyBatch(s, table,
-          part(p), batchId = b)
+          part(p), batchId = b, nBuckets = 8)
       }
       graft.streaming.IncrementalContainment.compactBuckets(s, table,
         minParts = 2)
       graft.streaming.IncrementalContainment.applyBatch(s, table,
-        part(2), batchId = 2L)
+        part(2), batchId = 2L, nBuckets = 8)
       graft.streaming.IncrementalContainment.report(s, table)
         .orderBy($"doc_a", $"doc_b")
     },

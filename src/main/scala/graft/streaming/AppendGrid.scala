@@ -312,38 +312,52 @@ object AppendGrid {
         (kb, ps.map(_._1).filter(b => eff(b) <= fence), cov)
     }.sortBy(_._1)
     val newB = -(fence + 1L)
-    targets.foreach { case (kb, srcBs, cov) =>
-      if (cov < fence) {
-        val live = resolved(spark, table)
-          .filter(col("_kb") === kb && col("_b") <= fence)
-        val merged = fold(live, fence).repartition(1)
-        val sorted =
-          if (sortCols.isEmpty) merged
-          else merged.sortWithinPartitions(sortCols.map(col): _*)
-        // localCheckpoint: materialize the merged bucket BEFORE the
-        // overwrite touches any of its source files — also cuts the
-        // plan's file lineage, without which Spark rejects an insert
-        // that reads the table it overwrites
-        val view = s"${table}_bkt_src"
-        sorted.localCheckpoint().createOrReplaceTempView(view)
-        // partition values quoted: a bare negative literal in a
-        // partition spec is parser-version-sensitive; the string form
-        // casts to the column type unambiguously
-        try spark.sql(
-          s"INSERT OVERWRITE TABLE $table " +
-            s"PARTITION (_b='$newB', _kb='$kb') " +
-            s"SELECT ${dataCols.mkString(", ")} FROM $view")
-        finally spark.catalog.dropTempView(view)
-      }
-      // from here the bucket serves from the merged partition; every
-      // drop below removes an already-shadowed partition (re-runs
-      // converge after a crash at any point)
-      val doomed = srcBs.filter(_ != newB)
-      if (doomed.nonEmpty) spark.sql(
-        s"ALTER TABLE $table DROP IF EXISTS " + doomed.map { b =>
-          s"PARTITION (_b='$b', _kb='$kb')"
-        }.mkString(", "))
+    // ONE resolved snapshot for every bucket's live read: the bounds
+    // are computed here, and the only partitions phase 1 adds are
+    // newB shadows each task filters out of its own bucket anyway
+    val snap = resolved(spark, table)
+    // PHASE 1: merge + write each fragmented bucket — SERIAL by
+    // necessity: concurrent INSERTs into one table share the Hadoop
+    // committer's `_temporary` staging under the table path and
+    // corrupt each other's attempts (measured — chmod-on-missing-file
+    // task failures under an 8-way pool). Per-bucket writes stay the
+    // crash-safe unit: each INSERT replaces only ITS partition, whose
+    // shadowed sources survive until phase 2.
+    val toWrite = targets.filter(_._3 < fence)
+    toWrite.foreach { case (kb, _, _) =>
+      val live = snap
+        .filter(col("_kb") === kb && col("_b") <= fence)
+      val merged = fold(live, fence).repartition(1)
+      val sorted =
+        if (sortCols.isEmpty) merged
+        else merged.sortWithinPartitions(sortCols.map(col): _*)
+      // localCheckpoint: materialize the merged bucket BEFORE the
+      // overwrite touches any of its source files — also cuts the
+      // plan's file lineage, without which Spark rejects an insert
+      // that reads the table it overwrites
+      val view = s"${table}_bkt_src"
+      sorted.localCheckpoint().createOrReplaceTempView(view)
+      // partition values quoted: a bare negative literal in a
+      // partition spec is parser-version-sensitive; the string form
+      // casts to the column type unambiguously
+      try spark.sql(
+        s"INSERT OVERWRITE TABLE $table " +
+          s"PARTITION (_b='$newB', _kb='$kb') " +
+          s"SELECT ${dataCols.mkString(", ")} FROM $view")
+      finally spark.catalog.dropTempView(view)
     }
+    // PHASE 2 (serial, after every merge landed): drop the shadowed
+    // partitions, one DDL for the whole table. Every dropped
+    // partition is already shadowed by its bucket's merged partition
+    // — a crash anywhere in (or before) this phase reads exactly
+    // through [[resolved]] and the next run converges.
+    val doomed = targets.flatMap { case (kb, srcBs, _) =>
+      srcBs.filter(_ != newB).map(b => (b, kb))
+    }
+    if (doomed.nonEmpty) spark.sql(
+      s"ALTER TABLE $table DROP IF EXISTS " + doomed.map {
+        case (b, kb) => s"PARTITION (_b='$b', _kb='$kb')"
+      }.mkString(", "))
     spark.catalog.refreshTable(table)
     targets.map(_._1)
   }

@@ -94,10 +94,12 @@ object IncrementalContainment {
     AppendGrid.recover(spark, table)
     AppendGrid.recover(spark, fwd)
     if (batchId <= committedBatch(spark, table)) return
+    // the explosion is NARROW (split + explode, no shuffle) — cheaper
+    // recomputed per twin write than materialized corpus-sized into
+    // the block manager
     val grams = DedupOps.docWordGrams(batchDocs, shingleW)
       .select(col("shingle"), col("doc_id"))
       .withColumn("_b", lit(batchId))
-      .localCheckpoint() // one explosion feeds both twin writes
     def writeTwin(t: String, bucketOn: org.apache.spark.sql.Column,
         cols: Seq[String]): Unit = {
       val deltas = grams
