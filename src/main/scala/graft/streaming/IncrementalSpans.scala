@@ -204,10 +204,12 @@ object IncrementalSpans {
     *    partition-pruned to the probe keys' `_kb` buckets and pushed
     *    down as an `IN` filter over the bucket-sorted span_key column
     *    (row-group skipping), with a `probeCap` fallback to a
-    *    semi-join full scan for degenerate probe sets. An empty probe
-    *    set (the common serve: requested docs ingested before the
-    *    last compaction, residual sharing nothing) reads NOTHING from
-    *    the compacted generation.
+    *    broadcast semi-join scan for degenerate probe sets (measured
+    *    cheaper than a whole-grid owner count, which would shuffle
+    *    every requested key). An empty probe set (the common serve:
+    *    requested docs ingested before the last compaction, residual
+    *    sharing nothing) reads NOTHING from the compacted
+    *    generation.
     *
     * Soundness of the split: the grid is append-only under document-
     * disjoint ingest, so summary membership is monotone (repeated
@@ -284,27 +286,38 @@ object IncrementalSpans {
                 col("span_key").isin(keys: _*))
               .select("span_key")
           } else
-            // degenerate probe set (≈ full-corpus request): honest
-            // semi-join scan of the compacted generation
+            // degenerate probe set (≈ full-corpus request): a
+            // broadcast semi-join scan of the compacted generation —
+            // still cheaper than the whole-grid owner count, which
+            // would SHUFFLE every requested key (measured: the
+            // summary∪residual∪semi plan shuffles only repeated mass
+            // + case2)
             grid.filter(col("_b") <= g)
               .join(case2, Seq("span_key"), "left_semi")
               .select("span_key")
         repHit.union(resRep).union(probeHit).distinct()
       case None =>
         // no summary yet (never compacted): count owners over the
-        // whole grid restricted to the requested keys (grid PK is
-        // (span_key, doc_id), so rows/key = n_docs)
-        grid.join(reqKeys, Seq("span_key"), "left_semi")
-          .groupBy("span_key")
-          .agg(count(lit(1)).as("n_docs"))
-          .filter(col("n_docs") >= 2)
-          .select("span_key")
+        // whole grid restricted to the requested keys
+        wholeGridRepeated(grid, reqKeys)
     }
     val occ = reqOcc
       .join(repeated, Seq("span_key"), "left_semi")
       .select(col("doc_id"), col("pos"))
     DedupOps.cutSpans(docs, occ, spanLen)
   }
+
+  /** Repeated keys among `reqKeys` by counting owners over the whole
+    * committed grid — exact because the grid PK is (span_key, doc_id).
+    * The pre-summary read shape, and the cheapest exact plan for
+    * corpus-sized requests. */
+  private def wholeGridRepeated(grid: DataFrame,
+      reqKeys: DataFrame): DataFrame =
+    grid.join(reqKeys, Seq("span_key"), "left_semi")
+      .groupBy("span_key")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("span_key")
 
   /** Fold all `_b` generations into the newest one — one file per
     * bucket again (span_key-sorted within each bucket, so the
