@@ -33,6 +33,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // per-run warehouse (see Verify): a bench sweep and a Verify on
+      // one checkout must not share state-table directories
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-bench-wh").toString)
       .getOrCreate()
     // ERROR, not WARN: the CheckpointBridge free path emits one WARN
     // line per freed checkpoint ("RDD was locally checkpointed...") —
@@ -237,9 +241,16 @@ object Bench {
       sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
         .filter(_.isFile)
         .orElse {
+          // sort by the PARSED round number, not the file name — a
+          // lexicographic sort silently picks the wrong round once
+          // padding widths mix (r9 vs r10 vs r100)
+          val roundRe = "BENCH_LOCAL_r(\\d+)\\.json".r
           Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-            .filter(f => f.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
-            .sortBy(_.getName).lastOption
+            .flatMap(f => f.getName match {
+              case roundRe(n) => Some((n.toInt, f))
+              case _          => None
+            })
+            .sortBy(_._1).lastOption.map(_._2)
         }
     prevArtifact.foreach { pf =>
       try {

@@ -14,6 +14,13 @@ object Verify {
       .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // PER-RUN warehouse: two concurrent Verify/Bench runs on one
+      // checkout otherwise share ./spark-warehouse, and their state
+      // tables (same names by design) corrupt each other — measured
+      // as a re-paired determinism audit in r14. The in-memory
+      // catalog is already per-JVM; the directory must be too.
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-verify-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -78,9 +78,9 @@ object StreamingIngestDemo {
         val bs = batch.sparkSession
         val (ok, rej) = QualityGate.split(batch, minTokens = 20)
         graft.operators.SchemaDrift.writeBatchIdempotent(
-          ok.withColumn("_batch_id", lit(id)), "ingest_ok")
+          ok, "ingest_ok", id)
         graft.operators.SchemaDrift.writeBatchIdempotent(
-          rej.withColumn("_batch_id", lit(id)), "ingest_rej")
+          rej, "ingest_rej", id)
         val cands = IncrementalDedup.indexBatch(
           bs, "ingest_lshidx", ok)
         bs.catalog.refreshTable("ingest_ok")
@@ -88,7 +88,7 @@ object StreamingIngestDemo {
           DedupOps.docShingles(bs.table("ingest_ok")), cands,
           minJ = 0.2)
         graft.operators.SchemaDrift.writeBatchIdempotent(
-          verified.withColumn("_batch_id", lit(id)), "ingest_pairs")
+          verified, "ingest_pairs", id)
         // derived state, maintained from the SAME batch: the pair
         // batch folds into the standing cluster labels (leakage-safe
         // splits read these), the accepted docs into the DSIR bucket

@@ -205,23 +205,51 @@ object MultimodalOps {
     * hashes, codegen'd) verifies ≤ `maxHam`. Same LSH scale shape as
     * doc04: work tracks bucket collisions, not n². */
   def mediaNearDups(media: DataFrame, maxHam: Int = 3,
-      gram: Int = 4, bits: Int = 32, bands: Int = 4): DataFrame = {
+      gram: Int = 4, bits: Int = 32, bands: Int = 4): DataFrame =
+    pairsFromBanded(bandedPhash(media, gram, bits, bands), maxHam,
+      bands)
+
+  /** The banded pHash postings of each payload: one row per
+    * (doc, band) with the band's `key` slice of the hash —
+    * (doc_id, phash, band, key). Shared by the one-shot
+    * [[mediaNearDups]] join and the maintained index's append grid
+    * ([[graft.streaming.IncrementalMediaDedup]]), so the two paths
+    * cannot drift semantically. */
+  def bandedPhash(media: DataFrame, gram: Int = 4, bits: Int = 32,
+      bands: Int = 4): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
-    require(maxHam < bands,
-      "banded LSH is lossless only for maxHam < bands (pigeonhole)")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val ph = mediaSimhash(media, gram, bits)
-    val banded = ph
+    mediaSimhash(media, gram, bits)
       .withColumn("band", explode(array((0 until bands).map(lit): _*)))
       .withColumn("key",
         expr(s"shiftright(phash, band * $width)")
           .bitwiseAND(lit(mask)))
+      .select(col("doc_id"), col("phash"), col("band"), col("key"))
+  }
+
+  /** Near-dup pairs from banded pHash postings: equi-join on
+    * (band, key) → distinct candidate pairs → exact Hamming verify
+    * (lossless for `maxHam < bands` by pigeonhole). The `lookup` side
+    * defaults to the probe side (full self-join); the maintained
+    * index passes its stored postings as the probe and serves batch
+    * lookups with a restricted probe side. */
+  def pairsFromBanded(banded: DataFrame, maxHam: Int, bands: Int,
+      lookup: Option[DataFrame] = None): DataFrame = {
+    require(maxHam < bands,
+      "banded LSH is lossless only for maxHam < bands (pigeonhole)")
+    // pairs NORMALIZED (doc_a < doc_b, phashes following), not
+    // filtered a < b: an asymmetric probe/lookup split must keep
+    // collisions where the probe doc carries the LARGER id
     val cands = banded.as("a")
-      .join(banded.as("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .join(lookup.getOrElse(banded).as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.phash"))
+          .otherwise(col("b.phash")).as("ph_a"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.phash"))
+          .otherwise(col("a.phash")).as("ph_b"))
       .distinct()
     cands
       .withColumn("hamming",

@@ -414,7 +414,11 @@ object OpsQueries {
   // exact bit_count(xor) verify in codegen. The image-dedup recipe
   // over the opaque binary column; the oracle replays bit votes,
   // banding and Hamming per hex digit.
-  private val mm06 = {
+  // Shared with the maintained twin (cdc47): the fold == one-shot
+  // equality claim is only meaningful if both queries pin against the
+  // IDENTICAL oracle text (the bm25Oracle doctrine). A def, not a
+  // val: mm06 captures it during object init.
+  private def phashNearDupOracle: String = {
     val bits = 32; val bands = 4; val width = bits / bands
     val gram = 4; val maxHam = 3
     val mask = (1L << width) - 1
@@ -422,14 +426,7 @@ object OpsQueries {
       s"""(CASE WHEN SUM(((gv >> $b) & 1) * 2 - 1) > 0
          THEN ${1L << b} ELSE 0 END)"""
     }.mkString(" + ")
-    GraftQuery(
-      "mm06_phash_neardup",
-      (s, dir) =>
-        MultimodalOps.mediaNearDups(
-            MultimodalOps.toMediaColumns(t(s, dir, "documents")),
-            maxHam = maxHam, gram = gram, bits = bits, bands = bands)
-          .orderBy(col("doc_a"), col("doc_b")),
-      Some(s"""
+    s"""
         WITH g AS (
           SELECT doc_id,
             unnest(list_transform(
@@ -455,8 +452,17 @@ object OpsQueries {
           CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
         FROM cands
         WHERE bit_count(xor(pa, pb)) <= $maxHam
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b"""
   }
+
+  private val mm06 = GraftQuery(
+    "mm06_phash_neardup",
+    (s, dir) =>
+      MultimodalOps.mediaNearDups(
+          MultimodalOps.toMediaColumns(t(s, dir, "documents")),
+          maxHam = 3, gram = 4, bits = 32, bands = 4)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(phashNearDupOracle))
 
   // -------------------------------------------------------------- q61
   // ANALYZE-style table statistics: per-column row count, null
@@ -2700,6 +2706,85 @@ object OpsQueries {
     },
     Some(SelectionQueries.containmentOracle))
 
+  // -------------------------------------------------------------- cdc46
+  // MAINTAINED kNN GRAPH (IncrementalKnnGraph) — emb29's neighbor
+  // graph kept current under vector ingest: new vectors find their
+  // candidates through the maintained IVF cells (forward — the emb29
+  // query shape, cost ∝ batch × probed-cell size) and existing
+  // vectors are REPAIRED only where a new vector can enter their
+  // top-k (reverse: probers of the batch's home cells × batch — the
+  // NN-descent local-join bound — appended only at/above the
+  // committed k-th-cos threshold, which is exact because top-k is
+  // monotone). The backbone of the emb37–44 analytics family, no
+  // longer rebuilt per refresh. Served graph == one-shot emb29
+  // exactly (same oracle), pinned through a REDELIVERED batch and a
+  // MID-STREAM incremental bucket compaction.
+  private val cdc46 = GraftQuery(
+    "cdc46_knn_graph_view",
+    (s, dir) => {
+      val table = "cdc46_knn"
+      graft.streaming.IncrementalKnnGraph.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      def part(lo: Long, hi: Long) =
+        embs.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      // contiguous ranges: batch 0 carries vec 0..7 (the centroid
+      // seeding contract, matching the one-shot's vec_id < 8 rule);
+      // batch 1 is REDELIVERED under its own id
+      Seq((0L, 150L, 0L), (150L, 300L, 1L), (150L, 300L, 1L))
+        .foreach { case (lo, hi, b) =>
+          graft.streaming.IncrementalKnnGraph.applyBatch(s, table,
+            part(lo, hi), b)
+        }
+      graft.streaming.IncrementalKnnGraph.compactBuckets(s, table,
+        minParts = 2)
+      graft.streaming.IncrementalKnnGraph.applyBatch(s, table,
+        part(300L, Long.MaxValue), 2L)
+      graft.streaming.IncrementalKnnGraph.graphView(s, table)
+        .orderBy(col("vec_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${knnGraphCtes(nProbe = 2)}
+      SELECT vec_id, nbr_id, rnk, cos FROM g
+      WHERE rnk <= 4
+      ORDER BY vec_id, rnk"""))
+
+  // -------------------------------------------------------------- cdc47
+  // MAINTAINED MEDIA NEAR-DUP INDEX (IncrementalMediaDedup) — mm06's
+  // banded-pHash dedup kept current under media ingest: the postings
+  // (band, key, doc_id, phash) are immutable under document-disjoint
+  // batches and band keys are near-uniform hash slices — the append
+  // doctrine verbatim (doc25's text sibling over the binary column).
+  // No historical media byte is ever re-hashed; per-batch candidate
+  // discovery reads ∝ the batch's band keys' buckets (batchPairs,
+  // spec-pinned). The full report == one-shot mm06 exactly (same
+  // oracle), pinned through a REDELIVERED batch and a MID-STREAM
+  // incremental bucket compaction.
+  private val cdc47 = GraftQuery(
+    "cdc47_media_dedup_view",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc47_phash"
+      graft.streaming.IncrementalMediaDedup.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val media =
+        MultimodalOps.toMediaColumns(t(s, dir, "documents"))
+      def part(i: Int) = media.filter(pmod($"doc_id", lit(3)) === i)
+      // batch 1 is REDELIVERED under its own id
+      Seq((0, 0L), (1, 1L), (1, 1L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalMediaDedup.applyBatch(s, table,
+          part(p), batchId = b, nBuckets = 8)
+      }
+      graft.streaming.IncrementalMediaDedup.compactBuckets(s, table,
+        minParts = 2)
+      graft.streaming.IncrementalMediaDedup.applyBatch(s, table,
+        part(2), batchId = 2L, nBuckets = 8)
+      graft.streaming.IncrementalMediaDedup.report(s, table)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(phashNearDupOracle))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
@@ -2707,5 +2792,5 @@ object OpsQueries {
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
       q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
       doc46, doc47, doc48, doc49, cdc40, doc50, cdc41, cdc42, cdc43,
-      cdc44, cdc45)
+      cdc44, cdc45, cdc46, cdc47)
 }

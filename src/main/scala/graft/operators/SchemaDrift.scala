@@ -95,8 +95,8 @@ object SchemaDrift {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: DataFrame, batchId: Long) =>
-          writeBatchIdempotent(driftReport(batch, contentCol, declared)
-            .withColumn("_batch_id", lit(batchId)), reportTable)
+          writeBatchIdempotent(driftReport(batch, contentCol, declared),
+            reportTable, batchId)
       }
     (if (availableNow)
        writer.trigger(
@@ -104,22 +104,36 @@ object SchemaDrift {
      else writer).start()
   }
 
-  /** Idempotent per-batch table write: the rows (which must carry a
-    * `_batch_id` column) dynamically overwrite their own `_batch_id`
-    * partition, so an at-least-once replayed batch rewrites the same
-    * partition with the same rows instead of appending duplicates.
+  /** Idempotent per-batch table write: the rows overwrite their own
+    * `_batch_id = batchId` partition, so an at-least-once replayed
+    * batch rewrites the same partition with the same rows instead of
+    * appending duplicates. The batch id is the whole partition spec,
+    * so the existing-table path is a fully-STATIC
+    * `INSERT OVERWRITE ... PARTITION (_batch_id=<id>)` — no
+    * dependence on the session-global `partitionOverwriteMode` conf
+    * (the [[graft.streaming.AppendGrid.writeGeneration]] doctrine).
     * The create path clears any stale warehouse location a crashed
     * first write left behind before re-creating the table. Shared by
-    * the drift monitor and the quarantine stream. */
-  def writeBatchIdempotent(rows: DataFrame, table: String): Unit = {
+    * the drift monitor, the quarantine stream and the dedup pair
+    * log. */
+  def writeBatchIdempotent(rows: DataFrame, table: String,
+      batchId: Long): Unit = {
     val spark = rows.sparkSession
     if (spark.catalog.tableExists(table)) {
-      graft.streaming.CdcMerge.withDynamicOverwrite(spark) {
-        rows.write.mode("overwrite").insertInto(table)
-      }
+      val dataCols = spark.table(table).columns.toSeq
+        .filterNot(_ == "_batch_id")
+      val view = s"${table}_batch_src"
+      rows.createOrReplaceTempView(view)
+      try spark.sql(
+        s"INSERT OVERWRITE TABLE $table " +
+          s"PARTITION (_batch_id=$batchId) " +
+          s"SELECT ${dataCols.mkString(", ")} FROM $view")
+      finally spark.catalog.dropTempView(view)
+      spark.catalog.refreshTable(table)
     } else {
       graft.streaming.CdcMerge.dropStateTable(spark, table)
-      rows.write.mode("overwrite").format("parquet")
+      rows.withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite").format("parquet")
         .partitionBy("_batch_id").saveAsTable(table)
     }
   }
@@ -143,11 +157,9 @@ object SchemaDrift {
       .foreachBatch {
         (batch: DataFrame, batchId: Long) =>
           val (clean, bad) = quarantine(batch, contentCol, declared)
-          writeBatchIdempotent(
-            clean.withColumn("_batch_id", lit(batchId)), cleanTable)
-          writeBatchIdempotent(
-            bad.drop("has_drift").withColumn("_batch_id", lit(batchId)),
-            quarantineTable)
+          writeBatchIdempotent(clean, cleanTable, batchId)
+          writeBatchIdempotent(bad.drop("has_drift"), quarantineTable,
+            batchId)
       }
     (if (availableNow)
        writer.trigger(

@@ -127,8 +127,13 @@ object AppendGrid {
       val covMap = map(bounds.toSeq.flatMap { case (kb, bMin) =>
         Seq(lit(kb), lit(-bMin - 1L))
       }: _*)
+      // try_element_at, not element_at: null-on-missing-key is the
+      // semantics this lookup NEEDS (never-compacted buckets are
+      // absent from the map), and element_at's behavior there has
+      // been ANSI-version-sensitive — try_ pins it explicitly
       val pos = grid.filter(col("_b") >= 0 &&
-        col("_b") > coalesce(element_at(covMap, col("_kb")), lit(-1L)))
+        col("_b") > coalesce(try_element_at(covMap, col("_kb")),
+          lit(-1L)))
       val negKeep = bounds.toSeq.map { case (kb, bMin) =>
         col("_kb") === kb && col("_b") === bMin
       }.reduce(_ || _)
@@ -277,9 +282,9 @@ object AppendGrid {
     * two paths share each grid's fold unchanged. `dataCols` as in
     * [[writeGeneration]].
     *
-    * Returns the bucket ids compacted (empty when nothing is
-    * fragmented or no batch has committed). Single-writer: pause the
-    * ingest stream. */
+    * Returns the bucket ids compacted or cleaned (empty when nothing
+    * is fragmented, no drop-phase leftovers exist, or no batch has
+    * committed). Single-writer: pause the ingest stream. */
   def compactBuckets(spark: SparkSession, table: String,
       fold: (DataFrame, Long) => DataFrame, dataCols: Seq[String],
       sortCols: Seq[String] = Nil, minParts: Int = 4,
@@ -294,23 +299,31 @@ object AppendGrid {
     if (fence < 0) return Nil
     val parts = listPartitions(spark, table)
     def eff(b: Long): Long = if (b >= 0) b else -b - 1
-    // a bucket is fragmented when ≥ minParts of its partitions sit at
-    // or below the fence (shadowed leftovers from a crashed run
-    // count: they still need dropping). When the bucket's compacted
-    // coverage already reaches the fence (a crashed run's merged
-    // write landed), the fold is skipped but the shadowed sources are
-    // still dropped — convergence. Coverage ABOVE the fence (only
-    // reachable under a rewound watermark) skips the bucket whole.
-    val targets = parts.groupBy(_._2).toSeq.collect {
-      case (kb, ps) if {
-        val cov = ps.map(_._1).filter(_ < 0)
-          .minOption.map(b => -b - 1).getOrElse(-1L)
-        cov <= fence && ps.count(p => eff(p._1) <= fence) >= minParts
-      } =>
-        val cov = ps.map(_._1).filter(_ < 0)
-          .minOption.map(b => -b - 1).getOrElse(-1L)
-        (kb, ps.map(_._1).filter(b => eff(b) <= fence), cov)
+    // Target selection. A bucket is FRAGMENTED when ≥ minParts of its
+    // partitions sit at or below the fence (shadowed leftovers from a
+    // crashed run count: they still need dropping). When the bucket's
+    // compacted coverage already reaches the fence (a crashed run's
+    // merged write landed), the fold is skipped but the shadowed
+    // sources are still dropped — convergence. A bucket is
+    // additionally a DROP-ONLY target whenever a compacted partition
+    // coexists with partitions it already shadows (a crash during a
+    // previous run's drop phase): those leftovers are dead data
+    // [[resolved]] skips, and they are reclaimed REGARDLESS of
+    // minParts — without this they could persist forever below the
+    // fragmentation threshold (the r14 advice). Coverage ABOVE the
+    // fence (only reachable under a rewound watermark) skips the
+    // bucket whole.
+    val info = parts.groupBy(_._2).toSeq.map { case (kb, ps) =>
+      val covB = ps.map(_._1).filter(_ < 0).minOption
+      val cov = covB.map(b => -b - 1).getOrElse(-1L)
+      val frag = ps.count(p => eff(p._1) <= fence) >= minParts
+      val leftovers = covB.exists(cb =>
+        ps.exists(p => p._1 != cb && eff(p._1) <= cov))
+      (kb, ps.map(_._1), covB, cov, frag, leftovers)
     }.sortBy(_._1)
+    val targets = info.filter { case (_, _, _, cov, frag, left) =>
+      cov <= fence && (frag || left)
+    }
     val newB = -(fence + 1L)
     // ONE resolved snapshot for every bucket's live read: the bounds
     // are computed here, and the only partitions phase 1 adds are
@@ -323,8 +336,12 @@ object AppendGrid {
     // task failures under an 8-way pool). Per-bucket writes stay the
     // crash-safe unit: each INSERT replaces only ITS partition, whose
     // shadowed sources survive until phase 2.
-    val toWrite = targets.filter(_._3 < fence)
-    toWrite.foreach { case (kb, _, _) =>
+    // fold only the FRAGMENTED buckets whose coverage hasn't reached
+    // the fence (a crashed run's landed merge, cov == fence, skips
+    // the fold; drop-only targets never fold)
+    val toWrite = targets.filter { case (_, _, _, cov, frag, _) =>
+      frag && cov < fence }
+    toWrite.foreach { case (kb, _, _, _, _, _) =>
       val live = snap
         .filter(col("_kb") === kb && col("_b") <= fence)
       val merged = fold(live, fence).repartition(1)
@@ -347,12 +364,19 @@ object AppendGrid {
       finally spark.catalog.dropTempView(view)
     }
     // PHASE 2 (serial, after every merge landed): drop the shadowed
-    // partitions, one DDL for the whole table. Every dropped
-    // partition is already shadowed by its bucket's merged partition
-    // — a crash anywhere in (or before) this phase reads exactly
-    // through [[resolved]] and the next run converges.
-    val doomed = targets.flatMap { case (kb, srcBs, _) =>
-      srcBs.filter(_ != newB).map(b => (b, kb))
+    // partitions, one DDL for the whole table. A partition is
+    // droppable exactly when the bucket's FINAL covering partition
+    // shadows it: newB (coverage = fence) for buckets folded this
+    // run, else the pre-existing compacted partition (coverage =
+    // cov) — drop-only targets must NOT drop live positive
+    // generations above their coverage. Every dropped partition is
+    // already shadowed — a crash anywhere in (or before) this phase
+    // reads exactly through [[resolved]] and the next run converges.
+    val written = toWrite.map(_._1).toSet
+    val doomed = targets.flatMap { case (kb, bs, covB, cov, _, _) =>
+      val (fCov, fCovB) =
+        if (written(kb)) (fence, newB) else (cov, covB.getOrElse(newB))
+      bs.filter(b => b != fCovB && eff(b) <= fCov).map(b => (b, kb))
     }
     if (doomed.nonEmpty) spark.sql(
       s"ALTER TABLE $table DROP IF EXISTS " + doomed.map {

@@ -88,25 +88,50 @@ object ChangeFeed {
   }
 
   /** Write one commit's diff into its own `_commit` partition
-    * (dynamic overwrite → replay-idempotent). `nFiles` sizes the
-    * commit's file count — 1 is right for batch-sized diffs; a bulk
-    * backfill commit should pass ceil(diff bytes / target file size)
-    * so the feed never accretes shuffle.partitions-many fragments per
-    * commit (they are written once and kept until [[vacuum]]). */
+    * (replay-idempotent). The commit id is the whole partition spec,
+    * so the existing-table path is a fully-STATIC
+    * `INSERT OVERWRITE ... PARTITION (_commit=<id>)` — replaces
+    * exactly that commit's partition with no dependence on the
+    * session-global `partitionOverwriteMode` conf (the
+    * [[AppendGrid.writeGeneration]] doctrine; static specs behave
+    * identically under either mode). `nFiles` sizes the commit's file
+    * count — 1 is right for batch-sized diffs; a bulk backfill commit
+    * should pass ceil(diff bytes / target file size) so the feed
+    * never accretes shuffle.partitions-many fragments per commit
+    * (they are written once and kept until [[vacuum]]). */
   def writeChanges(spark: SparkSession, feedTable: String,
       changes: DataFrame, batchId: Long, nFiles: Int = 1): Unit = {
-    val rows = changes.withColumn("_commit", lit(batchId))
-      .coalesce(nFiles)
     if (spark.catalog.tableExists(feedTable)) {
-      CdcMerge.withDynamicOverwrite(spark) {
-        rows
-          .select(spark.table(feedTable).columns.toSeq.map(col): _*)
-          .write.mode("overwrite").insertInto(feedTable)
-      }
+      val dataCols = spark.table(feedTable).columns.toSeq
+        .filterNot(_ == "_commit")
+      // localCheckpoint, not persist: [[squash]]'s net diff READS the
+      // feed table this insert overwrites — the checkpoint
+      // materializes the rows and cuts the file lineage, without
+      // which the insert is rejected (UNSUPPORTED_OVERWRITE.TABLE)
+      val mat = changes.coalesce(nFiles).localCheckpoint(true)
+      try {
+        // an EMPTY diff must leave the commit's partition untouched —
+        // the no-op replay case (redelivery AFTER the state committed
+        // diffs old==new): a static INSERT OVERWRITE of zero rows
+        // would instead clear the rows the original delivery wrote.
+        // The dynamic-overwrite path got this for free (no partitions
+        // in the data → none touched); the static spec must check.
+        if (mat.isEmpty) return
+        val view = s"${feedTable}_chg_src"
+        mat.createOrReplaceTempView(view)
+        try spark.sql(
+          s"INSERT OVERWRITE TABLE $feedTable " +
+            s"PARTITION (_commit=$batchId) " +
+            s"SELECT ${dataCols.mkString(", ")} FROM $view")
+        finally spark.catalog.dropTempView(view)
+        spark.catalog.refreshTable(feedTable)
+      } finally org.apache.spark.sql.graftbridge.CheckpointBridge
+        .freeLocalCheckpoint(mat)
     } else {
       // same stale-location hygiene as the state table's create path
       CdcMerge.dropStateTable(spark, feedTable)
-      rows.write.mode("overwrite").format("parquet")
+      changes.withColumn("_commit", lit(batchId)).coalesce(nFiles)
+        .write.mode("overwrite").format("parquet")
         .partitionBy("_commit").saveAsTable(feedTable)
     }
   }

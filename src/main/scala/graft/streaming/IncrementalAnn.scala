@@ -168,8 +168,8 @@ object IncrementalAnn {
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
     val keptCids = spark.table(stage).select("cid").distinct()
       .collect().map(_.getLong(0)).toSet
-    CdcMerge.withDynamicOverwrite(spark) {
-      spark.table(stage).select(cols.toSeq.map(col): _*)
+    CdcMerge.withDynamicOverwrite(spark) { w =>
+      w.table(stage).select(cols.toSeq.map(col): _*)
         .write.mode("overwrite").insertInto(table)
     }
     spark.sql(s"DROP TABLE IF EXISTS $stage")

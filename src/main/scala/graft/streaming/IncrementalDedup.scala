@@ -130,7 +130,7 @@ object IncrementalDedup {
         val pairs = indexBatch(batch.sparkSession, indexTable, batch,
           k, rowsPerBand, nBuckets)
         graft.operators.SchemaDrift.writeBatchIdempotent(
-          pairs.withColumn("_batch_id", lit(batchId)), pairsTable)
+          pairs, pairsTable, batchId)
         // the pair log is written; free the batch checkpoint's blocks
         // now instead of leaking one per batch until a driver GC
         org.apache.spark.sql.graftbridge.CheckpointBridge

@@ -114,8 +114,8 @@ object IncrementalJoin {
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
     val stagedKbs = spark.table(stage).select("_kb").distinct()
       .collect().map(_.getLong(0)).toSet
-    CdcMerge.withDynamicOverwrite(spark) {
-      spark.table(stage).select(cols.toSeq.map(col): _*)
+    CdcMerge.withDynamicOverwrite(spark) { w =>
+      w.table(stage).select(cols.toSeq.map(col): _*)
         .write.mode("overwrite").insertInto(viewTable)
     }
     // a touched partition with NO surviving rows is absent from the

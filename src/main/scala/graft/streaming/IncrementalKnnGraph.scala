@@ -1,0 +1,365 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** Incrementally-maintained k-NN GRAPH — emb29's approximate
+  * neighbor graph ([[SimilarityOps.knnGraph]]) kept current under
+  * vector ingest. The graph is the backbone of the whole emb37–44
+  * analytics family (PageRank, label-propagation communities,
+  * triangle counting, BFS, community-balanced sampling): a curation
+  * pipeline that samples by community would otherwise rebuild it from
+  * scratch per refresh — O(corpus) candidate work for O(batch) new
+  * vectors.
+  *
+  * State (all under one logical view):
+  *  - `{table}_cells` — the maintained IVF membership index
+  *    ([[IncrementalAnn]]): every vector's rank-1 cell, partitioned
+  *    by `cid`, frozen centroids, anti-join replay guard. The
+  *    CANDIDATE-MEMBER side.
+  *  - `{table}_probes` — every vector's rank ≤ nProbe cell
+  *    assignments, partitioned by `cid`, same append/anti-join
+  *    discipline. The PROBER side: without it, finding "who probes
+  *    the cells this batch landed in" would re-assign the whole
+  *    corpus per fold.
+  *  - `{table}` — the edge grid ([[AppendGrid]]): (vec_id, nbr_id,
+  *    cos) candidate rows appended per `_b` generation,
+  *    `_kb = hash(vec_id)`; the 1-row watermark fences serves;
+  *    compaction keeps each vector's current top-k.
+  *
+  * == Fold = forward edges + bounded reverse repair ==
+  *
+  * A new vector v needs its own neighbors (FORWARD: v's nProbe
+  * nearest cells' members, the emb29 query shape — cost ∝ batch ×
+  * probed-cell size), and existing vectors whose top-k v enters need
+  * repair (REVERSE: only vectors PROBING v's home cell can ever rank
+  * v — the NN-descent local-join argument — so candidates are
+  * probers-of-touched-cells × batch, cost ∝ batch × per-cell prober
+  * count, never corpus). A reverse pair is appended only when it can
+  * still enter its owner's top-k (cos ≥ the owner's committed k-th
+  * cos, ties kept) — rows appended ∝ actual entrants.
+  *
+  * == Exactness (graphView == one-shot knnGraph, pinned by cdc46) ==
+  *
+  * Cell assignments are FROZEN at arrival (fixed centroids), so the
+  * one-shot candidate set cand(v) = members(probes(v)) is
+  * batch-order-independent. Every pair (v, m) with m ∈ cand(v) is
+  * generated exactly once — at max(arrival(v), arrival(m)): forward
+  * if v is newer, reverse if m is newer. Top-k is MONOTONE: a pair
+  * dropped by the forward top-k cut, the reverse threshold, or
+  * compaction's top-k fold is at rank > k with k strictly-better
+  * pairs already in the grid, and later pairs only push it further
+  * down — so the served top-k over appended rows equals the top-k
+  * over the full candidate set. Ties are exact: the order is
+  * (cos DESC, nbr_id), nbr_id is unique per owner, and threshold
+  * comparisons keep equality. Cosines are bitwise-reproducible
+  * (fixed-order [[SimilarityOps.dot]]; IEEE product/quotient —
+  * operand roles match the one-shot's probe-side-first order).
+  *
+  * Contract: vector-disjoint append-only batches with monotone batch
+  * ids; the first batch must contain the corpus's `nCentroids` lowest
+  * vec_ids (the [[IncrementalAnn]] seeding contract — matching the
+  * one-shot's `vec_id < nCentroids` centroid rule). Deletions go
+  * through a rebuild (the graph has no erasure path; its inputs do).
+  *
+  * Reference baseline: reference/stream_cdc has no vector path — this
+  * extends the beyond-reference training-data surface (emb family).
+  */
+object IncrementalKnnGraph {
+
+  private def wmTable(table: String) = s"${table}_wm"
+  private[streaming] def cellsTable(table: String) = s"${table}_cells"
+  private[streaming] def probesTable(table: String) =
+    s"${table}_probes"
+
+  /** All tables the graph maintains — for test/registration cleanup. */
+  def tables(table: String): Seq[String] =
+    Seq(table, s"${table}_compacting", s"${table}_old",
+      wmTable(table), s"${wmTable(table)}_stage",
+      s"${wmTable(table)}_old",
+      cellsTable(table), IncrementalAnn.centTable(cellsTable(table)),
+      probesTable(table))
+
+  private def committed(spark: SparkSession, table: String): Long = {
+    val wm = wmTable(table)
+    TableSwap.recover(spark, wm, s"${wm}_stage")
+    if (!spark.catalog.tableExists(wm)) -1L
+    else spark.table(wm)
+      .agg(coalesce(max("_batch"), lit(-1L))).collect()(0).getLong(0)
+  }
+
+  private val ParamsProp = "graft.knn"
+
+  /** Fold one batch of (vec_id, embedding) rows: membership + probe
+    * appends (∝ batch), forward candidate generation (∝ batch ×
+    * probed-cell size), reverse repair (∝ batch × prober count of
+    * touched cells), one generation write (∝ surviving pairs). */
+  def applyBatch(spark: SparkSession, table: String, batch: DataFrame,
+      batchId: Long, nBuckets: Int = 8, dim: Int = 64,
+      nCentroids: Int = 8, nProbe: Int = 2, k: Int = 4): Unit =
+    FoldTimer.timed {
+      require(spark eq batch.sparkSession,
+        s"applyBatch($table): `spark` must be the batch's own session")
+      AppendGrid.recover(spark, table)
+      val wmB = committed(spark, table)
+      if (batchId <= wmB) return
+      val cellsT = cellsTable(table)
+      val vecs = batch.select(col("vec_id"), col("embedding"))
+      // 1. membership index — idempotent append; first call freezes
+      //    the centroids from the batch's lowest vec_ids
+      IncrementalAnn.indexBatch(spark, cellsT, vecs, dim, nCentroids)
+      // 2. the batch's frozen-centroid assignments (rank ≤ nProbe) —
+      //    several consumers below; batch-sized, released on return
+      val asg = SimilarityOps.assignToCentroids(vecs,
+          spark.table(IncrementalAnn.centTable(cellsT)), dim)
+        .filter(col("rn") <= nProbe)
+        .select(col("vec_id"), col("embedding"), col("en"), col("cid"),
+          col("rn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val batchMembers = asg.filter(col("rn") === 1)
+        // 3. probes state append (anti-join replay guard; partitioned
+        //    by cid so "probers of cell c" is a pruned read)
+        val probesT = probesTable(table)
+        if (!spark.catalog.tableExists(probesT)) {
+          CdcMerge.dropStateTable(spark, probesT)
+          asg.select("vec_id", "embedding", "en", "cid")
+            .repartition(col("cid"))
+            .write.mode("overwrite").format("parquet")
+            .partitionBy("cid").saveAsTable(probesT)
+        } else {
+          spark.catalog.refreshTable(probesT)
+          val freshP = asg.select("vec_id", "embedding", "en", "cid")
+            .join(spark.table(probesT).select("vec_id").distinct(),
+              Seq("vec_id"), "left_anti")
+          freshP
+            .select(spark.table(probesT).columns.toSeq.map(col): _*)
+            .repartition(col("cid"))
+            .write.mode("append").insertInto(probesT)
+        }
+        // 4. FORWARD: batch probes × current members of the probed
+        //    cells (the cells table already includes this batch, so
+        //    batch-batch pairs come out here too; on a crash-window
+        //    replay it already included it the first time — the
+        //    recomputed generation is identical)
+        spark.catalog.refreshTable(cellsT)
+        val probedCids = asg.select("cid").distinct()
+          .collect().map(_.getLong(0)).toSeq // ≤ nCentroids ids
+        val members = spark.table(cellsT)
+          .filter(col("cid").isin(probedCids: _*))
+          .select(col("cid"), col("vec_id").as("nbr_id"),
+            col("embedding").as("m_emb"), col("en").as("m_en"))
+        val wTop = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("nbr_id"))
+        val fwd = asg.select("vec_id", "embedding", "en", "cid")
+          .join(members, Seq("cid"))
+          .filter(col("vec_id") =!= col("nbr_id"))
+          .select(col("vec_id"), col("nbr_id"),
+            (SimilarityOps.dot(col("embedding"), col("m_emb"), dim) /
+              (col("en") * col("m_en"))).as("cos"))
+          .distinct()
+          .withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= k)
+          .select("vec_id", "nbr_id", "cos")
+        // 5. REVERSE repair: existing probers of the batch's home
+        //    cells score the batch members; a pair survives iff it
+        //    can still enter its owner's committed top-k. Probers and
+        //    the batch-derived sides are broadcast EXPLICITLY — their
+        //    sizes come off multi-step pipelines Catalyst cannot
+        //    estimate (the cdc45 finding).
+        val grid0 = spark.catalog.tableExists(table)
+        val rev = if (!grid0) {
+          // first fold: no existing vectors, nothing to repair
+          fwd.limit(0)
+        } else {
+          val touchedCids = batchMembers.select("cid").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          spark.catalog.refreshTable(probesT)
+          val probers = spark.table(probesT)
+            .filter(col("cid").isin(touchedCids: _*))
+            .join(broadcast(vecs.select("vec_id")), Seq("vec_id"),
+              "left_anti")
+          val revAll = probers.join(
+              broadcast(batchMembers.select(col("cid"),
+                col("vec_id").as("nbr_id"),
+                col("embedding").as("m_emb"), col("en").as("m_en"))),
+              Seq("cid"))
+            .select(col("vec_id"), col("nbr_id"),
+              (SimilarityOps.dot(col("embedding"), col("m_emb"), dim) /
+                (col("en") * col("m_en"))).as("cos"))
+          // committed k-th cos per prober (absent → fewer than k
+          // edges → every candidate survives); ≥ keeps ties exact
+          val proberIds = probers.select("vec_id").distinct()
+          val cur = servedEdges(spark, table, wmB)
+            .join(broadcast(proberIds), Seq("vec_id"), "left_semi")
+          val thr = cur.withColumn("rnk", row_number().over(wTop))
+            .groupBy("vec_id")
+            .agg(max(when(col("rnk") === k, col("cos")))
+              .as("kth_cos"))
+          revAll.join(broadcast(thr), Seq("vec_id"), "left")
+            .filter(col("kth_cos").isNull ||
+              col("cos") >= col("kth_cos"))
+            .select("vec_id", "nbr_id", "cos")
+        }
+        // 6. the batch's generation (pairs are unique by
+        //    construction — forward owns pairs whose owner is new,
+        //    reverse owns pairs whose neighbor is new; the aggregate
+        //    is a structural dedup guard, max over identical values)
+        val genPlan = fwd.unionByName(rev)
+          .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos"))
+          .withColumn("_b", lit(batchId))
+          .withColumn("_kb",
+            pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)))
+          .select(col("vec_id"), col("nbr_id"), col("cos"), col("_b"),
+            col("_kb"))
+        // the reverse thresholds READ the grid this generation
+        // overwrites — materialize and cut the file lineage first, or
+        // the insert is rejected (UNSUPPORTED_OVERWRITE.TABLE).
+        // Batch-edge-sized; freed below.
+        val gen = if (grid0) genPlan.localCheckpoint(true) else genPlan
+        try {
+        if (!grid0) {
+          CdcMerge.dropStateTable(spark, table)
+          gen.repartition(col("_kb"))
+            .write.mode("overwrite").format("parquet")
+            .partitionBy("_b", "_kb").saveAsTable(table)
+          CdcMerge.setNBuckets(spark, table, nBuckets)
+          CdcMerge.setTableProp(spark, table, ParamsProp,
+            s"$dim:$nCentroids:$nProbe:$k")
+        } else {
+          CdcMerge.requireNBuckets(spark, table, nBuckets)
+          require(CdcMerge.tableProp(spark, table, ParamsProp)
+            .forall(_ == s"$dim:$nCentroids:$nProbe:$k"),
+            s"$table was built with different graph parameters " +
+              "(dim:nCentroids:nProbe:k are fixed for the table's " +
+              "lifetime)")
+          AppendGrid.writeGeneration(spark, table, gen, batchId,
+            Seq("vec_id", "nbr_id", "cos"))
+        }
+        // watermark LAST: a crash anywhere above replays into the
+        // same generation with identical rows (state appends are
+        // anti-join idempotent, thresholds read the OLD watermark)
+        import spark.implicits._
+        TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
+          wmTable(table))
+        } finally if (grid0)
+          org.apache.spark.sql.graftbridge.CheckpointBridge
+            .freeLocalCheckpoint(gen)
+      } finally asg.unpersist()
+    }
+
+  /** Committed candidate rows (snapshot-consistent). */
+  private def servedEdges(spark: SparkSession, table: String,
+      wmB: Long): DataFrame =
+    AppendGrid.resolved(spark, table)
+      .filter(col("_b") <= wmB)
+      .select(col("vec_id"), col("nbr_id"), col("cos"))
+
+  /** THE GRAPH: every ingested vector's top-k neighbors —
+    * (vec_id, nbr_id, rnk, cos), identical to the one-shot
+    * [[SimilarityOps.knnGraph]] over the ingested corpus. One
+    * grid-sized rank window (per-vector groups are k-plus-entrants
+    * small; compaction trims them back to k). */
+  def graphView(spark: SparkSession, table: String,
+      k: Int = 4): DataFrame = {
+    AppendGrid.recover(spark, table)
+    spark.catalog.refreshTable(table)
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    servedEdges(spark, table, committed(spark, table))
+      .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("rnk"), col("cos"))
+  }
+
+  /** The graph restricted to the given vectors — the serving shape a
+    * downstream consumer (community sampler, dedup gate) actually
+    * reads per request: bucket-pruned to the requested ids' `_kb`
+    * literals, request side broadcast. */
+  def neighborsOf(spark: SparkSession, table: String, ids: Seq[Long],
+      k: Int = 4): DataFrame = {
+    AppendGrid.recover(spark, table)
+    spark.catalog.refreshTable(table)
+    val nBuckets =
+      CdcMerge.tableNBuckets(spark, table).getOrElse(8).toLong
+    // bucket ids computed with the grid's own hash (a tiny
+    // control-plane job — ids are a request-sized literal list)
+    import spark.implicits._
+    val kbs = ids.toDF("vec_id")
+      .select(pmod(xxhash64(col("vec_id")), lit(nBuckets)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    AppendGrid.resolved(spark, table)
+      .filter(col("_b") <= committed(spark, table) &&
+        col("_kb").isin(kbs: _*) &&
+        col("vec_id").isin(ids: _*))
+      .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("rnk"), col("cos"))
+  }
+
+  /** Incremental per-bucket compaction: keep each vector's top-k
+    * candidate rows (a vector's rows all live in its `_kb` bucket, so
+    * the per-bucket fold sees every one of them — the rank is
+    * complete). Dropped rows are at rank > k with k strictly-better
+    * rows kept: they could never re-enter the served top-k. */
+  def compactBuckets(spark: SparkSession, table: String,
+      minParts: Int = 4): Seq[Long] = {
+    val k = graphK(spark, table)
+    AppendGrid.compactBuckets(spark, table,
+      (live, fence) => topKFold(live, fence, k),
+      dataCols = Seq("vec_id", "nbr_id", "cos"),
+      sortCols = Seq("vec_id"), minParts = minParts)
+  }
+
+  /** Whole-grid compaction (full rebuild cadence). */
+  def compact(spark: SparkSession, table: String): Unit = {
+    val k = graphK(spark, table)
+    AppendGrid.compact(spark, table,
+      (grid, maxB) => topKFold(grid, maxB, k),
+      sortCols = Seq("vec_id"))
+    ()
+  }
+
+  private def graphK(spark: SparkSession, table: String): Int =
+    CdcMerge.tableProp(spark, table, ParamsProp)
+      .map(_.split(":")(3).toInt).getOrElse(4)
+
+  private def topKFold(rows: DataFrame, stamp: Long,
+      k: Int): DataFrame = {
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    rows
+      .groupBy("vec_id", "nbr_id", "_kb")
+      .agg(max(col("cos")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .withColumn("_b", lit(stamp))
+      .select(col("vec_id"), col("nbr_id"), col("cos"), col("_b"),
+        col("_kb"))
+  }
+
+  /** Continuous maintenance: foreachBatch [[applyBatch]] under the
+    * stream's own monotone batch ids. */
+  def startIngestStream(df: DataFrame, table: String,
+      checkpointDir: String, nBuckets: Int = 32,
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch.sparkSession, table, batch, batchId,
+          nBuckets)
+      }
+    (if (availableNow)
+       writer.trigger(
+         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+}

@@ -54,10 +54,8 @@ object QualityGate {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (ok, bad) = split(batch, minTokens, maxTokens)
-        SchemaDrift.writeBatchIdempotent(
-          ok.withColumn("_batch_id", lit(batchId)), acceptedTable)
-        SchemaDrift.writeBatchIdempotent(
-          bad.withColumn("_batch_id", lit(batchId)), rejectTable)
+        SchemaDrift.writeBatchIdempotent(ok, acceptedTable, batchId)
+        SchemaDrift.writeBatchIdempotent(bad, rejectTable, batchId)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

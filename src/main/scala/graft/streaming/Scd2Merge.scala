@@ -85,8 +85,8 @@ object Scd2Merge {
       merged.repartition(col("_kb"))
         .write.mode("overwrite").format("parquet").saveAsTable(stage)
       val cols = spark.table(table).columns
-      CdcMerge.withDynamicOverwrite(spark) {
-        spark.table(stage).select(cols.toSeq.map(col): _*)
+      CdcMerge.withDynamicOverwrite(spark) { w =>
+        w.table(stage).select(cols.toSeq.map(col): _*)
           .write.mode("overwrite").insertInto(table)
       }
       spark.sql(s"DROP TABLE IF EXISTS $stage")
@@ -181,8 +181,8 @@ object Scd2Merge {
       CdcMerge.dropStateTable(spark, stage)
     kept.repartition(col("_kb"))
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
-    CdcMerge.withDynamicOverwrite(spark) {
-      spark.table(stage).select(cols.toSeq.map(col): _*)
+    CdcMerge.withDynamicOverwrite(spark) { w =>
+      w.table(stage).select(cols.toSeq.map(col): _*)
         .write.mode("overwrite").insertInto(table)
     }
     spark.sql(s"DROP TABLE IF EXISTS $stage")

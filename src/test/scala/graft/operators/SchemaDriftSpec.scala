@@ -73,18 +73,17 @@ class SchemaDriftSpec extends SparkSpec {
   test("monitor report write is idempotent under batch replay") {
     import spark.implicits._
     graft.streaming.CdcMerge.dropStateTable(spark, "drift_replay")
-    def report(batchId: Long, df: org.apache.spark.sql.DataFrame) =
+    def report(df: org.apache.spark.sql.DataFrame) =
       SchemaDrift.driftReport(df, "content", Seq("k"))
-        .withColumn("_batch_id", lit(batchId))
     val b0 = Seq((1L, """{"k":1}""")).toDF("id", "content")
     val b1 = Seq((2L, """{"k":2,"surge":true}""")).toDF("id", "content")
-    SchemaDrift.writeBatchIdempotent(report(0L, b0), "drift_replay")
-    SchemaDrift.writeBatchIdempotent(report(1L, b1), "drift_replay")
+    SchemaDrift.writeBatchIdempotent(report(b0), "drift_replay", 0L)
+    SchemaDrift.writeBatchIdempotent(report(b1), "drift_replay", 1L)
     val before = spark.table("drift_replay").collect().toSet
     // crash-before-offset-commit: batch 1 is REPLAYED with identical
     // content — the write must overwrite its own partition, not append
     // duplicate rows that double per-key n_events
-    SchemaDrift.writeBatchIdempotent(report(1L, b1), "drift_replay")
+    SchemaDrift.writeBatchIdempotent(report(b1), "drift_replay", 1L)
     assert(spark.table("drift_replay").collect().toSet == before)
     assert(spark.table("drift_replay")
       .groupBy("key", "_batch_id").count()
@@ -123,10 +122,8 @@ class SchemaDriftSpec extends SparkSpec {
     val replay = Seq((3L, """{"k":3,"surge":true}"""), (4L, """{"k":4}"""))
       .toDF("id", "content")
     val (c2, b2) = SchemaDrift.quarantine(replay, "content", Seq("k"))
-    SchemaDrift.writeBatchIdempotent(
-      c2.withColumn("_batch_id", lit(1L)), "dlq_clean")
-    SchemaDrift.writeBatchIdempotent(
-      b2.drop("has_drift").withColumn("_batch_id", lit(1L)), "dlq_bad")
+    SchemaDrift.writeBatchIdempotent(c2, "dlq_clean", 1L)
+    SchemaDrift.writeBatchIdempotent(b2.drop("has_drift"), "dlq_bad", 1L)
     assert(spark.table("dlq_clean").collect().toSet == cleanBefore)
     assert(spark.table("dlq_bad").collect().toSet == badBefore)
   }

@@ -288,4 +288,46 @@ class CdcMergeSpec extends SparkSpec {
       CdcMerge.rebucket(spark, "merge_rebucket_missing", "k", 8)
     }
   }
+
+  test("two concurrent fold streams on ONE session leave both tables intact") {
+    val ta = "merge_conc_a"; val tb = "merge_conc_b"
+    Seq(ta, tb, s"${ta}_stage", s"${tb}_stage")
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    // seed both tables with keys spanning every bucket
+    val keys = (1L to 8L)
+    def seed(table: String): Unit = apply1(table,
+      env(keys.map(k => (k, "2026-01-01 00:00:01", "Insert", k)): _*))
+    seed(ta); seed(tb)
+    // interleaved folds on two threads sharing THE SAME session: each
+    // batch updates ONE key (one bucket), so any write that degraded
+    // to a STATIC overwrite mid-interleave would delete every other
+    // bucket's partitions of that table — the exact hazard the
+    // mutate-restore partitionOverwriteMode implementation had and
+    // the cloned-session write path removes (no session conf is
+    // mutated anywhere anymore)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def folds(table: String, key: Long) = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        (1 to 6).foreach { i =>
+          apply1(table,
+            env((key, s"2026-01-01 00:01:0$i", "Update", 100L + i)))
+        }
+      }
+    })
+    val fa = folds(ta, 1L); val fb = folds(tb, 2L)
+    start.countDown()
+    fa.get(300, TimeUnit.SECONDS); fb.get(300, TimeUnit.SECONDS)
+    pool.shutdown()
+    // every untouched key survives in both tables; the folded key
+    // carries its last update
+    assert(state(ta) == keys.map(k => k -> k).toMap + (1L -> 106L))
+    assert(state(tb) == keys.map(k => k -> k).toMap + (2L -> 106L))
+    // and no session conf drift: the session never saw a dynamic set
+    assert(spark.conf.get(
+      "spark.sql.sources.partitionOverwriteMode").toLowerCase
+      == "static")
+  }
 }

@@ -189,4 +189,44 @@ class IncrementalDocFreqSpec extends SparkSpec {
     val local = rows(CurationOps.rarityKeywords(shard, m = 3))
     assert(local != expected)
   }
+
+  test("compactBuckets reclaims drop-phase leftovers regardless of " +
+      "minParts: shadowed junk below the fragmentation threshold is " +
+      "dropped without a fold, view unchanged") {
+    import spark.implicits._
+    freshTable()
+    def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+    (0 to 2).foreach(i =>
+      IncrementalDocFreq.applyBatch(spark, table, part(i),
+        batchId = i, nBuckets = 8))
+    val compacted = IncrementalDocFreq.compactBuckets(spark, table,
+      minParts = 2)
+    assert(compacted.nonEmpty)
+    val dfBefore = IncrementalDocFreq.dfReport(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // simulate a crash DURING the drop phase: re-create one shadowed
+    // source partition under a compacted bucket (content irrelevant —
+    // resolved() skips shadowed partitions, it is dead disk data)
+    val kb = compacted.head
+    spark.sql(s"INSERT INTO TABLE $table " +
+      s"PARTITION (_b='0', _kb='$kb') VALUES ('zzz_leftover', 1)")
+    assert(IncrementalDocFreq.dfReport(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == dfBefore, "a shadowed leftover leaked into the served df")
+    // the bucket now holds 2 partitions, BELOW minParts=4: the old
+    // target predicate skipped it forever (the r14 advice); the
+    // leftover rule targets it drop-only
+    val cleaned = IncrementalDocFreq.compactBuckets(spark, table,
+      minParts = 4)
+    assert(cleaned == Seq(kb))
+    val parts = spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0)).count(_.endsWith(s"_kb=$kb"))
+    assert(parts == 1, s"bucket $kb still holds $parts partitions")
+    assert(IncrementalDocFreq.dfReport(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == dfBefore)
+    // converged: a re-run is a no-op
+    assert(IncrementalDocFreq.compactBuckets(spark, table,
+      minParts = 4).isEmpty)
+  }
 }

@@ -52,10 +52,8 @@ class QualityGateSpec extends SparkSpec {
     val okBefore = spark.table("qg_ok").collect().toSet
     val badBefore = spark.table("qg_bad").collect().toSet
     val (ok2, bad2) = QualityGate.split(batch2.toDF("doc_id", "text"))
-    graft.operators.SchemaDrift.writeBatchIdempotent(
-      ok2.withColumn("_batch_id", lit(1L)), "qg_ok")
-    graft.operators.SchemaDrift.writeBatchIdempotent(
-      bad2.withColumn("_batch_id", lit(1L)), "qg_bad")
+    graft.operators.SchemaDrift.writeBatchIdempotent(ok2, "qg_ok", 1L)
+    graft.operators.SchemaDrift.writeBatchIdempotent(bad2, "qg_bad", 1L)
     assert(spark.table("qg_ok").collect().toSet == okBefore)
     assert(spark.table("qg_bad").collect().toSet == badBefore)
   }
