@@ -743,43 +743,13 @@ object LlmQueries {
     "doc19_bm25",
     (s, dir) => {
       import s.implicits._
-      val terms = Seq("spark", "merge", "window")
-      val (k1, b) = (1.2, 0.75)
-      val docs = t(s, dir, "documents")
-      val toks = docs.select($"doc_id",
-        explode(TextFunctions.tokens($"text")).as("term"))
-        .filter($"term" =!= "")
-      val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        sum($"dl").as("sum_dl"))
-      val tf = toks.filter($"term".isin(terms: _*))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          ($"n_docs".cast("double") - $"df".cast("double") + 0.5) /
-            ($"df".cast("double") + 0.5))
-        .withColumn("avgdl",
-          $"sum_dl".cast("double") / $"n_docs".cast("double"))
-        .withColumn("score",
-          $"idf" * ($"tf".cast("double") * (k1 + 1.0)) /
-            ($"tf".cast("double") +
-              lit(k1) * (lit(1.0 - b) +
-                lit(b) * $"dl".cast("double") / $"avgdl")))
-      // per-doc total in FIXED term order (conditional max per term,
-      // added textually) — a float sum() accumulates in partition
-      // order, whose low bits could never hash-match the oracle
-      def termScore(term: String) = coalesce(
-        max(when($"term" === term, $"score")), lit(0.0))
-      val bm25 = scored.groupBy($"doc_id")
-        .agg((termScore("merge") + termScore("spark") +
-          termScore("window")).as("bm25"),
-          count(lit(1)).as("n_terms_hit"))
-      // global top-20 via orderBy+limit → TakeOrderedAndProject, not a
-      // partition-less rank window (the PlanQualitySpec contract)
-      bm25.select($"doc_id", $"n_terms_hit", $"bm25")
+      // the scorer lives in RetrievalOps (shared with the doc51 RRF
+      // fusion and, through cdc44's oracle, the maintained postings
+      // twin — one computation, three pinned surfaces). Global top-20
+      // via orderBy+limit → TakeOrderedAndProject, not a
+      // partition-less rank window (the PlanQualitySpec contract).
+      RetrievalOps.bm25Scores(t(s, dir, "documents"),
+          Seq("spark", "merge", "window"))
         .orderBy($"bm25".desc, $"doc_id")
         .limit(20)
     },

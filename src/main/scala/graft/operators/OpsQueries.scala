@@ -2785,6 +2785,175 @@ object OpsQueries {
     },
     Some(phashNearDupOracle))
 
+  // Shared by doc51 and its maintained twin cdc48 (the bm25Oracle
+  // doctrine: one oracle text, two pinned surfaces). Restates BOTH
+  // rankings — doc19's BM25 top-20 (lexical) and emb05's probed-IVF
+  // top-20 for query vector 10 (semantic) — then reciprocal-rank
+  // fusion 1/(60+r) over their union, terms added in fixed lex+sem
+  // order (integer ranks → exact doubles).
+  private def rrfOracle: String = {
+    import LlmQueries.{dotSql, normSql}
+    s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS term
+        FROM documents),
+      toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+      stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+        WHERE term IN ('spark', 'merge', 'window')
+        GROUP BY doc_id, term),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      lscored AS (
+        SELECT tf.doc_id, tf.term,
+          ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+             / (CAST(d.df AS DOUBLE) + 0.5))
+          * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+          / (CAST(tf.tf AS DOUBLE)
+             + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+               / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+            AS score
+        FROM tf JOIN dfreq d USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id,
+          COALESCE(MAX(CASE WHEN term = 'merge' THEN score END), 0.0)
+            + COALESCE(MAX(CASE WHEN term = 'spark' THEN score END), 0.0)
+            + COALESCE(MAX(CASE WHEN term = 'window' THEN score END), 0.0)
+            AS bm25
+        FROM lscored GROUP BY doc_id),
+      lex AS (
+        SELECT doc_id, CAST(lex_rnk AS BIGINT) AS lex_rnk FROM (
+          SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rnk
+          FROM agg) WHERE lex_rnk <= 20),
+      cent AS (
+        SELECT vec_id AS cid, embedding AS ce,
+          ${normSql("embedding", 64)} AS cn
+        FROM embeddings WHERE vec_id < 8),
+      base AS (
+        SELECT vec_id, embedding, ${normSql("embedding", 64)} AS en
+        FROM embeddings),
+      assign AS (
+        SELECT b.vec_id, b.embedding, b.en, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            (${dotSql("b.embedding", "c.ce", 64)}) / (b.en * c.cn)
+              DESC, c.cid) AS rn
+        FROM base b CROSS JOIN cent c),
+      clustered AS (
+        SELECT vec_id, embedding, en, cid FROM assign WHERE rn = 1),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, en AS qn, cid
+        FROM assign WHERE vec_id = 10 AND rn <= 2),
+      sscored AS (
+        SELECT q.query_id, c.vec_id,
+          (${dotSql("q_emb", "c.embedding", 64)}) / (q.qn * c.en) AS cos
+        FROM clustered c JOIN q
+          ON c.cid = q.cid AND c.vec_id <> q.query_id),
+      sem AS (
+        SELECT vec_id AS doc_id, CAST(rnk AS BIGINT) AS sem_rnk FROM (
+          SELECT vec_id,
+            ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rnk
+          FROM sscored) WHERE rnk <= 20)
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+        lex.lex_rnk AS lex_rnk, sem.sem_rnk AS sem_rnk,
+        COALESCE(CAST(1.0 AS DOUBLE)
+            / (CAST(60.0 AS DOUBLE) + CAST(lex.lex_rnk AS DOUBLE)),
+          CAST(0.0 AS DOUBLE))
+        + COALESCE(CAST(1.0 AS DOUBLE)
+            / (CAST(60.0 AS DOUBLE) + CAST(sem.sem_rnk AS DOUBLE)),
+          CAST(0.0 AS DOUBLE)) AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+      ORDER BY rrf DESC, doc_id"""
+  }
+
+  // -------------------------------------------------------------- doc51
+  // HYBRID RETRIEVAL FUSION (RetrievalOps.rrfFuse) — reciprocal-rank
+  // fusion (c = 60, the public standard) of the engine's two
+  // retrieval halves: doc19's BM25 top-20 (lexical) and emb05's
+  // probed-IVF cosine top-20 for a corpus query vector (semantic).
+  // Rank-based, so the incomparable score scales never need
+  // calibration — the ranking a curation / decontamination /
+  // attribution pipeline actually queries. Ranks are WINDOW-FREE
+  // (orderBy+limit cut, then a k²-broadcast count-better rank over
+  // the ≤ 20 survivors — no partition-less window anywhere).
+  private val doc51 = GraftQuery(
+    "doc51_rrf_fusion",
+    (s, dir) => {
+      val lex = RetrievalOps.rankedTopK(
+          RetrievalOps.bm25Scores(t(s, dir, "documents"),
+            Seq("spark", "merge", "window")), "bm25", 20)
+        .withColumnRenamed("rnk", "lex_rnk")
+      val sem = SimilarityOps.ivfTopKProbed(t(s, dir, "embeddings"),
+          nProbe = 2, queryLo = 10, queryHi = 11, k = 20)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rnk").as("sem_rnk"))
+      RetrievalOps.rrfFuse(lex, sem)
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
+    Some(rrfOracle))
+
+  // -------------------------------------------------------------- cdc48
+  // MAINTAINED RRF FUSION — doc51 served from the two maintained
+  // indexes: the BM25 postings grid (IncrementalBm25, read at its
+  // committed watermark snapshot) and the incremental IVF index
+  // (IncrementalAnn, anti-join-idempotent appends over frozen
+  // centroids). Serve cost ∝ the query terms' postings buckets + the
+  // probed cells' partitions — neither corpus is rescanned. Equals
+  // the one-shot doc51 exactly (same oracle), pinned through
+  // REDELIVERED batches on both state families and a MID-STREAM
+  // postings compaction.
+  private val cdc48 = GraftQuery(
+    "cdc48_rrf_fusion_view",
+    (s, dir) => {
+      import s.implicits._
+      val pTable = "cdc48_postings"
+      graft.streaming.IncrementalBm25.tables(pTable)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val aTable = "cdc48_ivf"
+      Seq(aTable, graft.streaming.IncrementalAnn.centTable(aTable))
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def dpart(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      // batch 1 is REDELIVERED under its own id; compaction mid-stream
+      Seq((0, 0L), (1, 1L), (1, 1L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalBm25.applyBatch(s, pTable,
+          dpart(p), batchId = b)
+      }
+      graft.streaming.IncrementalBm25.compactBuckets(s, pTable,
+        minParts = 2)
+      graft.streaming.IncrementalBm25.applyBatch(s, pTable,
+        dpart(2), batchId = 2L)
+      val embs = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding")
+      def epart(lo: Long, hi: Long) =
+        embs.filter($"vec_id" >= lo && $"vec_id" < hi)
+      // contiguous ranges (centroid-seeding contract); the middle
+      // batch is REDELIVERED — the anti-join makes it a no-op
+      Seq((0L, 150L), (150L, 300L), (150L, 300L),
+        (300L, Long.MaxValue)).foreach { case (lo, hi) =>
+        graft.streaming.IncrementalAnn.indexBatch(s, aTable,
+          epart(lo, hi))
+      }
+      val lex = RetrievalOps.rankedTopK(
+          graft.streaming.IncrementalBm25.queryView(s, pTable,
+            Seq("spark", "merge", "window"), k = 20), "bm25", 20)
+        .withColumnRenamed("rnk", "lex_rnk")
+      val sem = graft.streaming.IncrementalAnn.searchTopK(s, aTable,
+          embs.filter($"vec_id" === 10)
+            .select($"vec_id".as("query_id"),
+              $"embedding".as("q_emb")),
+          nProbe = 2, k = 20)
+        .select($"neighbor_id".as("doc_id"), $"rnk".as("sem_rnk"))
+      RetrievalOps.rrfFuse(lex, sem)
+        .orderBy($"rrf".desc, $"doc_id")
+    },
+    Some(rrfOracle))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
@@ -2792,5 +2961,5 @@ object OpsQueries {
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
       q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
       doc46, doc47, doc48, doc49, cdc40, doc50, cdc41, cdc42, cdc43,
-      cdc44, cdc45, cdc46, cdc47)
+      cdc44, cdc45, cdc46, cdc47, doc51, cdc48)
 }

@@ -35,7 +35,7 @@ import graft.operators.SimilarityOps
   */
 object IncrementalAnn {
 
-  private[streaming] def centTable(table: String) =
+  private[graft] def centTable(table: String) =
     s"${table}_centroids"
 
   /** Index one batch of (vec_id, embedding) rows. On first call the

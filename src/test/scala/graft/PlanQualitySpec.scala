@@ -157,7 +157,13 @@ class PlanQualitySpec extends SparkSpec {
       "emb45_pagerank_dangling",
       // doc49: rarity keywords — the 1-row corpus-count broadcast
       // (the df join itself is a keyed equi-join)
-      "doc49_rarity_keywords")
+      "doc49_rarity_keywords",
+      // doc51/cdc48: RRF fusion — RetrievalOps.rankedTopK's
+      // count-better rank is a DELIBERATE ≤20×20 nested-loop over
+      // the TakeOrdered survivors (the window-free rank for
+      // LIMIT-sized lists), plus doc19's 1-row stats broadcast and
+      // (cdc48) the ≤8-row centroid broadcast of searchTopK
+      "doc51_rrf_fusion", "cdc48_rrf_fusion_view")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
