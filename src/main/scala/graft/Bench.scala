@@ -18,10 +18,18 @@ object Bench {
     // SPARK_GRAFT_ONLY=q01_...,doc09_... restricts the run (warm pass
     // included) to the named queries — the targeted re-measure loop
     // for adjudicating single-query drift without a full sweep.
-    val registry = sys.env.get("SPARK_GRAFT_ONLY")
+    val filtered = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
       case Some(only) => SparkEntry.registry.filter(q => only(q.name))
       case None       => SparkEntry.registry
+    }
+    // SPARK_GRAFT_ORDER=reverse runs the sweep back-to-front — the
+    // position-vs-query attribution lever for sweep-accumulated
+    // drift (a query whose GC tracks its POSITION, not its plan, is
+    // seeing heap pressure accumulated by the queries before it).
+    val registry = sys.env.get("SPARK_GRAFT_ORDER") match {
+      case Some("reverse") => filtered.reverse
+      case _               => filtered
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

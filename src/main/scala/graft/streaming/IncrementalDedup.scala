@@ -116,7 +116,7 @@ object IncrementalDedup {
 
   /** Continuous indexing: foreachBatch [[indexBatch]] over a streaming
     * document DataFrame, with each batch's candidate pairs logged to
-    * `pairsTable` under its `_batch_id` (dynamic-overwrite idempotent
+    * `pairsTable` under its `_batch_id` (static-overwrite idempotent
     * — with [[indexBatch]]'s replay-idempotent pair set, the log
     * converges exactly under at-least-once redelivery). */
   def startIndexStream(df: org.apache.spark.sql.DataFrame,

@@ -22,9 +22,16 @@ import graft.operators.SimilarityOps
   *    CANDIDATE-MEMBER side.
   *  - `{table}_probes` — every vector's rank ≤ nProbe cell
   *    assignments, partitioned by `cid`, same append/anti-join
-  *    discipline. The PROBER side: without it, finding "who probes
-  *    the cells this batch landed in" would re-assign the whole
-  *    corpus per fold.
+  *    discipline (the guard joins pruned to the batch's cells). The
+  *    PROBER side: without it, finding "who probes the cells this
+  *    batch landed in" would re-assign the whole corpus per fold.
+  *    Each row also CACHES its vector's current k-th neighbor cosine
+  *    (`kth_cos`) — the reverse-repair admission threshold — so the
+  *    fold never reads the edge grid. The cache may lag behind the
+  *    true k-th (it refreshes only when its owner gains entrants,
+  *    and only in the fold's touched partitions); that is safe
+  *    because the true k-th only ever rises, so a stale threshold
+  *    admits a superset and the serving rank drops the extras.
   *  - `{table}` — the edge grid ([[AppendGrid]]): (vec_id, nbr_id,
   *    cos) candidate rows appended per `_b` generation,
   *    `_kb = hash(vec_id)`; the 1-row watermark fences serves;
@@ -81,7 +88,7 @@ object IncrementalKnnGraph {
       wmTable(table), s"${wmTable(table)}_stage",
       s"${wmTable(table)}_old",
       cellsTable(table), IncrementalAnn.centTable(cellsTable(table)),
-      probesTable(table))
+      probesTable(table), s"${probesTable(table)}_stage")
 
   private def committed(spark: SparkSession, table: String): Long = {
     val wm = wmTable(table)
@@ -121,40 +128,23 @@ object IncrementalKnnGraph {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val batchMembers = asg.filter(col("rn") === 1)
-        // 3. probes state append (anti-join replay guard; partitioned
-        //    by cid so "probers of cell c" is a pruned read)
-        val probesT = probesTable(table)
-        if (!spark.catalog.tableExists(probesT)) {
-          CdcMerge.dropStateTable(spark, probesT)
-          asg.select("vec_id", "embedding", "en", "cid")
-            .repartition(col("cid"))
-            .write.mode("overwrite").format("parquet")
-            .partitionBy("cid").saveAsTable(probesT)
-        } else {
-          spark.catalog.refreshTable(probesT)
-          val freshP = asg.select("vec_id", "embedding", "en", "cid")
-            .join(spark.table(probesT).select("vec_id").distinct(),
-              Seq("vec_id"), "left_anti")
-          freshP
-            .select(spark.table(probesT).columns.toSeq.map(col): _*)
-            .repartition(col("cid"))
-            .write.mode("append").insertInto(probesT)
-        }
-        // 4. FORWARD: batch probes × current members of the probed
+        spark.catalog.refreshTable(cellsT)
+        val probedCids = asg.select("cid").distinct()
+          .collect().map(_.getLong(0)).toSeq // ≤ touched-cell ids
+        val touchedCids = batchMembers.select("cid").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        // 3. FORWARD: batch probes × current members of the probed
         //    cells (the cells table already includes this batch, so
         //    batch-batch pairs come out here too; on a crash-window
         //    replay it already included it the first time — the
         //    recomputed generation is identical)
-        spark.catalog.refreshTable(cellsT)
-        val probedCids = asg.select("cid").distinct()
-          .collect().map(_.getLong(0)).toSeq // ≤ nCentroids ids
         val members = spark.table(cellsT)
           .filter(col("cid").isin(probedCids: _*))
           .select(col("cid"), col("vec_id").as("nbr_id"),
             col("embedding").as("m_emb"), col("en").as("m_en"))
         val wTop = Window.partitionBy(col("vec_id"))
           .orderBy(col("cos").desc, col("nbr_id"))
-        val fwd = asg.select("vec_id", "embedding", "en", "cid")
+        val fwdRanked = asg.select("vec_id", "embedding", "en", "cid")
           .join(members, Seq("cid"))
           .filter(col("vec_id") =!= col("nbr_id"))
           .select(col("vec_id"), col("nbr_id"),
@@ -163,43 +153,72 @@ object IncrementalKnnGraph {
           .distinct()
           .withColumn("rnk", row_number().over(wTop))
           .filter(col("rnk") <= k)
-          .select("vec_id", "nbr_id", "cos")
+        val fwd = fwdRanked.select("vec_id", "nbr_id", "cos")
+        // the batch vectors' own k-th cos — their initial CACHED
+        // threshold (absent → fewer than k candidates yet)
+        val fwdKth = fwdRanked.filter(col("rnk") === k)
+          .select(col("vec_id"), col("cos").as("kth_cos"))
+        // 4. probes state append — (vec_id, embedding, en, kth_cos,
+        //    cid). The anti-join replay guard is PRUNED to the
+        //    batch's probed cells: a previously appended copy of a
+        //    batch vector sits in exactly those partitions (the
+        //    frozen-centroid assignment is deterministic), so the
+        //    guard reads ∝ touched cells × cell size — the unpruned
+        //    guard read the whole corpus's vec_id column per fold
+        //    (measured in the r15 knn fold probe).
+        val probesT = probesTable(table)
+        val pRows = asg.select("vec_id", "embedding", "en", "cid")
+          .join(fwdKth, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("embedding"), col("en"),
+            col("kth_cos"), col("cid"))
+        if (!spark.catalog.tableExists(probesT)) {
+          CdcMerge.dropStateTable(spark, probesT)
+          pRows.repartition(col("cid"))
+            .write.mode("overwrite").format("parquet")
+            .partitionBy("cid").saveAsTable(probesT)
+        } else {
+          spark.catalog.refreshTable(probesT)
+          val freshP = pRows
+            .join(spark.table(probesT)
+              .filter(col("cid").isin(probedCids: _*))
+              .select("vec_id"), Seq("vec_id"), "left_anti")
+          freshP
+            .select(spark.table(probesT).columns.toSeq.map(col): _*)
+            .repartition(col("cid"))
+            .write.mode("append").insertInto(probesT)
+        }
         // 5. REVERSE repair: existing probers of the batch's home
         //    cells score the batch members; a pair survives iff it
-        //    can still enter its owner's committed top-k. Probers and
-        //    the batch-derived sides are broadcast EXPLICITLY — their
-        //    sizes come off multi-step pipelines Catalyst cannot
-        //    estimate (the cdc45 finding).
+        //    can still enter its owner's top-k, judged against the
+        //    owner's CACHED k-th cos riding the probes table. The
+        //    cache may LAG (it is refreshed only when its owner gains
+        //    entrants, step 7) — safe, because an owner's true k-th
+        //    cos only ever RISES: a stale (lower) threshold keeps a
+        //    superset of the entrants, and the serving rank drops the
+        //    extras. No grid read happens at fold time — the previous
+        //    design's corpus-proportional threshold scan was measured
+        //    3× at 10× corpus in the r15 probe. Probers and the
+        //    batch-derived sides are broadcast EXPLICITLY (multi-step
+        //    pipelines defeat Catalyst's size estimate — the cdc45
+        //    finding).
         val grid0 = spark.catalog.tableExists(table)
         val rev = if (!grid0) {
           // first fold: no existing vectors, nothing to repair
           fwd.limit(0)
         } else {
-          val touchedCids = batchMembers.select("cid").distinct()
-            .collect().map(_.getLong(0)).toSeq
           spark.catalog.refreshTable(probesT)
           val probers = spark.table(probesT)
             .filter(col("cid").isin(touchedCids: _*))
             .join(broadcast(vecs.select("vec_id")), Seq("vec_id"),
               "left_anti")
-          val revAll = probers.join(
+          probers.join(
               broadcast(batchMembers.select(col("cid"),
                 col("vec_id").as("nbr_id"),
                 col("embedding").as("m_emb"), col("en").as("m_en"))),
               Seq("cid"))
-            .select(col("vec_id"), col("nbr_id"),
-              (SimilarityOps.dot(col("embedding"), col("m_emb"), dim) /
-                (col("en") * col("m_en"))).as("cos"))
-          // committed k-th cos per prober (absent → fewer than k
-          // edges → every candidate survives); ≥ keeps ties exact
-          val proberIds = probers.select("vec_id").distinct()
-          val cur = servedEdges(spark, table, wmB)
-            .join(broadcast(proberIds), Seq("vec_id"), "left_semi")
-          val thr = cur.withColumn("rnk", row_number().over(wTop))
-            .groupBy("vec_id")
-            .agg(max(when(col("rnk") === k, col("cos")))
-              .as("kth_cos"))
-          revAll.join(broadcast(thr), Seq("vec_id"), "left")
+            .withColumn("cos",
+              SimilarityOps.dot(col("embedding"), col("m_emb"), dim) /
+                (col("en") * col("m_en")))
             .filter(col("kth_cos").isNull ||
               col("cos") >= col("kth_cos"))
             .select("vec_id", "nbr_id", "cos")
@@ -208,19 +227,13 @@ object IncrementalKnnGraph {
         //    construction — forward owns pairs whose owner is new,
         //    reverse owns pairs whose neighbor is new; the aggregate
         //    is a structural dedup guard, max over identical values)
-        val genPlan = fwd.unionByName(rev)
+        val gen = fwd.unionByName(rev)
           .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos"))
           .withColumn("_b", lit(batchId))
           .withColumn("_kb",
             pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)))
           .select(col("vec_id"), col("nbr_id"), col("cos"), col("_b"),
             col("_kb"))
-        // the reverse thresholds READ the grid this generation
-        // overwrites — materialize and cut the file lineage first, or
-        // the insert is rejected (UNSUPPORTED_OVERWRITE.TABLE).
-        // Batch-edge-sized; freed below.
-        val gen = if (grid0) genPlan.localCheckpoint(true) else genPlan
-        try {
         if (!grid0) {
           CdcMerge.dropStateTable(spark, table)
           gen.repartition(col("_kb"))
@@ -239,15 +252,72 @@ object IncrementalKnnGraph {
           AppendGrid.writeGeneration(spark, table, gen, batchId,
             Seq("vec_id", "nbr_id", "cos"))
         }
-        // watermark LAST: a crash anywhere above replays into the
-        // same generation with identical rows (state appends are
-        // anti-join idempotent, thresholds read the OLD watermark)
+        // 7. refresh the CACHED thresholds of the owners that gained
+        //    entrants this fold: their new k-th cos comes from a grid
+        //    read pruned to the owners' _kb buckets (entrant-sized,
+        //    not corpus), and only the touched cid partitions of the
+        //    probes table are rewritten (an owner's rows in UNTOUCHED
+        //    partitions stay stale — conservative, exact). A crash
+        //    before this lands leaves every threshold stale — also
+        //    exact; the refresh is a cost optimization, never a
+        //    correctness dependency.
+        if (grid0) {
+          val owners = rev.select("vec_id").distinct()
+          val ownerKbs = owners
+            .select(pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          if (ownerKbs.nonEmpty) {
+            val newKth = AppendGrid.resolved(spark, table)
+              .filter(col("_b") <= batchId &&
+                col("_kb").isin(ownerKbs: _*))
+              .join(broadcast(owners), Seq("vec_id"), "left_semi")
+              .groupBy("vec_id", "nbr_id")
+              .agg(max(col("cos")).as("cos"))
+              .withColumn("rnk", row_number().over(wTop))
+              .filter(col("rnk") === k)
+              .select(col("vec_id"), col("cos").as("new_kth"))
+            // rewrite ONLY the touched partitions that actually hold
+            // an owner row (partition-wise overwrite must carry the
+            // whole partition, so narrowing the partition list is the
+            // write-amplification lever; an owner's rows elsewhere
+            // stay stale-conservative)
+            val ownerCids = spark.table(probesT)
+              .filter(col("cid").isin(touchedCids: _*))
+              .join(broadcast(owners), Seq("vec_id"), "left_semi")
+              .select("cid").distinct()
+              .collect().map(_.getLong(0)).toSeq
+            if (ownerCids.nonEmpty) {
+              val stage = s"${probesT}_stage"
+              if (!spark.catalog.tableExists(stage))
+                CdcMerge.dropStateTable(spark, stage)
+              spark.table(probesT)
+                .filter(col("cid").isin(ownerCids: _*))
+                .join(broadcast(newKth), Seq("vec_id"), "left")
+                .withColumn("kth_cos",
+                  coalesce(col("new_kth"), col("kth_cos")))
+                .select(col("vec_id"), col("embedding"), col("en"),
+                  col("kth_cos"), col("cid"))
+                .repartition(col("cid"))
+                .write.mode("overwrite").format("parquet")
+                .saveAsTable(stage)
+              CdcMerge.withDynamicOverwrite(spark) { w =>
+                w.table(stage)
+                  .select(spark.table(probesT).columns.toSeq
+                    .map(col): _*)
+                  .write.mode("overwrite").insertInto(probesT)
+              }
+              spark.sql(s"DROP TABLE IF EXISTS $stage")
+              spark.catalog.refreshTable(probesT)
+            }
+          }
+        }
+        // watermark LAST: a crash anywhere above replays into an
+        // equivalent generation (state appends are anti-join
+        // idempotent; a replay filtered by FRESHER thresholds writes
+        // a subset that still contains every current top-k pair)
         import spark.implicits._
         TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
           wmTable(table))
-        } finally if (grid0)
-          org.apache.spark.sql.graftbridge.CheckpointBridge
-            .freeLocalCheckpoint(gen)
       } finally asg.unpersist()
     }
 

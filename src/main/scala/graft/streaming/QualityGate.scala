@@ -16,8 +16,8 @@ import graft.operators.{CurationOps, SchemaDrift}
   * pipeline and never silently pollutes the training corpus.
   *
   * Both writes are per-batch idempotent
-  * ([[SchemaDrift.writeBatchIdempotent]]: rows dynamically overwrite
-  * their own `_batch_id` partition), so an at-least-once replayed
+  * ([[SchemaDrift.writeBatchIdempotent]]: a static overwrite of the
+  * batch's own `_batch_id` partition), so an at-least-once replayed
   * batch lands exactly once in EACH table. The scoring itself is
   * scan-side codegen (no shuffle) — the gate adds no wide stage to
   * ingest.

@@ -16,7 +16,8 @@ import graft.streaming.{CdcMerge, IncrementalAnn, IncrementalBm25,
   * per-cell prober count) — both constant when cells are sized
   * constant (nCells ∝ corpus, the IncrementalAnn rebucket
   * discipline). Protocol: graphs built from n and 10n vectors
-  * (nCells ∝ corpus), then ONE fixed 200-vector batch folded on top;
+  * (nCells ∝ corpus), then ONE fixed 20-vector batch folded on top
+  * (batch ≪ nCells at both scales — the regime the claim is about);
   * wall and shuffle must stay ~flat at 10× corpus, and the graph
   * serve for 10 requested ids must stay bucket-pruned (scan ≪ grid).
   *
@@ -88,8 +89,8 @@ object Sf1ProbeR15 {
     def vectors(lo: Long, n: Long) = spark.range(lo, lo + n)
       .select(col("id").as("vec_id"),
         expr("transform(sequence(1, 64), i -> " +
-          "cast(pmod(xxhash64(id * 64 + i), 1000) as float) / 1000.0" +
-          " - 0.5f)").as("embedding"))
+          "cast(cast(pmod(xxhash64(id * 64 + i), 1000) as double)" +
+          " / 1000.0 - 0.5 as float))").as("embedding"))
 
     if (which("knn_fold")) {
       Seq((20000L, 64, 64), (200000L, 640, 640)).foreach {
@@ -100,10 +101,15 @@ object Sf1ProbeR15 {
           IncrementalKnnGraph.applyBatch(spark, table, vectors(0, n),
             batchId = 0, nBuckets = nb, nCentroids = nCells)
           val gridMb = tableBytes(table) / 1e6
-          // ONE fixed 200-vector batch on top: the marginal fold
+          // ONE fixed 20-vector batch on top: the marginal fold.
+          // Batch ≪ nCells at BOTH scales (20 vs 64/640), so the
+          // touched-cell count is batch-bounded and the claim under
+          // test — cost ∝ batch × cell size — is actually the
+          // regime being measured; a cell-saturating batch (its own
+          // honest case) scales with the cells it touches instead.
           val (_, wall, scanned, _, shuffled) = measured {
             IncrementalKnnGraph.applyBatch(spark, table,
-              vectors(9000000L, 200), batchId = 1, nBuckets = nb,
+              vectors(9000000L, 20), batchId = 1, nBuckets = nb,
               nCentroids = nCells)
           }
           // serve: 10 requested ids, bucket-pruned
@@ -113,7 +119,7 @@ object Sf1ProbeR15 {
               .collect().length
           }
           println(f"PROBE knn_fold vecs=$n%7d nCells=$nCells%4d  " +
-            f"grid $gridMb%7.1f MB  fold(200 vecs): $wall%5.1f s  " +
+            f"grid $gridMb%7.1f MB  fold(20 vecs): $wall%5.1f s  " +
             f"scanned ${scanned / 1e6}%7.1f MB  " +
             f"shuffle ${shuffled / 1e6}%6.2f MB  |  " +
             f"serve(10 ids): $sWall%5.2f s  " +
