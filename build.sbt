@@ -33,4 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the initial heap to the max: G1's adaptive sizing otherwise
+  // starts at ~256 MB and re-learns the heap per run while tracking
+  // host memory pressure — measured (r15 GC attribution) as a
+  // code-independent 4-25x swing in per-query gc_ms between
+  // identical runs of identical code. A fixed heap makes gc_ms
+  // comparable across rounds; override with SPARK_DRIVER_XMS.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_XMS",
+    sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
 )

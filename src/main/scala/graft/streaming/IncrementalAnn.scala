@@ -206,9 +206,17 @@ object IncrementalAnn {
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"), col("en").as("qn"), col("cid"))
+    // probed-cell ids as LITERALS (a queries×nProbe-sized
+    // control-plane job): static partition pruning on the cid
+    // directory partitions, instead of relying on DPP through the
+    // broadcast join to prune the scan — read ∝ the probed cells'
+    // partitions, never the index
+    val cids = q.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    spark.table(table).join(broadcast(q), Seq("cid"))
+    spark.table(table).filter(col("cid").isin(cids: _*))
+      .join(broadcast(q), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         SimilarityOps.dot(col("q_emb"), col("embedding"), dim) /

@@ -171,4 +171,59 @@ class IngestStreamWiringSpec extends SparkSpec {
     assert(inc == one && inc.nonEmpty)
     drop(refT, curT)
   }
+
+  test("IncrementalKnnGraph stream == one-shot emb29 graph") {
+    import spark.implicits._
+    val table = "wiring_knn"
+    IncrementalKnnGraph.tables(table)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val embs = Tables.load(spark, sf("sf0.001"), "embeddings")
+      .select($"vec_id", $"embedding")
+    // the FIRST micro-batch must carry the centroid seeds (vec 0..7),
+    // so the two source files need strictly ordered mtimes — the
+    // source picks older files first and batch order is semantic here
+    val src = tmpDir("knn-src")
+    embs.filter($"vec_id" < 250L).coalesce(1).write.parquet(s"$src/f1")
+    Thread.sleep(1100)
+    embs.filter($"vec_id" >= 250L).coalesce(1).write.parquet(s"$src/f2")
+    val stream = spark.readStream.schema(embs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+    val q = IncrementalKnnGraph.startIngestStream(stream, table,
+      tmpDir("knn-ck"), nBuckets = 8)
+    try q.awaitTermination() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "nbr_id", "rnk", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val inc = rows(IncrementalKnnGraph.graphView(spark, table))
+    val one = rows(graft.operators.SimilarityOps.knnGraph(embs))
+    assert(inc == one && inc.nonEmpty)
+    IncrementalKnnGraph.tables(table)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+  }
+
+  test("IncrementalMediaDedup stream == one-shot mm06 pairs") {
+    import spark.implicits._
+    val table = "wiring_mdd"
+    IncrementalMediaDedup.tables(table)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val media = graft.operators.MultimodalOps.toMediaColumns(
+      Tables.load(spark, sf("sf0.001"), "documents")
+        .select($"doc_id", $"text", $"source"))
+    val q = IncrementalMediaDedup.startIngestStream(
+      fileStream(media, "mdd", "doc_id", 250L), table,
+      tmpDir("mdd-ck"))
+    try q.awaitTermination() finally q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = pairs(IncrementalMediaDedup.report(spark, table))
+    val one = pairs(graft.operators.MultimodalOps.mediaNearDups(media))
+    assert(inc == one && inc.nonEmpty)
+    IncrementalMediaDedup.tables(table)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+  }
 }
