@@ -177,7 +177,7 @@ object IncrementalAnn {
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
     val keptCids = spark.table(stage).select("cid").distinct()
       .collect().map(_.getLong(0)).toSet
-    CdcMerge.withDynamicOverwrite(spark) { w =>
+    CdcMerge.withDynamicOverwrite(spark, stage, table) { w =>
       w.table(stage).select(cols.toSeq.map(col): _*)
         .write.mode("overwrite").insertInto(table)
     }

@@ -114,7 +114,7 @@ object IncrementalJoin {
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
     val stagedKbs = spark.table(stage).select("_kb").distinct()
       .collect().map(_.getLong(0)).toSet
-    CdcMerge.withDynamicOverwrite(spark) { w =>
+    CdcMerge.withDynamicOverwrite(spark, stage, viewTable) { w =>
       w.table(stage).select(cols.toSeq.map(col): _*)
         .write.mode("overwrite").insertInto(viewTable)
     }

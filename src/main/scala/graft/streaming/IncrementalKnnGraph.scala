@@ -300,7 +300,8 @@ object IncrementalKnnGraph {
                 .repartition(col("cid"))
                 .write.mode("overwrite").format("parquet")
                 .saveAsTable(stage)
-              CdcMerge.withDynamicOverwrite(spark) { w =>
+              CdcMerge.withDynamicOverwrite(spark, stage,
+                  probesT) { w =>
                 w.table(stage)
                   .select(spark.table(probesT).columns.toSeq
                     .map(col): _*)

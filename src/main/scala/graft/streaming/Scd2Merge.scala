@@ -85,7 +85,7 @@ object Scd2Merge {
       merged.repartition(col("_kb"))
         .write.mode("overwrite").format("parquet").saveAsTable(stage)
       val cols = spark.table(table).columns
-      CdcMerge.withDynamicOverwrite(spark) { w =>
+      CdcMerge.withDynamicOverwrite(spark, stage, table) { w =>
         w.table(stage).select(cols.toSeq.map(col): _*)
           .write.mode("overwrite").insertInto(table)
       }
@@ -181,7 +181,7 @@ object Scd2Merge {
       CdcMerge.dropStateTable(spark, stage)
     kept.repartition(col("_kb"))
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
-    CdcMerge.withDynamicOverwrite(spark) { w =>
+    CdcMerge.withDynamicOverwrite(spark, stage, table) { w =>
       w.table(stage).select(cols.toSeq.map(col): _*)
         .write.mode("overwrite").insertInto(table)
     }
