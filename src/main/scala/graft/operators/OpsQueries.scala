@@ -1912,17 +1912,10 @@ object OpsQueries {
         FROM prb b LEFT JOIN c$i c ON c.vid = b.vid)"""
     }.mkString(",\n      ")
 
-  private val emb37 = GraftQuery(
-    "emb37_graph_pagerank",
-    (s, dir) => {
-      val embs = t(s, dir, "embeddings")
-      val edges = SimilarityOps.knnGraph(embs)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      GraphOps.pageRank(edges,
-          embs.select(col("vec_id").as("vid")), iters = 3)
-        .orderBy(col("vid"))
-    },
-    Some(s"""
+  // Shared with the maintained twin (cdc49): one oracle text, two
+  // pinned surfaces (the bm25Oracle doctrine). A def — emb37 captures
+  // it during object init.
+  private def pageRankOracle: String = s"""
       WITH ${knnGraphCtes(nProbe = 2)},
       edges AS MATERIALIZED (
         SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
@@ -1943,7 +1936,19 @@ object OpsQueries {
       ${pageRankIterCtes(3)}
       SELECT p.vid, COALESCE(o.deg_out, 0) AS deg_out, p.pr
       FROM pr3 p LEFT JOIN outdeg o ON o.src = p.vid
-      ORDER BY p.vid"""))
+      ORDER BY p.vid"""
+
+  private val emb37 = GraftQuery(
+    "emb37_graph_pagerank",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.pageRank(edges,
+          embs.select(col("vec_id").as("vid")), iters = 3)
+        .orderBy(col("vid"))
+    },
+    Some(pageRankOracle))
 
   // -------------------------------------------------------------- emb38
   // TRIANGLE COUNT + clustering coefficient over the emb29 kNN graph
@@ -2954,6 +2959,44 @@ object OpsQueries {
     },
     Some(rrfOracle))
 
+  // -------------------------------------------------------------- cdc49
+  // ANALYTICS OVER THE MAINTAINED GRAPH — emb37's PageRank served
+  // from the cdc46 edge state instead of a per-refresh graph rebuild:
+  // the composition the maintained backbone exists for (a curation
+  // pipeline re-ranks representativeness per ingest wave; only the
+  // fold is incremental — the power iteration itself reads the
+  // maintained top-k edges, which cdc46 pins bit-equal to the
+  // one-shot graph, so the ranks land on emb37's own oracle).
+  // Harness folds through a REDELIVERED batch + a MID-STREAM bucket
+  // compaction like cdc46.
+  private val cdc49 = GraftQuery(
+    "cdc49_pagerank_view",
+    (s, dir) => {
+      val table = "cdc49_knn"
+      graft.streaming.IncrementalKnnGraph.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val embs = t(s, dir, "embeddings")
+      val vecs = embs.select(col("vec_id"), col("embedding"))
+      def part(lo: Long, hi: Long) =
+        vecs.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      Seq((0L, 150L, 0L), (150L, 300L, 1L), (150L, 300L, 1L))
+        .foreach { case (lo, hi, b) =>
+          graft.streaming.IncrementalKnnGraph.applyBatch(s, table,
+            part(lo, hi), b)
+        }
+      graft.streaming.IncrementalKnnGraph.compactBuckets(s, table,
+        minParts = 2)
+      graft.streaming.IncrementalKnnGraph.applyBatch(s, table,
+        part(300L, Long.MaxValue), 2L)
+      val edges = graft.streaming.IncrementalKnnGraph
+        .graphView(s, table)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.pageRank(edges,
+          embs.select(col("vec_id").as("vid")), iters = 3)
+        .orderBy(col("vid"))
+    },
+    Some(pageRankOracle))
+
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
       doc38, doc39, cdc33, cdc34, mm07, emb29, emb30, emb31, emb32,
@@ -2961,5 +3004,5 @@ object OpsQueries {
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
       q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
       doc46, doc47, doc48, doc49, cdc40, doc50, cdc41, cdc42, cdc43,
-      cdc44, cdc45, cdc46, cdc47, doc51, cdc48)
+      cdc44, cdc45, cdc46, cdc47, doc51, cdc48, cdc49)
 }

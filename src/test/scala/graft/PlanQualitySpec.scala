@@ -163,7 +163,11 @@ class PlanQualitySpec extends SparkSpec {
       // the TakeOrdered survivors (the window-free rank for
       // LIMIT-sized lists), plus doc19's 1-row stats broadcast and
       // (cdc48) the ≤8-row centroid broadcast of searchTopK
-      "doc51_rrf_fusion", "cdc48_rrf_fusion_view")
+      "doc51_rrf_fusion", "cdc48_rrf_fusion_view",
+      // cdc49: emb37's PageRank over the MAINTAINED graph — the same
+      // ≤8-row centroid broadcasts (fold assignment + serve), plus
+      // emb37's 1-row vertex-count teleport broadcast
+      "cdc49_pagerank_view")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
