@@ -144,6 +144,93 @@ object AppendGrid {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Erasure tombstones. The append-grid index family (BM25 postings,
+  // containment twins, LSH band rows, spans, media pHash) is keyed by
+  // CONTENT keys (word / shingle / band key / span hash) — a document's
+  // rows are spread across every bucket its keys hash into, so a
+  // doc-keyed physical delete cannot partition-prune and would rewrite
+  // the whole grid. Erasure is therefore a TOMBSTONE LEDGER
+  // (`{table}_dels`: one row per (key, _db) with _db = the grid's
+  // committed watermark at delete time) that serves SUBTRACT and
+  // compaction folds PHYSICALLY RECLAIM:
+  //
+  //  - a tombstone hides rows with `_b <= _db` for its key — strictly
+  //    less than any later re-insertion's generation, so deleted-then-
+  //    re-ingested documents serve their NEW rows only;
+  //  - [[resolvedLive]] is the tombstone-aware read every serve goes
+  //    through; the dels side is metadata-sized (one slim row per
+  //    erased key per erasure) and broadcast;
+  //  - [[compact]]/[[compactBuckets]] with `delKey` set subtract
+  //    tombstoned rows BEFORE the fold, so the rewrite physically
+  //    reclaims them. The restamp-to-coverage is then exact: a
+  //    surviving row either has no tombstone or was re-inserted at
+  //    `_b > _db`, and the restamp only raises `_b` — never across a
+  //    tombstone boundary it was below (proof: fold only includes
+  //    rows the tombstone does NOT hide, i.e. `_b > _db`, and
+  //    coverage ≥ that `_b`).
+  //  - the ledger itself is KEPT after compaction (it is the
+  //    re-insertion fence and, for [[IncrementalBm25]], the corpus-
+  //    statistics delta); its rows are a few longs per erased key —
+  //    a full grid rebuild is what resets it.
+  //
+  // Deletion is a single-writer maintenance operation like
+  // compaction: pause the ingest stream around it.
+  // ------------------------------------------------------------------
+
+  /** The grid's tombstone ledger table name. */
+  def delsTable(table: String): String = s"${table}_dels"
+
+  /** Append erasure tombstones for `keys` (a single-column frame
+    * matching `keyCol`'s type, plus any family extra columns) at
+    * delete-watermark `delWm`. Exact duplicates (same key, same
+    * `_db`) are skipped so repeated calls converge; overlapping
+    * ranges from delete→re-insert→delete cycles are kept (each
+    * subtracts its own insertion's rows). */
+  def appendDels(spark: SparkSession, table: String, keys: DataFrame,
+      keyCol: String, delWm: Long): Unit = {
+    val delsT = delsTable(table)
+    val rows = keys.withColumn("_db", lit(delWm)).distinct()
+    if (!spark.catalog.tableExists(delsT)) {
+      CdcMerge.dropStateTable(spark, delsT)
+      rows.coalesce(1).write.format("parquet").saveAsTable(delsT)
+    } else {
+      spark.catalog.refreshTable(delsT)
+      rows.join(spark.table(delsT), Seq(keyCol, "_db"), "left_anti")
+        .select(spark.table(delsT).columns.toSeq.map(col): _*)
+        .coalesce(1).write.mode("append").insertInto(delsT)
+      spark.catalog.refreshTable(delsT)
+    }
+  }
+
+  /** `rows` (must still carry `_b`) minus the tombstoned rows of
+    * `table`'s ledger: a row is hidden when its `keyCol` has a
+    * tombstone with `_b <= _db`. Pass-through when the grid has never
+    * seen a delete. The dels side is broadcast — metadata-sized by
+    * the ledger contract. */
+  def minusDeleted(spark: SparkSession, table: String,
+      rows: DataFrame, keyCol: String): DataFrame = {
+    val delsT = delsTable(table)
+    if (!spark.catalog.tableExists(delsT)) rows
+    else {
+      spark.catalog.refreshTable(delsT)
+      val d = broadcast(spark.table(delsT)
+        .select(col(keyCol).as("_del_key"), col("_db")))
+      rows.join(d,
+        col(keyCol) === col("_del_key") && col("_b") <= col("_db"),
+        "left_anti")
+    }
+  }
+
+  /** [[resolved]] minus `table`'s tombstones — the serve-path read
+    * for grids with erasure enabled. `delsFrom` overrides which
+    * grid's ledger applies (a grid PAIR like the containment twins
+    * shares ONE ledger, named after the primary). */
+  def resolvedLive(spark: SparkSession, table: String,
+      keyCol: String, delsFrom: Option[String] = None): DataFrame =
+    minusDeleted(spark, delsFrom.getOrElse(table),
+      resolved(spark, table), keyCol)
+
   /** Restore `table` if a crashed [[compact]] left it half-swapped:
     * prefer the fully-written compacted stage (`_compacting` —
     * complete before any rename starts, and it carries the graft.*
@@ -183,7 +270,9 @@ object AppendGrid {
     * Returns the compacted generation id (`maxB`). */
   def compact(spark: SparkSession, table: String,
       fold: (DataFrame, Long) => DataFrame,
-      sortCols: Seq[String] = Nil, wm: Option[String] = None): Long = {
+      sortCols: Seq[String] = Nil, wm: Option[String] = None,
+      delKey: Option[String] = None,
+      delsFrom: Option[String] = None): Long = {
     recover(spark, table)
     spark.catalog.refreshTable(table)
     // effective generations: a bucket-compacted partition counts as
@@ -209,7 +298,16 @@ object AppendGrid {
     val old = s"${table}_old"
     CdcMerge.dropStateTable(spark, tmp)
     CdcMerge.dropStateTable(spark, old)
-    val folded = fold(resolved(spark, table), maxB)
+    // tombstone-aware source when erasure is enabled: the rewrite
+    // PHYSICALLY RECLAIMS tombstoned rows (the ledger itself is kept —
+    // see the tombstone section doc)
+    val src = delKey match {
+      case Some(k) =>
+        minusDeleted(spark, delsFrom.getOrElse(table),
+          resolved(spark, table), k)
+      case None => resolved(spark, table)
+    }
+    val folded = fold(src, maxB)
       .repartition(col("_kb"))
     (if (sortCols.isEmpty) folded
      else folded.sortWithinPartitions(sortCols.map(col): _*))
@@ -288,7 +386,8 @@ object AppendGrid {
   def compactBuckets(spark: SparkSession, table: String,
       fold: (DataFrame, Long) => DataFrame, dataCols: Seq[String],
       sortCols: Seq[String] = Nil, minParts: Int = 4,
-      wm: Option[String] = None): Seq[Long] = {
+      wm: Option[String] = None, delKey: Option[String] = None,
+      delsFrom: Option[String] = None): Seq[Long] = {
     recover(spark, table)
     spark.catalog.refreshTable(table)
     val wmT = wm.getOrElse(s"${table}_wm")
@@ -327,8 +426,15 @@ object AppendGrid {
     val newB = -(fence + 1L)
     // ONE resolved snapshot for every bucket's live read: the bounds
     // are computed here, and the only partitions phase 1 adds are
-    // newB shadows each task filters out of its own bucket anyway
-    val snap = resolved(spark, table)
+    // newB shadows each task filters out of its own bucket anyway.
+    // Tombstone-aware when erasure is enabled — the per-bucket
+    // rewrite physically reclaims tombstoned rows.
+    val snap0 = resolved(spark, table)
+    val snap = delKey match {
+      case Some(k) =>
+        minusDeleted(spark, delsFrom.getOrElse(table), snap0, k)
+      case None => snap0
+    }
     // PHASE 1: merge + write each fragmented bucket — SERIAL by
     // necessity: concurrent INSERTs into one table share the Hadoop
     // committer's `_temporary` staging under the table path and

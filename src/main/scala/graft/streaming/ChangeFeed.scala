@@ -257,7 +257,17 @@ object ChangeFeed {
     val before = stateAsOf(spark, feedTable, keyCol, fromBatch - 1)
     val after = stateAsOf(spark, feedTable, keyCol, toBatch)
     val net = diff(before, after, keyCol, versionCols, opCol, deleteOp)
-    writeChanges(spark, feedTable, net, toBatch)
+    // an EMPTY net diff (range changes cancel exactly) must CLEAR the
+    // toBatch partition, not keep its original rows: writeChanges'
+    // empty-skip exists for the no-op REDELIVERY case, but here the
+    // leftover rows would be spurious changes whose pre-images are
+    // relative to toBatch-1 instead of fromBatch-1 (the r15 advice).
+    // stateAsOf stays correct either way; consumers of the squashed
+    // journal would double-read.
+    if (net.isEmpty)
+      spark.sql(s"ALTER TABLE $feedTable DROP IF EXISTS " +
+        s"PARTITION (_commit=$toBatch)")
+    else writeChanges(spark, feedTable, net, toBatch)
     val stale = commitsMatching(spark, feedTable,
       c => c >= fromBatch && c < toBatch,
       lowerInclusive = Some(fromBatch), upperExclusive = Some(toBatch))

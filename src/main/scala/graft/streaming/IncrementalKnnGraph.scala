@@ -178,10 +178,19 @@ object IncrementalKnnGraph {
             .partitionBy("cid").saveAsTable(probesT)
         } else {
           spark.catalog.refreshTable(probesT)
+          // ROW-granular replay guard on (vec_id, cid), not vec_id
+          // alone (the r15 advice): a vector owns nProbe rows across
+          // different cid partitions, and a crash mid-append can
+          // persist only some of them — a vec_id-only guard would
+          // then drop the vector whole on replay, permanently losing
+          // its missing probe cells (reverse repair would silently
+          // never see it there). The IncrementalDedup (bkey, doc_id)
+          // discipline, applied here.
           val freshP = pRows
             .join(spark.table(probesT)
               .filter(col("cid").isin(probedCids: _*))
-              .select("vec_id"), Seq("vec_id"), "left_anti")
+              .select("vec_id", "cid"), Seq("vec_id", "cid"),
+              "left_anti")
           freshP
             .select(spark.table(probesT).columns.toSeq.map(col): _*)
             .repartition(col("cid"))
@@ -338,6 +347,7 @@ object IncrementalKnnGraph {
       k: Int = 4): DataFrame = {
     AppendGrid.recover(spark, table)
     spark.catalog.refreshTable(table)
+    requireServeK(spark, table, k)
     val wTop = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
     servedEdges(spark, table, committed(spark, table))
@@ -355,6 +365,7 @@ object IncrementalKnnGraph {
       k: Int = 4): DataFrame = {
     AppendGrid.recover(spark, table)
     spark.catalog.refreshTable(table)
+    requireServeK(spark, table, k)
     val nBuckets =
       CdcMerge.tableNBuckets(spark, table).getOrElse(8).toLong
     // bucket ids computed with the grid's own hash (a tiny
@@ -401,6 +412,21 @@ object IncrementalKnnGraph {
   private def graphK(spark: SparkSession, table: String): Int =
     CdcMerge.tableProp(spark, table, ParamsProp)
       .map(_.split(":")(3).toInt).getOrElse(4)
+
+  /** Serve-time k must not exceed the table's pinned k (the r15
+    * advice): the grid holds only each vector's top-storedK rows
+    * (folds cut forward candidates there, compaction trims back to
+    * it), so a larger request would silently truncate every
+    * neighborhood at storedK instead of erroring. A SMALLER k is an
+    * exact prefix of the stored rank and stays allowed. */
+  private def requireServeK(spark: SparkSession, table: String,
+      k: Int): Unit = {
+    val stored = graphK(spark, table)
+    require(k <= stored,
+      s"$table stores top-$stored neighbors per vector; a k=$k " +
+        "serve would silently truncate — rebuild the graph with a " +
+        "larger k")
+  }
 
   private def topKFold(rows: DataFrame, stamp: Long,
       k: Int): DataFrame = {

@@ -53,6 +53,7 @@ object IncrementalMediaDedup {
   /** All tables the index maintains — for test/registration cleanup. */
   def tables(table: String): Seq[String] =
     Seq(table, s"${table}_compacting", s"${table}_old",
+      AppendGrid.delsTable(table),
       wmTable(table), s"${wmTable(table)}_stage",
       s"${wmTable(table)}_old")
 
@@ -63,6 +64,22 @@ object IncrementalMediaDedup {
     else spark.table(wm)
       .agg(coalesce(max("_batch"), lit(-1L))).collect()(0).getLong(0)
   }
+
+  /** Serve paths take the hash parameters as arguments like the
+    * one-shot does, but the STORED postings were hashed with the
+    * parameters pinned at table creation — a drifted caller would
+    * silently recompute probe hashes in a disjoint keyspace (zero
+    * collisions, no error anywhere) or band with a different
+    * pigeonhole bound. Fail fast instead (the write-path
+    * `graft.phash` discipline, applied to reads — the r15 advice). */
+  private def requirePhash(spark: SparkSession, table: String,
+      gram: Int, bits: Int, bands: Int): Unit =
+    CdcMerge.tableProp(spark, table, "graft.phash").foreach { s =>
+      require(s == s"$gram:$bits:$bands",
+        s"$table was built with phash parameters $s but the serve " +
+          s"was called with $gram:$bits:$bands " +
+          "(gram:bits:bands are fixed for the table's lifetime)")
+    }
 
   private def bandedBatch(media: DataFrame, gram: Int, bits: Int,
       bands: Int, nBuckets: Int): DataFrame =
@@ -106,13 +123,31 @@ object IncrementalMediaDedup {
       wmTable(table))
   }
 
+  /** ERASURE — tombstone the given media docs out of the postings
+    * (the [[AppendGrid]] ledger): every serve reads
+    * postings-minus-ledger, so pair reports and per-batch lookups
+    * land exactly on the one-shot over corpus-minus-deleted (cdc56
+    * pins that). Pure ledger append — O(ids), no grid read (an
+    * absent doc's tombstone is inert). Compaction physically
+    * reclaims; a payload re-ingested later serves its new
+    * generations. Idempotent; single-writer. */
+  def deleteDocs(spark: SparkSession, table: String,
+      ids: DataFrame): Unit = {
+    AppendGrid.recover(spark, table)
+    val wmB = committed(spark, table)
+    if (wmB < 0) return
+    AppendGrid.appendDels(spark, table, ids.select("doc_id"),
+      "doc_id", wmB)
+  }
+
   /** The committed postings (snapshot-consistent: generations above
-    * the watermark — an open crash window — are invisible). */
+    * the watermark — an open crash window — are invisible; erased
+    * docs subtracted). */
   private def servedPostings(spark: SparkSession,
       table: String): DataFrame = {
     AppendGrid.recover(spark, table)
     spark.catalog.refreshTable(table)
-    AppendGrid.resolved(spark, table)
+    AppendGrid.resolvedLive(spark, table, "doc_id")
       .filter(col("_b") <= committed(spark, table))
       .select(col("doc_id"), col("phash"), col("band"), col("key"))
   }
@@ -122,9 +157,17 @@ object IncrementalMediaDedup {
     * pair kernel over the same postings). Postings-sized join, no
     * media bytes read. */
   def report(spark: SparkSession, table: String,
-      maxHam: Int = 3, bands: Int = 4): DataFrame =
+      maxHam: Int = 3, bands: Int = 4): DataFrame = {
+    // bands must match the stored banding (the pigeonhole bound is
+    // over the STORED band count); gram/bits ride the same property
+    CdcMerge.tableProp(spark, table, "graft.phash").foreach { s =>
+      require(s.split(":")(2).toInt == bands,
+        s"$table was banded with bands=${s.split(":")(2)} but the " +
+          s"serve passed bands=$bands")
+    }
     MultimodalOps.pairsFromBanded(servedPostings(spark, table),
       maxHam, bands)
+  }
 
   /** Per-batch candidate discovery: the near-dup pairs involving
     * `media`'s docs against the WHOLE ingested corpus (the batch
@@ -139,6 +182,7 @@ object IncrementalMediaDedup {
   def batchPairs(spark: SparkSession, table: String, media: DataFrame,
       maxHam: Int = 3, gram: Int = 4, bits: Int = 32,
       bands: Int = 4): DataFrame = {
+    requirePhash(spark, table, gram, bits, bands)
     val nBuckets = CdcMerge.tableNBuckets(spark, table).getOrElse(32)
     val probe = bandedBatch(media, gram, bits, bands, nBuckets)
     val kbs = probe.select("_kb").distinct()
@@ -155,7 +199,7 @@ object IncrementalMediaDedup {
       table: String, kbs: Seq[Long]): DataFrame = {
     AppendGrid.recover(spark, table)
     spark.catalog.refreshTable(table)
-    AppendGrid.resolved(spark, table)
+    AppendGrid.resolvedLive(spark, table, "doc_id")
       .filter(col("_b") <= committed(spark, table) &&
         col("_kb").isin(kbs: _*))
       .select(col("doc_id"), col("phash"), col("band"), col("key"))
@@ -170,7 +214,7 @@ object IncrementalMediaDedup {
       grid.withColumn("_b", lit(maxB))
         .select(col("band"), col("key"), col("doc_id"), col("phash"),
           col("_b"), col("_kb")),
-      sortCols = Seq("band", "key"))
+      sortCols = Seq("band", "key"), delKey = Some("doc_id"))
     ()
   }
 
@@ -183,7 +227,8 @@ object IncrementalMediaDedup {
         .select(col("band"), col("key"), col("doc_id"), col("phash"),
           col("_b"), col("_kb")),
       dataCols = Seq("band", "key", "doc_id", "phash"),
-      sortCols = Seq("band", "key"), minParts = minParts)
+      sortCols = Seq("band", "key"), minParts = minParts,
+      delKey = Some("doc_id"))
 
   /** Continuous maintenance: foreachBatch [[applyBatch]] under the
     * stream's own monotone batch ids. */
@@ -194,7 +239,10 @@ object IncrementalMediaDedup {
     val writer = df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch.sparkSession, table, batch, batchId)
+        // nBuckets forwarded (the r15 advice): dropping it here would
+        // silently build a default-bucketed table on the first fold
+        // (or fail fast against an existing one)
+        applyBatch(batch.sparkSession, table, batch, batchId, nBuckets)
       }
     (if (availableNow)
        writer.trigger(

@@ -51,11 +51,12 @@ import graft.operators.DedupOps
   * doc arrives once, whole). Under it a (span_key, doc_id) row's
   * n_occ is fixed by the doc's own text and no two batches ever write
   * the same row, so appends keep the grid's primary key exact. A doc
-  * re-arriving with CHANGED text is out of contract — the append grid
-  * has NO delete path (rows are the immutability the pattern is built
-  * on), so a changed document means rebuilding the grid from the
-  * corrected corpus; mutable-document workloads belong in the
-  * [[CdcMerge]] merge family instead. `spanLen` is likewise fixed for
+  * re-arriving with CHANGED text is out of contract — but post-hoc
+  * ERASURE is supported: [[deleteDocs]] tombstones a doc's rows (and
+  * repairs the `_rep` summary), so a changed document is handled as
+  * delete + re-ingest under a fresh batch id; workloads where every
+  * row mutates belong in the [[CdcMerge]] merge family instead.
+  * `spanLen` is likewise fixed for
   * the table's lifetime (a drifted spanLen would write or probe a
   * disjoint md5 keyspace with no error anywhere): it is recorded in
   * table metadata and every fold/read fails fast on mismatch. */
@@ -69,13 +70,16 @@ object IncrementalSpans {
 
   /** Table property on the `_rep` summary recording which compacted
     * generation it covers. Membership in the summary is MONOTONE-
-    * SOUND forever (the grid is append-only with no delete path, so a
-    * key repeated at any point stays repeated); the generation bound
-    * is what makes the summary COMPLETE for generations `_b <=` it —
-    * newer generations are reconciled at read time. A crash between
-    * the summary swap and this property write just leaves the
-    * property stale, which degrades the serve back toward the full
-    * residual count — never to a wrong answer. */
+    * SOUND under ingest (owners only grow, so a key repeated at any
+    * point stays repeated) — ERASURE is the one operation that can
+    * revoke it, and [[deleteDocs]] repairs the summary in the same
+    * call (recount the deleted docs' own keys, evict those below 2
+    * live owners). The generation bound is what makes the summary
+    * COMPLETE for generations `_b <=` it — newer generations are
+    * reconciled at read time. A crash between the summary swap and
+    * this property write just leaves the property stale, which
+    * degrades the serve back toward the full residual count — never
+    * to a wrong answer. */
   private val RepGenProp = "graft.repgen"
 
   private def requireSpanLen(spark: SparkSession, gridTable: String,
@@ -92,6 +96,7 @@ object IncrementalSpans {
     * cleanup. */
   def tables(gridTable: String): Seq[String] =
     Seq(gridTable, s"${gridTable}_compacting", s"${gridTable}_old",
+      AppendGrid.delsTable(gridTable),
       wmTable(gridTable), s"${wmTable(gridTable)}_stage",
       s"${wmTable(gridTable)}_old",
       repTable(gridTable), s"${repTable(gridTable)}_stage",
@@ -156,6 +161,69 @@ object IncrementalSpans {
       wmTable(gridTable))
   }
 
+  /** ERASURE — remove `docs`' span rows from the served grid (the
+    * [[AppendGrid]] tombstone ledger) and REPAIR the `_rep` summary:
+    * summary membership was monotone-sound only while the grid had no
+    * delete path — a span repeated solely because of a deleted owner
+    * must leave the summary, or [[removalView]] would keep cutting it
+    * (over-cutting relative to the one-shot on corpus-minus-deleted).
+    * `docs` must carry (doc_id, text) with the INGESTED text: the
+    * grid is span-keyed, so the docs' own span keys are what bounds
+    * the owner recount to ∝ the deleted docs' spans' buckets instead
+    * of a corpus scan.
+    *
+    * Summary repair soundness: only keys OF the deleted docs can lose
+    * owners, and the summary covers generations `_b <= repgen` — so
+    * recounting exactly those keys' LIVE owners within the covered
+    * range, and evicting the ones now below 2, restores the serve
+    * rule (`member ∨ residual ≥ 2 ∨ (residual = 1 ∧ compacted = 1)`)
+    * for every key. Order: tombstones land FIRST, then the summary
+    * swap — a crash in between leaves the summary overstating
+    * (removalView may over-cut until the delete is RE-RUN, the
+    * convergence contract shared with compaction); re-running is
+    * idempotent. Compaction physically reclaims tombstoned rows; a
+    * doc re-ingested later serves its new generations. Single-writer:
+    * pause the ingest stream. */
+  def deleteDocs(spark: SparkSession, gridTable: String,
+      docs: DataFrame, spanLen: Int = 8): Unit = {
+    AppendGrid.recover(spark, gridTable)
+    spark.catalog.refreshTable(gridTable)
+    requireSpanLen(spark, gridTable, spanLen)
+    val wmB = committedBatch(spark, gridTable)
+    if (wmB < 0) return
+    AppendGrid.appendDels(spark, gridTable,
+      docs.select("doc_id").distinct(), "doc_id", wmB)
+    val repT = repTable(gridTable)
+    if (!spark.catalog.tableExists(repT)) return
+    val g = CdcMerge.tableProp(spark, repT, RepGenProp)
+      .map(_.toLong).getOrElse(return)
+    spark.catalog.refreshTable(repT)
+    // the deleted docs' span keys — batch-sized by construction
+    val affected = graft.operators.DedupOps
+      .spanOccurrences(docs, spanLen)
+      .select("span_key").distinct().localCheckpoint()
+    val nBuckets = CdcMerge.tableNBuckets(spark, gridTable)
+      .getOrElse(32)
+    val kbs = affected
+      .select(pmod(xxhash64(col("span_key")), lit(nBuckets.toLong)))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    // live owner recount WITHIN the summary's covered range, pruned
+    // to the affected keys' buckets
+    val keep = AppendGrid.resolvedLive(spark, gridTable, "doc_id")
+      .filter(col("_b") <= g && col("_kb").isin(kbs: _*))
+      .join(broadcast(affected), Seq("span_key"), "left_semi")
+      .groupBy("span_key").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2).select("span_key")
+    val evict = affected.join(keep, Seq("span_key"), "left_anti")
+    val rep = spark.table(repT).select("span_key")
+    val newRep = rep.join(broadcast(evict), Seq("span_key"),
+      "left_anti")
+    TableSwap.writeStagedSpread(spark, newRep, repT, col("span_key"))
+    // the covered generation is unchanged — re-pin it (writeStaged
+    // swaps tables, which drops the property)
+    CdcMerge.setTableProp(spark, repT, RepGenProp, g.toString)
+  }
+
   /** The doc46-shaped span-level report served from the maintained
     * grid: spans occurring in ≥ 2 distinct documents, with doc and
     * occurrence counts — one map-side-combined aggregate over the
@@ -169,7 +237,7 @@ object IncrementalSpans {
     // snapshot-consistent: an open crash window's generation (grid
     // written, watermark not) is invisible until its batch commits;
     // resolved() additionally shadows bucket-compacted sources
-    AppendGrid.resolved(spark, gridTable)
+    AppendGrid.resolvedLive(spark, gridTable, "doc_id")
       .filter(col("_b") <= committedBatch(spark, gridTable))
       .groupBy("span_key")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occ"))
@@ -240,7 +308,7 @@ object IncrementalSpans {
     // "residual" (owner counts stay right, scans inflate toward the
     // whole bucket until the next full compact() refreshes the
     // summary; see [[compactBuckets]])
-    val grid = AppendGrid.resolved(spark, gridTable)
+    val grid = AppendGrid.resolvedLive(spark, gridTable, "doc_id")
       .filter(col("_b") <= wmB)
     val repT = repTable(gridTable)
     val repGen: Option[Long] =
@@ -345,7 +413,7 @@ object IncrementalSpans {
       // rows are immutable — compaction only re-stamps the generation
       grid.withColumn("_b", lit(maxB))
         .select(cols.toSeq.map(col): _*)
-    }, sortCols = Seq("span_key"))
+    }, sortCols = Seq("span_key"), delKey = Some("doc_id"))
     refreshRepSummary(spark, gridTable, g)
   }
 
@@ -375,7 +443,7 @@ object IncrementalSpans {
     if (wmB <= g) return
     spark.catalog.refreshTable(repT)
     val rep = spark.table(repT).select("span_key").localCheckpoint()
-    val grid = AppendGrid.resolved(spark, gridTable)
+    val grid = AppendGrid.resolvedLive(spark, gridTable, "doc_id")
       .filter(col("_b") <= wmB)
     val residual = grid.filter(col("_b") > g)
       .groupBy("span_key").agg(count(lit(1)).as("_r"))
@@ -433,14 +501,15 @@ object IncrementalSpans {
       val cols = live.columns
       live.withColumn("_b", lit(fence)).select(cols.toSeq.map(col): _*)
     }, dataCols = Seq("span_key", "doc_id", "n_occ"),
-      sortCols = Seq("span_key"), minParts = minParts)
+      sortCols = Seq("span_key"), minParts = minParts,
+      delKey = Some("doc_id"))
   }
 
   /** Rebuild the `_rep` repeated-key summary covering generations
     * `_b <= g`. */
   private def refreshRepSummary(spark: SparkSession, gridTable: String,
       g: Long): Unit = {
-    val rep = AppendGrid.resolved(spark, gridTable)
+    val rep = AppendGrid.resolvedLive(spark, gridTable, "doc_id")
       .filter(col("_b") <= g)
       .groupBy("span_key")
       .agg(count(lit(1)).as("n_docs"))

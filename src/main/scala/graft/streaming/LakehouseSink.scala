@@ -231,8 +231,8 @@ object LakehouseSink {
     * ANY service, not just the calling one), write the stage via
     * `writeStage`, then swap table→_old, tmp→table, drop _old —
     * recoverable at every step (see `compact`'s note). */
-  private def stagedRewrite(spark: SparkSession, table: String,
-      tmp: String)(writeStage: String => Unit): Unit = {
+  private[streaming] def stagedRewrite(spark: SparkSession,
+      table: String, tmp: String)(writeStage: String => Unit): Unit = {
     val old = s"${table}_old"
     val allStages = stageSuffixes.map(table + _) :+ tmp
     if (!spark.catalog.tableExists(table)) {

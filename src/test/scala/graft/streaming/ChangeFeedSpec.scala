@@ -240,6 +240,28 @@ class ChangeFeedSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("squash with an exactly-cancelling range CLEARS the terminal " +
+      "commit partition") {
+    val (t, f) = ("cf_squash0", "cf_squash0_feed")
+    Seq(t, s"${t}_stage", f).foreach(CdcMerge.dropStateTable(spark, _))
+    apply1(t, f, 0, env((1L, "2026-01-01 00:00:01", "Insert", 1L)))
+    // commits 1..2 cancel exactly: insert 5 then delete 5
+    apply1(t, f, 1, env((5L, "2026-01-01 00:00:02", "Insert", 2L)))
+    apply1(t, f, 2, env((5L, "2026-01-01 00:00:03", "Delete", 3L)))
+    val dropped = ChangeFeed.squash(spark, f, "k",
+      Seq("ts", "event_id"), fromBatch = 1, toBatch = 2)
+    assert(dropped == 1) // partition _commit=1
+    // the empty net diff must CLEAR _commit=2, not keep its original
+    // rows (which would read as changes relative to commit 1, a state
+    // the squash just erased) — the r15 advice
+    spark.catalog.refreshTable(f)
+    assert(spark.table(f).filter(col("_commit") === 2).isEmpty)
+    // state reads unchanged on both sides of the squashed range
+    def asOf(c: Long) = ChangeFeed.stateAsOf(spark, f, "k", c)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(asOf(0) == Set(1L) && asOf(2) == Set(1L))
+  }
+
   test("streaming merge with feed: commits keyed by micro-batch id") {
     import spark.implicits._
     val (t, f) = ("cf_stream", "cf_stream_feed")

@@ -96,4 +96,66 @@ class IncrementalKnnGraphSpec extends SparkSpec {
         k = 5)
     }
   }
+
+  test("serving k above the stored k fails fast instead of silently " +
+      "truncating") {
+    intercept[IllegalArgumentException] {
+      IncrementalKnnGraph.graphView(spark, table, k = 9)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalKnnGraph.neighborsOf(spark, table, Seq(3L), k = 9)
+    }
+    // a smaller k is an exact prefix of the stored rank
+    assert(rows(IncrementalKnnGraph.graphView(spark, table, k = 2)) ==
+      served.filter(_._3 <= 2))
+  }
+
+  test("replay after a PARTIAL probes append restores only the " +
+      "missing (vector, cell) rows") {
+    // crash scenario (the r15 advice): a fold's probes append
+    // partially commits — some of a vector's nProbe rows land, the
+    // rest (and the watermark) do not. The replay guard must be
+    // row-granular on (vec_id, cid): a vec_id-only guard would see
+    // the surviving row and drop the vector whole, permanently losing
+    // its missing probe cells (reverse repair then silently never
+    // finds it there).
+    val t2 = "knn_partial"
+    IncrementalKnnGraph.tables(t2)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    IncrementalKnnGraph.applyBatch(spark, t2, part(0, 100), 0L)
+    IncrementalKnnGraph.applyBatch(spark, t2, part(100, 200), 1L)
+    val probesT = IncrementalKnnGraph.probesTable(t2)
+    val full = spark.table(probesT)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pick a batch-1 vector with 2 probe rows and knock ONE out by
+    // rewriting its partition without it (simulated partial commit)
+    val victim = full.filter(_._1 >= 100).groupBy(_._1)
+      .find(_._2.size >= 2).get._2.toSeq.sortBy(_._2).head
+    val (vVec, vCid) = victim
+    val stage = s"${probesT}_teststage"
+    CdcMerge.dropStateTable(spark, stage)
+    spark.table(probesT)
+      .filter(col("cid") === vCid && !(col("vec_id") === vVec))
+      .write.format("parquet").saveAsTable(stage)
+    CdcMerge.withDynamicOverwrite(spark, stage, probesT) { w =>
+      w.table(stage)
+        .select(spark.table(probesT).columns.toSeq.map(col): _*)
+        .write.mode("overwrite").insertInto(probesT)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    spark.catalog.refreshTable(probesT)
+    // rewind the watermark to re-open batch 1's crash window, then
+    // replay it
+    import spark.implicits._
+    TableSwap.writeStaged(spark, Seq(0L).toDF("_batch"),
+      s"${t2}_wm")
+    IncrementalKnnGraph.applyBatch(spark, t2, part(100, 200), 1L)
+    spark.catalog.refreshTable(probesT)
+    val after = spark.table(probesT)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == full,
+      "replay did not restore the missing (vector, cell) probe row")
+  }
 }
