@@ -69,6 +69,29 @@ object GraphOps {
     rankLoop(edges, vertices.select(col("vid"), lit(true).as("seed")),
       iters, dampPct, scale, redistributeDangling)
 
+  /** PageRank iterated to the exact integer FIXED POINT — stop when
+    * a round reproduces the previous rank vector bit-for-bit (integer
+    * arithmetic makes "converged" a decidable equality, not an
+    * epsilon). The warm-start lever for MAINTAINED graphs
+    * ([[graft.streaming.IncrementalPageRank]]): seeding `init` with
+    * the previous graph version's committed ranks reaches the
+    * attractor in fewer rounds than the cold uniform prior, and lands
+    * on the IDENTICAL vector — see [[fixedPointLoop]] for why that
+    * equality needs sub-precision contributions (truncation noise at
+    * the classic precision leaves a BAND of fixed points, measured)
+    * and for the measured failure modes behind each design choice.
+    * Vertices absent from `init` (new arrivals) start at the cold
+    * prior. Returns (ranks (vid, deg_out, pr), rounds used); throws
+    * past `maxIters`. Note the fixed-point arithmetic is
+    * sub-precision and NOT comparable to [[pageRank]]'s 3-round
+    * classic-precision values — the two surfaces answer different
+    * questions (a fixed refresh budget vs a converged attractor). */
+  def pageRankFixedPoint(edges: DataFrame, vertices: DataFrame,
+      init: Option[DataFrame] = None, maxIters: Int = 500,
+      dampPct: Long = 85L, scale: Long = 1000000000000L)
+      : (DataFrame, Int) =
+    fixedPointLoop(edges, vertices, init, maxIters, dampPct, scale)
+
   /** PERSONALIZED PageRank (TrustRank): identical dynamics but the
     * teleport mass lands only on the SEED vertices (`vertices` must
     * carry a boolean `seed` column) — rank becomes "how reachable is
@@ -86,6 +109,9 @@ object GraphOps {
     rankLoop(edges, vertices, iters, dampPct, scale,
       redistributeDangling)
 
+  /** The fixed-budget damped power iteration behind [[pageRank]] /
+    * [[personalizedPageRank]] — classic-precision arithmetic, oracle-
+    * replayed, untouched by the fixed-point surface. */
   private def rankLoop(edges: DataFrame, vertices: DataFrame,
       iters: Int, dampPct: Long, scale: Long,
       redistributeDangling: Boolean): DataFrame = {
@@ -175,6 +201,182 @@ object GraphOps {
     } finally {
       ed.unpersist()
       if (dang != null) dang.unpersist()
+      ()
+    }
+  }
+
+  /** The fixed-point iteration behind [[pageRankFixedPoint]]:
+    * Tarski's DESCENDING iteration `x ← min(x, F(x))` to the GREATEST
+    * fixed point of the (sub-precision) truncated update map. Each
+    * design choice was bought by a measured failure:
+    *
+    *  - WHY A DESCENT, not plain iteration: integer truncation gives
+    *    the update map multiple adjacent fixed points and limit
+    *    cycles, and a plain orbit lands on an ORBIT-DEPENDENT one —
+    *    a warm and a cold run of the same graph settled one unit
+    *    apart on dozens of vertices (measured, twice: at classic and
+    *    at sub-precision, where ~10 vertices also oscillated with
+    *    amplitude 1 forever). The descent is orbit-independent: F is
+    *    monotone, so from any start `x₀ ≥ gfp` the invariant
+    *    `xₖ ≥ gfp` holds, the integer sequence is non-increasing and
+    *    terminates at a pre-fixed point `z ≤ F(z)`, which
+    *    Knaster-Tarski (`gfp = sup{x : x ≤ F(x)}`) pins to exactly
+    *    `z = gfp` — warm and cold land on the IDENTICAL vector.
+    *  - The provable cold start is `scale·1`: every fixed point's
+    *    total mass is ≤ Σtele/(1−damp) ≤ scale (floors only lose
+    *    mass), so gfp < scale pointwise. A warm hint must also be
+    *    ≥ gfp pointwise; a violated hint is DETECTED (termination at
+    *    a non-fixed pre-fixed point — impossible from a sound start)
+    *    and restarted once from the provable bound, so exactness
+    *    never depends on the hint, only the round count does.
+    *  - SUB-PRECISION contributions (`(pr·2¹⁶) div deg`, the 2¹⁶
+    *    folded out inside the damp division): at classic precision
+    *    the descent's tail CRAWLED unit-by-unit through per-edge
+    *    floor noise (measured 160+ rounds of grind); with the noise
+    *    under one unit the tail contracts geometrically. Overflow
+    *    headroom: Σx ≤ n·scale at the start bound — the contribution
+    *    sum is ≤ 2¹⁶·(Σx)/k … capped by the require below.
+    *  - Fresh-stats checkpoints ([[CheckpointBridge
+    *    .localCheckpointFreshStats]]): localCheckpoint carries plan
+    *    statistics forward, and a loop joining two checkpointed
+    *    frames per round MULTIPLIES the sizeInBytes BigInts — bit
+    *    length doubles per round until the optimizer burns minutes
+    *    inside BigInteger multiplication (measured round walls
+    *    1 s → 433 s; thread-dump-confirmed). The corpus-sized edge
+    *    frame is checkpointed too — an uncut lineage ships the whole
+    *    upstream plan in every task binary (measured 2.1 MiB/task).
+    *
+    * No dangling handling — the kNN-graph family this serves has
+    * none (every vector emits k edges); general sink graphs use
+    * [[pageRank]]'s fixed budget. */
+  private def fixedPointLoop(edges: DataFrame, vertices: DataFrame,
+      init: Option[DataFrame], maxIters: Int, dampPct: Long,
+      scale: Long): (DataFrame, Int) = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    require(maxIters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val SUB = 65536L
+    def ckpt(df: DataFrame): DataFrame =
+      CheckpointBridge.localCheckpointFreshStats(df)
+    val n = vertices.count()
+    require(n >= 1, "pageRankFixedPoint needs at least one vertex")
+    // descent states are bounded by the start value scale·1, so the
+    // per-vertex contribution sum is ≤ 2¹⁶·scale·maxInDeg/k; the
+    // conservative global bound keeps Long arithmetic safe
+    require(scale <= 1000000000000L,
+      "fixedPointLoop: scale above 10¹² risks overflowing the " +
+        "sub-precision contribution sums")
+    val verts = vertices.select(col("vid"))
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg_out"))
+    val tele = ((scale * (100 - dampPct)) / 100) / n
+    val ed = ckpt(edges.join(outdeg, Seq("src"))
+      .repartition(col("src")))
+    val upperStart = verts.select(col("vid"), lit(scale).as("pr"))
+    var ck = ckpt(init match {
+      case Some(prev) =>
+        // warm hint capped at the provable bound; vertices absent
+        // from it (new arrivals) start at the bound
+        verts.join(
+            prev.select(col("vid"), col("pr").as("_init_pr")),
+            Seq("vid"), "left_outer")
+          .select(col("vid"),
+            least(lit(scale), coalesce(col("_init_pr"), lit(scale)))
+              .as("pr"))
+      case None => upperStart
+    })
+    var pr = ck
+    var rounds = 0
+    var converged = false
+    var restarted = init.isEmpty
+    try {
+      var i = 0
+      while (i < maxIters && !converged) {
+        i += 1
+        rounds = i
+        // per-edge term stays in Long (pr ≤ scale at the start bound,
+        // so pr·2¹⁶ ≤ 6.6·10¹⁶); the PER-VERTEX sum accumulates in
+        // DECIMAL(38,0) — hub in-degrees × the start bound overflow
+        // Long (measured ARITHMETIC_OVERFLOW at 85·Σ), and
+        // integer-valued decimal sums stay order-independent exact
+        val contrib = ed
+          .join(pr.select(col("vid").as("src"), col("pr")), Seq("src"))
+          .select(col("dst").as("vid"),
+            expr(s"(pr * ${SUB}L) div deg_out")
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              .as("c"))
+          .groupBy("vid").agg(sum(col("c")).as("s"))
+        val fx = ckpt(verts
+          .join(contrib, Seq("vid"), "left_outer")
+          .select(col("vid"),
+            (lit(tele) +
+              expr(s"CAST((${dampPct} * coalesce(s, CAST(0 AS " +
+                s"DECIMAL(38,0)))) div ${100L * SUB}L AS BIGINT)"))
+              .as("pr")))
+        // one pass: is F(x) anywhere BELOW x (still descending)? is
+        // it anywhere DIFFERENT (fixed-point check)?
+        val joined = ckpt(pr.select(col("vid"), col("pr").as("_x"))
+          .join(fx.select(col("vid"), col("pr").as("_fx")),
+            Seq("vid")))
+        val cmp = joined.agg(
+          coalesce(sum(when(col("_fx") < col("_x"), 1L)
+            .otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("_fx") =!= col("_x"), 1L)
+            .otherwise(0L)), lit(0L))).collect()(0)
+        val (below, diff) = (cmp.getLong(0), cmp.getLong(1))
+        if (below > 0L) {
+          // still descending: step to min(x, F(x))
+          val stepped = ckpt(joined.select(col("vid"),
+            least(col("_x"), col("_fx")).as("pr")))
+          CheckpointBridge.freeLocalCheckpoint(ck)
+          CheckpointBridge.freeLocalCheckpoint(fx)
+          ck = stepped
+          pr = stepped
+        } else if (diff == 0L) {
+          // terminated at a FIXED point: x ≥ gfp (invariant) and
+          // x pre-fixed ⇒ x ≤ gfp (Tarski) ⇒ x = gfp exactly
+          converged = true
+          CheckpointBridge.freeLocalCheckpoint(ck)
+          ck = fx
+          pr = fx
+        } else if (!restarted) {
+          // terminated pre-fixed but NOT fixed — impossible from a
+          // start ≥ gfp, so the warm hint violated the bound (a
+          // vertex outgrew its headroom): restart from the provable
+          // bound; exactness never depends on the hint
+          restarted = true
+          val fresh = ckpt(upperStart)
+          CheckpointBridge.freeLocalCheckpoint(ck)
+          CheckpointBridge.freeLocalCheckpoint(fx)
+          ck = fresh
+          pr = fresh
+        } else {
+          CheckpointBridge.freeLocalCheckpoint(ck)
+          CheckpointBridge.freeLocalCheckpoint(fx)
+          throw new IllegalStateException(
+            "pageRankFixedPoint: descent from the provable upper " +
+              "bound terminated at a non-fixed pre-fixed point — " +
+              "cannot happen for a monotone update; investigate")
+        }
+        CheckpointBridge.freeLocalCheckpoint(joined)
+      }
+      if (!converged) {
+        CheckpointBridge.freeLocalCheckpoint(ck)
+        throw new IllegalStateException(
+          s"pageRankFixedPoint: descent not terminated within " +
+            s"$maxIters rounds — raise maxIters (or use pageRank's " +
+            "fixed budget)")
+      }
+      val result = pr.join(
+          ed.select(col("src").as("vid"), col("deg_out"))
+            .dropDuplicates("vid"),
+          Seq("vid"), "left_outer")
+        .select(col("vid"), coalesce(col("deg_out"), lit(0L))
+          .as("deg_out"), col("pr"))
+        .localCheckpoint()
+      CheckpointBridge.freeLocalCheckpoint(ck)
+      (result, rounds)
+    } finally {
+      CheckpointBridge.freeLocalCheckpoint(ed)
       ()
     }
   }

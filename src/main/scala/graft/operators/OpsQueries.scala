@@ -1162,7 +1162,11 @@ object OpsQueries {
       MultimodalOps.frameNearDups(
           MultimodalOps.toMediaColumns(t(s, dir, "documents")))
         .orderBy(col("doc_a"), col("doc_b")),
-    Some("""
+    Some(frameNearDupOracle))
+
+  // Shared by mm07 and its maintained twin cdc58 (one oracle text,
+  // two pinned surfaces).
+  private def frameNearDupOracle: String = ("""
       WITH fr AS (
         SELECT doc_id, substring(text, 1 + i * 16, 16) AS f
         FROM documents, range(0, 16) t(i)
@@ -1184,7 +1188,7 @@ object OpsQueries {
         GROUP BY 1, 2)
       SELECT doc_a, doc_b, n_match FROM p
       WHERE n_match >= 3
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b""")
 
   // -------------------------------------------------------------- emb29
   // Approximate k-NN graph: every vector's top-4 cosine neighbors
@@ -2102,16 +2106,9 @@ object OpsQueries {
           FROM vt$i) WHERE rn = 1)"""
     }.mkString(",\n      ")
 
-  private val emb40 = GraftQuery(
-    "emb40_community_lpa",
-    (s, dir) => {
-      val embs = t(s, dir, "embeddings")
-      val edges = SimilarityOps.knnGraph(embs)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      GraphOps.labelPropagation(edges, rounds = 3)
-        .orderBy(col("vid"))
-    },
-    Some(s"""
+  // Shared by emb40 and its maintained twin cdc50 (the bm25Oracle
+  // doctrine: one oracle text, two pinned surfaces).
+  private def lpaOracle: String = s"""
       WITH ${knnGraphCtes(nProbe = 2)},
       edges AS (
         SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
@@ -2123,7 +2120,18 @@ object OpsQueries {
         FROM l3 GROUP BY label)
       SELECT l.vid, l.label AS community, s.csize
       FROM l3 l JOIN sizes s ON s.label = l.label
-      ORDER BY l.vid"""))
+      ORDER BY l.vid"""
+
+  private val emb40 = GraftQuery(
+    "emb40_community_lpa",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.labelPropagation(edges, rounds = 3)
+        .orderBy(col("vid"))
+    },
+    Some(lpaOracle))
 
   // -------------------------------------------------------------- emb41
   // Multi-source BFS HOP DISTANCE (GraphOps.hopDistance) from the
@@ -2301,18 +2309,8 @@ object OpsQueries {
   // merge — a giant community never funnels through one task); the
   // oracle takes the direct single-window top-k, pinning the
   // two-level reduction LOSSLESS.
-  private val emb44 = GraftQuery(
-    "emb44_community_sample",
-    (s, dir) => {
-      val embs = t(s, dir, "embeddings")
-      val edges = SimilarityOps.knnGraph(embs)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      GraphOps.communitySample(
-          GraphOps.labelPropagation(edges, rounds = 3)
-            .select(col("vid"), col("community")), k = 2)
-        .orderBy(col("community"), col("rnk"))
-    },
-    Some(s"""
+  // Shared by emb44 and its maintained twin cdc51.
+  private def communitySampleOracle: String = s"""
       WITH ${knnGraphCtes(nProbe = 2)},
       edges AS (
         SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
@@ -2331,7 +2329,20 @@ object OpsQueries {
         FROM hashed)
       SELECT vid, community, rnk FROM rk
       WHERE rnk <= 2
-      ORDER BY community, rnk"""))
+      ORDER BY community, rnk"""
+
+  private val emb44 = GraftQuery(
+    "emb44_community_sample",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.communitySample(
+          GraphOps.labelPropagation(edges, rounds = 3)
+            .select(col("vid"), col("community")), k = 2)
+        .orderBy(col("community"), col("rnk"))
+    },
+    Some(communitySampleOracle))
 
   // -------------------------------------------------------------- emb45
   // PAGERANK WITH DANGLING-MASS REDISTRIBUTION (GraphOps.pageRank,
@@ -2911,7 +2922,13 @@ object OpsQueries {
   // probed cells' partitions — neither corpus is rescanned. Equals
   // the one-shot doc51 exactly (same oracle), pinned through
   // REDELIVERED batches on both state families and a MID-STREAM
-  // postings compaction.
+  // postings compaction. NEW in r16: the serve is WAVE-PINNED
+  // (WaveMark) — both families fold per ingest wave, the pipeline
+  // commits one wave marker after each, and the fused read first
+  // REQUIRES both families at the pinned wave (the r15 verdict's
+  // version-skew hazard: a paused stream on one family would
+  // otherwise silently fuse two corpus versions; WaveMarkSpec pins
+  // the refusal).
   private val cdc48 = GraftQuery(
     "cdc48_rrf_fusion_view",
     (s, dir) => {
@@ -2920,30 +2937,40 @@ object OpsQueries {
       graft.streaming.IncrementalBm25.tables(pTable)
         .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
       val aTable = "cdc48_ivf"
-      Seq(aTable, graft.streaming.IncrementalAnn.centTable(aTable))
+      (Seq(aTable, graft.streaming.IncrementalAnn.centTable(aTable),
+        s"${aTable}_wm", s"${aTable}_wm_stage", s"${aTable}_wm_old") ++
+        graft.streaming.WaveMark.tables("cdc48_wave"))
         .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
       val docs = t(s, dir, "documents")
       def dpart(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
-      // batch 1 is REDELIVERED under its own id; compaction mid-stream
-      Seq((0, 0L), (1, 1L), (1, 1L)).foreach { case (p, b) =>
-        graft.streaming.IncrementalBm25.applyBatch(s, pTable,
-          dpart(p), batchId = b)
-      }
-      graft.streaming.IncrementalBm25.compactBuckets(s, pTable,
-        minParts = 2)
-      graft.streaming.IncrementalBm25.applyBatch(s, pTable,
-        dpart(2), batchId = 2L)
       val embs = t(s, dir, "embeddings")
         .select($"vec_id", $"embedding")
       def epart(lo: Long, hi: Long) =
         embs.filter($"vec_id" >= lo && $"vec_id" < hi)
-      // contiguous ranges (centroid-seeding contract); the middle
-      // batch is REDELIVERED — the anti-join makes it a no-op
-      Seq((0L, 150L), (150L, 300L), (150L, 300L),
-        (300L, Long.MaxValue)).foreach { case (lo, hi) =>
+      // one ingest WAVE = both families fold the wave's batch, then
+      // the pipeline commits ONE marker naming both committed ids.
+      // Wave 1's batch is REDELIVERED on both families (no-ops);
+      // compaction runs mid-stream like before.
+      def wave(b: Long, dp: Int, lo: Long, hi: Long): Unit = {
+        graft.streaming.IncrementalBm25.applyBatch(s, pTable,
+          dpart(dp), batchId = b)
         graft.streaming.IncrementalAnn.indexBatch(s, aTable,
           epart(lo, hi))
+        graft.streaming.IncrementalAnn.commitBatch(s, aTable, b)
+        graft.streaming.WaveMark.commitWave(s, "cdc48_wave", b,
+          Map("postings" -> b, "ivf" -> b))
       }
+      wave(0L, 0, 0L, 150L)
+      wave(1L, 1, 150L, 300L)
+      wave(1L, 1, 150L, 300L) // redelivery
+      graft.streaming.IncrementalBm25.compactBuckets(s, pTable,
+        minParts = 2)
+      wave(2L, 2, 300L, Long.MaxValue)
+      // WAVE-PINNED serve: refuse on any cross-family version skew
+      graft.streaming.WaveMark.requireAtWave(s, "cdc48_wave", Map(
+        "postings" -> graft.streaming.IncrementalBm25
+          .committedBatch(s, pTable),
+        "ivf" -> graft.streaming.IncrementalAnn.committed(s, aTable)))
       val lex = RetrievalOps.rankedTopK(
           graft.streaming.IncrementalBm25.queryView(s, pTable,
             Seq("spark", "merge", "window"), k = 20), "bm25", 20)
@@ -2972,30 +2999,383 @@ object OpsQueries {
   private val cdc49 = GraftQuery(
     "cdc49_pagerank_view",
     (s, dir) => {
-      val table = "cdc49_knn"
+      val edges = maintainedKnnEdges(s, dir, "cdc49_knn")
+      GraphOps.pageRank(edges,
+          t(s, dir, "embeddings").select(col("vec_id").as("vid")),
+          iters = 3)
+        .orderBy(col("vid"))
+    },
+    Some(pageRankOracle))
+
+  /** Shared cdc49/50/51 harness: build the maintained kNN graph from
+    * scratch through a REDELIVERED batch + a MID-STREAM bucket
+    * compaction (the cdc46 discipline), return its served edge
+    * list — the composition surface the emb37–44 analytics family
+    * reads instead of a per-refresh graph rebuild. */
+  private def maintainedKnnEdges(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    graft.streaming.IncrementalKnnGraph.tables(table)
+      .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def part(lo: Long, hi: Long) =
+      vecs.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    Seq((0L, 150L, 0L), (150L, 300L, 1L), (150L, 300L, 1L))
+      .foreach { case (lo, hi, b) =>
+        graft.streaming.IncrementalKnnGraph.applyBatch(s, table,
+          part(lo, hi), b)
+      }
+    graft.streaming.IncrementalKnnGraph.compactBuckets(s, table,
+      minParts = 2)
+    graft.streaming.IncrementalKnnGraph.applyBatch(s, table,
+      part(300L, Long.MaxValue), 2L)
+    graft.streaming.IncrementalKnnGraph.graphView(s, table)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+  }
+
+  // -------------------------------------------------------------- cdc50
+  // LPA COMMUNITIES OVER THE MAINTAINED GRAPH — emb40 served from the
+  // cdc46 edge state instead of a per-refresh rebuild (the cdc49
+  // composition pattern, applied to the community unit a curation
+  // pipeline actually schedules per ingest wave: "sample per clump,
+  // not per document" needs CURRENT clumps). The maintained edges are
+  // pinned bit-equal to the one-shot graph, so the communities land
+  // on emb40's own oracle through the redelivered batch + mid-stream
+  // compaction.
+  private val cdc50 = GraftQuery(
+    "cdc50_lpa_view",
+    (s, dir) =>
+      GraphOps.labelPropagation(
+          maintainedKnnEdges(s, dir, "cdc50_knn"), rounds = 3)
+        .orderBy(col("vid")),
+    Some(lpaOracle))
+
+  // -------------------------------------------------------------- cdc51
+  // COMMUNITY-BALANCED SAMPLING OVER THE MAINTAINED GRAPH — emb44
+  // from the cdc46 edge state: the full per-wave curation step
+  // (maintained graph → current communities → k stable
+  // representatives per community) with zero graph rebuild. Lands on
+  // emb44's own oracle.
+  private val cdc51 = GraftQuery(
+    "cdc51_community_sample_view",
+    (s, dir) =>
+      GraphOps.communitySample(
+          GraphOps.labelPropagation(
+              maintainedKnnEdges(s, dir, "cdc51_knn"), rounds = 3)
+            .select(col("vid"), col("community")), k = 2)
+        .orderBy(col("community"), col("rnk")),
+    Some(communitySampleOracle))
+
+  // ------------------------------------------------- cdc52…cdc57
+  // ERASURE across the maintained-index family (the r15 verdict's
+  // top item): the engine's own decontamination operators (doc13,
+  // doc44) discover contamination AFTER ingest, so every index must
+  // absorb per-wave opt-outs without a rebuild. Each harness folds
+  // through a REDELIVERED batch, ERASES the odd doc_id%7==3 slice,
+  // folds a POST-DELETE batch, compacts (physical reclamation
+  // mid-serve), RE-INSERTS the even half of the erased slice, and
+  // must land exactly on the one-shot oracle over the surviving
+  // corpus — df / N / avgdl / kept-ness / prefixes / thresholds all
+  // recomputed as if the erased docs never existed.
+
+  /** Rewrite a documents-corpus oracle onto the erasure harnesses'
+    * SURVIVING corpus: erased = doc_id%7==3, re-inserted = its even
+    * half, so the final corpus excludes exactly the odd half. */
+  private def minusErasedDocs(oracle: String): String = {
+    val i = oracle.indexOf("WITH")
+    oracle.substring(0, i) + """WITH kept_docs AS (
+        SELECT * FROM documents
+        WHERE NOT (doc_id % 7 = 3 AND doc_id % 2 <> 0)),
+      """ + oracle.substring(i + 4)
+      .replace("FROM documents", "FROM kept_docs")
+  }
+
+  private def erasedDocs(df: DataFrame) =
+    df.filter(pmod(col("doc_id"), lit(7)) === 3)
+
+  private def reinsertedDocs(df: DataFrame) =
+    df.filter(pmod(col("doc_id"), lit(7)) === 3 &&
+      pmod(col("doc_id"), lit(2)) === 0)
+
+  // -------------------------------------------------------------- cdc52
+  // BM25 ERASURE — deleteDocs carries the docs' ingested text, so
+  // the presence check prunes to their words' buckets; the ledger's
+  // (count, Σdl) keeps N and avgdl exact; df falls out of the
+  // tombstone-aware postings read. Serve == one-shot doc19 over the
+  // surviving corpus.
+  private val cdc52 = GraftQuery(
+    "cdc52_bm25_erasure",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc52_postings"
+      graft.streaming.IncrementalBm25.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      Seq((0, 0L), (1, 1L), (1, 1L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalBm25.applyBatch(s, table,
+          part(p), batchId = b, nBuckets = 8)
+      }
+      graft.streaming.IncrementalBm25.deleteDocs(s, table,
+        erasedDocs(docs))
+      // post-delete ingest (erased slice withheld — the curation
+      // gate's job), mid-stream compaction physically reclaims, then
+      // the re-insertion batch brings the erased slice's even half
+      // back across ALL parts
+      graft.streaming.IncrementalBm25.applyBatch(s, table,
+        part(2).filter(pmod($"doc_id", lit(7)) =!= 3),
+        batchId = 2L, nBuckets = 8)
+      graft.streaming.IncrementalBm25.compactBuckets(s, table,
+        minParts = 2)
+      graft.streaming.IncrementalBm25.applyBatch(s, table,
+        reinsertedDocs(docs), batchId = 3L, nBuckets = 8)
+      graft.streaming.IncrementalBm25.queryView(s, table,
+        Seq("spark", "merge", "window"), k = 20)
+    },
+    Some(minusErasedDocs(LlmQueries.bm25Oracle)))
+
+  // -------------------------------------------------------------- cdc53
+  // CONTAINMENT ERASURE — the cheapest delete in the family (pure
+  // ledger append, O(ids), no grid read): read-time df absorbs the
+  // deletion exactly like it absorbs rarity drift. Serve == one-shot
+  // doc36 over the surviving corpus, through compaction on both
+  // twins.
+  private val cdc53 = GraftQuery(
+    "cdc53_containment_erasure",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc53_shingles"
+      graft.streaming.IncrementalContainment.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      Seq((0, 0L), (1, 1L), (1, 1L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalContainment.applyBatch(s, table,
+          part(p), batchId = b, nBuckets = 8)
+      }
+      graft.streaming.IncrementalContainment.deleteDocs(s, table,
+        erasedDocs(docs).select("doc_id"))
+      graft.streaming.IncrementalContainment.applyBatch(s, table,
+        part(2).filter(pmod($"doc_id", lit(7)) =!= 3),
+        batchId = 2L, nBuckets = 8)
+      graft.streaming.IncrementalContainment.compactBuckets(s, table,
+        minParts = 2)
+      graft.streaming.IncrementalContainment.applyBatch(s, table,
+        reinsertedDocs(docs), batchId = 3L, nBuckets = 8)
+      graft.streaming.IncrementalContainment.report(s, table)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(minusErasedDocs(SelectionQueries.containmentOracle)))
+
+  // -------------------------------------------------------------- cdc54
+  // LSH-DEDUP ERASURE — the bucketed index's ledger semantics:
+  // erased docs stop colliding (lookup exclusion), the accumulated
+  // pair LOG is served minus the ledger, a re-arriving doc
+  // UN-DELETES itself, and vacuum physically reclaims mid-harness.
+  // Serve == one-shot doc04 over the surviving corpus.
+  private val cdc54 = GraftQuery(
+    "cdc54_lsh_erasure",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc54_index"
+      Seq(table, graft.streaming.IncrementalDedup.delsTable(table),
+        s"${graft.streaming.IncrementalDedup.delsTable(table)}_stage",
+        s"${table}_compacting", s"${table}_old")
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      val pre = Seq(part(0), part(1), part(1)).map { b =>
+        graft.streaming.IncrementalDedup.indexBatch(s, table, b)
+      }
+      graft.streaming.IncrementalDedup.deleteDocs(s, table,
+        erasedDocs(docs).select("doc_id"))
+      // post-delete batch (erased slice withheld), then re-insertion
+      // (re-arriving erased docs un-delete themselves); the ledger
+      // stays live — it also filters the accumulated pair log
+      // (vacuum's physical reclamation is ErasureSpec's pin)
+      val post2 = graft.streaming.IncrementalDedup.indexBatch(s, table,
+        part(2).filter(pmod($"doc_id", lit(7)) =!= 3))
+      val post3 = graft.streaming.IncrementalDedup.indexBatch(s, table,
+        reinsertedDocs(docs))
+      val cands = graft.streaming.IncrementalDedup.minusDeletedPairs(
+        s, table,
+        (pre :+ post2 :+ post3).reduce(_ unionByName _).distinct())
+      val kept = docs.filter(!(pmod($"doc_id", lit(7)) === 3 &&
+        pmod($"doc_id", lit(2)) =!= 0))
+      DedupOps.verifyPairs(DedupOps.docShingles(kept), cands,
+          minJ = 0.2)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(minusErasedDocs(
+      LlmQueries.minhashLshOracle(LlmQueries.bigramShCtes,
+        minJ = 0.2))))
+
+  // -------------------------------------------------------------- cdc55
+  // SPAN ERASURE — the hard summary case: the _rep table's
+  // membership was monotone-sound only without deletes, so
+  // deleteDocs recounts the deleted docs' own keys within the
+  // summary's covered generations and evicts the ones below 2 live
+  // owners — a span repeated ONLY via erased owners stops being cut.
+  // Serve == one-shot doc50 over the surviving corpus, with the
+  // summary built (full compact) BEFORE the delete.
+  private val cdc55 = GraftQuery(
+    "cdc55_span_erasure",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc55_spans"
+      graft.streaming.IncrementalSpans.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val docs = t(s, dir, "documents")
+      def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
+      Seq((0, 0L), (1, 1L), (1, 1L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalSpans.applyBatch(s, table,
+          part(p), batchId = b, nBuckets = 8)
+      }
+      // summary first (the state the repair must fix), then erase
+      graft.streaming.IncrementalSpans.compact(s, table)
+      graft.streaming.IncrementalSpans.deleteDocs(s, table,
+        erasedDocs(docs))
+      graft.streaming.IncrementalSpans.applyBatch(s, table,
+        part(2).filter(pmod($"doc_id", lit(7)) =!= 3),
+        batchId = 2L, nBuckets = 8)
+      graft.streaming.IncrementalSpans.compactBuckets(s, table,
+        minParts = 2)
+      graft.streaming.IncrementalSpans.applyBatch(s, table,
+        reinsertedDocs(docs), batchId = 3L, nBuckets = 8)
+      val kept = docs.filter(!(pmod($"doc_id", lit(7)) === 3 &&
+        pmod($"doc_id", lit(2)) =!= 0))
+      graft.streaming.IncrementalSpans.removalView(s, table, kept)
+        .orderBy($"doc_id")
+    },
+    Some(minusErasedDocs(spanRemovalOracle)))
+
+  // -------------------------------------------------------------- cdc56
+  // MEDIA ERASURE — the binary-column twin of cdc53: ledger append,
+  // postings-minus-ledger serves, compaction reclaims. Serve ==
+  // one-shot mm06 over the surviving corpus.
+  private val cdc56 = GraftQuery(
+    "cdc56_media_erasure",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc56_phash"
+      graft.streaming.IncrementalMediaDedup.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val media =
+        MultimodalOps.toMediaColumns(t(s, dir, "documents"))
+      def part(i: Int) = media.filter(pmod($"doc_id", lit(3)) === i)
+      Seq((0, 0L), (1, 1L), (1, 1L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalMediaDedup.applyBatch(s, table,
+          part(p), batchId = b, nBuckets = 8)
+      }
+      graft.streaming.IncrementalMediaDedup.deleteDocs(s, table,
+        erasedDocs(media).select("doc_id"))
+      graft.streaming.IncrementalMediaDedup.applyBatch(s, table,
+        part(2).filter(pmod($"doc_id", lit(7)) =!= 3),
+        batchId = 2L, nBuckets = 8)
+      graft.streaming.IncrementalMediaDedup.compactBuckets(s, table,
+        minParts = 2)
+      graft.streaming.IncrementalMediaDedup.applyBatch(s, table,
+        reinsertedDocs(media), batchId = 3L, nBuckets = 8)
+      graft.streaming.IncrementalMediaDedup.report(s, table)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(minusErasedDocs(phashNearDupOracle)))
+
+  // -------------------------------------------------------------- cdc57
+  // kNN-GRAPH ERASURE — the hard case: deleting vector v invalidates
+  // every owner whose top-k contained v; repair re-runs those
+  // owners' forward query (bounded by the probers state — the
+  // reverse-insert argument in reverse) and RESETS their cached
+  // k-th-cos thresholds, which deletion alone can lower. The harness
+  // then keeps INGESTING after the delete — the serve stays exactly
+  // one-shot only if the lowered thresholds admit the reverse pairs
+  // the deletion re-opened — and finally re-inserts the even half.
+  // Erased = vec_id%5==3 in [8, 300) (centroid seeds excluded: their
+  // frozen centroid role persists, matching the one-shot's
+  // vec_id < 8 rule over the surviving corpus).
+  private val cdc57 = GraftQuery(
+    "cdc57_knn_erasure",
+    (s, dir) => {
+      val table = "cdc57_knn"
       graft.streaming.IncrementalKnnGraph.tables(table)
         .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
       val embs = t(s, dir, "embeddings")
-      val vecs = embs.select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding"))
       def part(lo: Long, hi: Long) =
-        vecs.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        embs.filter(col("vec_id") >= lo && col("vec_id") < hi)
       Seq((0L, 150L, 0L), (150L, 300L, 1L), (150L, 300L, 1L))
         .foreach { case (lo, hi, b) =>
           graft.streaming.IncrementalKnnGraph.applyBatch(s, table,
             part(lo, hi), b)
         }
+      val del = embs
+        .filter(col("vec_id") >= 8 && col("vec_id") < 300 &&
+          col("vec_id") % 5 === 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      graft.streaming.IncrementalKnnGraph.deleteVectors(s, table, del)
+      // post-delete ingest exercises the repaired thresholds
+      graft.streaming.IncrementalKnnGraph.applyBatch(s, table,
+        part(300L, Long.MaxValue), 2L)
       graft.streaming.IncrementalKnnGraph.compactBuckets(s, table,
         minParts = 2)
       graft.streaming.IncrementalKnnGraph.applyBatch(s, table,
-        part(300L, Long.MaxValue), 2L)
-      val edges = graft.streaming.IncrementalKnnGraph
-        .graphView(s, table)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      GraphOps.pageRank(edges,
-          embs.select(col("vec_id").as("vid")), iters = 3)
-        .orderBy(col("vid"))
+        embs.filter(col("vec_id").isin(
+          del.filter(_ % 2 == 0): _*)), 3L)
+      graft.streaming.IncrementalKnnGraph.graphView(s, table)
+        .orderBy(col("vec_id"), col("rnk"))
     },
-    Some(pageRankOracle))
+    Some(s"""
+      WITH kept_embs AS (
+        SELECT * FROM embeddings
+        WHERE NOT (vec_id >= 8 AND vec_id < 300 AND vec_id % 5 = 3
+          AND vec_id % 2 <> 0)),
+      ${knnGraphCtes(nProbe = 2)
+        .replace("FROM embeddings", "FROM kept_embs")}
+      SELECT vec_id, nbr_id, rnk, cos FROM g
+      WHERE rnk <= 4
+      ORDER BY vec_id, rnk"""))
+
+  // -------------------------------------------------------------- cdc58
+  // MAINTAINED FRAME NEAR-DUP INDEX (IncrementalFrameDedup) — mm07's
+  // frame-fingerprint rung kept current under media ingest,
+  // completing the maintained media-dedup ladder next to cdc47's
+  // pHash rung. The design point (the containment lesson, applied
+  // from day one — the r15 instruction): mm07's df cap is
+  // corpus-dependent and DRIFTS, so kept-ness is recomputed at READ
+  // time over the visible postings, never frozen at ingest — which
+  // also makes erasure a pure ledger append. Serve == one-shot mm07
+  // exactly (same oracle), through a REDELIVERED batch, a MID-STREAM
+  // bucket compaction, and an ERASE + RE-INSERT cycle that must
+  // cancel exactly (the read-time df absorbs both directions).
+  private val cdc58 = GraftQuery(
+    "cdc58_frame_dedup_view",
+    (s, dir) => {
+      import s.implicits._
+      val table = "cdc58_frames"
+      graft.streaming.IncrementalFrameDedup.tables(table)
+        .foreach(graft.streaming.CdcMerge.dropStateTable(s, _))
+      val media =
+        MultimodalOps.toMediaColumns(t(s, dir, "documents"))
+      def part(i: Int) = media.filter(pmod($"doc_id", lit(3)) === i)
+      Seq((0, 0L), (1, 1L), (1, 1L)).foreach { case (p, b) =>
+        graft.streaming.IncrementalFrameDedup.applyBatch(s, table,
+          part(p), batchId = b, nBuckets = 8)
+      }
+      graft.streaming.IncrementalFrameDedup.compactBuckets(s, table,
+        minParts = 2)
+      graft.streaming.IncrementalFrameDedup.applyBatch(s, table,
+        part(2), batchId = 2L, nBuckets = 8)
+      // erase-then-re-insert must cancel exactly against the one-shot
+      // (the read-time df recount in both directions)
+      val cyc = media.filter(pmod($"doc_id", lit(11)) === 5)
+      graft.streaming.IncrementalFrameDedup.deleteDocs(s, table,
+        cyc.select("doc_id"))
+      graft.streaming.IncrementalFrameDedup.applyBatch(s, table,
+        cyc, batchId = 3L, nBuckets = 8)
+      graft.streaming.IncrementalFrameDedup.report(s, table)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(frameNearDupOracle))
 
   val all: Seq[GraftQuery] =
     Seq(doc37, cdc30, q59, emb28, cdc31, q60, mm06, q61, cdc32,
@@ -3004,5 +3384,6 @@ object OpsQueries {
       emb37, emb38, q62, cdc36, doc43, emb39, cdc37, emb40, emb41,
       q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
       doc46, doc47, doc48, doc49, cdc40, doc50, cdc41, cdc42, cdc43,
-      cdc44, cdc45, cdc46, cdc47, doc51, cdc48, cdc49)
+      cdc44, cdc45, cdc46, cdc47, doc51, cdc48, cdc49, cdc50, cdc51,
+      cdc52, cdc53, cdc54, cdc55, cdc56, cdc57, cdc58)
 }

@@ -38,6 +38,31 @@ object IncrementalAnn {
   private[graft] def centTable(table: String) =
     s"${table}_centroids"
 
+  private def wmTable(table: String) = s"${table}_wm"
+
+  /** OPTIONAL batch watermark for pipelines that need the index to
+    * participate in a cross-index wave ([[WaveMark]]): the index
+    * itself needs no fence (appends are anti-join idempotent and rows
+    * carry no batch stamps), but a fused serve needs to KNOW which
+    * batch the index includes to detect version skew. Call after
+    * [[indexBatch]] returns; 1-row [[TableSwap]] staged swap. */
+  def commitBatch(spark: SparkSession, table: String,
+      batchId: Long): Unit = {
+    import spark.implicits._
+    TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
+      wmTable(table))
+  }
+
+  /** The committed batch id recorded by [[commitBatch]] (-1 before
+    * the first commit). */
+  def committed(spark: SparkSession, table: String): Long = {
+    val wm = wmTable(table)
+    TableSwap.recover(spark, wm, s"${wm}_stage")
+    if (!spark.catalog.tableExists(wm)) -1L
+    else spark.table(wm)
+      .agg(coalesce(max("_batch"), lit(-1L))).collect()(0).getLong(0)
+  }
+
   /** Index one batch of (vec_id, embedding) rows. On first call the
     * index is created and the first `nCentroids` vectors of the batch
     * (by `vec_id`, deterministic) become the frozen coarse centroids. */

@@ -82,6 +82,11 @@ object IncrementalBm25 {
     }
   }
 
+  /** The committed batch id alone — the [[WaveMark]] participation
+    * surface (a fused serve checks it against the pinned wave). */
+  def committedBatch(spark: SparkSession, table: String): Long =
+    committed(spark, table)._1
+
   private def batchPostings(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("word"))

@@ -118,6 +118,22 @@ object IncrementalDedup {
     }
   }
 
+  /** Serve-side erasure filter for the accumulated PAIR LOG: pairs
+    * recorded before a delete still name erased docs — a consumer
+    * reading the log (the doc25 union-of-batches shape) drops every
+    * pair touching the CURRENT ledger. Pass-through before any
+    * delete. `pairs` must carry (doc_a, doc_b). */
+  def minusDeletedPairs(spark: SparkSession, indexTable: String,
+      pairs: DataFrame): DataFrame =
+    dels(spark, indexTable) match {
+      case None => pairs
+      case Some(d) =>
+        val da = broadcast(d.select(col("doc_id").as("doc_a")))
+        val db = broadcast(d.select(col("doc_id").as("doc_b")))
+        pairs.join(da, Seq("doc_a"), "left_anti")
+          .join(db, Seq("doc_b"), "left_anti")
+    }
+
   /** The batch's LSH band rows as (bkey, doc_id). */
   def bandRows(batchDocs: DataFrame, k: Int = 8,
       rowsPerBand: Int = 2): DataFrame =

@@ -69,8 +69,10 @@ import graft.operators.SimilarityOps
   * Contract: vector-disjoint append-only batches with monotone batch
   * ids; the first batch must contain the corpus's `nCentroids` lowest
   * vec_ids (the [[IncrementalAnn]] seeding contract — matching the
-  * one-shot's `vec_id < nCentroids` centroid rule). Deletions go
-  * through a rebuild (the graph has no erasure path; its inputs do).
+  * one-shot's `vec_id < nCentroids` centroid rule). ERASURE is
+  * [[deleteVectors]]: pruned physical rewrite + bounded owner repair,
+  * landing exactly on the one-shot over corpus-minus-deleted;
+  * re-ingesting a deleted vector is the sanctioned re-insertion.
   *
   * Reference baseline: reference/stream_cdc has no vector path — this
   * extends the beyond-reference training-data surface (emb family).
@@ -82,13 +84,18 @@ object IncrementalKnnGraph {
   private[streaming] def probesTable(table: String) =
     s"${table}_probes"
 
+  private def intentTable(table: String) = s"${table}_del_intent"
+
   /** All tables the graph maintains — for test/registration cleanup. */
   def tables(table: String): Seq[String] =
     Seq(table, s"${table}_compacting", s"${table}_old",
       wmTable(table), s"${wmTable(table)}_stage",
       s"${wmTable(table)}_old",
       cellsTable(table), IncrementalAnn.centTable(cellsTable(table)),
-      probesTable(table), s"${probesTable(table)}_stage")
+      s"${cellsTable(table)}_stage",
+      probesTable(table), s"${probesTable(table)}_stage",
+      intentTable(table), s"${intentTable(table)}_stage",
+      s"${intentTable(table)}_old", s"${table}_del_stage")
 
   private def committed(spark: SparkSession, table: String): Long = {
     val wm = wmTable(table)
@@ -97,6 +104,11 @@ object IncrementalKnnGraph {
     else spark.table(wm)
       .agg(coalesce(max("_batch"), lit(-1L))).collect()(0).getLong(0)
   }
+
+  /** The graph's committed batch id — the snapshot key derived
+    * consumers ([[IncrementalPageRank]]) version their state by. */
+  def committedBatch(spark: SparkSession, table: String): Long =
+    committed(spark, table)
 
   private val ParamsProp = "graft.knn"
 
@@ -330,6 +342,240 @@ object IncrementalKnnGraph {
           wmTable(table))
       } finally asg.unpersist()
     }
+
+  /** ERASURE — remove `ids` from the graph and REPAIR the owners
+    * their absence invalidates, landing the served graph exactly on
+    * the one-shot over corpus-minus-deleted (cdc57 pins it). The hard
+    * case of the erasure family: deleting vector v doesn't just drop
+    * v's own neighborhood — every owner whose top-k CONTAINED v is
+    * now short one neighbor, and its replacement (the k+1-th
+    * candidate) may have been cut by compaction or never appended at
+    * all, so affected owners re-run their forward query. Unlike the
+    * word/shingle-keyed grids (tombstone ledgers), the edge grid IS
+    * keyed by vec_id — a PHYSICAL pruned rewrite applies: only the
+    * hit `_kb` buckets are rewritten, cost ∝ hit buckets.
+    *
+    * Bounds (the reverse-repair argument, reused):
+    *  - any grid row (o, v) requires o to PROBE v's home cell, so the
+    *    affected-owner universe is the probers of the deleted
+    *    vectors' home cells — read from the probes state, never the
+    *    corpus; owners actually repaired are those with a deleted
+    *    neighbor IN the grid (pruned to the prober buckets, deleted
+    *    ids pushed down as literals);
+    *  - repair cost ∝ owners × their probed cells' members (the
+    *    forward-fold shape); the rewrite covers delKbs ∪ ALL prober
+    *    buckets — which provably contains every (·, deleted) row.
+    *
+    * Threshold repair: deletion is the ONE operation that can LOWER a
+    * true k-th cosine, breaking the stale-threshold monotonicity
+    * argument — so repaired owners' cached `kth_cos` is reset to the
+    * recomputed k-th (null when fewer than k candidates remain:
+    * admit-all, conservative-exact) in EVERY partition holding their
+    * probe rows, BEFORE the grid rewrite.
+    *
+    * Crash contract: the (del ids, repair owners) set persists to an
+    * INTENT table before any state mutates; a crash mid-way is
+    * finished by RE-RUNNING deleteVectors (any ids — the intent is
+    * merged in), each write being recompute-idempotent. Write order
+    * probes → cells → grid keeps every intermediate state
+    * conservative (thresholds only ever too low). Requires all folds
+    * committed (no open crash window) and the single-writer pause,
+    * like compaction. Deleting a centroid-SEED vector removes it as a
+    * corpus member while its frozen centroid role persists (the
+    * retrainTo doctrine). Re-ingesting a deleted vector later is the
+    * sanctioned re-insertion path. Returns the number of vectors
+    * removed from the membership index. */
+  def deleteVectors(spark: SparkSession, table: String,
+      ids: Seq[Long]): Long = {
+    import spark.implicits._
+    AppendGrid.recover(spark, table)
+    if (!spark.catalog.tableExists(table)) return 0L
+    spark.catalog.refreshTable(table)
+    val wm = committed(spark, table)
+    val openGen = listEffGens(spark, table).filter(_ > wm)
+    require(openGen.isEmpty,
+      s"$table holds uncommitted generation(s) ${openGen.mkString(",")}" +
+        " — re-deliver the in-flight batch before deleting (the " +
+        "compaction fence, same reason)")
+    val params = CdcMerge.tableProp(spark, table, ParamsProp)
+      .getOrElse("64:8:2:4").split(":").map(_.toInt)
+    val (dim, nProbe, k) = (params(0), params(2), params(3))
+    val nBuckets =
+      CdcMerge.tableNBuckets(spark, table).getOrElse(8).toLong
+    val cellsT = cellsTable(table)
+    val probesT = probesTable(table)
+    val intentT = intentTable(table)
+    TableSwap.recover(spark, intentT, s"${intentT}_stage")
+    // ---- 1. the delete set and the repair-owner set --------------
+    // merged with a crashed run's persisted intent: its grid rows may
+    // already be partially gone, so ITS owners are only recoverable
+    // from the intent — fresh computation below finds the rest
+    val (prevDel, prevOwn) =
+      if (!spark.catalog.tableExists(intentT)) (Nil, Nil)
+      else {
+        val rows = spark.table(intentT)
+          .select("vec_id", "kind").collect()
+        (rows.filter(_.getString(1) == "del").map(_.getLong(0)).toSeq,
+          rows.filter(_.getString(1) == "own").map(_.getLong(0)).toSeq)
+      }
+    val del = (ids ++ prevDel).distinct
+    if (del.isEmpty) return 0L
+    spark.catalog.refreshTable(cellsT)
+    spark.catalog.refreshTable(probesT)
+    // home cells of the deleted vectors (one membership-index lookup;
+    // vec_id literals push down)
+    val homeCids = spark.table(cellsT)
+      .filter(col("vec_id").isin(del: _*))
+      .select("cid").distinct().collect().map(_.getLong(0)).toSeq
+    // ALL probers of those cells bound the owner universe — their
+    // buckets provably contain every (·, deleted) row
+    val ownersAll = spark.table(probesT)
+      .filter(col("cid").isin(homeCids: _*) &&
+        !col("vec_id").isin(del: _*))
+      .select("vec_id").distinct()
+    val ownerKbs = ownersAll
+      .select(pmod(xxhash64(col("vec_id")), lit(nBuckets)))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val delKbs = del.toDF("vec_id")
+      .select(pmod(xxhash64(col("vec_id")), lit(nBuckets)))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val hitKbs = (ownerKbs ++ delKbs).distinct
+    // owners whose SERVED graph can change: a deleted neighbor sits
+    // in their grid rows (rank-trimmed state ⊆ evaluated candidates,
+    // so an absent row means v never made their top-k)
+    val freshOwners = AppendGrid.resolved(spark, table)
+      .filter(col("_b") <= wm && col("_kb").isin(ownerKbs: _*) &&
+        col("nbr_id").isin(del: _*) &&
+        !col("vec_id").isin(del: _*))
+      .select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val owners = (freshOwners ++ prevOwn).distinct.filterNot(del.toSet)
+    // ---- 2. persist the intent BEFORE any state mutates ----------
+    TableSwap.writeStaged(spark,
+      (del.map((_, "del")) ++ owners.map((_, "own")))
+        .toDF("vec_id", "kind"), intentT)
+    // ---- 3. repair = the owners' forward query over cells-minus-del
+    // (materialized BEFORE any write below — it must read the
+    // pre-delete probes/cells state)
+    val ownersDf = owners.toDF("vec_id")
+    val ownersAsg = spark.table(probesT)
+      .join(broadcast(ownersDf), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"), col("en"), col("cid"))
+      .localCheckpoint(true)
+    val ownerCids = ownersAsg.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val members = spark.table(cellsT)
+      .filter(col("cid").isin(ownerCids: _*) &&
+        !col("vec_id").isin(del: _*))
+      .select(col("cid"), col("vec_id").as("nbr_id"),
+        col("embedding").as("m_emb"), col("en").as("m_en"))
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    val repairRanked = ownersAsg
+      .join(members, Seq("cid"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        (SimilarityOps.dot(col("embedding"), col("m_emb"), dim) /
+          (col("en") * col("m_en"))).as("cos"))
+      .distinct()
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .localCheckpoint(true)
+    val repair = repairRanked.select("vec_id", "nbr_id", "cos")
+    val newKth = repairRanked.filter(col("rnk") === k)
+      .select(col("vec_id"), col("cos").as("_new_kth"))
+    // ---- 4. probes rewrite (dropped del rows + repaired thresholds)
+    val delProbeCids = spark.table(probesT)
+      .filter(col("vec_id").isin(del: _*))
+      .select("cid").distinct().collect().map(_.getLong(0)).toSeq
+    val touchCids = (delProbeCids ++ ownerCids).distinct
+    if (touchCids.nonEmpty) {
+      val stage = s"${probesT}_stage"
+      CdcMerge.dropStateTable(spark, stage)
+      spark.table(probesT)
+        .filter(col("cid").isin(touchCids: _*) &&
+          !col("vec_id").isin(del: _*))
+        .join(broadcast(ownersDf.withColumn("_own", lit(1))),
+          Seq("vec_id"), "left")
+        .join(broadcast(newKth), Seq("vec_id"), "left")
+        .withColumn("kth_cos",
+          when(col("_own").isNotNull, col("_new_kth"))
+            .otherwise(col("kth_cos")))
+        .select(col("vec_id"), col("embedding"), col("en"),
+          col("kth_cos"), col("cid"))
+        .repartition(col("cid"))
+        .write.mode("overwrite").format("parquet").saveAsTable(stage)
+      CdcMerge.withDynamicOverwrite(spark, stage, probesT) { w =>
+        w.table(stage)
+          .select(spark.table(probesT).columns.toSeq.map(col): _*)
+          .write.mode("overwrite").insertInto(probesT)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      spark.catalog.refreshTable(probesT)
+    }
+    // ---- 5. membership-index delete (pruned rewrite, drained cells
+    // dropped) — the erasure path the vector index already had
+    val removed = IncrementalAnn.deleteVectors(spark, cellsT,
+      del.toDF("vec_id"))
+    // ---- 6. grid rewrite: hit buckets only — drop rows owned BY or
+    // pointing AT a deleted vector, splice the repair rows in at the
+    // committed generation (serves see them immediately; a replayed
+    // batch can never overwrite generation <= wm)
+    val raw = spark.table(table)
+    val kept = raw
+      .filter(col("_kb").isin(hitKbs: _*) &&
+        !col("vec_id").isin(del: _*) && !col("nbr_id").isin(del: _*))
+    val repairStamped = repair
+      .withColumn("_b", lit(wm))
+      .withColumn("_kb", pmod(xxhash64(col("vec_id")), lit(nBuckets)))
+      .select(col("vec_id"), col("nbr_id"), col("cos"), col("_b"),
+        col("_kb"))
+    val merged = kept.unionByName(repairStamped)
+    val stage2 = s"${table}_del_stage"
+    CdcMerge.dropStateTable(spark, stage2)
+    merged.repartition(col("_kb"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("_b", "_kb").saveAsTable(stage2)
+    CdcMerge.withDynamicOverwrite(spark, stage2, table) { w =>
+      w.table(stage2)
+        .select(spark.table(table).columns.toSeq.map(col): _*)
+        .write.mode("overwrite").insertInto(table)
+    }
+    // partitions the rewrite EMPTIED (all their rows deleted, none
+    // re-added): dynamic overwrite skips them, so drop explicitly
+    spark.catalog.refreshTable(stage2)
+    val newParts = spark.sql(s"SHOW PARTITIONS $stage2").collect()
+      .map(_.getString(0)).toSet
+    spark.sql(s"DROP TABLE IF EXISTS $stage2")
+    val emptied = spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0))
+      .filter { p =>
+        val kb = p.split("/").map(_.split("=", 2))
+          .find(_(0) == "_kb").get(1).toLong
+        hitKbs.contains(kb) && !newParts.contains(p)
+      }
+    if (emptied.nonEmpty) spark.sql(
+      s"ALTER TABLE $table DROP IF EXISTS " + emptied.map { p =>
+        val kv = p.split("/").map(_.split("=", 2))
+        kv.map { case Array(c, v) => s"$c='$v'" }
+          .mkString("PARTITION (", ", ", ")")
+      }.mkString(", "))
+    spark.catalog.refreshTable(table)
+    // ---- 7. the delete is complete — retire the intent
+    CdcMerge.dropStateTable(spark, intentT)
+    removed
+  }
+
+  /** Effective generation ids present in the grid (compacted
+    * partitions count as their coverage). */
+  private def listEffGens(spark: SparkSession,
+      table: String): Seq[Long] =
+    spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map { r =>
+        val b = r.getString(0).split("/").map(_.split("=", 2))
+          .find(_(0) == "_b").get(1).toLong
+        if (b >= 0) b else -b - 1
+      }.distinct.toSeq
 
   /** Committed candidate rows (snapshot-consistent). */
   private def servedEdges(spark: SparkSession, table: String,

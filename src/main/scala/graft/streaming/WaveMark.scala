@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CROSS-INDEX SNAPSHOT CONSISTENCY for multi-index pipelines — the
+  * r15 verdict's one named correctness risk: a fused serve (cdc48's
+  * RRF over the BM25 grid + the IVF index) reads each state family at
+  * its OWN watermark, so a paused or lagging ingest stream on one
+  * family silently fuses two different corpus versions. Exact
+  * per-index, version-skewed across indexes.
+  *
+  * The fix is ONE committed wave marker per pipeline: after ALL
+  * families fold a wave's batches, the pipeline commits a wave row
+  * naming each family's included batch id ([[commitWave]], a
+  * [[TableSwap]] staged swap — atomic, crash-recoverable, 1 row per
+  * family). A wave-pinned serve then [[requireAtWave]]: every
+  * family's CURRENT committed id must equal the wave's recorded id,
+  * else the serve REFUSES with the skew spelled out (hold-to-wave
+  * semantics — the families that can rewind do so through their own
+  * `_b <=` fences, but the IVF index has no row stamps, so refusal
+  * is the honest contract: the caller either pauses serves until the
+  * lagging family catches up, or serves per-index knowingly).
+  *
+  * Reference shape: reference/stream_cdc's flush→checkpoint ordering
+  * (stream/worker.py) is the single-family version of the same
+  * fence; Delta Lake users know this as multi-table transaction
+  * scope, rebuilt here on plain parquet.
+  */
+object WaveMark {
+
+  /** All tables the marker maintains — for test/registration
+    * cleanup. */
+  def tables(waveTable: String): Seq[String] =
+    Seq(waveTable, s"${waveTable}_stage", s"${waveTable}_old")
+
+  /** Commit a wave: AFTER every family's folds for the wave have
+    * committed, record (wave id, family → included batch id). One
+    * staged swap — a crash before it leaves the previous wave served
+    * (consistent), never a mixed one. */
+  def commitWave(spark: SparkSession, waveTable: String, waveId: Long,
+      families: Map[String, Long]): Unit = {
+    require(families.nonEmpty, "a wave must name at least one family")
+    import spark.implicits._
+    TableSwap.writeStaged(spark,
+      families.toSeq.sortBy(_._1)
+        .map { case (f, b) => (waveId, f, b) }
+        .toDF("_wave", "family", "batch"),
+      waveTable)
+  }
+
+  /** The committed wave: (wave id, family → batch id), None before
+    * the first commit. */
+  def committedWave(spark: SparkSession,
+      waveTable: String): Option[(Long, Map[String, Long])] = {
+    TableSwap.recover(spark, waveTable, s"${waveTable}_stage")
+    if (!spark.catalog.tableExists(waveTable)) None
+    else {
+      spark.catalog.refreshTable(waveTable)
+      val rows = spark.table(waveTable)
+        .select("_wave", "family", "batch").collect()
+      if (rows.isEmpty) None
+      else Some((rows.map(_.getLong(0)).max,
+        rows.map(r => r.getString(1) -> r.getLong(2)).toMap))
+    }
+  }
+
+  /** Assert every family's CURRENT committed batch id equals the
+    * wave's recorded id; returns the wave id. `current` maps family →
+    * its live committed id (each family's own watermark read). Throws
+    * with the full skew picture when any family ran ahead of (or
+    * behind) the wave — the wave-pinned serve's refusal. */
+  def requireAtWave(spark: SparkSession, waveTable: String,
+      current: Map[String, Long]): Long = {
+    val (wave, pinned) = committedWave(spark, waveTable).getOrElse(
+      throw new IllegalStateException(
+        s"$waveTable: no committed wave — commitWave after the " +
+          "first wave's folds before serving wave-pinned"))
+    val skew = pinned.toSeq.sortBy(_._1).flatMap { case (f, b) =>
+      current.get(f) match {
+        case Some(c) if c == b => None
+        case Some(c) => Some(s"$f at batch $c, wave $wave pins $b")
+        case None => Some(s"$f missing from the serve's current map")
+      }
+    }
+    if (skew.nonEmpty) throw new IllegalStateException(
+      s"$waveTable: version skew across index families — " +
+        skew.mkString("; ") + ". Hold serves until the lagging " +
+        "family folds the wave (or serve per-index knowingly).")
+    wave
+  }
+}

@@ -34,4 +34,38 @@ object CheckpointBridge {
         true
       case _ => false
     }
+
+  /** `localCheckpoint()` with the carried-over plan STATISTICS
+    * dropped. Spark's localCheckpoint propagates the child plan's
+    * computed `Statistics` onto the resulting `LogicalRDD`
+    * (`originStats`) so estimates survive the lineage cut — but in a
+    * CHECKPOINT-PER-ROUND loop whose round joins two checkpointed
+    * frames, the carried `sizeInBytes` BigInts MULTIPLY every round:
+    * the bit length doubles per iteration and by round ~25 the
+    * optimizer burns minutes per round inside
+    * `BigInteger.multiplyToomCook3` (measured: round wall 1 s → 2 s →
+    * 7 s → 55 s → 433 s on a 200-row frame; a thread dump pinned the
+    * driver in Toom-Cook multiplication). Rebuilding the
+    * `LogicalRDD` without `originStats` resets the estimate to the
+    * session default — exactly right for loop-state frames, whose
+    * size the optimizer should treat as unknown-small anyway.
+    * Partitioning/ordering metadata is preserved; the returned frame
+    * reads the SAME checkpoint blocks, so [[freeLocalCheckpoint]] on
+    * it frees them. */
+  def localCheckpointFreshStats(
+      df: Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrame = {
+    val ck = df.localCheckpoint()
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[
+        org.apache.spark.sql.Row]]
+    ck.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        org.apache.spark.sql.classic.Dataset.ofRows(ck.sparkSession,
+          org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(
+            ck.sparkSession, None, None))
+      case _ => ck
+    }
+  }
 }
