@@ -1963,15 +1963,7 @@ object OpsQueries {
   // endpoint) so wedge volume is O(m^{3/2}) on any degree
   // distribution — the hub-safe plan at corpus scale; every join is
   // an equi-join. cc is truncating integer ppm.
-  private val emb38 = GraftQuery(
-    "emb38_triangle_count",
-    (s, dir) => {
-      val embs = t(s, dir, "embeddings")
-      val edges = SimilarityOps.knnGraph(embs)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      GraphOps.triangles(edges).orderBy(col("vid"))
-    },
-    Some(s"""
+  private def triangleOracle: String = s"""
       WITH ${knnGraphCtes(nProbe = 2)},
       edges AS (
         SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
@@ -2014,7 +2006,17 @@ object OpsQueries {
             // (d.deg * (d.deg - 1))
           ELSE 0 END AS cc_ppm
       FROM deg d LEFT JOIN pv ON pv.vid = d.vid
-      ORDER BY d.vid"""))
+      ORDER BY d.vid"""
+
+  private val emb38 = GraftQuery(
+    "emb38_triangle_count",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.triangles(edges).orderBy(col("vid"))
+    },
+    Some(triangleOracle))
 
   // -------------------------------------------------------------- emb39
   // PERSONALIZED PageRank / TrustRank (GraphOps.personalizedPageRank)
@@ -2036,18 +2038,7 @@ object OpsQueries {
         FROM prb b LEFT JOIN pc$i c ON c.vid = b.vid)"""
     }.mkString(",\n      ")
 
-  private val emb39 = GraftQuery(
-    "emb39_trustrank",
-    (s, dir) => {
-      val embs = t(s, dir, "embeddings")
-      val edges = SimilarityOps.knnGraph(embs)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      GraphOps.personalizedPageRank(edges,
-          embs.select(col("vec_id").as("vid"),
-            (col("vec_id") % 10 === 0).as("seed")), iters = 3)
-        .orderBy(col("vid"))
-    },
-    Some(s"""
+  private def trustRankOracle: String = s"""
       WITH ${knnGraphCtes(nProbe = 2)},
       edges AS MATERIALIZED (
         SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
@@ -2074,7 +2065,20 @@ object OpsQueries {
       ${pprIterCtes(3)}
       SELECT p.vid, COALESCE(o.deg_out, 0) AS deg_out, p.pr
       FROM ppr3 p LEFT JOIN outdeg o ON o.src = p.vid
-      ORDER BY p.vid"""))
+      ORDER BY p.vid"""
+
+  private val emb39 = GraftQuery(
+    "emb39_trustrank",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.personalizedPageRank(edges,
+          embs.select(col("vec_id").as("vid"),
+            (col("vec_id") % 10 === 0).as("seed")), iters = 3)
+        .orderBy(col("vid"))
+    },
+    Some(trustRankOracle))
 
   // -------------------------------------------------------------- emb40
   // Synchronous LPA COMMUNITIES (GraphOps.labelPropagation) over the
@@ -2155,18 +2159,7 @@ object OpsQueries {
         FROM d${i - 1} v LEFT JOIN nx$i n ON n.vid = v.vid)"""
     }.mkString(",\n      ")
 
-  private val emb41 = GraftQuery(
-    "emb41_hop_distance",
-    (s, dir) => {
-      val embs = t(s, dir, "embeddings")
-      val edges = SimilarityOps.knnGraph(embs)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      GraphOps.hopDistance(edges,
-          embs.select(col("vec_id").as("vid"),
-            (col("vec_id") % 10 === 0).as("seed")), rounds = 3)
-        .orderBy(col("vid"))
-    },
-    Some(s"""
+  private def hopDistanceOracle: String = s"""
       WITH ${knnGraphCtes(nProbe = 2)},
       edges AS (
         SELECT vec_id AS src, nbr_id AS dst FROM g WHERE rnk <= 4),
@@ -2178,7 +2171,20 @@ object OpsQueries {
       ${bfsIterCtes(3)}
       SELECT vid, COALESCE(dist, -1) AS dist
       FROM d3
-      ORDER BY vid"""))
+      ORDER BY vid"""
+
+  private val emb41 = GraftQuery(
+    "emb41_hop_distance",
+    (s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val edges = SimilarityOps.knnGraph(embs)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      GraphOps.hopDistance(edges,
+          embs.select(col("vec_id").as("vid"),
+            (col("vec_id") % 10 === 0).as("seed")), rounds = 3)
+        .orderBy(col("vid"))
+    },
+    Some(hopDistanceOracle))
 
   // -------------------------------------------------------------- emb42
   // Greedy BEAM SEARCH over the kNN graph
@@ -3066,6 +3072,56 @@ object OpsQueries {
         .orderBy(col("community"), col("rnk")),
     Some(communitySampleOracle))
 
+  // -------------------------------------------------------------- cdc59
+  // TRIANGLES / CLUSTERING COEFFICIENT OVER THE MAINTAINED GRAPH —
+  // emb38 served from the cdc46 edge state (the cdc49 composition
+  // pattern applied to the local-density audit: "is this region a
+  // tight near-dup clump" is a per-ingest-wave question, and the
+  // degree-oriented wedge plan reads CURRENT edges, zero rebuild).
+  // Maintained edges are pinned bit-equal to the one-shot graph, so
+  // counts land on emb38's own oracle through the redelivered batch
+  // + mid-stream compaction.
+  private val cdc59 = GraftQuery(
+    "cdc59_triangle_view",
+    (s, dir) =>
+      GraphOps.triangles(maintainedKnnEdges(s, dir, "cdc59_knn"))
+        .orderBy(col("vid")),
+    Some(triangleOracle))
+
+  // -------------------------------------------------------------- cdc60
+  // BFS HOP DISTANCE OVER THE MAINTAINED GRAPH — emb41's curation
+  // radius gate ("how many nearest-neighbor hops from the trusted
+  // corpus") served from the cdc46 edge state. Lands on emb41's own
+  // oracle.
+  private val cdc60 = GraftQuery(
+    "cdc60_hop_distance_view",
+    (s, dir) =>
+      GraphOps.hopDistance(
+          maintainedKnnEdges(s, dir, "cdc60_knn"),
+          t(s, dir, "embeddings").select(col("vec_id").as("vid"),
+            (col("vec_id") % 10 === 0).as("seed")), rounds = 3)
+        .orderBy(col("vid")),
+    Some(hopDistanceOracle))
+
+  // -------------------------------------------------------------- cdc61
+  // TRUSTRANK OVER THE MAINTAINED GRAPH — emb39's seeded trust
+  // propagation ("keep what the graph pulls close to what we trust")
+  // served from the cdc46 edge state: with cdc49/50/51/59/60 every
+  // analytics member of the emb37-44 graph family (PageRank,
+  // triangles, TrustRank, LPA, BFS, community sampling) now composes
+  // over maintained state; emb42/43's beam search is graph-traversal
+  // SERVING, already covered by the maintained index's own
+  // neighborsOf surface. Lands on emb39's own oracle.
+  private val cdc61 = GraftQuery(
+    "cdc61_trustrank_view",
+    (s, dir) =>
+      GraphOps.personalizedPageRank(
+          maintainedKnnEdges(s, dir, "cdc61_knn"),
+          t(s, dir, "embeddings").select(col("vec_id").as("vid"),
+            (col("vec_id") % 10 === 0).as("seed")), iters = 3)
+        .orderBy(col("vid")),
+    Some(trustRankOracle))
+
   // ------------------------------------------------- cdc52…cdc57
   // ERASURE across the maintained-index family (the r15 verdict's
   // top item): the engine's own decontamination operators (doc13,
@@ -3385,5 +3441,6 @@ object OpsQueries {
       q63, cdc38, emb42, q64, emb43, cdc39, emb44, emb45, doc45,
       doc46, doc47, doc48, doc49, cdc40, doc50, cdc41, cdc42, cdc43,
       cdc44, cdc45, cdc46, cdc47, doc51, cdc48, cdc49, cdc50, cdc51,
-      cdc52, cdc53, cdc54, cdc55, cdc56, cdc57, cdc58)
+      cdc52, cdc53, cdc54, cdc55, cdc56, cdc57, cdc58, cdc59, cdc60,
+      cdc61)
 }
