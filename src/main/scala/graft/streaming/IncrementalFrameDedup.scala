@@ -182,13 +182,22 @@ object IncrementalFrameDedup {
     requireParams(spark, table, frameBytes, maxFrames)
     val nBuckets = CdcMerge.tableNBuckets(spark, table).getOrElse(32)
     val probe = batchPostings(media, frameBytes, maxFrames, nBuckets)
-    val kbs = probe.select("_kb").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // the batch's fingerprints and their buckets (batch-sized,
+    // control-plane): the bucket list prunes PARTITIONS, the
+    // fingerprint literals prune ROW-GROUPS (buckets are
+    // fprint-sorted after compaction) and — the part that matters —
+    // bound the df groupBy's SHUFFLE to matching rows. Restricting
+    // the lookup to the probe's keys never restricts a key's OWNERS,
+    // so per-key df stays global-exact; without it the hit buckets'
+    // full row sets shuffled corpus-proportionally (measured 46 MB
+    // for a 20-payload serve at 10x before this prune).
+    val probeKeys = probe.select("fprint", "_kb").distinct()
+      .collect()
+    val kbs = probeKeys.map(_.getLong(1)).distinct.toSeq
+    val fps = probeKeys.map(_.getLong(0)).distinct.toSeq
     val lookup = servedPostings(spark, table)
-      .filter(col("_kb").isin(kbs: _*))
+      .filter(col("_kb").isin(kbs: _*) && col("fprint").isin(fps: _*))
       .select("fprint", "doc_id")
-    // df over the pruned lookup is exact for the probe's keys (keys
-    // restricted, owners complete); pairs normalized inside
     pairsFrom(lookup,
       broadcast(probe.select("fprint", "doc_id")), minMatch, maxDf)
   }

@@ -427,29 +427,48 @@ object IncrementalKnnGraph {
     val homeCids = spark.table(cellsT)
       .filter(col("vec_id").isin(del: _*))
       .select("cid").distinct().collect().map(_.getLong(0)).toSeq
-    // ALL probers of those cells bound the owner universe — their
-    // buckets provably contain every (·, deleted) row
-    val ownersAll = spark.table(probesT)
-      .filter(col("cid").isin(homeCids: _*) &&
-        !col("vec_id").isin(del: _*))
-      .select("vec_id").distinct()
-    val ownerKbs = ownersAll
-      .select(pmod(xxhash64(col("vec_id")), lit(nBuckets)))
-      .distinct().collect().map(_.getLong(0)).toSeq
     val delKbs = del.toDF("vec_id")
       .select(pmod(xxhash64(col("vec_id")), lit(nBuckets)))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val hitKbs = (ownerKbs ++ delKbs).distinct
     // owners whose SERVED graph can change: a deleted neighbor sits
-    // in their grid rows (rank-trimmed state ⊆ evaluated candidates,
-    // so an absent row means v never made their top-k)
-    val freshOwners = AppendGrid.resolved(spark, table)
-      .filter(col("_b") <= wm && col("_kb").isin(ownerKbs: _*) &&
-        col("nbr_id").isin(del: _*) &&
+    // in their grid rows. Discovery never reads the grid — x can
+    // hold d only if x PROBES d's home cell (the same bound the
+    // reverse-insert repair uses) and cos(x,d) >= x's true k-th,
+    // and the cached kth_cos lags BELOW the true k-th (inserts only
+    // raise it; this delete path resets repaired owners), so
+    // cos >= coalesce(kth_cos, -inf) admits a provable SUPERSET of
+    // the true holders. Extra candidates are harmless: their
+    // forward re-query reproduces their unchanged top-k and the
+    // serve dedups (groupBy max cos). Cost ∝ home cells' probers ×
+    // |del| — corpus-flat when cells ∝ corpus (the grid scan this
+    // replaces was measured 6.7x at 10x).
+    val delRows = spark.table(cellsT)
+      .filter(col("cid").isin(homeCids: _*) &&
+        col("vec_id").isin(del: _*))
+      .select(col("cid"), col("vec_id").as("_d"),
+        col("embedding").as("_demb"), col("en").as("_den"))
+    val freshOwners = spark.table(probesT)
+      .filter(col("cid").isin(homeCids: _*) &&
         !col("vec_id").isin(del: _*))
+      .join(broadcast(delRows), Seq("cid"))
+      .filter(col("vec_id") =!= col("_d") &&
+        (col("kth_cos").isNull ||
+          SimilarityOps.dot(col("embedding"), col("_demb"), dim) /
+            (col("en") * col("_den")) >= col("kth_cos")))
       .select("vec_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val owners = (freshOwners ++ prevOwn).distinct.filterNot(del.toSet)
+    // buckets the REWRITE must touch: a dropped row is either owned
+    // by a deleted vector (delKbs) or holds a deleted neighbor — and
+    // its owner is in the freshOwners superset by construction (a
+    // crashed run's owners return via the intent), so the rewrite
+    // prunes to the candidate owners' buckets, never the prober
+    // universe's (which made delete cost corpus-proportional:
+    // measured 2x wall / 6.7x scan at 10x before this prune; the
+    // probe row in SCALE.md is the regression guard).
+    val hitKbs = (owners.toDF("vec_id")
+      .select(pmod(xxhash64(col("vec_id")), lit(nBuckets)))
+      .distinct().collect().map(_.getLong(0)).toSeq ++ delKbs).distinct
     // ---- 2. persist the intent BEFORE any state mutates ----------
     TableSwap.writeStaged(spark,
       (del.map((_, "del")) ++ owners.map((_, "own")))
@@ -458,8 +477,23 @@ object IncrementalKnnGraph {
     // (materialized BEFORE any write below — it must read the
     // pre-delete probes/cells state)
     val ownersDf = owners.toDF("vec_id")
-    val ownersAsg = spark.table(probesT)
+    // owners' embeddings come from their home-cell probe rows
+    // (partition-pruned to homeCids — every fresh owner probes a
+    // deleted home cell by construction); their full probed-cell
+    // set is recomputed from the FROZEN centroids (deterministic,
+    // the fold's own assignment), so no whole-probes-table semi-join
+    // runs. Crash-recovered intent owners may predate a partially
+    // removed membership row, so they fall back to a vec_id-literal
+    // scan (crash path only).
+    val ownerEmb = spark.table(probesT)
+      .filter(col("cid").isin(homeCids: _*) ||
+        (if (prevOwn.isEmpty) lit(false)
+         else col("vec_id").isin(prevOwn: _*)))
       .join(broadcast(ownersDf), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding")).distinct()
+    val ownersAsg = SimilarityOps.assignToCentroids(ownerEmb,
+        spark.table(IncrementalAnn.centTable(cellsT)), dim)
+      .filter(col("rn") <= nProbe)
       .select(col("vec_id"), col("embedding"), col("en"), col("cid"))
       .localCheckpoint(true)
     val ownerCids = ownersAsg.select("cid").distinct()
@@ -485,8 +519,17 @@ object IncrementalKnnGraph {
     val newKth = repairRanked.filter(col("rnk") === k)
       .select(col("vec_id"), col("cos").as("_new_kth"))
     // ---- 4. probes rewrite (dropped del rows + repaired thresholds)
-    val delProbeCids = spark.table(probesT)
-      .filter(col("vec_id").isin(del: _*))
+    // the deleted vectors' probed cells are RECOMPUTED from the
+    // frozen centroids (deterministic — the fold's own assignment)
+    // instead of scanned from the probes table by vec_id literal
+    // (which read the whole table's vec_id column). A vector whose
+    // probe rows a crashed run already dropped is absent from
+    // delRows too — nothing left to drop for it (write order 4→5→6).
+    val delProbeCids = SimilarityOps.assignToCentroids(
+        delRows.select(col("_d").as("vec_id"),
+          col("_demb").as("embedding")),
+        spark.table(IncrementalAnn.centTable(cellsT)), dim)
+      .filter(col("rn") <= nProbe)
       .select("cid").distinct().collect().map(_.getLong(0)).toSeq
     val touchCids = (delProbeCids ++ ownerCids).distinct
     if (touchCids.nonEmpty) {
