@@ -104,6 +104,35 @@ object AppendGrid {
     listPartitions(spark, table).filter(_._1 < 0)
       .groupBy(_._2).map { case (kb, ps) => kb -> ps.map(_._1).min }
 
+  /** Per-bucket compacted COVERAGE (`_kb` → coverage generation):
+    * positive rows at `_b` ≤ coverage are shadowed in that bucket, so
+    * a writer splicing rows at an old generation ([[graft.streaming
+    * .IncrementalKnnGraph.deleteVectors]]'s repair rows) must target
+    * the covering compacted partition instead. Empty for
+    * never-compacted buckets (coverage −1). */
+  def bucketCoverage(spark: SparkSession,
+      table: String): Map[Long, Long] =
+    bucketBounds(spark, table)
+      .map { case (kb, bMin) => kb -> (-bMin - 1L) }
+
+  /** Erasure fence: refuse to tombstone while any generation sits
+    * ABOVE the committed watermark `wm`. Such rows belong to an
+    * in-flight batch inside its crash window: its redelivery commits
+    * at `_b > wm ≥ _db`, so the tombstone would silently not cover
+    * them and the erasure would half-take. Same reason [[compact]]
+    * fences; every ledger-based `deleteDocs` calls this first. */
+  def requireAllCommitted(spark: SparkSession, table: String,
+      wm: Long): Unit = {
+    val open = listPartitions(spark, table)
+      .map { case (b, _) => if (b >= 0) b else -b - 1 }
+      .filter(_ > wm).distinct.sorted
+    require(open.isEmpty,
+      s"$table holds uncommitted generation(s) ${open.mkString(",")}" +
+        s" above the watermark $wm — re-deliver the in-flight batch " +
+        "before erasing (its replay would land above the tombstones " +
+        "and silently escape them)")
+  }
+
   /** The LIVE rows of the grid: per bucket, the most-advanced
     * compacted partition (re-stamped to its coverage generation, so
     * downstream `_b`-vs-fence predicates stay exact) plus the positive

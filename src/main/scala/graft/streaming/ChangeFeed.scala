@@ -264,16 +264,36 @@ object ChangeFeed {
     // relative to toBatch-1 instead of fromBatch-1 (the r15 advice).
     // stateAsOf stays correct either way; consumers of the squashed
     // journal would double-read.
-    if (net.isEmpty)
-      spark.sql(s"ALTER TABLE $feedTable DROP IF EXISTS " +
-        s"PARTITION (_commit=$toBatch)")
-    else writeChanges(spark, feedTable, net, toBatch)
+    //
+    // DROP ORDER is load-bearing for crash convergence. Partitions go
+    // ASCENDING with toBatch LAST: at any crash point each key's
+    // surviving newest change ≤ toBatch is either its true newest
+    // (newest-wins reads its post-range value) or every range change
+    // for that key is already gone (reads its pre-range value — equal
+    // by net-emptiness), so stateAsOf(≥ toBatch) stays exact through
+    // the whole window and a re-run recomputes the same empty net and
+    // finishes the drops. Dropping toBatch FIRST instead un-shadows
+    // the older range commits: a crash then has stateAsOf(toBatch)
+    // reading a mid-range state, and the re-run BAKES that wrong
+    // state into a fresh net diff — non-convergent.
     val stale = commitsMatching(spark, feedTable,
       c => c >= fromBatch && c < toBatch,
       lowerInclusive = Some(fromBatch), upperExclusive = Some(toBatch))
-    stale.foreach { c =>
-      spark.sql(
-        s"ALTER TABLE $feedTable DROP IF EXISTS PARTITION (_commit=$c)")
+      .sorted
+    if (net.isEmpty) {
+      (stale :+ toBatch).foreach { c =>
+        spark.sql(s"ALTER TABLE $feedTable DROP IF EXISTS " +
+          s"PARTITION (_commit=$c)")
+      }
+    } else {
+      // non-empty: the net lands at toBatch FIRST (overwrite), so
+      // every key it names is covered before any shadow drops; keys
+      // not in the net rely on the same ascending newest-last order
+      writeChanges(spark, feedTable, net, toBatch)
+      stale.foreach { c =>
+        spark.sql(s"ALTER TABLE $feedTable DROP IF EXISTS " +
+          s"PARTITION (_commit=$c)")
+      }
     }
     stale.length
   }

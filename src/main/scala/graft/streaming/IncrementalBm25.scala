@@ -173,6 +173,9 @@ object IncrementalBm25 {
     spark.catalog.refreshTable(table)
     val (wmB, _, _) = committed(spark, table)
     if (wmB < 0) return 0L
+    // erasure fence: an in-flight fold's redelivery would land above
+    // the tombstones and escape them
+    AppendGrid.requireAllCommitted(spark, table, wmB)
     val nBuckets = CdcMerge.tableNBuckets(spark, table).getOrElse(32)
     // the docs' words → their buckets: batch-sized, and the only
     // reason the presence check below can prune the grid

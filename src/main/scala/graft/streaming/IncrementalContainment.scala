@@ -140,8 +140,14 @@ object IncrementalContainment {
   def deleteDocs(spark: SparkSession, table: String,
       ids: DataFrame): Unit = {
     AppendGrid.recover(spark, table)
+    AppendGrid.recover(spark, fwdTable(table))
     val wmB = committedBatch(spark, table)
     if (wmB < 0) return
+    // erasure fence on BOTH twins: an in-flight fold's rows sit above
+    // the shared watermark on either grid, and its redelivery would
+    // land above the tombstones and escape them
+    AppendGrid.requireAllCommitted(spark, table, wmB)
+    AppendGrid.requireAllCommitted(spark, fwdTable(table), wmB)
     AppendGrid.appendDels(spark, table, ids.select("doc_id"),
       "doc_id", wmB)
   }

@@ -68,8 +68,11 @@ object IncrementalDedup {
     *    rows are already in the index — the anti-join append guard
     *    keeps them unique);
     *  - [[vacuum]] physically reclaims: one bucketed rewrite minus
-    *    the ledger, then the ledger clears (reclaimed docs that later
-    *    re-arrive index as brand-new rows).
+    *    the ledger. The ledger itself is KEPT (the accumulated pair
+    *    log still names erased docs and [[minusDeletedPairs]]
+    *    subtracts through it); re-arrival via [[indexBatch]] is the
+    *    only un-delete, and a reclaimed doc that re-arrives indexes
+    *    as brand-new rows.
     * Idempotent; single-writer (pause the ingest stream). */
   def deleteDocs(spark: SparkSession, indexTable: String,
       ids: DataFrame): Unit = {
@@ -92,19 +95,29 @@ object IncrementalDedup {
   }
 
   /** Physically reclaim erased docs' band rows: one staged bucketed
-    * rewrite minus the ledger, then the ledger clears. Cost ∝ index
-    * (the honest price of physical reclamation on a bucketed layout —
-    * run on compaction cadence); serves are already exact without it
-    * through the ledger exclusion. Crash-safe: rewrite-then-clear —
-    * a crash in between leaves ledger rows whose index rows are
-    * already gone (inert; the next vacuum or un-delete clears
-    * them). */
-  def vacuum(spark: SparkSession, indexTable: String,
-      nBuckets: Int = 8): Unit = {
+    * rewrite minus the ledger. Cost ∝ index (the honest price of
+    * physical reclamation on a bucketed layout — run on compaction
+    * cadence); serves are already exact without it through the ledger
+    * exclusion. The LEDGER IS KEPT: consumers' accumulated pair logs
+    * (the doc25 union-of-batches shape) still name erased docs, and
+    * [[minusDeletedPairs]] subtracts through the ledger — clearing it
+    * here would silently resurface those pairs after the vacuum.
+    * Re-arrival stays the one un-delete path ([[indexBatch]] retires
+    * its batch's ids); ledger rows for reclaimed-and-gone docs are a
+    * slim row each. The bucket count comes from the INDEX'S OWN
+    * catalog bucket spec, never a caller parameter — a mismatched
+    * default would silently rebucket the table (the r15 serve-param
+    * advice, applied to the maintenance path). Crash-safe: the staged
+    * rewrite is the only mutation. */
+  def vacuum(spark: SparkSession, indexTable: String): Unit = {
     dels(spark, indexTable) match {
       case None => ()
       case Some(d) =>
         spark.catalog.refreshTable(indexTable)
+        val nBuckets = spark.sessionState.catalog
+          .getTableMetadata(spark.sessionState.sqlParser
+            .parseTableIdentifier(indexTable))
+          .bucketSpec.map(_.numBuckets).getOrElse(8)
         val kept = spark.table(indexTable)
           .join(broadcast(d), Seq("doc_id"), "left_anti")
           .localCheckpoint()
@@ -112,9 +125,6 @@ object IncrementalDedup {
           s"${indexTable}_compacting") { tmp =>
           LakehouseSink.writeBucketed(kept, tmp, "bkey", nBuckets)
         }
-        val delsT = delsTable(indexTable)
-        CdcMerge.dropStateTable(spark, delsT)
-        CdcMerge.dropStateTable(spark, s"${delsT}_stage")
     }
   }
 

@@ -110,6 +110,9 @@ object IncrementalFrameDedup {
     AppendGrid.recover(spark, table)
     val wmB = committed(spark, table)
     if (wmB < 0) return
+    // erasure fence: an in-flight fold's redelivery would land above
+    // the tombstones and escape them
+    AppendGrid.requireAllCommitted(spark, table, wmB)
     AppendGrid.appendDels(spark, table, ids.select("doc_id"),
       "doc_id", wmB)
   }
@@ -153,19 +156,12 @@ object IncrementalFrameDedup {
     * over the whole visible postings. */
   def report(spark: SparkSession, table: String, minMatch: Int = 3,
       maxDf: Int = 100): DataFrame = {
+    // the symmetric case of the ONE pair kernel: probe == lookup (the
+    // double ordering collapses under the normalized countDistinct,
+    // and the df cap on the lookup side caps the equi-join whole)
     val postings = servedPostings(spark, table)
       .select("fprint", "doc_id")
-    val kept = postings.join(
-      postings.groupBy("fprint").agg(count(lit(1)).as("_df"))
-        .filter(col("_df") <= maxDf).select("fprint"),
-      Seq("fprint"))
-    kept.select(col("fprint"), col("doc_id").as("pa"))
-      .join(kept.select(col("fprint"), col("doc_id").as("pb")),
-        Seq("fprint"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa").as("doc_a"), col("pb").as("doc_b"))
-      .agg(count(lit(1)).as("n_match"))
-      .filter(col("n_match") >= minMatch)
+    pairsFrom(postings, postings, minMatch, maxDf)
   }
 
   /** PER-BATCH SERVE: frame near-dup pairs involving `media` against

@@ -95,7 +95,8 @@ object IncrementalKnnGraph {
       s"${cellsTable(table)}_stage",
       probesTable(table), s"${probesTable(table)}_stage",
       intentTable(table), s"${intentTable(table)}_stage",
-      s"${intentTable(table)}_old", s"${table}_del_stage")
+      s"${intentTable(table)}_old", s"${table}_del_stage",
+      AppendGrid.delsTable(table))
 
   private def committed(spark: SparkSession, table: String): Long = {
     val wm = wmTable(table)
@@ -363,8 +364,20 @@ object IncrementalKnnGraph {
     *    neighbor IN the grid (pruned to the prober buckets, deleted
     *    ids pushed down as literals);
     *  - repair cost ∝ owners × their probed cells' members (the
-    *    forward-fold shape); the rewrite covers delKbs ∪ ALL prober
-    *    buckets — which provably contains every (·, deleted) row.
+    *    forward-fold shape); the rewrite covers delKbs ∪ the
+    *    candidate owners' buckets — every (·, deleted) row whose
+    *    owner still passes the threshold test. A row admitted under
+    *    an OLDER, lower threshold and since outranked can fail that
+    *    test and physically survive in an unrewritten bucket; it must
+    *    never re-enter a served top-k (a LATER delete can lower its
+    *    owner's k-th below it), so the delete also appends the ids to
+    *    the grid's tombstone ledger (`{table}_dels`) and every serve
+    *    and compaction fold subtracts rows whose vec_id OR nbr_id is
+    *    tombstoned at `_b <= _db` — re-inserted vectors' fresh rows
+    *    land above `_db` and serve normally. The ledger row count is
+    *    the graph's [[mutationEpoch]] — the version component derived
+    *    consumers ([[IncrementalPageRank]]) key on, since a delete
+    *    mutates the graph without moving the fold watermark.
     *
     * Threshold repair: deletion is the ONE operation that can LOWER a
     * true k-th cosine, breaking the stale-threshold monotonicity
@@ -458,14 +471,19 @@ object IncrementalKnnGraph {
       .select("vec_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val owners = (freshOwners ++ prevOwn).distinct.filterNot(del.toSet)
-    // buckets the REWRITE must touch: a dropped row is either owned
-    // by a deleted vector (delKbs) or holds a deleted neighbor — and
-    // its owner is in the freshOwners superset by construction (a
-    // crashed run's owners return via the intent), so the rewrite
-    // prunes to the candidate owners' buckets, never the prober
-    // universe's (which made delete cost corpus-proportional:
-    // measured 2x wall / 6.7x scan at 10x before this prune; the
-    // probe row in SCALE.md is the regression guard).
+    // buckets the REWRITE must touch: a SERVED-relevant dropped row
+    // is either owned by a deleted vector (delKbs) or holds a deleted
+    // neighbor within its owner's threshold — and that owner is in
+    // the freshOwners superset by construction (a crashed run's
+    // owners return via the intent), so the rewrite prunes to the
+    // candidate owners' buckets, never the prober universe's (which
+    // made delete cost corpus-proportional: measured 2x wall / 6.7x
+    // scan at 10x before this prune; the probe row in SCALE.md is the
+    // regression guard). Rows pointing at a deleted vector from
+    // OUTSIDE these buckets are sub-threshold stragglers — hidden by
+    // the step-2b tombstones on every serve/compaction read, so they
+    // can never re-enter a top-k even when a later delete lowers
+    // their owner's k-th.
     val hitKbs = (owners.toDF("vec_id")
       .select(pmod(xxhash64(col("vec_id")), lit(nBuckets)))
       .distinct().collect().map(_.getLong(0)).toSeq ++ delKbs).distinct
@@ -473,6 +491,14 @@ object IncrementalKnnGraph {
     TableSwap.writeStaged(spark,
       (del.map((_, "del")) ++ owners.map((_, "own")))
         .toDF("vec_id", "kind"), intentT)
+    // ---- 2b. tombstone ledger, also before any mutation: hides the
+    // sub-threshold (·, deleted) stragglers the pruned rewrite below
+    // cannot see (their owners fail the threshold test — see the
+    // method doc), bumps [[mutationEpoch]] for derived consumers, and
+    // is conservative through any crash (hiding rows of a vector
+    // being deleted is always sound). Idempotent per (vec_id, _db).
+    AppendGrid.appendDels(spark, table, del.toDF("vec_id"), "vec_id",
+      wm)
     // ---- 3. repair = the owners' forward query over cells-minus-del
     // (materialized BEFORE any write below — it must read the
     // pre-delete probes/cells state)
@@ -563,14 +589,33 @@ object IncrementalKnnGraph {
     // ---- 6. grid rewrite: hit buckets only — drop rows owned BY or
     // pointing AT a deleted vector, splice the repair rows in at the
     // committed generation (serves see them immediately; a replayed
-    // batch can never overwrite generation <= wm)
+    // batch can never overwrite generation <= wm). VISIBILITY: a
+    // bucket whose compacted COVERAGE already reached wm shadows
+    // every positive row at _b <= wm (resolved() serves the covering
+    // partition alone), so for those buckets the repair rows go
+    // INSIDE the covering compacted partition instead — semantically
+    // exact (it holds the bucket's live rows of generations <=
+    // coverage) and safe from both replay (negative ids are never a
+    // fold target) and the next compaction (the covering partition is
+    // the fold's own source). Without this, a delete issued after a
+    // coverage-at-wm compaction silently lost its repair rows.
+    val cov = AppendGrid.bucketCoverage(spark, table)
+    val covAtWm = cov.filter { case (kb, c) =>
+      hitKbs.contains(kb) && c >= wm }
+    val stampCol =
+      if (covAtWm.isEmpty) lit(wm)
+      else {
+        val m = map(covAtWm.toSeq.flatMap { case (kb, c) =>
+          Seq(lit(kb), lit(-(c + 1L))) }: _*)
+        coalesce(try_element_at(m, col("_kb")), lit(wm))
+      }
     val raw = spark.table(table)
     val kept = raw
       .filter(col("_kb").isin(hitKbs: _*) &&
         !col("vec_id").isin(del: _*) && !col("nbr_id").isin(del: _*))
     val repairStamped = repair
-      .withColumn("_b", lit(wm))
       .withColumn("_kb", pmod(xxhash64(col("vec_id")), lit(nBuckets)))
+      .withColumn("_b", stampCol)
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("_b"),
         col("_kb"))
     val merged = kept.unionByName(repairStamped)
@@ -620,11 +665,52 @@ object IncrementalKnnGraph {
         if (b >= 0) b else -b - 1
       }.distinct.toSeq
 
-  /** Committed candidate rows (snapshot-consistent). */
+  /** Grid rows minus the erasure tombstones, on BOTH endpoints: a row
+    * is hidden when its vec_id OR its nbr_id carries a tombstone with
+    * `_b <= _db` (the two-column variant of [[AppendGrid
+    * .minusDeleted]] — an edge names two vectors, either of whose
+    * deletion kills it). Re-inserted vectors' fresh rows sit above
+    * their `_db` and pass. Pass-through before any delete. */
+  private def minusTombstoned(spark: SparkSession, table: String,
+      rows: DataFrame): DataFrame = {
+    val delsT = AppendGrid.delsTable(table)
+    if (!spark.catalog.tableExists(delsT)) rows
+    else {
+      spark.catalog.refreshTable(delsT)
+      val d = spark.table(delsT)
+        .select(col("vec_id").as("_del_id"), col("_db"))
+      rows
+        .join(broadcast(d),
+          col("vec_id") === col("_del_id") && col("_b") <= col("_db"),
+          "left_anti")
+        .join(broadcast(d),
+          col("nbr_id") === col("_del_id") && col("_b") <= col("_db"),
+          "left_anti")
+    }
+  }
+
+  /** Monotone DELETE EPOCH: the tombstone-ledger row count — grows
+    * with every erasure and never shrinks (re-insertion serves above
+    * `_db` without retiring ledger rows). Combined with
+    * [[committedBatch]] it versions the graph for derived consumers
+    * ([[IncrementalPageRank]]): a delete mutates the served graph
+    * without moving the fold watermark, so the watermark alone would
+    * let a stale derived view serve erased vectors. */
+  def mutationEpoch(spark: SparkSession, table: String): Long = {
+    val delsT = AppendGrid.delsTable(table)
+    if (!spark.catalog.tableExists(delsT)) 0L
+    else {
+      spark.catalog.refreshTable(delsT)
+      spark.table(delsT).count()
+    }
+  }
+
+  /** Committed candidate rows (snapshot-consistent, tombstones
+    * subtracted). */
   private def servedEdges(spark: SparkSession, table: String,
       wmB: Long): DataFrame =
-    AppendGrid.resolved(spark, table)
-      .filter(col("_b") <= wmB)
+    minusTombstoned(spark, table,
+      AppendGrid.resolved(spark, table).filter(col("_b") <= wmB))
       .select(col("vec_id"), col("nbr_id"), col("cos"))
 
   /** THE GRAPH: every ingested vector's top-k neighbors —
@@ -665,10 +751,10 @@ object IncrementalKnnGraph {
       .collect().map(_.getLong(0)).distinct.toSeq
     val wTop = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
-    AppendGrid.resolved(spark, table)
-      .filter(col("_b") <= committed(spark, table) &&
-        col("_kb").isin(kbs: _*) &&
-        col("vec_id").isin(ids: _*))
+    minusTombstoned(spark, table, AppendGrid.resolved(spark, table)
+        .filter(col("_b") <= committed(spark, table) &&
+          col("_kb").isin(kbs: _*) &&
+          col("vec_id").isin(ids: _*)))
       .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos"))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= k)
@@ -679,21 +765,30 @@ object IncrementalKnnGraph {
     * candidate rows (a vector's rows all live in its `_kb` bucket, so
     * the per-bucket fold sees every one of them — the rank is
     * complete). Dropped rows are at rank > k with k strictly-better
-    * rows kept: they could never re-enter the served top-k. */
+    * rows kept: they could never re-enter the served top-k. The fold
+    * subtracts the erasure tombstones first (the two-endpoint
+    * variant, inside the callback because [[AppendGrid]]'s `delKey`
+    * matches ONE column): sub-threshold stragglers pointing at
+    * deleted vectors are physically reclaimed here, and must never be
+    * ranked into a kept top-k (a post-delete fold ranking a hidden
+    * row would resurrect it). */
   def compactBuckets(spark: SparkSession, table: String,
       minParts: Int = 4): Seq[Long] = {
     val k = graphK(spark, table)
     AppendGrid.compactBuckets(spark, table,
-      (live, fence) => topKFold(live, fence, k),
+      (live, fence) => topKFold(minusTombstoned(spark, table, live),
+        fence, k),
       dataCols = Seq("vec_id", "nbr_id", "cos"),
       sortCols = Seq("vec_id"), minParts = minParts)
   }
 
-  /** Whole-grid compaction (full rebuild cadence). */
+  /** Whole-grid compaction (full rebuild cadence). Tombstones
+    * subtracted like [[compactBuckets]]. */
   def compact(spark: SparkSession, table: String): Unit = {
     val k = graphK(spark, table)
     AppendGrid.compact(spark, table,
-      (grid, maxB) => topKFold(grid, maxB, k),
+      (grid, maxB) => topKFold(minusTombstoned(spark, table, grid),
+        maxB, k),
       sortCols = Seq("vec_id"))
     ()
   }

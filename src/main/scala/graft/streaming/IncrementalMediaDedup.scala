@@ -136,6 +136,9 @@ object IncrementalMediaDedup {
     AppendGrid.recover(spark, table)
     val wmB = committed(spark, table)
     if (wmB < 0) return
+    // erasure fence: an in-flight fold's redelivery would land above
+    // the tombstones and escape them
+    AppendGrid.requireAllCommitted(spark, table, wmB)
     AppendGrid.appendDels(spark, table, ids.select("doc_id"),
       "doc_id", wmB)
   }

@@ -17,16 +17,33 @@ import graft.operators.GraphOps
   * the graph delta actually moved instead of the cold mixing time
   * (probe-measured).
   *
-  * Snapshot consistency: the rank table carries the graph watermark
-  * it was computed at (`graft.rankwm`, written AFTER the TableSwap
-  * swap — a crash in between re-runs the refresh, idempotent), and
-  * [[serve]] refuses when the stored wave lags the graph: a consumer
-  * either reads ranks THAT MATCH the graph version or knows to
-  * refresh first — never a silent mix (the WaveMark doctrine applied
-  * to a derived view). */
+  * Snapshot consistency: the rank table carries the graph VERSION it
+  * was computed at (`graft.rankwm` = "watermark:delete-epoch",
+  * written AFTER the TableSwap swap — a crash in between re-runs the
+  * refresh, idempotent), and [[serve]] refuses when the stored
+  * version lags the graph: a consumer either reads ranks THAT MATCH
+  * the graph version or knows to refresh first — never a silent mix
+  * (the WaveMark doctrine applied to a derived view). The delete
+  * epoch matters because [[IncrementalKnnGraph.deleteVectors]]
+  * mutates the graph without moving the fold watermark — without it
+  * a post-erasure refresh would no-op and serve ranks still naming
+  * the erased vectors. */
 object IncrementalPageRank {
 
   private val WmProp = "graft.rankwm"
+
+  /** The graph's version as the rank table keys it: the committed
+    * fold watermark PLUS the delete epoch — [[IncrementalKnnGraph
+    * .deleteVectors]] mutates the served graph without moving the
+    * watermark, so the watermark alone would let refresh() no-op
+    * after an erasure and serve() hand out ranks still naming the
+    * erased vectors. */
+  private def graphVersion(spark: SparkSession,
+      graphTable: String): String = {
+    val wm = IncrementalKnnGraph.committedBatch(spark, graphTable)
+    val epoch = IncrementalKnnGraph.mutationEpoch(spark, graphTable)
+    s"$wm:$epoch"
+  }
 
   /** All tables the service maintains — for test/registration
     * cleanup. */
@@ -43,9 +60,10 @@ object IncrementalPageRank {
       rankTable: String, vertices: DataFrame,
       maxIters: Int = 500): (Long, Int) = {
     val wm = IncrementalKnnGraph.committedBatch(spark, graphTable)
+    val version = graphVersion(spark, graphTable)
     TableSwap.recover(spark, rankTable, s"${rankTable}_stage")
     val stored = storedWm(spark, rankTable)
-    if (stored.contains(wm)) return (wm, 0)
+    if (stored.contains(version)) return (wm, 0)
     val edges = IncrementalKnnGraph.graphView(spark, graphTable)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     // warm seed = previous ranks, RENORMALIZED then given HEADROOM:
@@ -78,7 +96,7 @@ object IncrementalPageRank {
     val (ranks, rounds) = GraphOps.pageRankFixedPoint(edges, vertices,
       init, maxIters)
     TableSwap.writeStaged(spark, ranks, rankTable)
-    CdcMerge.setTableProp(spark, rankTable, WmProp, wm.toString)
+    CdcMerge.setTableProp(spark, rankTable, WmProp, version)
     (wm, rounds)
   }
 
@@ -88,19 +106,20 @@ object IncrementalPageRank {
     * matched the current graph. */
   def serve(spark: SparkSession, graphTable: String,
       rankTable: String): DataFrame = {
-    val wm = IncrementalKnnGraph.committedBatch(spark, graphTable)
+    val version = graphVersion(spark, graphTable)
     val stored = storedWm(spark, rankTable)
-    if (!stored.contains(wm)) throw new IllegalStateException(
-      s"$rankTable is at graph watermark ${stored.getOrElse(-1L)} " +
-        s"but $graphTable committed $wm — refresh before serving " +
-        "(version-skewed ranks must refuse, not mix)")
+    if (!stored.contains(version)) throw new IllegalStateException(
+      s"$rankTable is at graph version " +
+        s"${stored.getOrElse("<none>")} but $graphTable is at " +
+        s"$version (watermark:delete-epoch) — refresh before " +
+        "serving (version-skewed ranks must refuse, not mix)")
     spark.catalog.refreshTable(rankTable)
     spark.table(rankTable)
   }
 
   private def storedWm(spark: SparkSession,
-      rankTable: String): Option[Long] = {
+      rankTable: String): Option[String] = {
     if (!spark.catalog.tableExists(rankTable)) None
-    else CdcMerge.tableProp(spark, rankTable, WmProp).map(_.toLong)
+    else CdcMerge.tableProp(spark, rankTable, WmProp)
   }
 }

@@ -191,6 +191,9 @@ object IncrementalSpans {
     requireSpanLen(spark, gridTable, spanLen)
     val wmB = committedBatch(spark, gridTable)
     if (wmB < 0) return
+    // erasure fence: an in-flight fold's redelivery would land above
+    // the tombstones and escape them
+    AppendGrid.requireAllCommitted(spark, gridTable, wmB)
     AppendGrid.appendDels(spark, gridTable,
       docs.select("doc_id").distinct(), "doc_id", wmB)
     val repT = repTable(gridTable)

@@ -262,6 +262,40 @@ class ChangeFeedSpec extends SparkSpec {
     assert(asOf(0) == Set(1L) && asOf(2) == Set(1L))
   }
 
+  test("empty-net squash drop order: the crash window reads exactly " +
+      "and a re-run converges") {
+    // the r16 review: dropping the toBatch partition FIRST un-shadows
+    // the older range commits — a crash then has stateAsOf(toBatch)
+    // reading a mid-range state, and the re-run bakes that wrong
+    // state into a fresh net diff forever. The fixed order (stale
+    // ascending, toBatch LAST) keeps every key's surviving newest
+    // change authoritative at every crash point.
+    val (t, f) = ("cf_squash1", "cf_squash1_feed")
+    Seq(t, s"${t}_stage", f).foreach(CdcMerge.dropStateTable(spark, _))
+    apply1(t, f, 0, env((1L, "2026-01-01 00:00:01", "Insert", 1L)))
+    apply1(t, f, 1, env((5L, "2026-01-01 00:00:02", "Insert", 2L)))
+    apply1(t, f, 2, env((5L, "2026-01-01 00:00:03", "Delete", 3L)))
+    def asOf(c: Long) = ChangeFeed.stateAsOf(spark, f, "k", c)
+      .select("k").collect().map(_.getLong(0)).toSet
+    // simulate a crash after the fixed order's FIRST step (stale
+    // commit 1 dropped, terminal commit 2 still present): the delete
+    // at commit 2 still shadows the vanished insert, so reads at or
+    // above toBatch stay exact
+    spark.sql(s"ALTER TABLE $f DROP IF EXISTS PARTITION (_commit=1)")
+    spark.catalog.refreshTable(f)
+    assert(asOf(2) == Set(1L),
+      "mid-crash state must read exactly at >= toBatch")
+    // re-running the squash from the crash state converges to the
+    // clean end state (empty net again, remaining drops finish)
+    ChangeFeed.squash(spark, f, "k", Seq("ts", "event_id"),
+      fromBatch = 1, toBatch = 2)
+    spark.catalog.refreshTable(f)
+    assert(spark.table(f).filter(col("_commit") >= 1).isEmpty,
+      "re-run did not finish the drops")
+    assert(asOf(0) == Set(1L) && asOf(2) == Set(1L),
+      "re-run left a corrupted feed")
+  }
+
   test("streaming merge with feed: commits keyed by micro-batch id") {
     import spark.implicits._
     val (t, f) = ("cf_stream", "cf_stream_feed")

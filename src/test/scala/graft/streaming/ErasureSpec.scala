@@ -244,9 +244,14 @@ class ErasureSpec extends SparkSpec {
     assert(spark.table(IncrementalDedup.delsTable(live))
       .join(reDocs.select("doc_id"), Seq("doc_id"), "left_semi")
       .isEmpty, "re-arrived docs were not un-deleted")
-    // vacuum: rows physically gone, ledger cleared, serve unchanged
+    // vacuum: rows physically gone, serve unchanged — and the ledger
+    // KEPT: the accumulated pair log (the doc25 union-of-batches
+    // shape) still names erased docs, and minusDeletedPairs subtracts
+    // through the ledger — clearing it at vacuum would silently
+    // resurface those pairs (the r16 review)
     IncrementalDedup.vacuum(spark, live)
-    assert(!spark.catalog.tableExists(IncrementalDedup.delsTable(live)))
+    assert(spark.catalog.tableExists(IncrementalDedup.delsTable(live)),
+      "vacuum must keep the ledger — the pair log depends on it")
     val stillDel = docs.filter(isDel(col("doc_id")) &&
       !isRe(col("doc_id"))).select("doc_id")
     assert(spark.table(live)
@@ -255,6 +260,29 @@ class ErasureSpec extends SparkSpec {
     assert(rowsOf(IncrementalDedup.indexBatch(spark, live, probe)) ==
       rowsOf(IncrementalDedup.indexBatch(spark, refT, probe)),
       "candidates diverged after vacuum")
+    // a pair log naming a still-erased doc keeps filtering it after
+    // the vacuum; pairs between live docs pass through
+    import spark.implicits._
+    val delId = stillDel.limit(1).collect()(0).getLong(0)
+    val log = Seq((delId, 999999999L), (999999998L, 999999999L))
+      .toDF("doc_a", "doc_b")
+    assert(IncrementalDedup.minusDeletedPairs(spark, live, log)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((999999998L, 999999999L)),
+      "post-vacuum pair log stopped filtering erased docs")
+    // the vacuumed index keeps its ORIGINAL bucket layout: the
+    // rewrite reads the count from the catalog, never a caller
+    // default (a mismatch would rebucket and break later appends)
+    val bucketsAfter = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(live))
+      .bucketSpec.map(_.numBuckets)
+    assert(bucketsAfter.contains(8),
+      s"vacuum changed the bucket layout: $bucketsAfter")
+    // and appends still work on the vacuumed table
+    assert(rowsOf(IncrementalDedup.indexBatch(spark, live, reDocs)) ==
+      refPairs, "post-vacuum append diverged")
   }
 
   test("knn graph: delete repairs owners' top-k AND thresholds — " +
@@ -310,5 +338,141 @@ class ErasureSpec extends SparkSpec {
       delIds.filterNot(reIds.contains): _*))
     assert(served(live) == oneShot(corpus2),
       "re-insertion diverged from the one-shot")
+  }
+
+  test("knn graph: delete AFTER bucket compaction — repair rows stay " +
+      "visible and survive the next compaction") {
+    // the r16 review's shadowing hazard: with every bucket's compacted
+    // coverage AT the watermark, repair rows stamped at a positive
+    // _b <= coverage would be invisible to resolved() and dropped as
+    // leftovers by the next compaction — they must land INSIDE the
+    // covering compacted partition instead
+    val live = "er_knn_cov"
+    IncrementalKnnGraph.tables(live)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    def part(lo: Long, hi: Long) =
+      embs.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    def served = rowsOf(IncrementalKnnGraph.graphView(spark, live))
+    def oneShot(corpus: DataFrame) =
+      rowsOf(SimilarityOps.knnGraph(corpus)
+        .select("vec_id", "nbr_id", "rnk", "cos"))
+    IncrementalKnnGraph.applyBatch(spark, live, part(0, 150), 0L)
+    IncrementalKnnGraph.applyBatch(spark, live, part(150, 300), 1L)
+    // minParts=1 folds EVERY bucket: coverage == watermark everywhere
+    assert(IncrementalKnnGraph.compactBuckets(spark, live,
+      minParts = 1).nonEmpty)
+    val delIds = embs
+      .filter(col("vec_id") >= 8 && col("vec_id") % 5 === 3 &&
+        col("vec_id") < 300)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(IncrementalKnnGraph.deleteVectors(spark, live, delIds) ==
+      delIds.size)
+    val reduced = embs.filter(!col("vec_id").isin(delIds: _*))
+    assert(served == oneShot(reduced.filter(col("vec_id") < 300)),
+      "repair rows written after a coverage-at-watermark compaction " +
+        "are not serving")
+    // the NEXT compaction must keep them (pre-fix it dropped the
+    // wrongly-stamped partition as an already-shadowed leftover)
+    IncrementalKnnGraph.compactBuckets(spark, live, minParts = 1)
+    assert(served == oneShot(reduced.filter(col("vec_id") < 300)),
+      "compaction after the delete lost the repair rows")
+    // continued ingest on top stays exact
+    IncrementalKnnGraph.applyBatch(spark, live, part(300, 1000000), 2L)
+    assert(served == oneShot(reduced),
+      "post-delete ingest on the compacted layout diverged")
+  }
+
+  test("knn graph: a second, threshold-lowering delete cannot " +
+      "resurrect stragglers pointing at earlier-deleted vectors") {
+    // the r16 review's erasure leak: a grid row (x, d) admitted under
+    // an old low threshold and since outranked fails the owner test
+    // when d is deleted, physically survives outside the rewritten
+    // buckets — and a LATER delete of something in x's top-k lowers
+    // x's k-th below cos(x, d). The tombstone ledger must keep it out
+    // of every serve, and compaction must physically reclaim it.
+    val live = "er_knn_seq"
+    IncrementalKnnGraph.tables(live)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    def part(lo: Long, hi: Long) =
+      embs.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    def served = rowsOf(IncrementalKnnGraph.graphView(spark, live))
+    def oneShot(corpus: DataFrame) =
+      rowsOf(SimilarityOps.knnGraph(corpus)
+        .select("vec_id", "nbr_id", "rnk", "cos"))
+    IncrementalKnnGraph.applyBatch(spark, live, part(0, 150), 0L)
+    IncrementalKnnGraph.applyBatch(spark, live, part(150, 300), 1L)
+    val del1 = embs
+      .filter(col("vec_id") >= 8 && col("vec_id") % 7 === 2 &&
+        col("vec_id") < 300)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    IncrementalKnnGraph.deleteVectors(spark, live, del1)
+    val corpus1 = part(0, 300).filter(!col("vec_id").isin(del1: _*))
+    assert(served == oneShot(corpus1))
+    // wave 2: the RANK-1 neighbors of many survivors — deletions
+    // guaranteed to lower their owners' k-th cosines
+    val del2 = SimilarityOps.knnGraph(corpus1)
+      .filter(col("rnk") === 1 && col("nbr_id") >= 8 &&
+        col("vec_id") < 100)
+      .select("nbr_id").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted.take(12)
+    assert(del2.nonEmpty)
+    IncrementalKnnGraph.deleteVectors(spark, live, del2)
+    val deleted = (del1 ++ del2).toSet
+    val corpus2 = part(0, 300)
+      .filter(!col("vec_id").isin(deleted.toSeq: _*))
+    assert(served == oneShot(corpus2),
+      "the second delete resurrected a straggler edge to an " +
+        "earlier-deleted vector (or missed a repair)")
+    // compaction physically reclaims every straggler on both endpoints
+    IncrementalKnnGraph.compactBuckets(spark, live, minParts = 1)
+    assert(served == oneShot(corpus2),
+      "compaction changed the served graph after sequential deletes")
+    val raw = spark.table(live)
+    assert(raw.filter(col("vec_id").isin(deleted.toSeq: _*) ||
+      col("nbr_id").isin(deleted.toSeq: _*)).isEmpty,
+      "compaction left physically-present rows naming deleted vectors")
+  }
+
+  test("erasure fences on an open crash window: tombstones cannot " +
+      "land below an uncommitted generation") {
+    // a fold's rows land but its watermark doesn't (crash window);
+    // a tombstone at _db = old watermark would NOT cover the replay
+    // (it re-commits above _db) — deleteDocs must refuse until the
+    // batch is re-delivered (the r16 review; deleteVectors already
+    // fenced)
+    val live = "er_fence"
+    IncrementalMediaDedup.tables(live)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    val media = MultimodalOps.toMediaColumns(docs)
+    IncrementalMediaDedup.applyBatch(spark, live,
+      media.filter(pmod(col("doc_id"), lit(3)) === 0), 0L,
+      nBuckets = 8)
+    IncrementalMediaDedup.applyBatch(spark, live,
+      media.filter(pmod(col("doc_id"), lit(3)) === 1), 1L,
+      nBuckets = 8)
+    // re-open batch 1's crash window by rewinding the watermark
+    import spark.implicits._
+    TableSwap.writeStaged(spark, Seq(0L).toDF("_batch"),
+      s"${live}_wm")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalMediaDedup.deleteDocs(spark, live,
+        delIdsOf(docs, "doc_id"))
+    }
+    assert(e.getMessage.contains("uncommitted generation"))
+    // re-delivering the batch closes the window; the delete then runs
+    IncrementalMediaDedup.applyBatch(spark, live,
+      media.filter(pmod(col("doc_id"), lit(3)) === 1), 1L,
+      nBuckets = 8)
+    IncrementalMediaDedup.deleteDocs(spark, live,
+      delIdsOf(docs, "doc_id"))
+    val refT = "er_fence_ref"
+    IncrementalMediaDedup.tables(refT)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    IncrementalMediaDedup.applyBatch(spark, refT,
+      media.filter(pmod(col("doc_id"), lit(3)) =!= 2 &&
+        !isDel(col("doc_id"))), 0L, nBuckets = 8)
+    assert(rowsOf(IncrementalMediaDedup.report(spark, live)) ==
+      rowsOf(IncrementalMediaDedup.report(spark, refT)),
+      "post-fence delete diverged")
   }
 }

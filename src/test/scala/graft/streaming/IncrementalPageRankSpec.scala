@@ -70,4 +70,43 @@ class IncrementalPageRankSpec extends SparkSpec {
         "the previous ranks bought nothing")
     assert(warm != served0, "the grown graph must move some rank")
   }
+
+  test("erasure bumps the graph version: the rank table refuses " +
+      "until a refresh recomputes over the erased graph") {
+    // continues on the previous test's state (graph at wave 1, rank
+    // table refreshed). deleteVectors mutates the served graph WITHOUT
+    // moving the fold watermark — versioning by the watermark alone
+    // would let refresh() no-op and serve() hand out ranks still
+    // naming the erased vectors (the r16 review).
+    val delIds = Seq(11L, 108L, 205L)
+    assert(IncrementalKnnGraph.deleteVectors(spark, graphT, delIds) ==
+      delIds.size)
+    val e = intercept[IllegalStateException] {
+      IncrementalPageRank.serve(spark, graphT, rankT)
+    }
+    assert(e.getMessage.contains("refresh before serving"))
+    val vertsNow = embs.filter(!col("vec_id").isin(delIds: _*))
+      .select(col("vec_id").as("vid"))
+    val (_, rounds) = IncrementalPageRank.refresh(spark, graphT,
+      rankT, vertsNow)
+    assert(rounds > 0, "post-delete refresh no-opped on a stale " +
+      "watermark — the delete epoch is not in the version")
+    val post = ranks(IncrementalPageRank.serve(spark, graphT, rankT))
+    assert(delIds.forall(id => !post.contains(id)),
+      "erased vectors still ranked")
+    // exact: the fixed point of the post-delete maintained edges
+    val edges = IncrementalKnnGraph.graphView(spark, graphT)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val (cold, _) = GraphOps.pageRankFixedPoint(edges, vertsNow)
+    assert(post == ranks(cold),
+      "post-delete warm refresh landed off the cold fixed point")
+    // idempotent re-delete adds no ledger rows → version unchanged →
+    // serve stays valid and refresh no-ops
+    assert(IncrementalKnnGraph.deleteVectors(spark, graphT, delIds) ==
+      0L)
+    assert(IncrementalPageRank.refresh(spark, graphT, rankT,
+      vertsNow)._2 == 0)
+    assert(ranks(IncrementalPageRank.serve(spark, graphT, rankT)) ==
+      post)
+  }
 }
