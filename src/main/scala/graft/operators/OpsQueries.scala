@@ -2954,9 +2954,19 @@ object OpsQueries {
       def epart(lo: Long, hi: Long) =
         embs.filter($"vec_id" >= lo && $"vec_id" < hi)
       // one ingest WAVE = both families fold the wave's batch, then
-      // the pipeline commits ONE marker naming both committed ids.
-      // Wave 1's batch is REDELIVERED on both families (no-ops);
-      // compaction runs mid-stream like before.
+      // the pipeline commits ONE marker naming both committed
+      // versions (batch id + delete epoch — an erasure mutates a
+      // family without moving its watermark, so the epoch is part of
+      // the pin). Wave 1's batch is REDELIVERED on both families
+      // (no-ops); compaction runs mid-stream like before.
+      import graft.streaming.WaveMark.FamilyVersion
+      def versions() = Map(
+        "postings" -> FamilyVersion(
+          graft.streaming.IncrementalBm25.committedBatch(s, pTable),
+          graft.streaming.AppendGrid.mutationEpoch(s, pTable)),
+        "ivf" -> FamilyVersion(
+          graft.streaming.IncrementalAnn.committed(s, aTable),
+          graft.streaming.IncrementalAnn.mutationEpoch(s, aTable)))
       def wave(b: Long, dp: Int, lo: Long, hi: Long): Unit = {
         graft.streaming.IncrementalBm25.applyBatch(s, pTable,
           dpart(dp), batchId = b)
@@ -2964,7 +2974,7 @@ object OpsQueries {
           epart(lo, hi))
         graft.streaming.IncrementalAnn.commitBatch(s, aTable, b)
         graft.streaming.WaveMark.commitWave(s, "cdc48_wave", b,
-          Map("postings" -> b, "ivf" -> b))
+          versions())
       }
       wave(0L, 0, 0L, 150L)
       wave(1L, 1, 150L, 300L)
@@ -2973,10 +2983,8 @@ object OpsQueries {
         minParts = 2)
       wave(2L, 2, 300L, Long.MaxValue)
       // WAVE-PINNED serve: refuse on any cross-family version skew
-      graft.streaming.WaveMark.requireAtWave(s, "cdc48_wave", Map(
-        "postings" -> graft.streaming.IncrementalBm25
-          .committedBatch(s, pTable),
-        "ivf" -> graft.streaming.IncrementalAnn.committed(s, aTable)))
+      graft.streaming.WaveMark.requireAtWave(s, "cdc48_wave",
+        versions())
       val lex = RetrievalOps.rankedTopK(
           graft.streaming.IncrementalBm25.queryView(s, pTable,
             Seq("spark", "merge", "window"), k = 20), "bm25", 20)

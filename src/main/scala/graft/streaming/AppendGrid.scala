@@ -232,6 +232,22 @@ object AppendGrid {
     }
   }
 
+  /** Monotone DELETE EPOCH for a grid with erasure enabled: the
+    * tombstone-ledger row count — grows with every erasure, never
+    * shrinks (re-insertion serves above `_db` without retiring ledger
+    * rows), and is stable under idempotent re-deletes. Combined with
+    * the grid's committed watermark it versions the index for
+    * multi-index consumers ([[WaveMark]]) and derived views: a delete
+    * mutates the served index without moving the fold watermark. */
+  def mutationEpoch(spark: SparkSession, table: String): Long = {
+    val delsT = delsTable(table)
+    if (!spark.catalog.tableExists(delsT)) 0L
+    else {
+      spark.catalog.refreshTable(delsT)
+      spark.table(delsT).count()
+    }
+  }
+
   /** `rows` (must still carry `_b`) minus the tombstoned rows of
     * `table`'s ledger: a row is hidden when its `keyCol` has a
     * tombstone with `_b <= _db`. Pass-through when the grid has never

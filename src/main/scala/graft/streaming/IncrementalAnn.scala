@@ -170,6 +170,20 @@ object IncrementalAnn {
       spark.table(fromTable).select("vec_id", "embedding"), dim)
   }
 
+  private val DelEpochProp = "graft.delepoch"
+
+  /** Monotone DELETE EPOCH: how many [[deleteVectors]] calls have
+    * mutated this index. Deletion here is PHYSICAL (no tombstone
+    * ledger to count), so the epoch lives in a table property bumped
+    * before each mutating delete; with the committed batch id it
+    * versions the index for multi-index consumers ([[WaveMark]]) —
+    * an erasure mutates the served index without moving the
+    * watermark. */
+  def mutationEpoch(spark: SparkSession, table: String): Long =
+    if (!spark.catalog.tableExists(table)) 0L
+    else CdcMerge.tableProp(spark, table, DelEpochProp)
+      .map(_.toLong).getOrElse(0L)
+
   /** Erasure for the vector index — the embeddings
     * right-to-be-forgotten path (a training-data platform that stores
     * user-derived vectors needs deletion as much as the text side
@@ -180,9 +194,9 @@ object IncrementalAnn {
     * (dynamic overwrite); a cell drained to zero rows is dropped
     * outright (unlike the SCD2 vacuum, cells genuinely can drain).
     * Returns the number of vectors removed; idempotent — re-deleting
-    * removes nothing. A later [[indexBatch]] carrying a deleted
-    * vec_id re-indexes it (re-insertion semantics, the erasure
-    * contract's other half). */
+    * removes nothing (and leaves [[mutationEpoch]] unchanged). A
+    * later [[indexBatch]] carrying a deleted vec_id re-indexes it
+    * (re-insertion semantics, the erasure contract's other half). */
   def deleteVectors(spark: SparkSession, table: String,
       ids: DataFrame): Long = {
     spark.catalog.refreshTable(table)
@@ -191,6 +205,14 @@ object IncrementalAnn {
     val cids = hit.select("cid").distinct().collect().map(_.getLong(0))
     if (cids.isEmpty) return 0L
     val removed = hit.count()
+    // bump the delete epoch BEFORE any mutation: this index has no
+    // tombstone ledger (deletion is physical), so the epoch property
+    // is what versions it for multi-index consumers ([[WaveMark]]) —
+    // bumping first is conservative through a crash (a half-done
+    // delete is also a version change; a bump with no mutation only
+    // forces one spurious wave re-commit)
+    CdcMerge.setTableProp(spark, table, DelEpochProp,
+      (mutationEpoch(spark, table) + 1L).toString)
     val cols = spark.table(table).columns
     val kept = spark.table(table)
       .filter(col("cid").isin(cids.toSeq: _*))

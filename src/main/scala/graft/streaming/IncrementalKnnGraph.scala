@@ -696,14 +696,8 @@ object IncrementalKnnGraph {
     * ([[IncrementalPageRank]]): a delete mutates the served graph
     * without moving the fold watermark, so the watermark alone would
     * let a stale derived view serve erased vectors. */
-  def mutationEpoch(spark: SparkSession, table: String): Long = {
-    val delsT = AppendGrid.delsTable(table)
-    if (!spark.catalog.tableExists(delsT)) 0L
-    else {
-      spark.catalog.refreshTable(delsT)
-      spark.table(delsT).count()
-    }
-  }
+  def mutationEpoch(spark: SparkSession, table: String): Long =
+    AppendGrid.mutationEpoch(spark, table)
 
   /** Committed candidate rows (snapshot-consistent, tombstones
     * subtracted). */
