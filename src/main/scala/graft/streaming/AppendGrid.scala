@@ -492,27 +492,53 @@ object AppendGrid {
     // the fold; drop-only targets never fold)
     val toWrite = targets.filter { case (_, _, _, cov, frag, _) =>
       frag && cov < fence }
-    toWrite.foreach { case (kb, _, _, _, _, _) =>
+    if (toWrite.nonEmpty) {
+      // ONE fold computation + checkpoint for every target bucket
+      // (the per-bucket loop re-derived the full resolved+fold plan
+      // per bucket: nBuckets× the planning, nBuckets× the source
+      // scan, nBuckets× the materialization job — measured as the
+      // dominant cost of every maintained-index harness at sf0.1).
+      // Bucket-safety of the multi-bucket fold is the SAME contract
+      // [[compact]] already exercises: every fold callback runs over
+      // the whole resolved grid there. The per-bucket static INSERT
+      // below stays the crash-safe unit — each replaces exactly ITS
+      // partition from the in-memory checkpoint (a trivially-planned
+      // filter), and sources survive until phase 2.
+      val wKbs = toWrite.map(_._1)
       val live = snap
-        .filter(col("_kb") === kb && col("_b") <= fence)
-      val merged = fold(live, fence).repartition(1)
+        .filter(col("_kb").isin(wKbs: _*) && col("_b") <= fence)
+      val folded = fold(live, fence)
+        .repartition(math.max(wKbs.size, 1), col("_kb"))
       val sorted =
-        if (sortCols.isEmpty) merged
-        else merged.sortWithinPartitions(sortCols.map(col): _*)
-      // localCheckpoint: materialize the merged bucket BEFORE the
-      // overwrite touches any of its source files — also cuts the
-      // plan's file lineage, without which Spark rejects an insert
-      // that reads the table it overwrites
-      val view = s"${table}_bkt_src"
-      sorted.localCheckpoint().createOrReplaceTempView(view)
-      // partition values quoted: a bare negative literal in a
-      // partition spec is parser-version-sensitive; the string form
-      // casts to the column type unambiguously
-      try spark.sql(
-        s"INSERT OVERWRITE TABLE $table " +
-          s"PARTITION (_b='$newB', _kb='$kb') " +
-          s"SELECT ${dataCols.mkString(", ")} FROM $view")
-      finally spark.catalog.dropTempView(view)
+        if (sortCols.isEmpty) folded
+        else folded.sortWithinPartitions(
+          (col("_kb") +: sortCols.map(col)): _*)
+      // localCheckpoint: materialize the merged buckets BEFORE any
+      // overwrite touches their source files — also cuts the plan's
+      // file lineage, without which Spark rejects an insert that
+      // reads the table it overwrites. Hash collisions may co-locate
+      // two buckets in one partition; the filter below still reads
+      // each bucket's rows contiguous and sorted.
+      val merged = sorted.localCheckpoint()
+      try {
+        wKbs.foreach { kb =>
+          val view = s"${table}_bkt_src"
+          merged.filter(col("_kb") === kb)
+            .createOrReplaceTempView(view)
+          // partition values quoted: a bare negative literal in a
+          // partition spec is parser-version-sensitive; the string
+          // form casts to the column type unambiguously
+          try spark.sql(
+            s"INSERT OVERWRITE TABLE $table " +
+              s"PARTITION (_b='$newB', _kb='$kb') " +
+              s"SELECT ${dataCols.mkString(", ")} FROM $view")
+          finally spark.catalog.dropTempView(view)
+        }
+      } finally {
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeLocalCheckpoint(merged)
+        ()
+      }
     }
     // PHASE 2 (serial, after every merge landed): drop the shadowed
     // partitions, one DDL for the whole table. A partition is

@@ -48,6 +48,20 @@ object FoldTimer {
     if (d < 0) None else Some(d / 1e9)
   }
 
+  /** Label every Spark job submitted by `f` with `label` (the guide's
+    * §1.5 job-description discipline): fold internals are 10+ jobs per
+    * call, and wall-clock attribution inside a fold is impossible
+    * without per-step labels. Thread-local, restored on exit;
+    * measurement-only — zero effect on the fold's behavior. */
+  def step[T](spark: org.apache.spark.sql.SparkSession,
+      label: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(label)
+    try f
+    finally sc.setJobDescription(prev)
+  }
+
   /** Time `f` as a fold; only the outermost nested call records. */
   def timed[T](f: => T): T = {
     val d: Int = depth.get

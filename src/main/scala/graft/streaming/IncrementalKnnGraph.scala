@@ -128,9 +128,17 @@ object IncrementalKnnGraph {
       if (batchId <= wmB) return
       val cellsT = cellsTable(table)
       val vecs = batch.select(col("vec_id"), col("embedding"))
-      // 1. membership index — idempotent append; first call freezes
-      //    the centroids from the batch's lowest vec_ids
-      IncrementalAnn.indexBatch(spark, cellsT, vecs, dim, nCentroids)
+      // 1. membership index — idempotent append; the FIRST call must
+      //    run before the assignment below (it freezes the centroids
+      //    from the batch's lowest vec_ids); steady-state folds defer
+      //    the append until the assignment exists and hand it over
+      //    (indexBatchAssigned), so the fold assigns the batch ONCE
+      //    instead of twice (r16 fold attribution: knn:index was a
+      //    quarter of the fold's job time, all duplicate work)
+      val firstIndex = !spark.catalog.tableExists(cellsT)
+      if (firstIndex) FoldTimer.step(spark, "knn:index") {
+        IncrementalAnn.indexBatch(spark, cellsT, vecs, dim, nCentroids)
+      }
       // 2. the batch's frozen-centroid assignments (rank ≤ nProbe) —
       //    several consumers below; batch-sized, released on return
       val asg = SimilarityOps.assignToCentroids(vecs,
@@ -141,11 +149,21 @@ object IncrementalKnnGraph {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val batchMembers = asg.filter(col("rn") === 1)
+        val (probedCids, touchedCids) = FoldTimer.step(spark,
+          "knn:cids") {
+          // ONE control-plane job for both cell lists (was two): the
+          // home cells are exactly the rn==1 rows of the probed set
+          val rows = asg.select(col("cid"), col("rn")).distinct()
+            .collect()
+          (rows.map(_.getLong(0)).distinct.toSeq,
+            rows.filter(_.getInt(1) == 1).map(_.getLong(0)).toSeq)
+        }
+        if (!firstIndex) FoldTimer.step(spark, "knn:index") {
+          IncrementalAnn.indexBatchAssigned(spark, cellsT,
+            batchMembers.select("vec_id", "embedding", "en", "cid"),
+            touchedCids)
+        }
         spark.catalog.refreshTable(cellsT)
-        val probedCids = asg.select("cid").distinct()
-          .collect().map(_.getLong(0)).toSeq // ≤ touched-cell ids
-        val touchedCids = batchMembers.select("cid").distinct()
-          .collect().map(_.getLong(0)).toSeq
         // 3. FORWARD: batch probes × current members of the probed
         //    cells (the cells table already includes this batch, so
         //    batch-batch pairs come out here too; on a crash-window
@@ -157,15 +175,25 @@ object IncrementalKnnGraph {
             col("embedding").as("m_emb"), col("en").as("m_en"))
         val wTop = Window.partitionBy(col("vec_id"))
           .orderBy(col("cos").desc, col("nbr_id"))
-        val fwdRanked = asg.select("vec_id", "embedding", "en", "cid")
-          .join(members, Seq("cid"))
-          .filter(col("vec_id") =!= col("nbr_id"))
-          .select(col("vec_id"), col("nbr_id"),
-            (SimilarityOps.dot(col("embedding"), col("m_emb"), dim) /
-              (col("en") * col("m_en"))).as("cos"))
-          .distinct()
-          .withColumn("rnk", row_number().over(wTop))
-          .filter(col("rnk") <= k)
+        // materialized ONCE (localCheckpoint): the forward join +
+        // window is the fold's heaviest compute, and its lazy form
+        // executed twice (probes append via fwdKth, generation write
+        // via fwd) with the full plan re-optimized each time — the
+        // checkpoint also collapses every downstream plan to a
+        // memory scan (r16 fold attribution: planning gap was ~30%
+        // of fold wall)
+        val fwdRanked = FoldTimer.step(spark, "knn:forward") {
+          asg.select("vec_id", "embedding", "en", "cid")
+            .join(members, Seq("cid"))
+            .filter(col("vec_id") =!= col("nbr_id"))
+            .select(col("vec_id"), col("nbr_id"),
+              (SimilarityOps.dot(col("embedding"), col("m_emb"), dim) /
+                (col("en") * col("m_en"))).as("cos"))
+            .distinct()
+            .withColumn("rnk", row_number().over(wTop))
+            .filter(col("rnk") <= k)
+            .localCheckpoint(true)
+        }
         val fwd = fwdRanked.select("vec_id", "nbr_id", "cos")
         // the batch vectors' own k-th cos — their initial CACHED
         // threshold (absent → fewer than k candidates yet)
@@ -184,12 +212,13 @@ object IncrementalKnnGraph {
           .join(fwdKth, Seq("vec_id"), "left")
           .select(col("vec_id"), col("embedding"), col("en"),
             col("kth_cos"), col("cid"))
-        if (!spark.catalog.tableExists(probesT)) {
+        if (!spark.catalog.tableExists(probesT)) FoldTimer.step(spark,
+          "knn:probes-append") {
           CdcMerge.dropStateTable(spark, probesT)
           pRows.repartition(col("cid"))
             .write.mode("overwrite").format("parquet")
             .partitionBy("cid").saveAsTable(probesT)
-        } else {
+        } else FoldTimer.step(spark, "knn:probes-append") {
           spark.catalog.refreshTable(probesT)
           // ROW-granular replay guard on (vec_id, cid), not vec_id
           // alone (the r15 advice): a vector owns nProbe rows across
@@ -224,10 +253,16 @@ object IncrementalKnnGraph {
         //    pipelines defeat Catalyst's size estimate — the cdc45
         //    finding).
         val grid0 = spark.catalog.tableExists(table)
+        // materialized ONCE like the forward side (its lazy form
+        // executed twice: generation write + owner discovery in the
+        // threshold refresh); it keeps the generating `cid` so the
+        // refresh can read owners' ids, buckets AND touched cells
+        // from one in-memory frame instead of re-joining the probes
+        // table
         val rev = if (!grid0) {
           // first fold: no existing vectors, nothing to repair
-          fwd.limit(0)
-        } else {
+          null
+        } else FoldTimer.step(spark, "knn:reverse") {
           spark.catalog.refreshTable(probesT)
           val probers = spark.table(probesT)
             .filter(col("cid").isin(touchedCids: _*))
@@ -243,36 +278,42 @@ object IncrementalKnnGraph {
                 (col("en") * col("m_en")))
             .filter(col("kth_cos").isNull ||
               col("cos") >= col("kth_cos"))
-            .select("vec_id", "nbr_id", "cos")
+            .select("vec_id", "nbr_id", "cos", "cid")
+            .localCheckpoint(true)
         }
+        val revEdges =
+          if (rev == null) fwd.limit(0)
+          else rev.select("vec_id", "nbr_id", "cos")
         // 6. the batch's generation (pairs are unique by
         //    construction — forward owns pairs whose owner is new,
         //    reverse owns pairs whose neighbor is new; the aggregate
         //    is a structural dedup guard, max over identical values)
-        val gen = fwd.unionByName(rev)
+        val gen = fwd.unionByName(revEdges)
           .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos"))
           .withColumn("_b", lit(batchId))
           .withColumn("_kb",
             pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)))
           .select(col("vec_id"), col("nbr_id"), col("cos"), col("_b"),
             col("_kb"))
-        if (!grid0) {
-          CdcMerge.dropStateTable(spark, table)
-          gen.repartition(col("_kb"))
-            .write.mode("overwrite").format("parquet")
-            .partitionBy("_b", "_kb").saveAsTable(table)
-          CdcMerge.setNBuckets(spark, table, nBuckets)
-          CdcMerge.setTableProp(spark, table, ParamsProp,
-            s"$dim:$nCentroids:$nProbe:$k")
-        } else {
-          CdcMerge.requireNBuckets(spark, table, nBuckets)
-          require(CdcMerge.tableProp(spark, table, ParamsProp)
-            .forall(_ == s"$dim:$nCentroids:$nProbe:$k"),
-            s"$table was built with different graph parameters " +
-              "(dim:nCentroids:nProbe:k are fixed for the table's " +
-              "lifetime)")
-          AppendGrid.writeGeneration(spark, table, gen, batchId,
-            Seq("vec_id", "nbr_id", "cos"))
+        FoldTimer.step(spark, "knn:gen-write") {
+          if (!grid0) {
+            CdcMerge.dropStateTable(spark, table)
+            gen.repartition(col("_kb"))
+              .write.mode("overwrite").format("parquet")
+              .partitionBy("_b", "_kb").saveAsTable(table)
+            CdcMerge.setNBuckets(spark, table, nBuckets)
+            CdcMerge.setTableProp(spark, table, ParamsProp,
+              s"$dim:$nCentroids:$nProbe:$k")
+          } else {
+            CdcMerge.requireNBuckets(spark, table, nBuckets)
+            require(CdcMerge.tableProp(spark, table, ParamsProp)
+              .forall(_ == s"$dim:$nCentroids:$nProbe:$k"),
+              s"$table was built with different graph parameters " +
+                "(dim:nCentroids:nProbe:k are fixed for the table's " +
+                "lifetime)")
+            AppendGrid.writeGeneration(spark, table, gen, batchId,
+              Seq("vec_id", "nbr_id", "cos"))
+          }
         }
         // 7. refresh the CACHED thresholds of the owners that gained
         //    entrants this fold: their new k-th cos comes from a grid
@@ -283,36 +324,43 @@ object IncrementalKnnGraph {
         //    before this lands leaves every threshold stale — also
         //    exact; the refresh is a cost optimization, never a
         //    correctness dependency.
-        if (grid0) {
-          val owners = rev.select("vec_id").distinct()
-          val ownerKbs = owners
-            .select(pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)))
-            .distinct().collect().map(_.getLong(0)).toSeq
-          if (ownerKbs.nonEmpty) {
-            val newKth = AppendGrid.resolved(spark, table)
-              .filter(col("_b") <= batchId &&
-                col("_kb").isin(ownerKbs: _*))
-              .join(broadcast(owners), Seq("vec_id"), "left_semi")
-              .groupBy("vec_id", "nbr_id")
-              .agg(max(col("cos")).as("cos"))
-              .withColumn("rnk", row_number().over(wTop))
-              .filter(col("rnk") === k)
-              .select(col("vec_id"), col("cos").as("new_kth"))
-            // rewrite ONLY the touched partitions that actually hold
-            // an owner row (partition-wise overwrite must carry the
-            // whole partition, so narrowing the partition list is the
-            // write-amplification lever; an owner's rows elsewhere
-            // stay stale-conservative)
-            val ownerCids = spark.table(probesT)
-              .filter(col("cid").isin(touchedCids: _*))
-              .join(broadcast(owners), Seq("vec_id"), "left_semi")
-              .select("cid").distinct()
-              .collect().map(_.getLong(0)).toSeq
-            if (ownerCids.nonEmpty) {
-              val stage = s"${probesT}_stage"
-              if (!spark.catalog.tableExists(stage))
-                CdcMerge.dropStateTable(spark, stage)
-              spark.table(probesT)
+        if (grid0) FoldTimer.step(spark, "knn:threshold-refresh") {
+          // owner metadata in ONE control-plane job off the rev
+          // checkpoint (was THREE full recomputations: an ownerKbs
+          // collect re-running the reverse join, an ownerCids collect
+          // re-joining the probes table, and the stage write): ids,
+          // their `_kb` buckets, and the touched cells where they
+          // actually gained entrants. Rewriting only those cells is
+          // narrower than "every touched cell holding an owner row";
+          // an owner's rows elsewhere stay stale-conservative, the
+          // same argument as untouched partitions.
+          val ownMeta = rev.select(col("vec_id"), col("cid"),
+              pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong))
+                .as("_okb"))
+            .distinct().collect()
+          val ownerIds = ownMeta.map(_.getLong(0)).distinct.toSeq
+          if (ownerIds.nonEmpty) {
+            val ownerKbs = ownMeta.map(_.getLong(2)).distinct.toSeq
+            val ownerCids = ownMeta.map(_.getLong(1)).distinct.toSeq
+            // the rewrite runs whole on the dynamic-overwrite session
+            // clone and inserts IN PLACE: the localCheckpoint cuts
+            // the self-read lineage (the compactBuckets discipline),
+            // retiring the staged-table round-trip (saveAsTable +
+            // insert + DROP = two extra table writes per fold)
+            CdcMerge.withDynamicOverwrite(spark, probesT,
+                table) { w =>
+              import w.implicits._
+              val owners = ownerIds.toDF("vec_id")
+              val newKth = AppendGrid.resolved(w, table)
+                .filter(col("_b") <= batchId &&
+                  col("_kb").isin(ownerKbs: _*))
+                .join(broadcast(owners), Seq("vec_id"), "left_semi")
+                .groupBy("vec_id", "nbr_id")
+                .agg(max(col("cos")).as("cos"))
+                .withColumn("rnk", row_number().over(wTop))
+                .filter(col("rnk") === k)
+                .select(col("vec_id"), col("cos").as("new_kth"))
+              val rewritten = w.table(probesT)
                 .filter(col("cid").isin(ownerCids: _*))
                 .join(broadcast(newKth), Seq("vec_id"), "left")
                 .withColumn("kth_cos",
@@ -320,27 +368,37 @@ object IncrementalKnnGraph {
                 .select(col("vec_id"), col("embedding"), col("en"),
                   col("kth_cos"), col("cid"))
                 .repartition(col("cid"))
-                .write.mode("overwrite").format("parquet")
-                .saveAsTable(stage)
-              CdcMerge.withDynamicOverwrite(spark, stage,
-                  probesT) { w =>
-                w.table(stage)
-                  .select(spark.table(probesT).columns.toSeq
-                    .map(col): _*)
-                  .write.mode("overwrite").insertInto(probesT)
+                .localCheckpoint(true)
+              try rewritten
+                .select(w.table(probesT).columns.toSeq.map(col): _*)
+                .write.mode("overwrite").insertInto(probesT)
+              finally {
+                org.apache.spark.sql.graftbridge.CheckpointBridge
+                  .freeLocalCheckpoint(rewritten)
+                ()
               }
-              spark.sql(s"DROP TABLE IF EXISTS $stage")
-              spark.catalog.refreshTable(probesT)
             }
+            spark.catalog.refreshTable(probesT)
           }
         }
+        // the fold's two checkpointed intermediates are dead now —
+        // free their blocks immediately (the CheckpointBridge
+        // discipline; the ContextCleaner would otherwise hold them
+        // for the rest of the harness)
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeLocalCheckpoint(fwdRanked)
+        if (rev != null)
+          org.apache.spark.sql.graftbridge.CheckpointBridge
+            .freeLocalCheckpoint(rev)
         // watermark LAST: a crash anywhere above replays into an
         // equivalent generation (state appends are anti-join
         // idempotent; a replay filtered by FRESHER thresholds writes
         // a subset that still contains every current top-k pair)
         import spark.implicits._
-        TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
-          wmTable(table))
+        FoldTimer.step(spark, "knn:wm-write") {
+          TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
+            wmTable(table))
+        }
       } finally asg.unpersist()
     }
 
