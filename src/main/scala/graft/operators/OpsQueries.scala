@@ -3043,8 +3043,16 @@ object OpsQueries {
       minParts = 2)
     graft.streaming.IncrementalKnnGraph.applyBatch(s, table,
       part(300L, Long.MaxValue), 2L)
+    // materialized ONCE: every analytics consumer reads the edge list
+    // 2+ times (undirected closure unions it with itself; PageRank
+    // derives outdeg and the join side from it), and the lazy form
+    // re-ran the serve's grid scan + rank window per consumption —
+    // measured 30-50% of each analytics phase at sf0.1. At scale this
+    // is the guide's "materialise an intermediate" rule: the served
+    // edge list is the loop input, cut its lineage once.
     graft.streaming.IncrementalKnnGraph.graphView(s, table)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      .localCheckpoint()
   }
 
   // -------------------------------------------------------------- cdc50

@@ -330,29 +330,47 @@ object CdcMerge {
         .filter(col("_rn") === 1).drop("_rn")
         .select(cols.toSeq.map(col): _*)
 
-      // stage, then dynamic-partition-overwrite only the touched
-      // buckets. The repartition on _kb clusters each touched bucket
-      // into one task → ONE file per partition per merge (overwrite
-      // then replaces it wholesale), instead of shuffle.partitions
-      // fragments per bucket — without it a 16k-bucket table accretes
-      // a small-file explosion merge after merge.
-      val stage = s"${table}_stage"
-      if (!spark.catalog.tableExists(stage)) dropStateTable(spark, stage)
-      merged.repartition(col("_kb"))
-        .write.mode("overwrite").format("parquet").saveAsTable(stage)
-      // state table still holds the OLD rows here; the stage is the
-      // post-merge snapshot — the hook sees a consistent before/after
-      beforeCommit(current, spark.table(stage))
-      withDynamicOverwrite(spark, stage, table) { w =>
-        w.table(stage).select(cols.toSeq.map(col): _*)
-          .write.mode("overwrite").insertInto(table)
+      // materialize the merged touched buckets ONCE (localCheckpoint),
+      // then dynamic-partition-overwrite them in place. The
+      // repartition on _kb clusters each touched bucket into one task
+      // → ONE file per partition per merge (overwrite then replaces
+      // it wholesale), instead of shuffle.partitions fragments per
+      // bucket — without it a 16k-bucket table accretes a small-file
+      // explosion merge after merge. The checkpoint (a) cuts the
+      // self-read lineage so the insert below may target the table it
+      // merged from, and (b) retires the staged-table round-trip
+      // (saveAsTable + re-read + DROP — a full extra table write per
+      // merge, measured across the whole cdc16-40 family in the r16
+      // fold attribution). Crash contract unchanged: the insert
+      // replaces touched partitions at job commit; a crash before
+      // that leaves the table untouched and the replayed merge
+      // reconverges (max-version per key is idempotent). The
+      // checkpointed frame crosses into the dynamic-overwrite session
+      // clone through a GLOBAL temp view (plan is a session-agnostic
+      // LogicalRDD leaf; verified by DynBridgeProbe).
+      val merged2 = merged.repartition(col("_kb")).localCheckpoint()
+      try {
+        // state table still holds the OLD rows here; the checkpoint is
+        // the post-merge snapshot — the hook sees a consistent
+        // before/after
+        beforeCommit(current, merged2)
+        val bridge = s"${table}_merge_src"
+        merged2.createOrReplaceGlobalTempView(bridge)
+        try withDynamicOverwrite(spark) { w =>
+          w.table(s"global_temp.$bridge")
+            .select(cols.toSeq.map(col): _*)
+            .write.mode("overwrite").insertInto(table)
+        } finally spark.catalog.dropGlobalTempView(bridge)
+        // same-session readers may hold a cached file listing of the
+        // overwritten partitions (stale FILE_NOT_EXIST reads otherwise
+        // — observed through a read-merge-read sequence); refresh is
+        // metadata-only
+        spark.catalog.refreshTable(table)
+      } finally {
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeLocalCheckpoint(merged2)
+        ()
       }
-      spark.sql(s"DROP TABLE IF EXISTS $stage")
-      // same-session readers may hold a cached file listing of the
-      // overwritten partitions (stale FILE_NOT_EXIST reads otherwise —
-      // observed through a read-merge-read sequence); refresh is
-      // metadata-only
-      spark.catalog.refreshTable(table)
     } finally upserts.unpersist()
   }
 

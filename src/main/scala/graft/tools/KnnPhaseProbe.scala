@@ -60,11 +60,16 @@ object KnnPhaseProbe {
         graft.streaming.IncrementalKnnGraph.applyBatch(s, table,
           part(300L, Long.MaxValue), 2L)
       }
-      val edges = timed("graphView noop") {
+      val edges0 = timed("graphView noop") {
         val e = graft.streaming.IncrementalKnnGraph.graphView(s, table)
           .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
         e.write.format("noop").mode("overwrite").save()
         e
+      }
+      val edges = timed("edges localCheckpoint") {
+        if (sys.env.get("KNN_PROBE_CKPT_EDGES").contains("1"))
+          edges0.localCheckpoint()
+        else edges0
       }
       timed("pageRank(3) noop") {
         graft.operators.GraphOps.pageRank(edges,
