@@ -221,9 +221,12 @@ object IncrementalAnn {
     spark.catalog.refreshTable(table)
     val keyed = ids.select("vec_id")
     val hit = spark.table(table).join(keyed, Seq("vec_id"), "left_semi")
-    val cids = hit.select("cid").distinct().collect().map(_.getLong(0))
+    // hit cells AND the removed count in ONE control-plane job
+    val hitStats = hit.groupBy("cid").agg(count(lit(1)).as("n"))
+      .collect()
+    val cids = hitStats.map(_.getLong(0))
     if (cids.isEmpty) return 0L
-    val removed = hit.count()
+    val removed = hitStats.map(_.getLong(1)).sum
     // bump the delete epoch BEFORE any mutation: this index has no
     // tombstone ledger (deletion is physical), so the epoch property
     // is what versions it for multi-index consumers ([[WaveMark]]) —
@@ -233,23 +236,33 @@ object IncrementalAnn {
     CdcMerge.setTableProp(spark, table, DelEpochProp,
       (mutationEpoch(spark, table) + 1L).toString)
     val cols = spark.table(table).columns
+    // materialize the kept rows of the hit cells once, then
+    // dynamic-overwrite them in place (the CdcMerge.applyBatchKeyed
+    // commit shape: checkpoint cuts the self-read lineage, global
+    // temp view bridges into the session clone) — retires the staged
+    // table this path wrote and re-read per delete
     val kept = spark.table(table)
       .filter(col("cid").isin(cids.toSeq: _*))
       .join(keyed, Seq("vec_id"), "left_anti")
-    val stage = s"${table}_stage"
-    if (!spark.catalog.tableExists(stage))
-      CdcMerge.dropStateTable(spark, stage)
-    kept.repartition(col("cid"))
-      .write.mode("overwrite").format("parquet").saveAsTable(stage)
-    val keptCids = spark.table(stage).select("cid").distinct()
-      .collect().map(_.getLong(0)).toSet
-    CdcMerge.withDynamicOverwrite(spark, stage, table) { w =>
-      w.table(stage).select(cols.toSeq.map(col): _*)
-        .write.mode("overwrite").insertInto(table)
-    }
-    spark.sql(s"DROP TABLE IF EXISTS $stage")
-    cids.filterNot(keptCids).foreach { c =>
-      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cid=$c)")
+      .repartition(col("cid"))
+      .localCheckpoint(true)
+    try {
+      val keptCids = kept.select("cid").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val bridge = s"${table}_del_src"
+      kept.createOrReplaceGlobalTempView(bridge)
+      try CdcMerge.withDynamicOverwrite(spark) { w =>
+        w.table(s"global_temp.$bridge").select(cols.toSeq.map(col): _*)
+          .write.mode("overwrite").insertInto(table)
+      } finally spark.catalog.dropGlobalTempView(bridge)
+      val drained = cids.filterNot(keptCids)
+      if (drained.nonEmpty) spark.sql(
+        s"ALTER TABLE $table DROP IF EXISTS " +
+          drained.map(c => s"PARTITION (cid=$c)").mkString(", "))
+    } finally {
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .freeLocalCheckpoint(kept)
+      ()
     }
     spark.catalog.refreshTable(table)
     removed

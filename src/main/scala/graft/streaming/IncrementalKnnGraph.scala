@@ -617,9 +617,10 @@ object IncrementalKnnGraph {
       .select("cid").distinct().collect().map(_.getLong(0)).toSeq
     val touchCids = (delProbeCids ++ ownerCids).distinct
     if (touchCids.nonEmpty) {
-      val stage = s"${probesT}_stage"
-      CdcMerge.dropStateTable(spark, stage)
-      spark.table(probesT)
+      // checkpoint + in-place dynamic overwrite (the
+      // CdcMerge.applyBatchKeyed commit shape) — retires the staged
+      // table this path wrote, re-read and dropped per delete
+      val rewritten = spark.table(probesT)
         .filter(col("cid").isin(touchCids: _*) &&
           !col("vec_id").isin(del: _*))
         .join(broadcast(ownersDf.withColumn("_own", lit(1))),
@@ -631,13 +632,35 @@ object IncrementalKnnGraph {
         .select(col("vec_id"), col("embedding"), col("en"),
           col("kth_cos"), col("cid"))
         .repartition(col("cid"))
-        .write.mode("overwrite").format("parquet").saveAsTable(stage)
-      CdcMerge.withDynamicOverwrite(spark, stage, probesT) { w =>
-        w.table(stage)
-          .select(spark.table(probesT).columns.toSeq.map(col): _*)
-          .write.mode("overwrite").insertInto(probesT)
+        .localCheckpoint(true)
+      try {
+        val bridge = s"${probesT}_del_src"
+        rewritten.createOrReplaceGlobalTempView(bridge)
+        try CdcMerge.withDynamicOverwrite(spark) { w =>
+          w.table(s"global_temp.$bridge")
+            .select(spark.table(probesT).columns.toSeq.map(col): _*)
+            .write.mode("overwrite").insertInto(probesT)
+        } finally spark.catalog.dropGlobalTempView(bridge)
+        // cells the rewrite DRAINED (every prober deleted): dynamic
+        // overwrite skips partitions absent from the data, which
+        // would leave the deleted vectors' probe rows in place — and
+        // a LATER batch landing in such a cell would read them as
+        // probers and serve reverse pairs OWNED by deleted vectors
+        // at _b > _db, past the tombstones (found during the r16
+        // rewrite; the grid rewrite below always had the analogous
+        // emptied-partition drop). Never hit while any survivor
+        // probes the cell, which is why the oracle harnesses passed.
+        val keptCids = rewritten.select("cid").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val drained = touchCids.filterNot(keptCids)
+        if (drained.nonEmpty) spark.sql(
+          s"ALTER TABLE $probesT DROP IF EXISTS " +
+            drained.map(c => s"PARTITION (cid=$c)").mkString(", "))
+      } finally {
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeLocalCheckpoint(rewritten)
+        ()
       }
-      spark.sql(s"DROP TABLE IF EXISTS $stage")
       spark.catalog.refreshTable(probesT)
     }
     // ---- 5. membership-index delete (pruned rewrite, drained cells
@@ -676,36 +699,45 @@ object IncrementalKnnGraph {
       .withColumn("_b", stampCol)
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("_b"),
         col("_kb"))
+    // checkpoint + in-place dynamic overwrite (the
+    // CdcMerge.applyBatchKeyed commit shape) — retires the staged
+    // table this path wrote, re-read, SHOW-PARTITIONS-ed and dropped
+    // per delete; the surviving (_b, _kb) partition inventory now
+    // comes from the checkpointed frame itself
     val merged = kept.unionByName(repairStamped)
-    val stage2 = s"${table}_del_stage"
-    CdcMerge.dropStateTable(spark, stage2)
-    merged.repartition(col("_kb"))
-      .write.mode("overwrite").format("parquet")
-      .partitionBy("_b", "_kb").saveAsTable(stage2)
-    CdcMerge.withDynamicOverwrite(spark, stage2, table) { w =>
-      w.table(stage2)
-        .select(spark.table(table).columns.toSeq.map(col): _*)
-        .write.mode("overwrite").insertInto(table)
+      .repartition(col("_kb"))
+      .localCheckpoint(true)
+    try {
+      val bridge = s"${table}_del_src"
+      merged.createOrReplaceGlobalTempView(bridge)
+      try CdcMerge.withDynamicOverwrite(spark) { w =>
+        w.table(s"global_temp.$bridge")
+          .select(spark.table(table).columns.toSeq.map(col): _*)
+          .write.mode("overwrite").insertInto(table)
+      } finally spark.catalog.dropGlobalTempView(bridge)
+      // partitions the rewrite EMPTIED (all their rows deleted, none
+      // re-added): dynamic overwrite skips them, so drop explicitly
+      val newParts = merged.select("_b", "_kb").distinct()
+        .collect().map(r => s"_b=${r.getLong(0)}/_kb=${r.getLong(1)}")
+        .toSet
+      val emptied = spark.sql(s"SHOW PARTITIONS $table").collect()
+        .map(_.getString(0))
+        .filter { p =>
+          val kb = p.split("/").map(_.split("=", 2))
+            .find(_(0) == "_kb").get(1).toLong
+          hitKbs.contains(kb) && !newParts.contains(p)
+        }
+      if (emptied.nonEmpty) spark.sql(
+        s"ALTER TABLE $table DROP IF EXISTS " + emptied.map { p =>
+          val kv = p.split("/").map(_.split("=", 2))
+          kv.map { case Array(c, v) => s"$c='$v'" }
+            .mkString("PARTITION (", ", ", ")")
+        }.mkString(", "))
+    } finally {
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .freeLocalCheckpoint(merged)
+      ()
     }
-    // partitions the rewrite EMPTIED (all their rows deleted, none
-    // re-added): dynamic overwrite skips them, so drop explicitly
-    spark.catalog.refreshTable(stage2)
-    val newParts = spark.sql(s"SHOW PARTITIONS $stage2").collect()
-      .map(_.getString(0)).toSet
-    spark.sql(s"DROP TABLE IF EXISTS $stage2")
-    val emptied = spark.sql(s"SHOW PARTITIONS $table").collect()
-      .map(_.getString(0))
-      .filter { p =>
-        val kb = p.split("/").map(_.split("=", 2))
-          .find(_(0) == "_kb").get(1).toLong
-        hitKbs.contains(kb) && !newParts.contains(p)
-      }
-    if (emptied.nonEmpty) spark.sql(
-      s"ALTER TABLE $table DROP IF EXISTS " + emptied.map { p =>
-        val kv = p.split("/").map(_.split("=", 2))
-        kv.map { case Array(c, v) => s"$c='$v'" }
-          .mkString("PARTITION (", ", ", ")")
-      }.mkString(", "))
     spark.catalog.refreshTable(table)
     // ---- 7. the delete is complete — retire the intent
     CdcMerge.dropStateTable(spark, intentT)

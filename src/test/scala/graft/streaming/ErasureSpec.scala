@@ -433,6 +433,55 @@ class ErasureSpec extends SparkSpec {
       "compaction left physically-present rows naming deleted vectors")
   }
 
+  test("knn graph: deleting EVERY prober of a cell drops the drained " +
+      "probes partition — later folds there serve no deleted-owned " +
+      "rows") {
+    // the r16 optimization-round find: the probes rewrite is a
+    // dynamic overwrite, which skips partitions absent from its data
+    // — a cell whose probers are ALL deleted kept their probe rows,
+    // and a later batch landing in that cell read them as reverse
+    // probers, appending pairs OWNED by deleted vectors at _b > _db
+    // (past the tombstones). Synthetic two-cell corpus so the drained
+    // cell is constructed exactly.
+    import spark.implicits._
+    val live = "er_knn_drain"
+    IncrementalKnnGraph.tables(live)
+      .foreach(CdcMerge.dropStateTable(spark, _))
+    def vecs(rows: (Long, Seq[Float])*): DataFrame =
+      rows.toDF("vec_id", "embedding")
+    def fold(b: Long, rows: (Long, Seq[Float])*): Unit =
+      IncrementalKnnGraph.applyBatch(spark, live, vecs(rows: _*), b,
+        nBuckets = 4, dim = 4, nCentroids = 2, nProbe = 1, k = 2)
+    // centroids freeze as vec 0 (e0) and vec 1 (e1); nProbe=1 makes
+    // cell membership == prober set, so the drained cell is exact
+    fold(0L, 0L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      1L -> Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    fold(1L, 2L -> Seq(0.9f, 0.1f, 0.0f, 0.0f),
+      3L -> Seq(0.8f, 0.2f, 0.0f, 0.0f),
+      4L -> Seq(0.1f, 0.9f, 0.0f, 0.0f),
+      5L -> Seq(0.2f, 0.8f, 0.0f, 0.0f))
+    // delete cell 0 whole (vec 0 is a centroid seed — its frozen
+    // centroid role persists, its corpus membership goes)
+    IncrementalKnnGraph.deleteVectors(spark, live, Seq(0L, 2L, 3L))
+    val probes = spark.table(s"${live}_probes")
+    assert(probes.filter(col("vec_id").isin(0L, 2L, 3L)).isEmpty,
+      "drained cell kept its deleted probers' probe rows")
+    // a later batch lands in the drained cell: reverse repair must
+    // see no deleted probers
+    fold(2L, 6L -> Seq(0.95f, 0.05f, 0.0f, 0.0f),
+      7L -> Seq(0.85f, 0.15f, 0.0f, 0.0f))
+    val g = IncrementalKnnGraph.graphView(spark, live, k = 2)
+    assert(g.filter(col("vec_id").isin(0L, 2L, 3L) ||
+      col("nbr_id").isin(0L, 2L, 3L)).isEmpty,
+      "a fold after the delete served rows naming deleted vectors — " +
+        "the drained probes partition leaked")
+    // the surviving graph is still exact: 6 and 7 are each other's
+    // only cell-0 neighbors
+    val nbrs = g.filter(col("vec_id") === 6L).select("nbr_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(nbrs == Set(7L), s"vec 6 neighbors $nbrs != {7}")
+  }
+
   test("erasure fences on an open crash window: tombstones cannot " +
       "land below an uncommitted generation") {
     // a fold's rows land but its watermark doesn't (crash window);
