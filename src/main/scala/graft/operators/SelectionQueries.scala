@@ -974,8 +974,16 @@ object SelectionQueries {
       val table = "cdc28_labels"
       graft.streaming.IncrementalCC.dropTables(s, table)
       val docs = t(s, dir, "documents")
+      // fixture pairs materialized ONCE: the lazy form re-ran the
+      // whole LSH+verify pipeline inside EVERY fold's own
+      // batch.localCheckpoint (4× the pipeline per run, measured as
+      // cdc28's dominant cost in the r16 optimization round). In a
+      // real deployment the pair batches ARRIVE on a stream — the
+      // fold cost is what the query measures, not the fixture build
+      // (the maintainedKnnEdges discipline).
       val pairs = DedupOps.verifiedNearDups(docs)
         .select($"doc_a", $"doc_b")
+        .localCheckpoint()
       def part(i: Int) =
         pairs.filter(pmod($"doc_a" * 7 + $"doc_b", lit(3)) === i)
       // the replayed batch re-sends part 1 under its ORIGINAL id 1

@@ -521,19 +521,34 @@ object AppendGrid {
       // each bucket's rows contiguous and sorted.
       val merged = sorted.localCheckpoint()
       try {
-        wKbs.foreach { kb =>
-          val view = s"${table}_bkt_src"
-          merged.filter(col("_kb") === kb)
-            .createOrReplaceTempView(view)
-          // partition values quoted: a bare negative literal in a
-          // partition spec is parser-version-sensitive; the string
-          // form casts to the column type unambiguously
-          try spark.sql(
-            s"INSERT OVERWRITE TABLE $table " +
-              s"PARTITION (_b='$newB', _kb='$kb') " +
-              s"SELECT ${dataCols.mkString(", ")} FROM $view")
-          finally spark.catalog.dropTempView(view)
-        }
+        // ONE dynamic-partition overwrite for every fragmented bucket
+        // (was: one static INSERT per bucket — nBuckets serial write
+        // jobs of fixed plan/commit overhead each, measured as the
+        // compaction's dominant fixed cost in the r16 optimization
+        // round). The merged checkpoint holds exactly the
+        // (_b = newB, _kb ∈ wKbs) rows, and dynamic overwrite
+        // replaces exactly the partitions PRESENT in the data — the
+        // crash-safe unit is unchanged: each partition is replaced
+        // whole at commit, shadowed sources survive until phase 2,
+        // and a crash mid-commit leaves some buckets covered
+        // (re-detected as drop-only targets) and the rest fragmented
+        // (re-folded) — the same intermediate states the serial loop
+        // could leave. A bucket whose fold is EMPTY (every row
+        // tombstoned) writes no covering partition; phase 2 still
+        // drops its sources, leaving the bucket correctly empty (the
+        // serial path wrote an empty covering partition instead —
+        // same served rows). The checkpointed frame crosses into the
+        // dynamic-overwrite session clone through a global temp view
+        // (session-agnostic LogicalRDD leaf — the CdcMerge bridge).
+        val bridge = s"${table}_bkt_src"
+        merged
+          .select((dataCols.map(col) :+ lit(newB).as("_b") :+
+            col("_kb")): _*)
+          .createOrReplaceGlobalTempView(bridge)
+        try CdcMerge.withDynamicOverwrite(spark) { w =>
+          w.table(s"global_temp.$bridge")
+            .write.mode("overwrite").insertInto(table)
+        } finally spark.catalog.dropGlobalTempView(bridge)
       } finally {
         org.apache.spark.sql.graftbridge.CheckpointBridge
           .freeLocalCheckpoint(merged)

@@ -49,7 +49,8 @@ object IncrementalAnn {
   def commitBatch(spark: SparkSession, table: String,
       batchId: Long): Unit = {
     import spark.implicits._
-    TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
+    // monotone watermark: append-commit (TableSwap.appendCommit)
+    TableSwap.appendCommit(spark, Seq(batchId).toDF("_batch"),
       wmTable(table))
   }
 

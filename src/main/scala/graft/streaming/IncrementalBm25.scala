@@ -74,11 +74,18 @@ object IncrementalBm25 {
     TableSwap.recover(spark, wm, s"${wm}_stage")
     if (!spark.catalog.tableExists(wm)) (-1L, 0L, 0L)
     else {
+      // the max-_batch row WHOLE (struct max orders by its first
+      // field): with append-committed watermarks the table holds
+      // history rows, and N/avgdl must come from the same committed
+      // row as the batch fence — never per-column maxes
       val row = spark.table(wm)
-        .agg(coalesce(max("_batch"), lit(-1L)),
-          coalesce(max("_n_docs"), lit(0L)),
-          coalesce(max("_sum_dl"), lit(0L))).collect()(0)
-      (row.getLong(0), row.getLong(1), row.getLong(2))
+        .agg(max(struct(col("_batch"), col("_n_docs"),
+          col("_sum_dl"))).as("_w")).collect()(0)
+      if (row.isNullAt(0)) (-1L, 0L, 0L)
+      else {
+        val w = row.getStruct(0)
+        (w.getLong(0), w.getLong(1), w.getLong(2))
+      }
     }
   }
 
@@ -131,7 +138,10 @@ object IncrementalBm25 {
           Seq("word", "doc_id", "tf", "dl"))
       }
       import spark.implicits._
-      TableSwap.writeStaged(spark,
+      // monotone watermark row: append-commit; the reader takes the
+      // max-_batch row WHOLE (struct max), so N/avgdl always ride the
+      // same committed batch — see TableSwap.appendCommit
+      TableSwap.appendCommit(spark,
         Seq((batchId, nSoFar + nBatch, dlSoFar + dlBatch))
           .toDF("_batch", "_n_docs", "_sum_dl"),
         wmTable(table))

@@ -122,7 +122,8 @@ object IncrementalContainment {
     writeTwin(fwd, col("doc_id"), Seq("doc_id", "shingle"))
     writeTwin(table, col("shingle"), Seq("shingle", "doc_id"))
     import spark.implicits._
-    TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
+    // monotone watermark: append-commit (TableSwap.appendCommit)
+    TableSwap.appendCommit(spark, Seq(batchId).toDF("_batch"),
       wmTable(table))
   }
 

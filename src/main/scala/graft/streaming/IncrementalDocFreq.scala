@@ -59,10 +59,17 @@ object IncrementalDocFreq {
     TableSwap.recover(spark, wm, s"${wm}_stage")
     if (!spark.catalog.tableExists(wm)) (-1L, 0L)
     else {
+      // the max-_batch row WHOLE (struct max): append-committed
+      // watermarks hold history rows — N must ride the same row as
+      // the batch fence
       val row = spark.table(wm)
-        .agg(coalesce(max("_batch"), lit(-1L)),
-          coalesce(max("_n_docs"), lit(0L))).collect()(0)
-      (row.getLong(0), row.getLong(1))
+        .agg(max(struct(col("_batch"), col("_n_docs"))).as("_w"))
+        .collect()(0)
+      if (row.isNullAt(0)) (-1L, 0L)
+      else {
+        val w = row.getStruct(0)
+        (w.getLong(0), w.getLong(1))
+      }
     }
   }
 
@@ -103,11 +110,12 @@ object IncrementalDocFreq {
           Seq("word", "df_delta"))
       }
       import spark.implicits._
-      // 1-row watermark carrying the additive corpus doc count N:
-      // bounded state — the TableSwap size contract. N updates
-      // exactly once per batch (a crash-window replay still reads the
-      // OLD N here, because this write is what advances it).
-      TableSwap.writeStaged(spark,
+      // monotone watermark row carrying the additive corpus doc count
+      // N: append-commit; the reader takes the max-_batch row WHOLE
+      // (struct max) so N always rides the same committed batch. N
+      // updates exactly once per batch (a crash-window replay still
+      // reads the OLD N here, because this write is what advances it).
+      TableSwap.appendCommit(spark,
         Seq((batchId, nSoFar + nBatch)).toDF("_batch", "_n_docs"),
         wmTable(table))
     }

@@ -96,7 +96,8 @@ object IncrementalFrameDedup {
         Seq("fprint", "doc_id"))
     }
     import spark.implicits._
-    TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
+    // monotone watermark: append-commit (TableSwap.appendCommit)
+    TableSwap.appendCommit(spark, Seq(batchId).toDF("_batch"),
       wmTable(table))
   }
 

@@ -150,8 +150,8 @@ object IncrementalFunnel {
         keyCols = Seq("user_id"), versionCols = Seq("_batch"),
         nBuckets = nBuckets)
       import spark.implicits._
-      TableSwap.writeStaged(spark, // 1-row watermark: bounded state
-        Seq(batchId).toDF("_batch"), wm)
+      // monotone watermark: append-commit (TableSwap.appendCommit)
+      TableSwap.appendCommit(spark, Seq(batchId).toDF("_batch"), wm)
     } finally batchUsers.unpersist()
   }
 

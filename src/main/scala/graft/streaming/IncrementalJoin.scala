@@ -107,24 +107,38 @@ object IncrementalJoin {
       .filter(col("_kb").isin(touched.toSeq: _*))
       .join(broadcast(dirty), Seq(keyCol), "left_anti")
     val merged = keep.unionByName(fresh.select(cols.toSeq.map(col): _*))
-    val stage = s"${viewTable}_stage"
-    if (!spark.catalog.tableExists(stage))
-      CdcMerge.dropStateTable(spark, stage)
-    merged.repartition(col("_kb"))
-      .write.mode("overwrite").format("parquet").saveAsTable(stage)
-    val stagedKbs = spark.table(stage).select("_kb").distinct()
-      .collect().map(_.getLong(0)).toSet
-    CdcMerge.withDynamicOverwrite(spark, stage, viewTable) { w =>
-      w.table(stage).select(cols.toSeq.map(col): _*)
-        .write.mode("overwrite").insertInto(viewTable)
+    // materialize the rewritten partitions ONCE (localCheckpoint),
+    // then dynamic-overwrite them in place — the CdcMerge
+    // .applyBatchKeyed commit shape: the checkpoint cuts the
+    // self-read lineage (the insert targets the table `keep` reads)
+    // and retires the staged-table round-trip this path carried (a
+    // full extra table write + create + re-read + DROP per fold,
+    // measured across cdc26/cdc27 in the r16 optimization round).
+    // Crash contract unchanged: the insert replaces touched
+    // partitions at job commit; a crash before that leaves the view
+    // untouched and the replayed batch rewrites identical partitions.
+    val merged2 = merged.repartition(col("_kb")).localCheckpoint()
+    try {
+      val stagedKbs = merged2.select("_kb").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val bridge = s"${viewTable}_view_src"
+      merged2.createOrReplaceGlobalTempView(bridge)
+      try CdcMerge.withDynamicOverwrite(spark) { w =>
+        w.table(s"global_temp.$bridge").select(cols.toSeq.map(col): _*)
+          .write.mode("overwrite").insertInto(viewTable)
+      } finally spark.catalog.dropGlobalTempView(bridge)
+      // a touched partition with NO surviving rows is absent from the
+      // rewrite — dynamic overwrite left its stale files; drop them
+      // (one DDL for all of them)
+      val drained = touched.filterNot(stagedKbs)
+      if (drained.nonEmpty) spark.sql(
+        s"ALTER TABLE $viewTable DROP IF EXISTS " +
+          drained.map(kb => s"PARTITION (_kb=$kb)").mkString(", "))
+    } finally {
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .freeLocalCheckpoint(merged2)
+      ()
     }
-    // a touched partition with NO surviving rows is absent from the
-    // stage — dynamic overwrite left its stale files; drop it
-    touched.filterNot(stagedKbs).foreach { kb =>
-      spark.sql(s"ALTER TABLE $viewTable DROP IF EXISTS " +
-        s"PARTITION (_kb=$kb)")
-    }
-    spark.sql(s"DROP TABLE IF EXISTS $stage")
     spark.catalog.refreshTable(viewTable)
   }
 

@@ -396,7 +396,8 @@ object IncrementalKnnGraph {
         // a subset that still contains every current top-k pair)
         import spark.implicits._
         FoldTimer.step(spark, "knn:wm-write") {
-          TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
+          // monotone watermark: append-commit (TableSwap.appendCommit)
+          TableSwap.appendCommit(spark, Seq(batchId).toDF("_batch"),
             wmTable(table))
         }
       } finally asg.unpersist()

@@ -119,7 +119,8 @@ object IncrementalMediaDedup {
         Seq("band", "key", "doc_id", "phash"))
     }
     import spark.implicits._
-    TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
+    // monotone watermark: append-commit (TableSwap.appendCommit)
+    TableSwap.appendCommit(spark, Seq(batchId).toDF("_batch"),
       wmTable(table))
   }
 

@@ -156,8 +156,9 @@ object IncrementalSpans {
         Seq("span_key", "doc_id", "n_occ"))
     }
     import spark.implicits._
-    // 1-row watermark: bounded state — the TableSwap size contract
-    TableSwap.writeStaged(spark, Seq(batchId).toDF("_batch"),
+    // monotone 1-row-per-fold watermark: append-commit (readers take
+    // max(_batch)) — see TableSwap.appendCommit
+    TableSwap.appendCommit(spark, Seq(batchId).toDF("_batch"),
       wmTable(gridTable))
   }
 

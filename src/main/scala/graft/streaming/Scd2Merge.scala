@@ -79,17 +79,38 @@ object Scd2Merge {
       val merged = withIntervals(
         current.unionByName(events)
           .dropDuplicates(Seq(keyCol, tsCol, tieCol)))
-      val stage = s"${table}_stage"
-      if (!spark.catalog.tableExists(stage))
-        CdcMerge.dropStateTable(spark, stage)
-      merged.repartition(col("_kb"))
-        .write.mode("overwrite").format("parquet").saveAsTable(stage)
+      // legacy-stage hygiene: this path used to stage through
+      // `${table}_stage`; a crashed PRE-UPGRADE merge may have left
+      // one behind. It is inert now (never read), but clear it so it
+      // cannot shadow a future operator's stage name (spec-pinned).
+      // One catalog lookup + fs stat — control-plane cost.
+      CdcMerge.dropStateTable(spark, s"${table}_stage")
+      // materialize the rebuilt chains ONCE (localCheckpoint), then
+      // dynamic-overwrite the touched partitions in place — the
+      // CdcMerge.applyBatchKeyed commit shape: the checkpoint cuts
+      // the self-read lineage and retires the staged-table round-trip
+      // this path carried (a full extra table write + create +
+      // re-read + DROP per merge, measured across the cdc25 harness
+      // in the r16 optimization round). Crash contract unchanged: the
+      // insert replaces touched partitions at job commit; a crash
+      // before that leaves the table untouched and the replayed batch
+      // redoes an idempotent merge. Every touched partition is
+      // non-empty (it holds at least the batch's own events), so no
+      // drained-partition handling is needed.
       val cols = spark.table(table).columns
-      CdcMerge.withDynamicOverwrite(spark, stage, table) { w =>
-        w.table(stage).select(cols.toSeq.map(col): _*)
-          .write.mode("overwrite").insertInto(table)
+      val merged2 = merged.repartition(col("_kb")).localCheckpoint()
+      try {
+        val bridge = s"${table}_scd2_src"
+        merged2.createOrReplaceGlobalTempView(bridge)
+        try CdcMerge.withDynamicOverwrite(spark) { w =>
+          w.table(s"global_temp.$bridge").select(cols.toSeq.map(col): _*)
+            .write.mode("overwrite").insertInto(table)
+        } finally spark.catalog.dropGlobalTempView(bridge)
+      } finally {
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeLocalCheckpoint(merged2)
+        ()
       }
-      spark.sql(s"DROP TABLE IF EXISTS $stage")
       // same-session readers may hold a cached file listing of the
       // overwritten partitions (stale FILE_NOT_EXIST reads otherwise —
       // observed through a read-merge-read sequence); refresh is

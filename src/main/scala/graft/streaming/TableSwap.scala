@@ -91,6 +91,63 @@ object TableSwap {
     swapIn(spark, stage, table)
   }
 
+  /** APPEND-commit for MONOTONE watermark tables — the fold-cadence
+    * fast path next to [[writeStaged]]'s rename-chain swap. A batch
+    * watermark is written once per fold and read as "the row(s) with
+    * the MAX leading column" (every `committed()` reader is already a
+    * `max()` aggregate), so the commit does not need to REPLACE
+    * anything: appending one tiny row is crash-equivalent (the append
+    * job commits atomically; a crash before commit leaves the previous
+    * watermark served, exactly like a crash before the swap) and
+    * retires the swap's per-fold overhead — a stage saveAsTable, two
+    * RENAMEs and three DROPs, measured as a visible slice of every
+    * maintained-index fold's fixed driver cost (r16 optimization
+    * round).
+    *
+    * Caller contract: the LEADING column is the monotone commit key
+    * (`_batch` / `_wave`), and any other columns ride the same row —
+    * readers must take the max-leading row whole (`max(struct(...))`),
+    * never per-column maxes across rows, unless each column is itself
+    * monotone in the commit key. History rows below the max are dead;
+    * once the table accretes past 64 files the append folds them down
+    * through the staged swap (rare, control-plane sized). */
+  def appendCommit(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+    val stage = s"${table}_stage"
+    recover(spark, table, stage) // heal a legacy staged-swap crash
+    if (!spark.catalog.tableExists(table)) {
+      // a crashed earlier create may have left a stale directory with
+      // no catalog entry — clear it (the writeStaged hygiene)
+      CdcMerge.dropStateTable(spark, table)
+      df.coalesce(1)
+        .write.mode("overwrite").format("parquet").saveAsTable(table)
+    } else {
+      df.coalesce(1).write.mode("append").insertInto(table)
+      // same-session readers hold a cached file listing that predates
+      // the append — without this the next committed() read serves a
+      // STALE watermark (the staged swap never had the hazard: it
+      // re-created the table name each fold)
+      spark.catalog.refreshTable(table)
+      // bound the accretion (one tiny file per fold): past 64 files,
+      // fold history down to the committed rows via the staged swap.
+      // File count is a driver-side listing — no job on the hot path.
+      if (spark.table(table).inputFiles.length > 64) {
+        val lead = spark.table(table).columns.head
+        val maxLead = spark.table(table)
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col(lead)))
+          .collect()(0)
+        if (!maxLead.isNullAt(0)) {
+          val keep = spark.table(table)
+            .filter(org.apache.spark.sql.functions.col(lead) ===
+              maxLead.get(0))
+            .localCheckpoint() // pin before the swap renames the source
+          writeStaged(spark, keep, table)
+        }
+      }
+    }
+  }
+
   /** Swap the fully-written `stage` table in as `table`. */
   def swapIn(spark: SparkSession, stage: String, table: String): Unit = {
     val old = s"${table}_old"

@@ -59,7 +59,11 @@ object WaveMark {
       families: Map[String, FamilyVersion]): Unit = {
     require(families.nonEmpty, "a wave must name at least one family")
     import spark.implicits._
-    TableSwap.writeStaged(spark,
+    // monotone commit key `_wave`, all of a wave's family rows in ONE
+    // appended file (atomic at job commit — a crash leaves the
+    // previous wave served whole, never a mixed one); the reader
+    // takes the max-wave rows only — TableSwap.appendCommit
+    TableSwap.appendCommit(spark,
       families.toSeq.sortBy(_._1)
         .map { case (f, v) => (waveId, f, v.batch, v.epoch) }
         .toDF("_wave", "family", "batch", "epoch"),
@@ -77,9 +81,14 @@ object WaveMark {
       val rows = spark.table(waveTable)
         .select("_wave", "family", "batch", "epoch").collect()
       if (rows.isEmpty) None
-      else Some((rows.map(_.getLong(0)).max,
-        rows.map(r => r.getString(1) ->
-          FamilyVersion(r.getLong(2), r.getLong(3))).toMap))
+      else {
+        // append-committed marker: only the MAX wave's rows are the
+        // committed wave — older waves are dead history
+        val wave = rows.map(_.getLong(0)).max
+        Some((wave,
+          rows.filter(_.getLong(0) == wave).map(r => r.getString(1) ->
+            FamilyVersion(r.getLong(2), r.getLong(3))).toMap))
+      }
     }
   }
 
