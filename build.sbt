@@ -42,3 +42,71 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_XMS",
     sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
 )
+
+// ---------------------------------------------------------------------
+// Parallel test groups: the suite grew to 60+ specs / ~25 min run
+// sequentially in ONE forked JVM while the box has 32 cores and each
+// spec's SparkSession is local[4] — the wall is suite-serialization,
+// not compute. Partition the suites into independent forked JVMs that
+// run CONCURRENTLY (each gets its own SparkSession, in-memory catalog
+// and temp warehouse, so nothing is shared but the read-only
+// /root/testdata). Suites are bin-packed greedily by measured wall
+// (r17 baseline, -oD durations); unknown suites default to the median.
+// Override the group count with SPARK_GRAFT_TEST_FORKS=1 to get the
+// old single-JVM behavior.
+val testForkCount = sys.env.getOrElse("SPARK_GRAFT_TEST_FORKS", "6").toInt
+// measured seconds per suite (r17 baseline); only the RELATIVE order
+// matters for packing — a stale entry costs balance, never correctness
+val suiteWeights: Map[String, Int] = Map(
+  "graft.PlanQualitySpec" -> 468,
+  "graft.streaming.IncrementalPageRankSpec" -> 195,
+  "graft.streaming.ErasureSpec" -> 108,
+  "graft.streaming.IncrementalSpansSpec" -> 68,
+  "graft.streaming.IngestStreamWiringSpec" -> 37,
+  "graft.operators.LlmOpsSpec" -> 37,
+  "graft.operators.GraphOpsSpec" -> 32,
+  "graft.streaming.IncrementalSkylineSpec" -> 30,
+  "graft.streaming.IncrementalCCSpec" -> 28,
+  "graft.streaming.IncrementalStatsSpec" -> 27,
+  "graft.streaming.IncrementalDocFreqSpec" -> 26,
+  "graft.streaming.IncrementalAggSpec" -> 25,
+  "graft.streaming.ChangeFeedSpec" -> 24,
+  "graft.streaming.IncrementalContainmentSpec" -> 23,
+  "graft.streaming.IncrementalKnnGraphSpec" -> 22,
+  "graft.operators.AnnTunerSpec" -> 22,
+  "graft.streaming.IncrementalFunnelSpec" -> 21,
+  "graft.operators.SelectionOpsSpec" -> 19,
+  "graft.streaming.LakehouseSinkSpec" -> 18,
+  "graft.streaming.CdcMergeSpec" -> 16,
+  "graft.streaming.IvfBuildSpec" -> 16,
+  "graft.streaming.IncrementalNearestJoinSpec" -> 15,
+  "graft.streaming.CdcPipelineSpec" -> 14,
+  "graft.streaming.IncrementalBm25Spec" -> 13,
+  "graft.streaming.IncrementalFrameDedupSpec" -> 13,
+)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  if (testForkCount <= 1)
+    Seq(Tests.Group("all", tests, Tests.SubProcess(forkOpts)))
+  else {
+    val defaultW = 8
+    val bins = Array.fill(testForkCount)(
+      (0L, scala.collection.mutable.ListBuffer[TestDefinition]()))
+    tests.sortBy(t => -suiteWeights.getOrElse(t.name, defaultW))
+      .foreach { t =>
+        val i = bins.indices.minBy(bins(_)._1)
+        bins(i) = (bins(i)._1 + suiteWeights.getOrElse(t.name, defaultW),
+          bins(i)._2 += t)
+      }
+    bins.toSeq.zipWithIndex.collect {
+      case ((_, ts), i) if ts.nonEmpty =>
+        Tests.Group(s"g$i", ts.toSeq, Tests.SubProcess(forkOpts))
+    }
+  }
+}
+// let the forked groups actually run concurrently
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testForkCount),
+  Tags.limitAll(math.max(4, testForkCount + 2)))

@@ -987,8 +987,15 @@ object SelectionQueries {
       def part(i: Int) =
         pairs.filter(pmod($"doc_a" * 7 + $"doc_b", lit(3)) === i)
       // the replayed batch re-sends part 1 under its ORIGINAL id 1
-      Seq((0, 0L), (1, 1L), (1, 1L), (2, 2L)).foreach { case (p, id) =>
-        graft.streaming.IncrementalCC.applyBatch(s, table, part(p), id)
+      try Seq((0, 0L), (1, 1L), (1, 1L), (2, 2L)).foreach {
+        case (p, id) =>
+          graft.streaming.IncrementalCC.applyBatch(s, table, part(p), id)
+      } finally {
+        // folds done — free the fixture's pinned blocks (they
+        // otherwise persist for the whole bench/PlanDump session)
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .freeLocalCheckpoint(pairs)
+        ()
       }
       graft.streaming.IncrementalCC.readLabels(s, table)
         .orderBy($"doc_id")

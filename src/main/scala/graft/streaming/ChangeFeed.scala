@@ -348,7 +348,7 @@ object ChangeFeed {
       .agg(sum(col("sign")).as("dn"),
         sum((col("v") * col("sign")).cast(d20)).cast(d20).as("dv"))
     val updated = (if (exists)
-        spark.table(aggTable).drop("_batch")
+        TableSwap.readVersioned(spark, aggTable).drop("_batch")
           .withColumnRenamed("g", "sg")
           .join(deltas, col("sg") === col("g"), "full_outer")
           .select(coalesce(col("g"), col("sg")).as("g"),
@@ -363,8 +363,10 @@ object ChangeFeed {
       // filters), the IncrementalAgg invariant
       .withColumn("_batch", lit(effUpTo))
     // bound: groups-ever-seen (enum-like group key — caller
-    // contract); corpus-keyed groups belong in CdcMerge
-    TableSwap.writeStaged(spark, updated, aggTable)
+    // contract); corpus-keyed groups belong in CdcMerge. Full next
+    // version append-commits stamped with _batch (the IncrementalAgg
+    // shape — identical crash contract, no per-fold staged swap)
+    TableSwap.appendVersioned(spark, updated, aggTable)
   }
 
   /** Read the feed-maintained aggregate (watermark dropped, drained

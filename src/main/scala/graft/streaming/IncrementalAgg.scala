@@ -43,10 +43,13 @@ object IncrementalAgg {
     * only to carry the idempotence watermark, see [[applyDeltas]]). */
   def readAgg(spark: SparkSession, aggTable: String): DataFrame = {
     TableSwap.recover(spark, aggTable, s"${aggTable}_stage")
-    // the maintaining stream swaps from a cloned session; refresh so
-    // this session's cached listing can't serve a pre-swap version
+    // the maintaining stream commits from a cloned session; refresh so
+    // this session's cached listing can't serve a pre-commit version
     spark.catalog.refreshTable(aggTable)
-    spark.table(aggTable).filter(col("n_live") > 0).drop("_batch")
+    // versions append-commit (TableSwap.appendVersioned); serve the
+    // max-_batch version whole
+    TableSwap.readVersioned(spark, aggTable)
+      .filter(col("n_live") > 0).drop("_batch")
   }
 
   /** Merge `batch` into `stateTable` AND maintain `aggTable`
@@ -95,7 +98,7 @@ object IncrementalAgg {
       .agg(sum(col("dn")).as("dn"),
         sum(col("dv")).cast(DecimalType(20, 2)).as("dv"))
     val updated = (if (exists)
-        spark.table(aggTable).drop("_batch")
+        TableSwap.readVersioned(spark, aggTable).drop("_batch")
           .join(deltas, col(groupCol) === col("g"), "full_outer")
           .select(
             coalesce(col(groupCol), col("g")).as(groupCol),
@@ -118,11 +121,12 @@ object IncrementalAgg {
       .withColumn("_batch", lit(batchId))
     // bound: groups-ever-seen — the group key must be enum-like
     // (caller contract); corpus-keyed groups belong in CdcMerge.
-    // Stage the full next version, then a
-    // rename-chain swap (TableSwap) — a whole-table insertInto
-    // overwrite deletes the files BEFORE its job commits, so a crash
-    // mid-overwrite would destroy the table AND its watermark row,
-    // turning the replay-skip guarantee into a wrong re-apply
-    TableSwap.writeStaged(spark, updated, aggTable)
+    // The full next version APPEND-commits stamped with its _batch
+    // (TableSwap.appendVersioned): one atomic write job instead of
+    // the staged rename-chain swap's per-fold stage write + 2 RENAMEs
+    // + 3 DROPs. Crash contract unchanged — a crash before the append
+    // job commits leaves the previous version (and watermark) served,
+    // and the replay recomputes the identical delta.
+    TableSwap.appendVersioned(spark, updated, aggTable)
   }
 }

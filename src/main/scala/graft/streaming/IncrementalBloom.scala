@@ -34,19 +34,22 @@ object IncrementalBloom {
     }
     val deltas = SketchOps.bloomBits(batch, itemCol, d, m)
     val updated = (if (exists)
-        spark.table(bitsTable).select(col("bit"))
+        TableSwap.readVersioned(spark, bitsTable).select(col("bit"))
           .unionByName(deltas)
           .distinct()
       else deltas)
       .withColumn("_batch", lit(batchId))
-    // bound: <= m set-bit rows (fixed Bloom array, KBs)
-    TableSwap.writeStaged(spark, updated, bitsTable)
+    // bound: <= m set-bit rows (fixed Bloom array, KBs).
+    // Full next version append-commits stamped with _batch
+    // (TableSwap.appendVersioned — the IncrementalAgg commit shape,
+    // identical crash contract, no per-fold staged swap)
+    TableSwap.appendVersioned(spark, updated, bitsTable)
   }
 
   /** The maintained bit set as a (bit) frame — feed to
     * [[SketchOps.bloomMightContain]]. */
   def readBits(spark: SparkSession, bitsTable: String): DataFrame =
-    spark.table(bitsTable).select("bit")
+    TableSwap.readVersioned(spark, bitsTable).select("bit")
 
   /** Continuous maintenance: foreachBatch [[applyBatch]]. */
   def startIngestStream(df: DataFrame, bitsTable: String,

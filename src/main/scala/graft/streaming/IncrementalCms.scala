@@ -36,21 +36,25 @@ object IncrementalCms {
     }
     val deltas = SketchOps.cmsGrid(batch, itemCol, d, w)
     val updated = (if (exists)
-        spark.table(gridTable)
+        TableSwap.readVersioned(spark, gridTable)
           .select(col("row"), col("bucket"), col("cnt"))
           .unionByName(deltas)
           .groupBy("row", "bucket")
           .agg(sum("cnt").as("cnt"))
       else deltas)
       .withColumn("_batch", lit(batchId))
-    // bound: d x w fixed counter grid (CMS dimensions)
-    TableSwap.writeStaged(spark, updated, gridTable)
+    // bound: d x w fixed counter grid (CMS dimensions).
+    // Full next version append-commits stamped with _batch
+    // (TableSwap.appendVersioned — the IncrementalAgg commit shape,
+    // identical crash contract, no per-fold staged swap)
+    TableSwap.appendVersioned(spark, updated, gridTable)
   }
 
   /** The maintained grid as a (row, bucket, cnt) frame — feed to
     * [[SketchOps.cmsEstimate]]. */
   def readGrid(spark: SparkSession, gridTable: String): DataFrame =
-    spark.table(gridTable).select("row", "bucket", "cnt")
+    TableSwap.readVersioned(spark, gridTable)
+      .select("row", "bucket", "cnt")
 
   /** Continuous maintenance: foreachBatch [[applyBatch]]. */
   def startIngestStream(df: DataFrame, gridTable: String,

@@ -50,7 +50,7 @@ object IncrementalDrift {
     }
     val deltas = CurationOps.embeddingHistogram(batchEmbs)
     val updated = (if (exists)
-        spark.table(histTable).drop("_batch")
+        TableSwap.readVersioned(spark, histTable).drop("_batch")
           .join(deltas.select(col("dim"), col("bin"),
             col("cnt").as("dc"), col("vsum").as("dv")),
             Seq("dim", "bin"), "full_outer")
@@ -61,8 +61,11 @@ object IncrementalDrift {
               coalesce(col("dv"), lit(0L))).as("vsum"))
       else deltas)
       .withColumn("_batch", lit(batchId))
-    // bound: dim x 16 fixed histogram bins
-    TableSwap.writeStaged(spark, updated, histTable)
+    // bound: dim x 16 fixed histogram bins.
+    // Full next version append-commits stamped with _batch
+    // (TableSwap.appendVersioned — the IncrementalAgg commit shape,
+    // identical crash contract, no per-fold staged swap)
+    TableSwap.appendVersioned(spark, updated, histTable)
   }
 
   /** Current drift report against the frozen reference — two
@@ -72,7 +75,8 @@ object IncrementalDrift {
       histTable: String): DataFrame =
     CurationOps.driftFromHists(
       spark.table(refTable).select("dim", "bin", "cnt", "vsum"),
-      spark.table(histTable).select("dim", "bin", "cnt", "vsum"))
+      TableSwap.readVersioned(spark, histTable)
+        .select("dim", "bin", "cnt", "vsum"))
 
   /** Continuous maintenance: foreachBatch [[applyBatch]] over a
     * streaming embedding frame. */

@@ -57,7 +57,7 @@ object IncrementalDsir {
       .agg(count(lit(1)).as("dc"),
         sum((col("source") === targetSource).cast("long")).as("dt"))
     val updated = (if (exists)
-        spark.table(bucketTable).drop("_batch")
+        TableSwap.readVersioned(spark, bucketTable).drop("_batch")
           .join(deltas, Seq("bucket"), "full_outer")
           .select(col("bucket"),
             (coalesce(col("corpus_cnt"), lit(0L)) +
@@ -69,8 +69,11 @@ object IncrementalDsir {
           col("dt").as("target_cnt")))
       .withColumn("_batch", lit(batchId))
     // bound: <= nBuckets hashed n-gram rows (fixed grid, never
-    // vocab- or corpus-keyed) — DsirBoundsSpec pins it
-    TableSwap.writeStaged(spark, updated, bucketTable)
+    // vocab- or corpus-keyed) — DsirBoundsSpec pins it.
+    // Full next version append-commits stamped with _batch
+    // (TableSwap.appendVersioned — the IncrementalAgg commit shape,
+    // identical crash contract, no per-fold staged swap)
+    TableSwap.appendVersioned(spark, updated, bucketTable)
   }
 
   /** Current per-bucket affinity ratios (the shared smoothed-integer
@@ -78,7 +81,7 @@ object IncrementalDsir {
   def readRatios(spark: SparkSession, bucketTable: String,
       buckets: Int = 64): DataFrame =
     CurationOps.dsirRatios(
-      spark.table(bucketTable)
+      TableSwap.readVersioned(spark, bucketTable)
         .select("bucket", "corpus_cnt", "target_cnt"), buckets)
 
   /** DSIR weights for any document set against the CURRENT maintained

@@ -114,31 +114,47 @@ object IncrementalFunnel {
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(fields))
       }
-      // step 0: first step-1 event ever seen fills t1 (full outer —
-      // new users enter the state here)
-      val b0 = batchEvents.filter(col(typeCol) === steps.head)
-        .groupBy(user.as("user_id")).agg(min(col(tsCol)).as("_bt"))
-      var s = state.join(b0, Seq("user_id"), "full_outer")
-        .select(col("user_id") +:
-          (coalesce(col(tCols.head), col("_bt")).as(tCols.head) +:
-            tCols.tail.map(col)): _*)
-      // steps 1..k-1: while tᵢ unset, min batch step-i event strictly
-      // after tᵢ₋₁ fills it — tᵢ already reflects THIS fold's tᵢ₋₁,
-      // so the all-in-one-batch chain completes in one pass
-      (1 until k).foreach { i =>
-        val prevT = tCol(i - 1)
-        val thisT = tCol(i)
-        val bi = batchEvents.filter(col(typeCol) === steps(i))
-          .select(user.as("user_id"), col(tsCol).as("_bts"))
-          .join(s.filter(col(prevT).isNotNull && col(thisT).isNull)
-            .select(col("user_id"), col(prevT)), Seq("user_id"))
-          .filter(col("_bts") > col(prevT))
-          .groupBy("user_id").agg(min(col("_bts")).as("_bt"))
-        s = s.join(bi, Seq("user_id"), "left_outer")
-          .select(col("user_id") +: tCols.map(c =>
-            if (c == thisT) coalesce(col(c), col("_bt")).as(c)
-            else col(c)): _*)
+      // ONE PASS over the batch instead of k sequential per-step
+      // joins: the old chain re-joined the EVOLVING state frame per
+      // step, doubling the plan subtree each step (2^k plan growth,
+      // k broadcast builds and k join stages per fold — measured as
+      // cdc34's dominant fixed cost in the r17 probe; guide §2.4/§3).
+      // Equivalent fold: per user, replay the batch's step events in
+      // (ts, step) order over the state's (t1..tk) accumulator — the
+      // first step-1 event fills t1 (ascending scan ⇒ the min), and a
+      // step-i event fills an unset tᵢ iff tᵢ₋₁ is set and ts > tᵢ₋₁
+      // (ascending scan ⇒ the min qualifying event, including chains
+      // completed within this batch). Identical to the join chain's
+      // induction, event by event. Array size is per-(user, batch) —
+      // bounded by the batch contract, never corpus.
+      val stepIdx = steps.zipWithIndex.tail.foldLeft(
+        when(col(typeCol) === steps.head, lit(0))) {
+        case (acc, (st, i)) => acc.when(col(typeCol) === st, lit(i))
       }
+      val perUser = batchEvents
+        .filter(col(typeCol).isin(steps: _*) && col(tsCol).isNotNull)
+        .select(user.as("user_id"),
+          struct(col(tsCol).as("ts"), stepIdx.as("i")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("_evs"))
+      val init = struct(tCols.map(c => col(c).as(c)): _*)
+      // _evs is null for a state user whose batch events were all
+      // filtered (e.g. null ts): their accumulator passes through
+      val chain = when(col("_evs").isNull, init).otherwise(aggregate(
+        col("_evs"),
+        init,
+        (acc, e) => struct(tCols.zipWithIndex.map { case (c, i) =>
+          val fill =
+            if (i == 0) e.getField("i") === 0
+            else e.getField("i") === i &&
+              acc.getField(tCol(i - 1)).isNotNull &&
+              e.getField("ts") > acc.getField(tCol(i - 1))
+          coalesce(acc.getField(c), when(fill, e.getField("ts"))).as(c)
+        }: _*)))
+      val s = state.join(perUser, Seq("user_id"), "full_outer")
+        .withColumn("_chain", chain)
+        .select(col("user_id") +:
+          tCols.map(c => col("_chain").getField(c).as(c)): _*)
       val updated = s
         .filter(col(tCols.head).isNotNull) // no step 1 → no state row
         .withColumn("event_type", lit("Insert"))

@@ -35,22 +35,26 @@ object IncrementalHist {
     }
     val deltas = SketchOps.histSketch(batch, grpCol, valCol, lo, hi, w)
     val updated = (if (exists)
-        spark.table(histTable)
+        TableSwap.readVersioned(spark, histTable)
           .select(col(grpCol), col("bin"), col("cnt"))
           .unionByName(deltas)
           .groupBy(grpCol, "bin")
           .agg(sum("cnt").as("cnt"))
       else deltas)
       .withColumn("_batch", lit(batchId))
-    // bound: groups x w fixed bins (enum group key contract)
-    TableSwap.writeStaged(spark, updated, histTable)
+    // bound: groups x w fixed bins (enum group key contract).
+    // Full next version append-commits stamped with _batch
+    // (TableSwap.appendVersioned — the IncrementalAgg commit shape,
+    // identical crash contract, no per-fold staged swap)
+    TableSwap.appendVersioned(spark, updated, histTable)
   }
 
   /** The maintained sketch as a (grpCol, bin, cnt) frame — feed to
     * [[SketchOps.histQuantiles]]. */
   def readHist(spark: SparkSession, histTable: String,
       grpCol: String): DataFrame =
-    spark.table(histTable).select(col(grpCol), col("bin"), col("cnt"))
+    TableSwap.readVersioned(spark, histTable)
+      .select(col(grpCol), col("bin"), col("cnt"))
 
   /** Continuous maintenance: foreachBatch [[applyBatch]]. */
   def startIngestStream(df: DataFrame, histTable: String,

@@ -55,15 +55,18 @@ object IncrementalHll {
     }
     val deltas = batchSketches(batchEvents, lgK)
     val updated = (if (exists)
-        spark.table(sketchTable)
+        TableSwap.readVersioned(spark, sketchTable)
           .select(col("event_type"), col("day"), col("sk"))
           .unionByName(deltas)
           .groupBy("event_type", "day")
           .agg(expr("hll_union_agg(sk)").as("sk"))
       else deltas)
       .withColumn("_batch", lit(batchId))
-    // bound: one register blob per (type, day) — enum x time-bounded
-    TableSwap.writeStaged(spark, updated, sketchTable)
+    // bound: one register blob per (type, day) — enum x time-bounded.
+    // Full next version append-commits stamped with _batch
+    // (TableSwap.appendVersioned — the IncrementalAgg commit shape,
+    // identical crash contract, no per-fold staged swap)
+    TableSwap.appendVersioned(spark, updated, sketchTable)
   }
 
   /** Distinct-user estimate per event_type from the CURRENT state —
@@ -71,7 +74,7 @@ object IncrementalHll {
     * without touching raw events. */
   def estimateByType(spark: SparkSession,
       sketchTable: String): DataFrame =
-    spark.table(sketchTable)
+    TableSwap.readVersioned(spark, sketchTable)
       .groupBy("event_type")
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
 

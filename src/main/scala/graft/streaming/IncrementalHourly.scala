@@ -34,7 +34,7 @@ object IncrementalHourly {
     }
     val deltas = TemporalOps.hourlyCounts(batch)
     val updated = (if (exists)
-        spark.table(hourlyTable)
+        TableSwap.readVersioned(spark, hourlyTable)
           .select(col("event_type"), col("hr"), col("cnt"))
           .unionByName(deltas)
           .groupBy("event_type", "hr")
@@ -42,15 +42,18 @@ object IncrementalHourly {
       else deltas)
       .withColumn("_batch", lit(batchId))
     // bound: (event_type, hour) rows — enum types x time-bounded
-    // hours, never corpus-keyed (TableSwap size contract)
-    TableSwap.writeStaged(spark, updated, hourlyTable)
+    // hours, never corpus-keyed (TableSwap size contract). Full next
+    // version append-commits stamped with _batch
+    // (TableSwap.appendVersioned — the IncrementalAgg commit shape)
+    TableSwap.appendVersioned(spark, updated, hourlyTable)
   }
 
   /** The anomaly report served from the maintained hourly table. */
   def anomalyReport(spark: SparkSession, hourlyTable: String,
       trail: Int = 24, minTrail: Int = 12): DataFrame =
     TemporalOps.anomalyFromHourly(
-      spark.table(hourlyTable).select("event_type", "hr", "cnt"),
+      TableSwap.readVersioned(spark, hourlyTable)
+        .select("event_type", "hr", "cnt"),
       trail, minTrail)
 
   /** Continuous maintenance: foreachBatch [[applyBatch]]. */

@@ -93,6 +93,12 @@ object IncrementalJoin {
   private[streaming] def rewriteView(spark: SparkSession,
       viewTable: String, keyCol: String, dirty: DataFrame,
       touched: Array[Long], fresh: DataFrame): Unit = {
+    // legacy-stage hygiene (once per session per view): the retired
+    // staged-table path could leave `${viewTable}_stage` behind on a
+    // pre-upgrade crash — an orphan that shadows any future operator
+    // using the same stage name (the Scd2Merge.applyBatch rule)
+    if (legacyStageCleared.add((spark, viewTable)))
+      CdcMerge.dropStateTable(spark, s"${viewTable}_stage")
     if (!spark.catalog.tableExists(viewTable)) {
       // clear a partial warehouse dir a crashed first write left
       CdcMerge.dropStateTable(spark, viewTable)
@@ -141,6 +147,12 @@ object IncrementalJoin {
     }
     spark.catalog.refreshTable(viewTable)
   }
+
+  // (session, viewTable) pairs whose legacy stage was already cleared
+  // this session — keeps the hygiene to one catalog op per view
+  private val legacyStageCleared = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]())
 
   /** The maintained view, without the bucketing column. */
   def readView(spark: SparkSession, viewTable: String): DataFrame = {

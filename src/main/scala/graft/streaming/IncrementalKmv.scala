@@ -45,7 +45,8 @@ object IncrementalKmv {
         SketchOps.u40(col(valueCol)).as("h"))
       .distinct()
     val unioned = (if (exists)
-        spark.table(sketchTable).select(col("seg"), col("h"))
+        TableSwap.readVersioned(spark, sketchTable)
+          .select(col("seg"), col("h"))
           .unionByName(deltas).distinct()
       else deltas)
     val w = Window.partitionBy(col("seg")).orderBy(col("h"))
@@ -53,14 +54,17 @@ object IncrementalKmv {
       .withColumn("_r", row_number().over(w))
       .filter(col("_r") <= k).drop("_r")
       .withColumn("_batch", lit(batchId))
-    // bound: <= k rows per segment (KMV sketch size, fixed k)
-    TableSwap.writeStaged(spark, updated, sketchTable)
+    // bound: <= k rows per segment (KMV sketch size, fixed k).
+    // Full next version append-commits stamped with _batch
+    // (TableSwap.appendVersioned — the IncrementalAgg commit shape,
+    // identical crash contract, no per-fold staged swap)
+    TableSwap.appendVersioned(spark, updated, sketchTable)
   }
 
   /** The maintained sketches as a (seg, h) frame — feed to
     * [[SketchOps.overlapReport]] / [[SketchOps.kmvStats]]. */
   def readSketches(spark: SparkSession, sketchTable: String): DataFrame =
-    spark.table(sketchTable).select("seg", "h")
+    TableSwap.readVersioned(spark, sketchTable).select("seg", "h")
 
   /** Continuous maintenance: foreachBatch [[applyBatch]]. */
   def startIngestStream(df: DataFrame, sketchTable: String,

@@ -49,7 +49,9 @@ object IncrementalStats {
     val nd = col("n_live").cast("double")
     val svd = col("sv").cast("double")
     val sqd = col("sq").cast("double")
-    spark.table(aggTable).filter(col("n_live") > 0)
+    // versions append-commit (TableSwap.appendVersioned); serve the
+    // max-_batch version whole
+    TableSwap.readVersioned(spark, aggTable).filter(col("n_live") > 0)
       .select(col("g"), col("n_live"),
         (svd / 100.0).as("sum_value"),
         (col("mn").cast("double") / 100.0).as("min_value"),
@@ -148,7 +150,7 @@ object IncrementalStats {
 
     val zero = lit(java.math.BigDecimal.ZERO).cast(d38)
     val stored = if (exists)
-      spark.table(aggTable).drop("_batch")
+      TableSwap.readVersioned(spark, aggTable).drop("_batch")
         .withColumnRenamed("g", "sg")
     else
       deltas.limit(0).select(col("g").as("sg"), col("dn").as("n_live"),
@@ -202,7 +204,10 @@ object IncrementalStats {
       .withColumn("_batch", lit(batchId))
 
     // bound: groups-ever-seen (enum-like group key — caller
-    // contract); corpus-keyed groups belong in CdcMerge
-    TableSwap.writeStaged(spark, updated, aggTable)
+    // contract); corpus-keyed groups belong in CdcMerge. Full next
+    // version append-commits stamped with _batch (one atomic write
+    // instead of the staged swap's stage write + renames + drops per
+    // fold — the IncrementalAgg reasoning, identical crash contract)
+    TableSwap.appendVersioned(spark, updated, aggTable)
   }
 }

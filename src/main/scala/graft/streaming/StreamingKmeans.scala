@@ -42,7 +42,7 @@ object StreamingKmeans {
   def readCentroids(spark: SparkSession, table: String,
       scale: Long = 1000000L): DataFrame = {
     TableSwap.recover(spark, table, s"${table}_stage")
-    spark.table(table).select(col("cid"), col("n"),
+    TableSwap.readVersioned(spark, table).select(col("cid"), col("n"),
       transform(col("s"), x =>
         (x.cast("double") / col("n").cast("double")) / scale)
         .cast("array<float>").as("ce"))
@@ -94,7 +94,8 @@ object StreamingKmeans {
         // decay history before adding the batch. Integer `div`, never
         // `/` (double division truncates wrong and loses exactness
         // above 2^53 — the cdc15 lesson)
-        val old = spark.table(table).select(col("cid"),
+        val old = TableSwap.readVersioned(spark, table)
+          .select(col("cid"),
           expr(s"transform(s, x -> (x * ${decayNum}L) div ${decayDen}L)")
             .as("s"),
           expr(s"(n * ${decayNum}L) div ${decayDen}L").as("n"))
@@ -109,10 +110,10 @@ object StreamingKmeans {
     val out = merged.withColumn("_batch", lit(batchId))
 
     // bound: k centroid rows (StreamingKmeansSpec pins it).
-    // Stage the full next version, then the rename-chain
-    // swap — same crash-window reasoning as IncrementalAgg (a
-    // whole-table overwrite deletes files before its job commits)
-    TableSwap.writeStaged(spark, out, table)
+    // Full next version append-commits stamped with _batch
+    // (TableSwap.appendVersioned — the IncrementalAgg commit shape,
+    // identical crash contract, no per-fold staged swap)
+    TableSwap.appendVersioned(spark, out, table)
   }
 
   /** Continuous maintenance: foreachBatch mini-batch updates of the

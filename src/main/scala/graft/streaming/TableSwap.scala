@@ -112,7 +112,47 @@ object TableSwap {
     * once the table accretes past 64 files the append folds them down
     * through the staged swap (rare, control-plane sized). */
   def appendCommit(spark: SparkSession,
-      df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+      df: org.apache.spark.sql.DataFrame, table: String): Unit =
+    appendCommitLead(spark, df, table, None)
+
+  /** [[appendCommit]] generalized to VERSIONED bounded state — the
+    * append-commit fast path extended from 1-row watermarks to whole
+    * state versions: `df` is the COMPLETE next version of a
+    * control-plane-sized state table, every row stamped with the same
+    * monotone `lead` value (`_batch`). The commit appends the version
+    * (one atomic write job) instead of staging + swapping it in (a
+    * stage saveAsTable, two RENAMEs and three DROPs per fold — the
+    * same fixed driver cost the watermark append retired in r16, paid
+    * here by every maintained-aggregate/sketch fold). Readers take
+    * the max-`lead` version WHOLE via [[readVersioned]]; rows below
+    * the max are dead history, folded down past 64 files. Crash
+    * contract unchanged from the swap: the append commits atomically,
+    * so a crash mid-commit leaves the previous version served — and
+    * the version's own `lead` stamp doubles as the idempotence
+    * watermark, exactly as before. SIZE CONTRACT as [[writeStaged]]:
+    * bounded state only (the history multiplies storage by ≤64). */
+  def appendVersioned(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, table: String,
+      lead: String = "_batch"): Unit =
+    appendCommitLead(spark, df, table, Some(lead))
+
+  /** The max-`lead` version of an [[appendVersioned]] table, whole:
+    * a broadcast equi-join against the 1-row max-`lead` aggregate —
+    * no extra action, no single-task global window (the PlanQuality
+    * gate), two scans of a table the size contract keeps tiny. */
+  def readVersioned(spark: SparkSession, table: String,
+      lead: String = "_batch"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, max}
+    val t = spark.table(table)
+    t.join(
+        broadcast(t.groupBy().agg(max(col(lead)).as("_lead_max"))),
+        col(lead) === col("_lead_max"))
+      .drop("_lead_max")
+  }
+
+  private def appendCommitLead(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, table: String,
+      lead: Option[String]): Unit = {
     val stage = s"${table}_stage"
     recover(spark, table, stage) // heal a legacy staged-swap crash
     if (!spark.catalog.tableExists(table)) {
@@ -121,6 +161,7 @@ object TableSwap {
       CdcMerge.dropStateTable(spark, table)
       df.coalesce(1)
         .write.mode("overwrite").format("parquet").saveAsTable(table)
+      fileCounts(spark).put(table, 1)
     } else {
       df.coalesce(1).write.mode("append").insertInto(table)
       // same-session readers hold a cached file listing that predates
@@ -130,23 +171,53 @@ object TableSwap {
       spark.catalog.refreshTable(table)
       // bound the accretion (one tiny file per fold): past 64 files,
       // fold history down to the committed rows via the staged swap.
-      // File count is a driver-side listing — no job on the hot path.
-      if (spark.table(table).inputFiles.length > 64) {
-        val lead = spark.table(table).columns.head
+      // The count is a session-local counter seeded from ONE listing
+      // per table (a fresh session inherits an unknown file count) —
+      // the previous per-fold `inputFiles` listing was a real
+      // per-fold metadata round-trip on object stores.
+      val counts = fileCounts(spark)
+      val n = counts.getOrDefault(table, -1) match {
+        case -1 => spark.table(table).inputFiles.length + 1
+        case c  => c + 1
+      }
+      counts.put(table, n)
+      if (n > 64) {
+        val leadCol = lead.getOrElse(spark.table(table).columns.head)
         val maxLead = spark.table(table)
           .agg(org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.col(lead)))
+            org.apache.spark.sql.functions.col(leadCol)))
           .collect()(0)
         if (!maxLead.isNullAt(0)) {
           val keep = spark.table(table)
-            .filter(org.apache.spark.sql.functions.col(lead) ===
+            .filter(org.apache.spark.sql.functions.col(leadCol) ===
               maxLead.get(0))
             .localCheckpoint() // pin before the swap renames the source
-          writeStaged(spark, keep, table)
+          // the fold-down swap pins `keep` across the rename chain;
+          // release its blocks once the swap holds the data (they
+          // otherwise accumulate one per fold-down for the session)
+          try writeStaged(spark, keep, table)
+          finally {
+            org.apache.spark.sql.graftbridge.CheckpointBridge
+              .freeLocalCheckpoint(keep)
+            ()
+          }
+          counts.put(table, 1)
         }
       }
     }
   }
+
+  // per-session append-file counters for [[appendCommit]]'s accretion
+  // bound: value = file count after the latest append (-1 sentinel =
+  // unseen). Weak keys so a discarded session's map can be collected.
+  private val appendFiles = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Int]]())
+
+  private def fileCounts(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, Int] =
+    appendFiles.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Int]())
 
   /** Swap the fully-written `stage` table in as `table`. */
   def swapIn(spark: SparkSession, stage: String, table: String): Unit = {

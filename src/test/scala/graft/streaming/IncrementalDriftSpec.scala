@@ -28,9 +28,11 @@ class IncrementalDriftSpec extends SparkSpec {
     IncrementalDrift.applyBatch(spark, curT, part(0), 0L)
     IncrementalDrift.applyBatch(spark, curT, part(1), 1L)
     // redelivery under the original id: cells unchanged
-    val before = spark.table(curT).collect().toSet
+    val before = TableSwap.readVersioned(spark, curT)
+      .collect().toSet
     IncrementalDrift.applyBatch(spark, curT, part(1), 1L)
-    assert(spark.table(curT).collect().toSet == before)
+    assert(TableSwap.readVersioned(spark, curT)
+      .collect().toSet == before)
     IncrementalDrift.applyBatch(spark, curT, part(2), 2L)
 
     val inc = IncrementalDrift.driftReport(spark, refT, curT)
@@ -50,7 +52,8 @@ class IncrementalDriftSpec extends SparkSpec {
     def part(i: Int) = cur.filter(pmod($"vec_id", lit(6)) === 2 * i + 1)
     (0 to 2).foreach(i =>
       IncrementalDrift.applyBatch(spark, curT, part(i), i.toLong))
-    val got = spark.table(curT).select("dim", "bin", "cnt", "vsum")
+    val got = TableSwap.readVersioned(spark, curT)
+      .select("dim", "bin", "cnt", "vsum")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSet
     val want = CurationOps.embeddingHistogram(cur)

@@ -31,9 +31,11 @@ class IncrementalDsirSpec extends SparkSpec {
     IncrementalDsir.applyBatch(spark, table, part(0), "tgt", 0L)
     IncrementalDsir.applyBatch(spark, table, part(1), "tgt", 1L)
     // redelivery of batch 1 under its original id: must change nothing
-    val before = spark.table(table).collect().toSet
+    val before = TableSwap.readVersioned(spark, table)
+      .collect().toSet
     IncrementalDsir.applyBatch(spark, table, part(1), "tgt", 1L)
-    assert(spark.table(table).collect().toSet == before)
+    assert(TableSwap.readVersioned(spark, table)
+      .collect().toSet == before)
     IncrementalDsir.applyBatch(spark, table, part(2), "tgt", 2L)
 
     val inc = IncrementalDsir.weightsFor(spark, table, docs)
@@ -51,7 +53,9 @@ class IncrementalDsirSpec extends SparkSpec {
     (0 to 2).foreach(i =>
       IncrementalDsir.applyBatch(spark, table, part(i), "tgt", i.toLong,
         buckets = 16))
-    assert(spark.table(table).count() <= 16L)
+    // the SERVED version stays <= nBuckets rows; physical history
+    // is bounded by appendVersioned's 64-file fold-down
+    assert(TableSwap.readVersioned(spark, table).count() <= 16L)
     freshTable()
   }
 
@@ -62,7 +66,7 @@ class IncrementalDsirSpec extends SparkSpec {
     def part(i: Int) = docs.filter(pmod($"doc_id", lit(3)) === i)
     (0 to 2).foreach(i =>
       IncrementalDsir.applyBatch(spark, table, part(i), "tgt", i.toLong))
-    val maintained = spark.table(table)
+    val maintained = TableSwap.readVersioned(spark, table)
       .select($"bucket", $"corpus_cnt", $"target_cnt")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap

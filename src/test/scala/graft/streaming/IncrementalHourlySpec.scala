@@ -38,7 +38,7 @@ class IncrementalHourlySpec extends SparkSpec {
     Seq(2, 0, 1).zipWithIndex.foreach { case (p, bid) =>
       IncrementalHourly.applyBatch(spark, table, part(p), bid.toLong)
     }
-    val got = cells(spark.table(table)
+    val got = cells(TableSwap.readVersioned(spark, table)
       .select("event_type", "hr", "cnt"))
     assert(got == cells(TemporalOps.hourlyCounts(ev)) && got.nonEmpty)
     val rep = IncrementalHourly.anomalyReport(spark, table)
@@ -53,13 +53,13 @@ class IncrementalHourlySpec extends SparkSpec {
     freshTable()
     def part(i: Int) = ev.filter(pmod(dayofmonth($"ts"), lit(3)) === i)
     IncrementalHourly.applyBatch(spark, table, part(0), 0L)
-    val before = cells(spark.table(table)
+    val before = cells(TableSwap.readVersioned(spark, table)
       .select("event_type", "hr", "cnt"))
     IncrementalHourly.applyBatch(spark, table, part(0), 0L)
-    assert(cells(spark.table(table)
+    assert(cells(TableSwap.readVersioned(spark, table)
       .select("event_type", "hr", "cnt")) == before)
     IncrementalHourly.applyBatch(spark, table, part(0), 1L)
-    val after = cells(spark.table(table)
+    val after = cells(TableSwap.readVersioned(spark, table)
       .select("event_type", "hr", "cnt"))
     assert(after == before.map { case (t, h, c) => (t, h, 2 * c) })
   }

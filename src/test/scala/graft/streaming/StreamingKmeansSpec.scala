@@ -24,7 +24,8 @@ class StreamingKmeansSpec extends SparkSpec {
     (6L, Array(0f, 1f, 0f, 0f)), (7L, Array(0.25f, 0.75f, 0f, 0f)))
 
   private def stateOf(table: String): Map[Long, (Seq[Long], Long)] =
-    spark.table(table).select("cid", "s", "n").collect()
+    TableSwap.readVersioned(spark, table)
+      .select("cid", "s", "n").collect()
       .map(r => r.getLong(0) ->
         (r.getSeq[Long](1).toList, r.getLong(2))).toMap
 
