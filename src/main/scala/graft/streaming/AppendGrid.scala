@@ -56,6 +56,7 @@ object AppendGrid {
     // renaming a directory-partitioned managed table drops partition
     // metadata (the rebucket finding) — repair after every rename
     spark.sql(s"ALTER TABLE $from RENAME TO $to")
+    CdcMerge.invalidateProps(to)
     spark.sql(s"MSCK REPAIR TABLE $to")
   }
 

@@ -54,17 +54,50 @@ object CdcMerge {
 
   /** Record `nBuckets` on a freshly-created state table. */
   def setNBuckets(spark: SparkSession, table: String,
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
       s"('$NBucketsProp'='$nBuckets')")
+    invalidateProps(table)
+  }
 
   /** The bucket count `table` was created with, if recorded (tables
     * created before the property existed return None and skip the
     * check — they keep the caller-discipline contract). */
   def tableNBuckets(spark: SparkSession, table: String): Option[Int] =
-    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .find(_.getString(0) == NBucketsProp)
-      .map(_.getString(1).toInt)
+    cachedProps(spark, table).get(NBucketsProp).map(_.toInt)
+
+  // ----- graft.* table-property cache ---------------------------------
+  // Every fold of every maintained table re-ran `SHOW TBLPROPERTIES`
+  // (requireNBuckets + per-operator params) — a parsed, planned and
+  // executed driver command per call, several per fold across the
+  // whole maintained-index family. The properties are LIFETIME-FIXED
+  // per table by contract (nBuckets/params never change; renames
+  // carry them), so one read per (session, table) is exact, with
+  // invalidation at the only mutators: set*/dropStateTable (rebucket
+  // goes through both). Keyed per session: the dynamic-overwrite
+  // clone shares the catalog but resolves names identically, so a
+  // per-session map only costs one extra read per clone.
+  private val propsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        Map[String, String]]]())
+
+  private def cachedProps(spark: SparkSession,
+      table: String): Map[String, String] =
+    propsCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String,
+          Map[String, String]]())
+      .computeIfAbsent(table, t =>
+        spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+          .filter(_._1.startsWith("graft.")).toMap)
+
+  /** Drop `table`'s cached graft.* properties in EVERY session's map
+    * (a drop/recreate through any session must not serve stale
+    * props to another). */
+  def invalidateProps(table: String): Unit = propsCache.synchronized {
+    propsCache.values.forEach(m => { m.remove(table); () })
+  }
 
   /** Fail fast when a caller's `nBuckets` disagrees with what the
     * table was built with. One catalog read — control-plane cost. */
@@ -82,24 +115,22 @@ object CdcMerge {
     * table (the [[NBucketsProp]] mechanism, generalized — e.g. the
     * span grid's spanLen). */
   def setTableProp(spark: SparkSession, table: String, key: String,
-      value: String): Unit =
+      value: String): Unit = {
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
       s"('$key'='$value')")
+    invalidateProps(table)
+  }
 
   /** Read a table property, if recorded. */
   def tableProp(spark: SparkSession, table: String,
       key: String): Option[String] =
-    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .find(_.getString(0) == key)
-      .map(_.getString(1))
+    cachedProps(spark, table).get(key)
 
   /** All recorded `graft.*` lifetime parameters — what a staged
     * rewrite must carry over to the replacement table. */
   def graftProps(spark: SparkSession,
       table: String): Seq[(String, String)] =
-    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => (r.getString(0), r.getString(1)))
-      .filter(_._1.startsWith("graft.")).toSeq
+    cachedProps(spark, table).toSeq
 
   /** Run `body` against a PRIVATE session clone whose
     * `partitionOverwriteMode` is dynamic — `body` receives the clone
@@ -146,6 +177,7 @@ object CdcMerge {
     * leaves the stale location to fail the next `saveAsTable` with
     * LOCATION_ALREADY_EXISTS. */
   def dropStateTable(spark: SparkSession, table: String): Unit = {
+    invalidateProps(table)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
@@ -283,7 +315,39 @@ object CdcMerge {
       batch: DataFrame, keyCols: Seq[String], versionCols: Seq[String],
       nBuckets: Int,
       beforeCommit: (DataFrame, DataFrame) => Unit = (_, _) => (),
-      partitionCols: Seq[String] = Nil): Unit = FoldTimer.timed {
+      partitionCols: Seq[String] = Nil): Unit = {
+    applyBatchKeyedImpl(spark, table, batch, keyCols, versionCols,
+      nBuckets, beforeCommit, partitionCols, retain = false)
+    ()
+  }
+
+  /** [[applyBatchKeyed]] that HANDS BACK the committed merge's
+    * checkpointed frame: Some((rows, touched)) where `rows` is the
+    * post-merge content of the touched `_kb` buckets (exactly what a
+    * post-commit [[readStateBuckets]] of `touched` returns, `_kb`
+    * included) and `touched` the bucket ids. The incremental-view
+    * family reads the post-merge state of exactly those buckets right
+    * after the merge — re-reading the table re-paid the listing, scan
+    * and plan per fold (measured across cdc26/cdc27 in the r17
+    * probe); the checkpoint is already materialized for the commit,
+    * so the handoff is free. None on the create/empty/no-op paths
+    * (caller falls back to the table read). The CALLER must free the
+    * frame via CheckpointBridge.freeLocalCheckpoint when done. */
+  def applyBatchKeyedRetained(spark: SparkSession, table: String,
+      batch: DataFrame, keyCols: Seq[String], versionCols: Seq[String],
+      nBuckets: Int,
+      partitionCols: Seq[String] = Nil)
+      : Option[(DataFrame, Array[Long])] =
+    applyBatchKeyedImpl(spark, table, batch, keyCols, versionCols,
+      nBuckets, (_, _) => (), partitionCols, retain = true)
+
+  private def applyBatchKeyedImpl(spark: SparkSession, table: String,
+      batch: DataFrame, keyCols: Seq[String], versionCols: Seq[String],
+      nBuckets: Int,
+      beforeCommit: (DataFrame, DataFrame) => Unit,
+      partitionCols: Seq[String],
+      retain: Boolean): Option[(DataFrame, Array[Long])]
+      = FoldTimer.timed {
     val pCols = if (partitionCols.isEmpty) keyCols else partitionCols
     val byVersion = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(versionCols.map(col(_).desc): _*)
@@ -304,7 +368,7 @@ object CdcMerge {
       // the empty-batch check — no separate isEmpty job.
       val touched = upserts.select("_kb").distinct()
         .collect().map(_.getLong(0))
-      if (touched.isEmpty) return
+      if (touched.isEmpty) return None
 
       if (!spark.catalog.tableExists(table)) {
         // a crash during a previous create can leave a partial
@@ -318,7 +382,7 @@ object CdcMerge {
           .write.mode("overwrite").format("parquet")
           .partitionBy("_kb").saveAsTable(table)
         setNBuckets(spark, table, nBuckets)
-        return
+        return None
       }
 
       requireNBuckets(spark, table, nBuckets)
@@ -349,6 +413,7 @@ object CdcMerge {
       // clone through a GLOBAL temp view (plan is a session-agnostic
       // LogicalRDD leaf; verified by DynBridgeProbe).
       val merged2 = merged.repartition(col("_kb")).localCheckpoint()
+      var committed = false
       try {
         // state table still holds the OLD rows here; the checkpoint is
         // the post-merge snapshot — the hook sees a consistent
@@ -366,9 +431,13 @@ object CdcMerge {
         // — observed through a read-merge-read sequence); refresh is
         // metadata-only
         spark.catalog.refreshTable(table)
+        committed = true
+        if (retain) Some((merged2, touched)) else None
       } finally {
-        org.apache.spark.sql.graftbridge.CheckpointBridge
-          .freeLocalCheckpoint(merged2)
+        if (!(retain && committed)) {
+          org.apache.spark.sql.graftbridge.CheckpointBridge
+            .freeLocalCheckpoint(merged2)
+        }
         ()
       }
     } finally upserts.unpersist()

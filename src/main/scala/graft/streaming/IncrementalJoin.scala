@@ -49,39 +49,73 @@ object IncrementalJoin {
       rightVersionCols: Seq[String], nBuckets: Int = 8,
       leftOpCol: String = "event_type", rightOpCol: String = "event_type",
       deleteOp: String = "Delete"): Unit = FoldTimer.timed {
-    leftBatch.foreach(b => CdcMerge.applyBatch(spark, leftTable, b,
-      keyCol, leftVersionCols, nBuckets))
-    rightBatch.foreach(b => CdcMerge.applyBatch(spark, rightTable, b,
-      keyCol, rightVersionCols, nBuckets))
-    val dirty = (leftBatch.toSeq ++ rightBatch.toSeq)
-      .map(_.select(col(keyCol)))
-      .reduceOption(_ unionByName _)
-      .map(_.distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      .getOrElse(return)
+    // merges HAND BACK their committed checkpointed frames (the
+    // post-merge touched buckets): the view recompute below reads the
+    // post-merge state of exactly those buckets, and re-reading the
+    // table paid a second listing + scan + plan per side per fold
+    // (the r17 probe's top remaining cdc26/27 cost)
+    val lKeep = leftBatch.flatMap(b => CdcMerge.applyBatchKeyedRetained(
+      spark, leftTable, b, Seq(keyCol), leftVersionCols, nBuckets))
+    val rKeep = rightBatch.flatMap(b => CdcMerge.applyBatchKeyedRetained(
+      spark, rightTable, b, Seq(keyCol), rightVersionCols, nBuckets))
     try {
-      // touched view partitions: driver-side but bounded by nBuckets;
-      // derived from the DIRTY KEYS, not from fresh rows, so a key
-      // whose join vanished still gets its partition rewritten
-      val touched = dirty
-        .select(pmod(xxhash64(col(keyCol)), lit(nBuckets)).as("_kb"))
-        .distinct().collect().map(_.getLong(0))
-      if (touched.isEmpty) return
+      val dirty = (leftBatch.toSeq ++ rightBatch.toSeq)
+        .map(_.select(col(keyCol)))
+        .reduceOption(_ unionByName _)
+        .map(_.distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .getOrElse(return)
+      try {
+        // touched view partitions: driver-side but bounded by nBuckets;
+        // derived from the DIRTY KEYS, not from fresh rows, so a key
+        // whose join vanished still gets its partition rewritten
+        val touched = dirty
+          .select(pmod(xxhash64(col(keyCol)), lit(nBuckets)).as("_kb"))
+          .distinct().collect().map(_.getLong(0))
+        if (touched.isEmpty) return
 
-      // state reads prune to the dirty keys' buckets FIRST (every
-      // dirty key's state rows hash there — same key, same formula),
-      // then semi-join: scan ∝ touched buckets, never ∝ state size
-      val l = CdcMerge.readStateBuckets(spark, leftTable,
-          touched.toSeq, leftOpCol, deleteOp, nBuckets = nBuckets)
-        .join(broadcast(dirty), Seq(keyCol), "left_semi")
-      val r = CdcMerge.readStateBuckets(spark, rightTable,
-          touched.toSeq, rightOpCol, deleteOp, nBuckets = nBuckets)
-        .join(broadcast(dirty), Seq(keyCol), "left_semi")
-      val fresh = l.join(r, Seq(keyCol))
-        .withColumn("_kb", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
-      rewriteView(spark, viewTable, keyCol, dirty, touched, fresh)
-    } finally dirty.unpersist()
+        val l = stateSide(spark, leftTable, touched, lKeep, leftOpCol,
+            deleteOp, nBuckets)
+          .join(broadcast(dirty), Seq(keyCol), "left_semi")
+        val r = stateSide(spark, rightTable, touched, rKeep, rightOpCol,
+            deleteOp, nBuckets)
+          .join(broadcast(dirty), Seq(keyCol), "left_semi")
+        val fresh = l.join(r, Seq(keyCol))
+          .withColumn("_kb", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
+        rewriteView(spark, viewTable, keyCol, dirty, touched, fresh)
+      } finally dirty.unpersist()
+    } finally freeKeeps(lKeep, rKeep)
   }
+
+  /** Post-merge state of the `touched` buckets, tombstones filtered:
+    * served from the merge's retained checkpoint where it covers the
+    * bucket, from the table only for buckets the merge never touched
+    * (dirty keys arriving on the OTHER side only). Falls back to the
+    * plain pruned table read when no frame was retained (create path,
+    * absent batch). */
+  private[streaming] def stateSide(spark: SparkSession, table: String,
+      touched: Array[Long], keep: Option[(DataFrame, Array[Long])],
+      opCol: String, deleteOp: String, nBuckets: Int): DataFrame =
+    keep match {
+      case Some((merged, mTouched)) =>
+        val fromMerge = merged
+          .filter(col(opCol) =!= deleteOp).drop("_kb")
+        val extra = touched.filterNot(mTouched.toSet)
+        if (extra.isEmpty) fromMerge
+        else fromMerge.unionByName(CdcMerge.readStateBuckets(spark,
+          table, extra.toSeq, opCol, deleteOp, nBuckets = nBuckets))
+      case None =>
+        CdcMerge.readStateBuckets(spark, table, touched.toSeq, opCol,
+          deleteOp, nBuckets = nBuckets)
+    }
+
+  private[streaming] def freeKeeps(
+      keeps: Option[(DataFrame, Array[Long])]*): Unit =
+    keeps.flatten.foreach { case (df, _) =>
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .freeLocalCheckpoint(df)
+      ()
+    }
 
   /** Dirty-key partition rewrite shared by the incremental view
     * family ([[IncrementalJoin]], [[IncrementalNearestJoin]]): replace

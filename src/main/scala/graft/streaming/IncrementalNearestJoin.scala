@@ -76,43 +76,45 @@ object IncrementalNearestJoin {
     // recompute below reads only those partitions. The partition-col
     // stability invariant holds by construction: an event's join key
     // is part of its content, not its version.
-    leftBatch.foreach(b => CdcMerge.applyBatchKeyed(spark, leftTable,
-      b, Seq(leftIdCol), leftVersionCols, nBuckets,
+    // merges hand back their committed checkpointed frames — the view
+    // recompute reads the post-merge touched buckets from them instead
+    // of re-reading the tables (see IncrementalJoin.applyBatch)
+    val lKeep = leftBatch.flatMap(b => CdcMerge.applyBatchKeyedRetained(
+      spark, leftTable, b, Seq(leftIdCol), leftVersionCols, nBuckets,
       partitionCols = Seq(joinKey)))
-    rightBatch.foreach(b => CdcMerge.applyBatchKeyed(spark, rightTable,
-      b, Seq(rightIdCol), rightVersionCols, nBuckets,
+    val rKeep = rightBatch.flatMap(b => CdcMerge.applyBatchKeyedRetained(
+      spark, rightTable, b, Seq(rightIdCol), rightVersionCols, nBuckets,
       partitionCols = Seq(joinKey)))
-    val dirty = (leftBatch.toSeq ++ rightBatch.toSeq)
-      .map(_.select(col(joinKey)))
-      .reduceOption(_ unionByName _)
-      .map(_.distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      .getOrElse(return)
     try {
-      // touched view partitions: driver-side but bounded by nBuckets;
-      // derived from the DIRTY KEYS, not from fresh rows, so a key
-      // whose rows all vanished still gets its partition rewritten
-      val touched = dirty
-        .select(pmod(xxhash64(col(joinKey)), lit(nBuckets)).as("_kb"))
-        .distinct().collect().map(_.getLong(0))
-      if (touched.isEmpty) return
+      val dirty = (leftBatch.toSeq ++ rightBatch.toSeq)
+        .map(_.select(col(joinKey)))
+        .reduceOption(_ unionByName _)
+        .map(_.distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .getOrElse(return)
+      try {
+        // touched view partitions: driver-side but bounded by nBuckets;
+        // derived from the DIRTY KEYS, not from fresh rows, so a key
+        // whose rows all vanished still gets its partition rewritten
+        val touched = dirty
+          .select(pmod(xxhash64(col(joinKey)), lit(nBuckets)).as("_kb"))
+          .distinct().collect().map(_.getLong(0))
+        if (touched.isEmpty) return
 
-      // state reads prune to the dirty keys' buckets FIRST (every
-      // dirty key's state rows hash there — same key, same formula),
-      // then semi-join: scan ∝ touched buckets, never ∝ state size
-      val l = CdcMerge.readStateBuckets(spark, leftTable,
-          touched.toSeq, leftOpCol, deleteOp, nBuckets = nBuckets)
-        .join(broadcast(dirty), Seq(joinKey), "left_semi")
-      val r = rightPrep(
-        CdcMerge.readStateBuckets(spark, rightTable,
-            touched.toSeq, rightOpCol, deleteOp, nBuckets = nBuckets)
-          .join(broadcast(dirty), Seq(joinKey), "left_semi"))
-      val fresh = graft.operators.TemporalOps.nearestJoin(
-          l, r, joinKey, joinKey, leftTime, rightTime, valueCols)
-        .withColumn("_kb", pmod(xxhash64(col(joinKey)), lit(nBuckets)))
-      IncrementalJoin.rewriteView(spark, viewTable, joinKey, dirty,
-        touched, fresh)
-    } finally dirty.unpersist()
+        val l = IncrementalJoin.stateSide(spark, leftTable, touched,
+            lKeep, leftOpCol, deleteOp, nBuckets)
+          .join(broadcast(dirty), Seq(joinKey), "left_semi")
+        val r = rightPrep(
+          IncrementalJoin.stateSide(spark, rightTable, touched,
+              rKeep, rightOpCol, deleteOp, nBuckets)
+            .join(broadcast(dirty), Seq(joinKey), "left_semi"))
+        val fresh = graft.operators.TemporalOps.nearestJoin(
+            l, r, joinKey, joinKey, leftTime, rightTime, valueCols)
+          .withColumn("_kb", pmod(xxhash64(col(joinKey)), lit(nBuckets)))
+        IncrementalJoin.rewriteView(spark, viewTable, joinKey, dirty,
+          touched, fresh)
+      } finally dirty.unpersist()
+    } finally IncrementalJoin.freeKeeps(lKeep, rKeep)
   }
 
   /** The maintained view, without the bucketing column. */

@@ -241,11 +241,13 @@ object LakehouseSink {
       // holds the same rows post-rewrite if _old is somehow gone too
       // — including the OTHER service's stage from an earlier crash.
       val stage = allStages.find(spark.catalog.tableExists)
-      if (spark.catalog.tableExists(old))
+      if (spark.catalog.tableExists(old)) {
         spark.sql(s"ALTER TABLE $old RENAME TO $table")
-      else if (stage.isDefined)
+        CdcMerge.invalidateProps(table)
+      } else if (stage.isDefined) {
         spark.sql(s"ALTER TABLE ${stage.get} RENAME TO $table")
-      else throw new IllegalStateException(
+        CdcMerge.invalidateProps(table)
+      } else throw new IllegalStateException(
         s"rewrite($table): table does not exist and no crash leftovers " +
           s"($old / ${allStages.mkString(" / ")}) to recover from")
     }
@@ -265,6 +267,7 @@ object LakehouseSink {
         throw e
     }
     spark.sql(s"DROP TABLE $old")
+    CdcMerge.invalidateProps(table)
   }
 
   /** Streaming ingestion into the bucketed table via foreachBatch.

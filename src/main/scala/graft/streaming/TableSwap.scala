@@ -46,12 +46,15 @@ object TableSwap {
       stage: String): Unit = {
     val old = s"${table}_old"
     if (!spark.catalog.tableExists(table)) {
-      if (spark.catalog.tableExists(old))
+      if (spark.catalog.tableExists(old)) {
         spark.sql(s"ALTER TABLE $old RENAME TO $table")
-      else if (spark.catalog.tableExists(stage))
+        CdcMerge.invalidateProps(table)
+      } else if (spark.catalog.tableExists(stage)) {
         // crash after the old table was renamed away and dropped: the
         // staged content is the complete next version — promote it
         spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+        CdcMerge.invalidateProps(table)
+      }
     }
   }
 
@@ -238,8 +241,11 @@ object TableSwap {
         if (!spark.catalog.tableExists(table) &&
             spark.catalog.tableExists(old))
           spark.sql(s"ALTER TABLE $old RENAME TO $table")
+        CdcMerge.invalidateProps(table)
         throw e
     }
     spark.sql(s"DROP TABLE IF EXISTS $old")
+    // the swapped-in table carries the STAGE's properties
+    CdcMerge.invalidateProps(table)
   }
 }
