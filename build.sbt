@@ -58,7 +58,7 @@ val testForkCount = sys.env.getOrElse("SPARK_GRAFT_TEST_FORKS", "6").toInt
 // measured seconds per suite (r17 baseline); only the RELATIVE order
 // matters for packing — a stale entry costs balance, never correctness
 val suiteWeights: Map[String, Int] = Map(
-  "graft.PlanQualitySpec" -> 468,
+  "graft.PlanQualitySpec" -> 130, // plans map now built on a pool
   "graft.streaming.IncrementalPageRankSpec" -> 195,
   "graft.streaming.ErasureSpec" -> 108,
   "graft.streaming.IncrementalSpansSpec" -> 68,

@@ -252,8 +252,22 @@ object DedupOps {
     * elsewhere (the incremental LSH index, a cross-corpus probe).
     * Same candidates-first join shape: work ∝ |candidates| · shingles
     * per doc, never shingle×shingle. */
-  def verifyPairs(shingles: DataFrame, cands: DataFrame,
+  def verifyPairs(shinglesRaw: DataFrame, cands: DataFrame,
       minJ: Double): DataFrame = {
+    // the shingle explosion feeds three subtrees of ONE action (sizes,
+    // both intersection sides) whose differing aliases defeat exchange
+    // reuse — persist it once, drained by the caller's
+    // unpersistShingleCaches like every other shingle cache (measured
+    // in the r17 cdc54 probe: the explosion ran 3x per serve)
+    val shingles =
+      if (sys.env.get("GRAFT_DEDUP_NOCACHE").contains("true"))
+        shinglesRaw
+      else {
+        val p = shinglesRaw.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        liveCaches.add(p)
+        p
+      }
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sa = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
     val sb = shingles.select(col("doc_id").as("doc_b"), col("shingle"))

@@ -520,7 +520,7 @@ object AppendGrid {
       // reads the table it overwrites. Hash collisions may co-locate
       // two buckets in one partition; the filter below still reads
       // each bucket's rows contiguous and sorted.
-      val merged = sorted.localCheckpoint()
+      val merged = CdcMerge.commitCheckpoint(sorted)
       try {
         // ONE dynamic-partition overwrite for every fragmented bucket
         // (was: one static INSERT per bucket — nBuckets serial write

@@ -171,6 +171,30 @@ object CdcMerge {
   private val dynSessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, SparkSession]())
 
+  /** The COMMIT-SHAPE checkpoint behind the in-place dynamic-overwrite
+    * writes (merge, view rewrite, compaction, kNN repair): the frame
+    * must be materialized before its insert targets the table it was
+    * read from. `localCheckpoint()` by default — fastest, but its
+    * blocks live UNREPLICATED on executors with lineage truncated, so
+    * on a real cluster an executor loss mid-commit fails the fold job
+    * (the stream's at-least-once replay then re-runs the fold;
+    * correctness is never at stake, only the retry's cost). Above the
+    * scale where that retry is expensive, set
+    * `spark.graft.commit.reliable=true` AND a
+    * `sparkContext.setCheckpointDir` — the commit then goes through
+    * Spark's RELIABLE (DFS-backed) checkpoint and survives executor
+    * loss. Local default stays `false`: on local[n] there are no
+    * executor losses and the bench must stay comparable. SCALE.md
+    * documents the trade-off and the switch. */
+  private[streaming] def commitCheckpoint(
+      df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf
+      .get("spark.graft.commit.reliable", "false").toBoolean &&
+      spark.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+  }
+
   /** Drop a state table AND its warehouse location. The catalog is
     * per-session but managed-table directories persist across sessions;
     * a fresh session's `DROP TABLE IF EXISTS` alone is a no-op that
@@ -412,7 +436,7 @@ object CdcMerge {
       // checkpointed frame crosses into the dynamic-overwrite session
       // clone through a GLOBAL temp view (plan is a session-agnostic
       // LogicalRDD leaf; verified by DynBridgeProbe).
-      val merged2 = merged.repartition(col("_kb")).localCheckpoint()
+      val merged2 = commitCheckpoint(merged.repartition(col("_kb")))
       var committed = false
       try {
         // state table still holds the OLD rows here; the checkpoint is

@@ -242,11 +242,10 @@ object IncrementalAnn {
     // commit shape: checkpoint cuts the self-read lineage, global
     // temp view bridges into the session clone) — retires the staged
     // table this path wrote and re-read per delete
-    val kept = spark.table(table)
+    val kept = CdcMerge.commitCheckpoint(spark.table(table)
       .filter(col("cid").isin(cids.toSeq: _*))
       .join(keyed, Seq("vec_id"), "left_anti")
-      .repartition(col("cid"))
-      .localCheckpoint(true)
+      .repartition(col("cid")))
     try {
       val keptCids = kept.select("cid").distinct()
         .collect().map(_.getLong(0)).toSet

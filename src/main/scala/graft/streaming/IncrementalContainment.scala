@@ -272,6 +272,9 @@ object IncrementalContainment {
     // bucket-pruned point reads under idCap, semi-join fallback above
     val fwd = committedForward(spark, table)
     val candRows = candDocs.limit(idCap + 1).collect()
+    // materialized ONCE: the candidates' posting rows feed the key
+    // collect below AND the kept/verify pipeline — the lazy form
+    // scanned the forward twin twice per serve (r17 probe)
     val subGrid =
       (if (candRows.length <= idCap) {
          val ids = candRows.map(_.getLong(0)).toSeq
@@ -281,6 +284,7 @@ object IncrementalContainment {
        } else
          fwd.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
         .select("doc_id", "shingle")
+        .localCheckpoint() // bounded: candidate docs × their shingles
     val keys = subGrid.select("shingle").distinct().localCheckpoint()
     val keyKbs = bucketIds(keys, "shingle", nBuckets)
     val dfAll = grid.filter(col("_kb").isin(keyKbs: _*))

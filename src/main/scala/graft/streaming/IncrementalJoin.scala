@@ -157,7 +157,8 @@ object IncrementalJoin {
     // Crash contract unchanged: the insert replaces touched
     // partitions at job commit; a crash before that leaves the view
     // untouched and the replayed batch rewrites identical partitions.
-    val merged2 = merged.repartition(col("_kb")).localCheckpoint()
+    val merged2 =
+      CdcMerge.commitCheckpoint(merged.repartition(col("_kb")))
     try {
       val stagedKbs = merged2.select("_kb").distinct()
         .collect().map(_.getLong(0)).toSet

@@ -368,7 +368,7 @@ object IncrementalKnnGraph {
                 .select(col("vec_id"), col("embedding"), col("en"),
                   col("kth_cos"), col("cid"))
                 .repartition(col("cid"))
-                .localCheckpoint(true)
+                .transform(CdcMerge.commitCheckpoint)
               try rewritten
                 .select(w.table(probesT).columns.toSeq.map(col): _*)
                 .write.mode("overwrite").insertInto(probesT)
@@ -633,7 +633,7 @@ object IncrementalKnnGraph {
         .select(col("vec_id"), col("embedding"), col("en"),
           col("kth_cos"), col("cid"))
         .repartition(col("cid"))
-        .localCheckpoint(true)
+        .transform(CdcMerge.commitCheckpoint)
       try {
         val bridge = s"${probesT}_del_src"
         rewritten.createOrReplaceGlobalTempView(bridge)
@@ -705,9 +705,8 @@ object IncrementalKnnGraph {
     // table this path wrote, re-read, SHOW-PARTITIONS-ed and dropped
     // per delete; the surviving (_b, _kb) partition inventory now
     // comes from the checkpointed frame itself
-    val merged = kept.unionByName(repairStamped)
-      .repartition(col("_kb"))
-      .localCheckpoint(true)
+    val merged = CdcMerge.commitCheckpoint(
+      kept.unionByName(repairStamped).repartition(col("_kb")))
     try {
       val bridge = s"${table}_del_src"
       merged.createOrReplaceGlobalTempView(bridge)

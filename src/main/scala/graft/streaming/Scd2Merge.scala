@@ -98,7 +98,8 @@ object Scd2Merge {
       // non-empty (it holds at least the batch's own events), so no
       // drained-partition handling is needed.
       val cols = spark.table(table).columns
-      val merged2 = merged.repartition(col("_kb")).localCheckpoint()
+      val merged2 =
+        CdcMerge.commitCheckpoint(merged.repartition(col("_kb")))
       try {
         val bridge = s"${table}_scd2_src"
         merged2.createOrReplaceGlobalTempView(bridge)

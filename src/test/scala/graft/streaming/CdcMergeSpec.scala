@@ -28,6 +28,31 @@ class CdcMergeSpec extends SparkSpec {
       .select("k", "event_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("reliable commit checkpoint: merges converge identically with " +
+      "spark.graft.commit.reliable=true") {
+    // the commit-shape checkpoint (CdcMerge.commitCheckpoint) swaps
+    // localCheckpoint for the DFS-backed reliable checkpoint when the
+    // conf + a checkpoint dir are set — same rows, same tables, only
+    // the materialization's fault tolerance changes (SCALE.md row)
+    val t = "merge_reliable"
+    Seq(t, s"${t}_stage").foreach(CdcMerge.dropStateTable(spark, _))
+    val ckDir = tmpDir("graft-reliable-ck")
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set("spark.graft.commit.reliable", "true")
+    try {
+      apply1(t, env(
+        (1L, "2026-01-01 00:00:01", "Insert", 1L),
+        (2L, "2026-01-01 00:00:02", "Insert", 2L)))
+      apply1(t, env(
+        (1L, "2026-01-01 00:00:03", "Update", 3L),
+        (3L, "2026-01-01 00:00:05", "Insert", 5L)))
+      assert(state(t) == Map(1L -> 3L, 2L -> 2L, 3L -> 5L))
+    } finally {
+      spark.conf.set("spark.graft.commit.reliable", "false")
+      CdcMerge.dropStateTable(spark, t)
+    }
+  }
+
   test("batches converge to latest state; deletes disappear from reads") {
     val t = "merge_basic"
     spark.sql(s"DROP TABLE IF EXISTS $t")
