@@ -86,10 +86,14 @@ val suiteWeights: Map[String, Int] = Map(
 )
 Test / testGrouping := {
   val tests = (Test / definedTests).value
-  val forkOpts = ForkOptions()
-    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  // one ForkOptions PER GROUP, each with a distinct system property:
+  // sbt runs groups whose fork options are EQUAL in one shared JVM,
+  // which silently serializes the whole suite again
+  def forkOpts(i: Int) = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector :+
+      s"-Dgraft.test.group=g$i")
   if (testForkCount <= 1)
-    Seq(Tests.Group("all", tests, Tests.SubProcess(forkOpts)))
+    Seq(Tests.Group("all", tests, Tests.SubProcess(forkOpts(0))))
   else {
     val defaultW = 8
     val bins = Array.fill(testForkCount)(
@@ -102,7 +106,7 @@ Test / testGrouping := {
       }
     bins.toSeq.zipWithIndex.collect {
       case ((_, ts), i) if ts.nonEmpty =>
-        Tests.Group(s"g$i", ts.toSeq, Tests.SubProcess(forkOpts))
+        Tests.Group(s"g$i", ts.toSeq, Tests.SubProcess(forkOpts(i)))
     }
   }
 }
